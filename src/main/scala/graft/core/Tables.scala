@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * One loader per table; every query goes through here so scale-sensitive
+  * load decisions (column pruning happens downstream via Catalyst; type
+  * normalization happens once, here) live in one place.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as a
+    * nanosecond long (legacy conf) and truncate to microseconds — integer
+    * `div`, NOT `/`, because ns-since-epoch (~1.7e18) exceeds double's 53-bit
+    * mantissa and float division would corrupt the microsecond digits.
+    * DuckDB's `CAST(ts AS TIMESTAMP)` truncates ns->us identically.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Embeddings with `embedding` cast float->double once at load: all vector
+    * math is double (reference computes in Python floats = IEEE double —
+    * /root/reference/mapper.py:26-30), and the DuckDB oracle mirrors with
+    * CAST(embedding AS DOUBLE[]).
+    */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+
+  /** The K-Means input relation: points(vec_id BIGINT, coordinates ARRAY<DOUBLE>).
+    * Reference: Data/Input/points.txt loaded at /root/reference/master.py:45-52.
+    */
+  def points(spark: SparkSession, sfDir: String): DataFrame =
+    embeddings(spark, sfDir).select(col("vec_id"), col("embedding").as("coordinates"))
+}

@@ -1,0 +1,151 @@
+package graft.kmeans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables, Vec}
+
+/** K-Means query surface: `SparkEntry.queries` entries + DuckDB oracle SQL.
+  *
+  * Oracle outputs are scalar-only (cid/pos/m rows, not arrays) and every
+  * float that crosses a non-order-deterministic aggregation is rounded to
+  * 9 decimals on BOTH sides (SURVEY.md §7.4 risk 1). K is fixed at 5 and
+  * init is deterministic (first K points by vec_id) so both engines compute
+  * the identical clustering.
+  */
+object KmeansQueries {
+
+  val K = 5
+
+  /** Common oracle prelude: points + deterministic init (SURVEY.md §7.2). */
+  private val preludeSql =
+    s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+       |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, c
+       |         FROM (SELECT vec_id, c FROM pts ORDER BY vec_id LIMIT $K) t),
+       |assign AS (
+       |  SELECT p.vec_id,
+       |         arg_min(i.cid, list_sum(list_transform(list_zip(p.c, i.c),
+       |                 z -> (z[1]-z[2])*(z[1]-z[2])))) AS cid,
+       |         min(list_sum(list_transform(list_zip(p.c, i.c),
+       |                 z -> (z[1]-z[2])*(z[1]-z[2])))) AS d2
+       |  FROM pts p CROSS JOIN init i
+       |  GROUP BY p.vec_id
+       |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Nearest-centroid assignment — the reference mapper's argmin scan
+    // (/root/reference/mapper.py:57-68) as a zero-shuffle per-row expression.
+    "q_assign_nearest" -> { (s, dir) =>
+      val pts = Tables.points(s, dir)
+      Lloyd.assign(pts, Lloyd.initCentroids(pts, K))
+        .select(col("vec_id"), col("cid"))
+        .orderBy("vec_id")
+    },
+    // Per-point min squared distance (the running-min value itself,
+    // mapper.py:59-66) — top-1 of the (dist, cid) scan.
+    "q_argmin" -> { (s, dir) =>
+      val pts = Tables.points(s, dir)
+      val cents = Lloyd.initCentroids(pts, K)
+      val minStruct = array_min(array(cents.sortBy(_.cid).map { c =>
+        val cl = array(c.coordinates.map(lit).toSeq: _*)
+        struct(Vec.sqDist(col("coordinates"), cl).as("d"), lit(c.cid).as("cid"))
+      }: _*))
+      pts.select(col("vec_id"), round(minStruct.getField("d"), 9).as("d2"),
+          minStruct.getField("cid").as("cid"))
+        .orderBy("vec_id")
+    },
+    // One full Lloyd iteration: assign -> shuffle by cid -> per-dim mean
+    // (SURVEY.md §2.11 / §7.2 minimum slice), exploded to scalar rows.
+    "q_kmeans_iter1" -> { (s, dir) =>
+      val pts = Tables.points(s, dir)
+      Lloyd.assign(pts, Lloyd.initCentroids(pts, K))
+        .select(col("cid"), posexplode(col("coordinates")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(round(avg("v"), 9).as("m"))
+        .orderBy("cid", "pos")
+    },
+    // Group sizes under the iter-1 assignment (the reducer's group-by-key,
+    // /root/reference/reducer.py:58-61).
+    "q_groupby_key" -> { (s, dir) =>
+      val pts = Tables.points(s, dir)
+      Lloyd.assign(pts, Lloyd.initCentroids(pts, K))
+        .groupBy("cid").agg(count(lit(1)).as("n_points"))
+        .orderBy("cid")
+    },
+    // Per-group per-dimension mean keyed by the fixture's label column
+    // (the reducer's calculate_new_centroid, reducer.py:19-30, isolated
+    // from the assignment step).
+    "q_centroid_mean" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(round(avg("v"), 9).as("m"))
+        .orderBy("label", "pos")
+    },
+    // Convergence count: centroids that moved < eps between init and the
+    // iter-1 means, joined BY ID (master.py:97-103 intended semantics).
+    "q_count_converged" -> { (s, dir) =>
+      val pts = Tables.points(s, dir)
+      val cents = Lloyd.initCentroids(pts, K)
+      val next = Lloyd.updateExplode(Lloyd.assign(pts, cents))
+      val init = s.createDataFrame(
+        s.sparkContext.parallelize(cents.map(c => org.apache.spark.sql.Row(c.cid, c.coordinates.toSeq)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.IntegerType, false),
+          org.apache.spark.sql.types.StructField("c0", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType), false))))
+      next.join(init, "cid")
+        .agg(sum(when(Vec.dist(col("coordinates"), col("c0")) < lit(1e-6), 1L).otherwise(0L)).as("n_converged"),
+             count(lit(1)).as("n_centroids"))
+    },
+    // N-D Euclidean distance of every point to a fixed probe (= centroid 1):
+    // the reference's distance function generalized (mapper.py:26-30).
+    "q_dist_euclid" -> { (s, dir) =>
+      val pts = Tables.points(s, dir)
+      val probe = Lloyd.initCentroids(pts, 1).head
+      val pl = array(probe.coordinates.map(lit).toSeq: _*)
+      pts.select(col("vec_id"), round(Vec.dist(col("coordinates"), pl), 9).as("d"))
+        .orderBy("vec_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_assign_nearest" ->
+      s"""$preludeSql
+         |SELECT vec_id, cid FROM assign ORDER BY vec_id""".stripMargin,
+    "q_argmin" ->
+      s"""$preludeSql
+         |SELECT vec_id, round(d2, 9) AS d2, cid FROM assign ORDER BY vec_id""".stripMargin,
+    "q_kmeans_iter1" ->
+      s"""$preludeSql
+         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 9) AS m
+         |FROM assign a JOIN pts p USING (vec_id), UNNEST(generate_series(1, len(p.c))) AS u(i)
+         |GROUP BY a.cid, pos
+         |ORDER BY a.cid, pos""".stripMargin,
+    "q_groupby_key" ->
+      s"""$preludeSql
+         |SELECT cid, count(*) AS n_points FROM assign GROUP BY cid ORDER BY cid""".stripMargin,
+    "q_centroid_mean" ->
+      """SELECT label, CAST(u.i - 1 AS INT) AS pos,
+        |       round(avg(CAST(embedding AS DOUBLE[])[u.i]), 9) AS m
+        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
+    "q_count_converged" ->
+      s"""$preludeSql,
+         |means AS (
+         |  SELECT a.cid, CAST(u.i AS INT) AS i, avg(p.c[u.i]) AS m
+         |  FROM assign a JOIN pts p USING (vec_id), UNNEST(generate_series(1, len(p.c))) AS u(i)
+         |  GROUP BY a.cid, u.i),
+         |nextc AS (SELECT cid, list(m ORDER BY i) AS c FROM means GROUP BY cid)
+         |SELECT CAST(sum(CASE WHEN sqrt(list_sum(list_transform(list_zip(n.c, i.c),
+         |              z -> (z[1]-z[2])*(z[1]-z[2])))) < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_converged,
+         |       count(*) AS n_centroids
+         |FROM nextc n JOIN init i USING (cid)""".stripMargin,
+    "q_dist_euclid" ->
+      """WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+        |probe AS (SELECT c FROM pts ORDER BY vec_id LIMIT 1)
+        |SELECT p.vec_id,
+        |       round(sqrt(list_sum(list_transform(list_zip(p.c, probe.c),
+        |             z -> (z[1]-z[2])*(z[1]-z[2])))), 9) AS d
+        |FROM pts p CROSS JOIN probe
+        |ORDER BY p.vec_id""".stripMargin
+  )
+}
