@@ -19,11 +19,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    kmeans.KmeansQueries.queries
+    kmeans.KmeansQueries.queries ++
+      _root_.graft.queries.RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    kmeans.KmeansQueries.oracleSql
+    kmeans.KmeansQueries.oracleSql ++
+      _root_.graft.queries.RelationalQueries.oracleSql
 }

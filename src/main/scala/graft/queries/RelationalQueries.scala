@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational surface: scans, projections/filters, joins, aggregations
+  * (SURVEY.md §2.1-2.4 query keys; NS = north-star extensions).
+  *
+  * Oracle-determinism rules (SURVEY.md §7.4): every query ORDER BYs a unique
+  * key set, ints are BIGINT on both sides, float aggregates are rounded
+  * identically on both sides, and `events.ts` is always read through
+  * [[Tables.events]] (Spark) / `CAST(ts AS TIMESTAMP)` (DuckDB) so both
+  * engines see microsecond precision.
+  */
+object RelationalQueries {
+
+  // ---- §2.1 scans ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full-file scan + typed projection of the points relation
+    // (/root/reference/master.py:45-52 load_data): parquet scan with column
+    // pruning instead of a whole-file text parse.
+    "q_scan_points" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          element_at(col("embedding"), 1).as("c0"))
+        .orderBy("vec_id")
+    },
+    // Range-split scan (/root/reference/master.py:28-43 inputSplit): uniform
+    // chunk = N/m rows per worker, remainder to the last. In Spark the real
+    // analog is FileSourceScanExec split planning; this query demonstrates
+    // the *semantics* as a deterministic bucketing so the oracle can check it.
+    "q_scan_split" -> { (s, dir) =>
+      val m = 4
+      val pts = Tables.embeddings(s, dir).select("vec_id")
+      val n = pts.count()
+      val chunk = n / m // uniform split, master.py:31
+      pts.select(col("vec_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")).as("rn"))
+        .select(col("vec_id"),
+          least(floor((col("rn") - 1) / chunk), lit(m - 1)).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("vec_id").as("first_id"), max("vec_id").as("last_id"))
+        .orderBy("bucket")
+    },
+    // Batch scan of the events stream table (extension surface for §2.9).
+    "q_scan_events" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+
+    // ---- §2.2 projections / filters ---------------------------------------
+
+    // Text line -> typed vector projection (master.py:49-50): format the
+    // vector to a CSV string and parse it back; round-trips exactly because
+    // both engines print shortest-roundtrip doubles.
+    "q_project_parse" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          concat_ws(", ", transform(col("embedding"), x => x.cast("string"))).as("line"))
+        .select(col("vec_id"),
+          transform(split(col("line"), ", "), x => x.cast("double")).as("c"))
+        .select(col("vec_id"), size(col("c")).cast("long").as("n"),
+          element_at(col("c"), 1).as("c0"), element_at(col("c"), 64).as("c63"))
+        .orderBy("vec_id")
+    },
+    // The reference's only explicit filter is skip-empty-partition
+    // (mapper.py:74-75); generalized predicate filter + projection, pushed
+    // down to the parquet scan.
+    "q_filter_nonempty" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // NS: typed field extraction from the JSON props string on events.
+    "q_project_json" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    },
+
+    // ---- §2.3 joins --------------------------------------------------------
+
+    // NS: equi inner join orders ⋈ customer (SortMergeJoin/BHJ — Catalyst
+    // picks; customer is small enough to broadcast at every sf).
+    "q_join_equi" -> { (s, dir) =>
+      Tables.orders(s, dir).join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    // NS: explicit broadcast of the small dims (the reference broadcasts
+    // centroids inside every RPC request — master.py:182-186; here the dim
+    // tables ride to every executor once).
+    "q_join_broadcast" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("r_name")
+    },
+    // NS: left-semi — customers having at least one order.
+    "q_join_semi" -> { (s, dir) =>
+      Tables.customer(s, dir).join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+    // NS: left-anti — customers with no orders.
+    "q_join_anti" -> { (s, dir) =>
+      Tables.customer(s, dir).join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+    // NS range/theta join, written scale-first: clicks within 5 minutes
+    // after a purchase by the same user. The equi part (user_id) carries the
+    // shuffle; the time band is a residual predicate — no nested-loop join
+    // over the full cross product at any sf.
+    "q_join_range" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+          col("c_ts") > col("p_ts") &&
+          col("c_ts") <= col("p_ts") + expr("INTERVAL 5 MINUTES"), "left")
+        .groupBy(col("p_id"))
+        .agg(sum(when(col("c_user").isNotNull, 1L).otherwise(0L)).as("n_clicks_5m"))
+        .orderBy("p_id")
+    },
+    // NS as-of join: latest order at or before each event's ts per user,
+    // via the scalable union+window trick (one shuffle, no per-row probe):
+    // tag both sides, sort by (key, t, tag) within user, carry the last seen
+    // order key forward. DuckDB checks with its native ASOF JOIN.
+    "q_join_asof" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("tag"),
+          col("event_id"), lit(null).cast("long").as("o_key"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("tag"),
+          lit(null).cast("long").as("event_id"), col("o_orderkey").as("o_key"))
+      // Within a user: orders sort before events at the same instant (tag),
+      // and later orders overwrite earlier ones (orderkey tie-break).
+      val w = Window.partitionBy("k").orderBy(col("t"), col("tag"), col("o_key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(ord)
+        .withColumn("asof_order", last("o_key", ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("asof_order"))
+        .orderBy("event_id")
+    },
+
+    // ---- §2.4 aggregations -------------------------------------------------
+
+    // NS: TPC-H Q1-shaped multi-aggregate over lineitem. Partial (map-side)
+    // aggregation makes the shuffle K groups, not N rows.
+    "q_agg_stats" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"), // integral values: exact in double
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // NS: exact distinct per group (the approximate HLL variant is
+    // q_distinct_approx — rows-only, no hash oracle for a sketch).
+    "q_distinct" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("event_type")
+    },
+    "q_distinct_approx" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("n_users_approx"))
+        .orderBy("event_type")
+    },
+    // NS: rollup region -> nation with labeled subtotal rows (coalesce keeps
+    // NULL-ordering semantics out of the cross-engine compare).
+    "q_rollup" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_customers"), col("sum_bal"))
+        .orderBy("region", "nation")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_points" ->
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |       CAST(len(embedding) AS BIGINT) AS n_dims,
+        |       CAST(embedding[1] AS DOUBLE) AS c0
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_scan_split" ->
+      """WITH rn AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn,
+        |                   count(*) OVER () AS n FROM embeddings),
+        |b AS (SELECT vec_id, CAST(least((rn - 1) // (n // 4), 3) AS BIGINT) AS bucket FROM rn)
+        |SELECT bucket, count(*) AS n_rows, min(vec_id) AS first_id, max(vec_id) AS last_id
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_scan_events" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_project_parse" ->
+      """WITH lines AS (
+        |  SELECT vec_id,
+        |         array_to_string(list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(x AS VARCHAR)), ', ') AS line
+        |  FROM embeddings),
+        |parsed AS (SELECT vec_id, list_transform(string_split(line, ', '), x -> CAST(x AS DOUBLE)) AS c FROM lines)
+        |SELECT vec_id, CAST(len(c) AS BIGINT) AS n, c[1] AS c0, c[64] AS c63
+        |FROM parsed ORDER BY vec_id""".stripMargin,
+    "q_filter_nonempty" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_project_json" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_join_equi" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events WHERE event_type = 'click')
+        |SELECT p.p_id,
+        |       CAST(count(c.c_ts) AS BIGINT) AS n_clicks_5m
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |       AND c.c_ts > p.p_ts AND c.c_ts <= p.p_ts + INTERVAL 5 MINUTE
+        |GROUP BY p.p_id ORDER BY p.p_id""".stripMargin,
+    "q_join_asof" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+        |                  row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |           FROM orders)
+        |SELECT e.event_id, o.o_orderkey AS asof_order
+        |FROM events e ASOF LEFT JOIN (SELECT * FROM o WHERE rn = 1) o
+        |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin
+  )
+}
