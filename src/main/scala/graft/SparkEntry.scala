@@ -20,12 +20,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     kmeans.KmeansQueries.queries ++
-      _root_.graft.queries.RelationalQueries.queries
+      _root_.graft.queries.RelationalQueries.queries ++
+      _root_.graft.queries.WindowSetQueries.queries ++
+      _root_.graft.queries.ScalarQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     kmeans.KmeansQueries.oracleSql ++
-      _root_.graft.queries.RelationalQueries.oracleSql
+      _root_.graft.queries.RelationalQueries.oracleSql ++
+      _root_.graft.queries.WindowSetQueries.oracleSql ++
+      _root_.graft.queries.ScalarQueries.oracleSql
 }

@@ -17,8 +17,11 @@ object KmeansQueries {
 
   val K = 5
 
-  /** Common oracle prelude: points + deterministic init (SURVEY.md §7.2). */
-  private val preludeSql =
+  /** Common oracle prelude: points + deterministic init (SURVEY.md §7.2).
+    * Exposed for other modules whose oracle builds on the iter-1 assignment.
+    */
+  val preludeForOracle: String = preludeSql
+  private lazy val preludeSql =
     s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
        |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, c
        |         FROM (SELECT vec_id, c FROM pts ORDER BY vec_id LIMIT $K) t),

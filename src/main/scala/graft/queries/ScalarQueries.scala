@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables, Vec}
+
+/** Scalar-function surface: string / math / array / json / date / map
+  * (SURVEY.md §2.8). All vector math is HOF-composed (codegen-friendly,
+  * no UDFs); cross-engine float formatting is normalized by `round(_, 3)`
+  * (keeps magnitudes out of exponent notation) and `+ 0.0` (DuckDB prints
+  * -0.0 as "0.0", Java as "-0.0").
+  */
+object ScalarQueries {
+
+  /** First `n` elements of an array column, Spark side. */
+  private def head(c: Column, n: Int): Column = slice(c, 1, n)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // String -> vector parse with the reference's comma normalization
+    // (handlePoints regex r',([^ ])' -> ', \1' at /root/reference/master.py:85):
+    // synthesize the malformed "x,y" form, normalize, split, cast.
+    "q_split_cast" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          concat_ws(",", transform(head(col("embedding"), 2), x => x.cast("string"))).as("raw"))
+        .select(col("vec_id"),
+          transform(split(regexp_replace(col("raw"), ",([^ ])", ", $1"), ", "),
+            x => x.cast("double")).as("c"))
+        .select(col("vec_id"), element_at(col("c"), 1).as("x"), element_at(col("c"), 2).as("y"))
+        .orderBy("vec_id")
+    },
+    // Vector -> delimited string (reducer.py:72 comma form / mapper.py:83-84
+    // space form): first 8 dims rounded to 3 decimals, comma-joined.
+    "q_fmt_join" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          concat_ws(",", transform(head(col("embedding"), 8),
+            x => (round(x, 3) + lit(0.0)).cast("string"))).as("line"))
+        .orderBy("vec_id")
+    },
+    // Shuffle-key routing cid % R with the reference's 1-based fixup
+    // (pid == 0 -> R, /root/reference/mapper.py:76-80), R = 2.
+    "q_mod_partition" -> { (s, dir) =>
+      val r = 2
+      val assigned = graft.kmeans.KmeansQueries.queries("q_assign_nearest")(s, dir)
+      assigned
+        .withColumn("pid",
+          when(pmod(col("cid"), lit(r)) === 0, r).otherwise(pmod(col("cid"), lit(r))).cast("long"))
+        .groupBy("pid").agg(count(lit(1)).as("n"))
+        .orderBy("pid")
+    },
+    // NS text scalars over documents: casing, lengths, tokenization, regex.
+    "q_string_funcs" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          upper(col("lang")).as("lang_uc"),
+          substring(col("text"), 1, 10).as("prefix"),
+          regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+          length(regexp_replace(col("text"), "[^aeiou]", "")).cast("long").as("n_vowels"))
+        .orderBy("doc_id")
+    },
+    // NS date/time scalars over orders.
+    "q_date_funcs" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+        .orderBy("o_orderkey")
+    },
+    // NS array ops on embeddings: size/slice + elementwise HOFs
+    // (generalizes the reducer's elementwise loop, reducer.py:23-25).
+    "q_array_funcs" -> { (s, dir) =>
+      val c = col("embedding")
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          size(c).cast("long").as("n"),
+          round(aggregate(head(c, 8), lit(0.0), (a, x) => a + x), 6).as("sum8"),
+          size(filter(c, x => x > 0)).cast("long").as("n_pos"),
+          array_max(c).as("mx"),
+          round(aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x), 6).as("sq_norm"))
+        .orderBy("vec_id")
+    },
+    // NS map ops: per-doc word->count map via map_from_entries, then keyed
+    // lookups and cardinality.
+    "q_map_funcs" -> { (s, dir) =>
+      val words = split(col("text"), " ")
+      val m = map_from_entries(transform(array_distinct(words),
+        w => struct(w.as("k"), size(filter(words, x => x === w)).cast("long").as("v"))))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), m.as("m"))
+        .select(col("doc_id"),
+          size(map_keys(col("m"))).cast("long").as("n_distinct"),
+          coalesce(element_at(col("m"), "table"), lit(0L)).as("n_table"),
+          coalesce(element_at(col("m"), "query"), lit(0L)).as("n_query"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_split_cast" ->
+      """WITH raw AS (
+        |  SELECT vec_id,
+        |         array_to_string(list_transform(CAST(embedding[1:2] AS DOUBLE[]), x -> CAST(x AS VARCHAR)), ',') AS raw
+        |  FROM embeddings),
+        |parsed AS (
+        |  SELECT vec_id,
+        |         list_transform(string_split(regexp_replace(raw, ',([^ ])', ', \1', 'g'), ', '),
+        |                        x -> CAST(x AS DOUBLE)) AS c
+        |  FROM raw)
+        |SELECT vec_id, c[1] AS x, c[2] AS y FROM parsed ORDER BY vec_id""".stripMargin,
+    "q_fmt_join" ->
+      """SELECT vec_id,
+        |       array_to_string(list_transform(CAST(embedding[1:8] AS DOUBLE[]),
+        |                       x -> CAST(round(x, 3) + 0.0 AS VARCHAR)), ',') AS line
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_mod_partition" ->
+      s"""${graft.kmeans.KmeansQueries.preludeForOracle}
+         |SELECT CAST(CASE WHEN cid % 2 = 0 THEN 2 ELSE cid % 2 END AS BIGINT) AS pid,
+         |       count(*) AS n
+         |FROM assign GROUP BY pid ORDER BY pid""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |       upper(lang) AS lang_uc,
+        |       substr(text, 1, 10) AS prefix,
+        |       regexp_extract(text, '^(\w+)', 1) AS first_word,
+        |       CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |       date_trunc('month', o_orderdate) AS month_start,
+        |       CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_array_funcs" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings)
+        |SELECT vec_id,
+        |       CAST(len(c) AS BIGINT) AS n,
+        |       round(list_reduce(list_prepend(0.0, c[1:8]), (a, x) -> a + x), 6) AS sum8,
+        |       CAST(len(list_filter(c, x -> x > 0)) AS BIGINT) AS n_pos,
+        |       list_max(c) AS mx,
+        |       round(list_reduce(list_prepend(0.0, list_transform(c, x -> x * x)), (a, x) -> a + x), 6) AS sq_norm
+        |FROM t ORDER BY vec_id""".stripMargin,
+    "q_map_funcs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |             map_from_entries(list_transform(list_distinct(ws),
+        |               u -> struct_pack(k := u, v := CAST(len(list_filter(ws, x -> x = u)) AS BIGINT)))) AS m
+        |      FROM w)
+        |SELECT doc_id,
+        |       CAST(cardinality(m) AS BIGINT) AS n_distinct,
+        |       coalesce(m['table'][1], 0) AS n_table,
+        |       coalesce(m['query'][1], 0) AS n_query
+        |FROM m ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Window functions, sorts/limits/top-k, and set operations
+  * (SURVEY.md §2.5-2.7). The reference has none of these (its only "top-k"
+  * is the per-point argmin, k=1 — /root/reference/mapper.py:59-66); all are
+  * NS extensions except `q_union_centroids`, which re-expresses the
+  * master's per-reducer concatenation (/root/reference/master.py:238-247).
+  */
+object WindowSetQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.5 windows ------------------------------------------------------
+
+    // Top-3 orders per customer by totalprice (rank partitioned by customer;
+    // the per-partition sort is local after one hash shuffle).
+    "q_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    },
+    // Running revenue per user over event time (event_id tie-break makes the
+    // frame total-ordered and the sum bit-deterministic).
+    "q_window_running" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("running_value", round(sum("value").over(w), 6))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+        .orderBy("event_id")
+    },
+    // Inter-event gap per user in seconds (lag over event time).
+    "q_window_lag" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .select(col("event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+        .orderBy("event_id")
+    },
+
+    // ---- §2.6 sorts / limits / top-k --------------------------------------
+
+    // Global order-by + limit -> TakeOrderedAndProjectExec: per-partition
+    // top-10 then a 10-row merge on the driver, never a full global sort.
+    "q_sort_limit" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // ---- §2.7 set ops ------------------------------------------------------
+
+    // The master's per-reducer centroid concatenation (master.py:238-247) as
+    // a UNION ALL: split the iter-1 centroid means by cid parity (stand-ins
+    // for per-reducer outputs R0/R1, cid % 2 routing as mapper.py:32-38)
+    // and concatenate.
+    "q_union_centroids" -> { (s, dir) =>
+      val means = graft.kmeans.KmeansQueries.queries("q_kmeans_iter1")(s, dir)
+      val r0 = means.filter(pmod(col("cid"), lit(2)) === 0)
+      val r1 = means.filter(pmod(col("cid"), lit(2)) === 1)
+      r0.unionByName(r1).orderBy("cid", "pos")
+    },
+    // Users who both clicked and purchased.
+    "q_intersect" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    },
+    // Users who signed up but never purchased.
+    "q_except" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "signup").select("user_id")
+        .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_lag" ->
+      """SELECT event_id,
+        |       CAST(epoch_us(CAST(ts AS TIMESTAMP)) -
+        |            epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |            AS BIGINT) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    // The parity-split UNION ALL reassembles exactly the iter-1 means, so the
+    // iter-1 oracle (already ordered by cid, pos) checks it directly.
+    "q_union_centroids" -> graft.kmeans.KmeansQueries.oracleSql("q_kmeans_iter1"),
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'signup'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin
+  )
+}
