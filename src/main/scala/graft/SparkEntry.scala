@@ -22,7 +22,9 @@ object SparkEntry {
     kmeans.KmeansQueries.queries ++
       _root_.graft.queries.RelationalQueries.queries ++
       _root_.graft.queries.WindowSetQueries.queries ++
-      _root_.graft.queries.ScalarQueries.queries
+      _root_.graft.queries.ScalarQueries.queries ++
+      streaming.EventQueries.queries ++
+      text.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +33,7 @@ object SparkEntry {
     kmeans.KmeansQueries.oracleSql ++
       _root_.graft.queries.RelationalQueries.oracleSql ++
       _root_.graft.queries.WindowSetQueries.oracleSql ++
-      _root_.graft.queries.ScalarQueries.oracleSql
+      _root_.graft.queries.ScalarQueries.oracleSql ++
+      streaming.EventQueries.oracleSql ++
+      text.TextQueries.oracleSql
 }

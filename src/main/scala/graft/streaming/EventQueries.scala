@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Streaming semantics (SURVEY.md §2.9), registered in their
+  * batch-equivalent forms so the DuckDB oracle can check them: Spark's
+  * `window()` / `session_window()` produce identical groupings in batch and
+  * streaming mode, so correctness proven here carries over to the
+  * `readStream` variants in [[Streams]] (whose watermark/state behavior is
+  * covered by MemoryStream ScalaTests instead — not oracle-expressible).
+  *
+  * The reference is batch-only; its iterative loop is its only notion of
+  * time (/root/reference/master.py:115-152).
+  */
+object EventQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Events per type per 1-hour tumbling window.
+    "q_stream_tumbling" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+    // 1-hour window sliding every 15 minutes: each event lands in 4 windows.
+    "q_stream_sliding" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("n"))
+        .orderBy("w_start")
+    },
+    // Per-user sessions with a 30-minute inactivity gap: session_window in
+    // batch mode; the oracle rebuilds sessions via the lag-gap + running-sum
+    // rewrite (the classic batch sessionization).
+    "q_stream_session" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("w_start"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "w_start")
+    },
+    // Drop duplicate event ids (batch form of dropDuplicatesWithinWatermark).
+    // Restricted to the key column: among true duplicates Spark keeps an
+    // arbitrary full row, so only the key set is deterministic.
+    "q_stream_dedup" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select("event_id").dropDuplicates("event_id")
+        .orderBy("event_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+        |       count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS w_start
+        |      FROM e, UNNEST([0, 1, 2, 3]) AS t(k))
+        |SELECT w_start, count(*) AS n FROM x GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |gaps AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 30 MINUTE
+        |              THEN 0 ELSE 1 END AS new_session
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM gaps)
+        |SELECT user_id, min(ts) AS w_start, count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT DISTINCT event_id FROM events ORDER BY event_id"
+  )
+}

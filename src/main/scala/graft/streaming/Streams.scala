@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** True Structured Streaming forms of the §2.9 surface: `readStream` →
+  * watermarked/windowed transforms → `writeStream`. Batch-equivalent
+  * results are oracle-checked via [[EventQueries]]; the stateful behaviors
+  * here (watermark late-drop, in-stream dedup, incremental K-Means state)
+  * are covered by MemoryStream ScalaTests (SURVEY.md §5.5).
+  *
+  * The reference is batch-only — its only state across time is the centroid
+  * list the master carries between iterations (/root/reference/master.py:
+  * 115-152); [[incrementalKmeans]] holds exactly that state (per-centroid
+  * running sum + count, reducer.py:21-25) as streaming state.
+  */
+object Streams {
+
+  /** A typed event row (see FIXTURES.md: events table). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** Open the events table as a file stream with the same schema the batch
+    * loader produces. `maxFilesPerTrigger` keeps micro-batches bounded on a
+    * multi-file 100 TB directory.
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts with a 1-hour watermark: late events beyond the
+    * watermark are dropped (q_stream_watermark + q_stream_tumbling).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Sliding 1-hour/15-minute counts under the same watermark. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("n"))
+
+  /** Per-user 30-minute-gap sessions (q_stream_session, streaming form). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("w_start"), col("n_events"))
+
+  /** Exactly-once event ids within the watermark horizon (q_stream_dedup). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-key streaming state for [[incrementalKmeans]]: the reducer's
+    * running (elementwise sum, count) — reducer.py:21-25 — kept alive
+    * across micro-batches.
+    */
+  case class CentroidState(sum: Array[Double], n: Long)
+  case class Assigned(cid: Int, coordinates: Array[Double])
+  case class CentroidUpdate(cid: Int, coordinates: Array[Double], n: Long)
+
+  /** q_stream_kmeans (stretch): incremental centroid update over an
+    * already-assigned vector stream. Each micro-batch folds its vectors
+    * into per-cid (sum, n) state and emits the current mean — the
+    * reference's reduce step running continuously instead of per-iteration.
+    */
+  def incrementalKmeans(assigned: Dataset[Assigned]): Dataset[CentroidUpdate] = {
+    import assigned.sparkSession.implicits._
+    assigned
+      .groupByKey(_.cid)
+      .mapGroupsWithState[CentroidState, CentroidUpdate](GroupStateTimeout.NoTimeout) {
+        (cid: Int, rows: Iterator[Assigned], state: GroupState[CentroidState]) =>
+          val prev = state.getOption.getOrElse(CentroidState(Array.emptyDoubleArray, 0L))
+          var sum = prev.sum
+          var n = prev.n
+          rows.foreach { a =>
+            if (sum.isEmpty) sum = new Array[Double](a.coordinates.length)
+            var i = 0
+            while (i < sum.length) { sum(i) += a.coordinates(i); i += 1 }
+            n += 1
+          }
+          state.update(CentroidState(sum, n))
+          CentroidUpdate(cid, if (n == 0) sum else sum.map(_ / n), n)
+      }
+  }
+
+  /** Run any of the above to completion against the (finite) file stream and
+    * return the final result as a batch DataFrame — used by tests.
+    */
+  def runToBatch(spark: SparkSession, streamed: DataFrame, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val name = s"graft_sink_${System.nanoTime()}"
+    val q = streamed.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,241 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text analysis + deduplication over `documents` (north-star LLM-pipeline
+  * surface; the reference has no text ops — all NS).
+  *
+  * Cross-engine determinism trick used throughout: a 32-bit word/shingle
+  * hash derived from the md5 hex prefix — `conv(substr(md5(s),1,8),16,10)`
+  * in Spark ≡ `('0x'||substr(md5(s),1,8))::BIGINT` in DuckDB — so sketch
+  * queries (MinHash, SimHash, fingerprints) hash-match the oracle exactly.
+  * At 100 TB every query here is embarrassingly parallel per document
+  * (narrow, no shuffle) or shuffles only small sketch rows.
+  */
+object TextQueries {
+
+  /** 32-bit deterministic hash of a string column (cross-engine md5 trick). */
+  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private val words: Column = split(col("text"), " ")
+
+  /** Word-level 3-gram shingles of a words array. */
+  private def shingles3(w: Column): Column =
+    transform(sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+
+  // MinHash parameters: k independent universal hashes over a Mersenne prime.
+  val MinhashK = 16
+  val P: Long = 2147483647L // 2^31 - 1
+  private def mhA(j: Int): Long = 2L * j + 1
+  private def mhB(j: Int): Long = 12345L * j + 7
+
+  /** Per-language tiny stopword lists for the n-gram/stopword language-ID
+    * heuristic (decide by hit-count ratio; deterministic argmax).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Language ID: stopword hit counts per candidate language, argmax with
+    // ties -> 'und'. (n-gram heuristic family; the fixture corpus is an
+    // English-ish analytics vocabulary, so mostly 'en' — the operator, not
+    // the corpus, is under test.)
+    "q_text_langid" -> { (s, dir) =>
+      val scores = langMarkers.map { case (lang, ws) =>
+        val markers = array(ws.map(lit): _*)
+        struct(size(array_intersect(words, markers)).cast("long").as("hits"), lit(lang).as("lang"))
+      }
+      // argmax by (hits desc, lang asc); 0 hits -> 'und'
+      val best = sort_array(array(scores: _*), asc = false).getItem(0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(best.getField("hits") > 0, best.getField("lang")).otherwise("und").as("pred_lang"),
+          best.getField("hits").as("n_hits"))
+        .orderBy("doc_id")
+    },
+    // Quality scoring: length/stopword/char-class ratios + a composite score.
+    "q_text_quality" -> { (s, dir) =>
+      val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+      val nWords = size(words).cast("double")
+      val nStop = size(filter(words, w => array_contains(stop, w))).cast("double")
+      val meanLen = length(col("text")).cast("double") / nWords
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          round(nStop / nWords, 6).as("stopword_ratio"),
+          round(meanLen, 6).as("mean_word_len"),
+          round(least(lit(1.0), nWords / 100) * (lit(1.0) - nStop / nWords), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+    // Token counting: whitespace tokens, BPE-ish regex tokens
+    // (letter-runs | digit-runs | single other), 4-char subword pieces.
+    "q_text_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("n_bpe"),
+          aggregate(transform(words, w => ceil(length(w) / lit(4.0)).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_subword"))
+        .orderBy("doc_id")
+    },
+    // Document fingerprint: left-fold polynomial rolling hash over 32-bit
+    // word hashes, h = (h*31 + v) mod (1e9+7).
+    "q_text_fingerprint" -> { (s, dir) =>
+      val fp = aggregate(transform(words, w => h32(w)), lit(0L),
+        (acc, v) => (acc * 31 + v) % 1000000007L)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup family ------------------------------------------------------
+
+    // Exact dedup: hash-groupBy on content, canonical = min doc_id. At scale
+    // this is one shuffle of (hash, id) pairs, never of document bodies.
+    "q_dedup_exact" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy("canonical_id")
+    },
+    // MinHash sketch, exploded to (doc_id, j, minhash) so the oracle checks
+    // every signature value. Sketch rows are k per doc — the only thing
+    // shuffled at 100 TB.
+    "q_dedup_minhash" -> { (s, dir) =>
+      val sh = shingles3(words)
+      val sigs = (0 until MinhashK).map { j =>
+        struct(lit(j.toLong).as("j"),
+          array_min(transform(sh, x => (h32(x) * mhA(j) + mhB(j)) % P)).as("minhash"))
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array(sigs: _*)).as("sig"))
+        .select(col("doc_id"), col("sig.j").as("j"), col("sig.minhash").as("minhash"))
+        .orderBy("doc_id", "j")
+    },
+    // SimHash (32-bit): per-bit majority vote over word hashes, packed.
+    "q_dedup_simhash" -> { (s, dir) =>
+      val bitSums = (0 until 32).map(j =>
+        sum(shiftright(col("v"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
+      val packed = (0 until 32).map(j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(words).as("word"))
+        .withColumn("v", h32(col("word")))
+        .groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), packed.as("simhash"))
+        .orderBy("doc_id")
+    },
+    // N-gram Jaccard near-dup: candidate pairs blocked on (n_words,
+    // first_word) — an equi-join, never an all-pairs cross product — then
+    // exact Jaccard over distinct 3-gram shingle sets.
+    "q_dedup_ngram" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          element_at(words, 1).as("first_word"),
+          array_distinct(shingles3(words)).as("sh"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("n_words"), col("first_word"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("n_words"), col("first_word"), col("sh").as("sh_b"))
+      a.join(b, Seq("n_words", "first_word"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.05)
+        .orderBy("doc_a", "doc_b")
+    }
+  )
+
+  def oracleSql: Map[String, String] = {
+    val bitSumCols = (0 until 32)
+      .map(j => s"sum(((v >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")
+    val packedCols = (0 until 32)
+      .map(j => s"CASE WHEN s$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END").mkString(" + ")
+    val sigSelects = (0 until MinhashK).map { j =>
+      s"SELECT doc_id, CAST($j AS BIGINT) AS j, list_min(list_transform(sh, x -> (hv(x) * ${mhA(j)} + ${mhB(j)}) % $P)) AS minhash FROM sh"
+    }.mkString("\nUNION ALL\n")
+    val langScore = langMarkers.map { case (lang, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"struct_pack(hits := CAST(len(list_intersect(ws, $arr)) AS BIGINT), lang := '$lang')"
+    }.mkString("[", ", ", "]")
+
+    Map(
+      "q_text_langid" ->
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |best AS (SELECT doc_id, list_reverse_sort($langScore)[1] AS b FROM t)
+           |SELECT doc_id,
+           |       CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS pred_lang,
+           |       b.hits AS n_hits
+           |FROM best ORDER BY doc_id""".stripMargin,
+      "q_text_quality" ->
+        """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+          |m AS (SELECT doc_id,
+          |             CAST(len(ws) AS DOUBLE) AS n_words,
+          |             CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE) AS n_stop,
+          |             CAST(length(text) AS DOUBLE) AS n_chars
+          |      FROM t)
+          |SELECT doc_id,
+          |       CAST(n_words AS BIGINT) AS n_words,
+          |       round(n_stop / n_words, 6) AS stopword_ratio,
+          |       round(n_chars / n_words, 6) AS mean_word_len,
+          |       round(least(1.0, n_words / 100) * (1.0 - n_stop / n_words), 6) AS quality
+          |FROM m ORDER BY doc_id""".stripMargin,
+      "q_text_tokens" ->
+        """SELECT doc_id,
+          |       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws,
+          |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe,
+          |       CAST(list_sum(list_transform(string_split(text, ' '),
+          |            u -> CAST(ceil(length(u) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_text_fingerprint" ->
+        """WITH t AS (SELECT doc_id,
+          |                  list_transform(string_split(text, ' '),
+          |                    u -> ('0x' || substr(md5(u), 1, 8))::BIGINT) AS vs
+          |           FROM documents)
+          |SELECT doc_id,
+          |       list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+          |                   (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+          |FROM t ORDER BY doc_id""".stripMargin,
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+          |FROM documents GROUP BY content_hash ORDER BY canonical_id""".stripMargin,
+      "q_dedup_minhash" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh AS (SELECT doc_id,
+           |              list_transform(range(1, len(ws) - 1),
+           |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+           |       FROM w),
+           |sigs AS (
+           |${sigSelects.replace("hv(x)", "('0x' || substr(md5(x), 1, 8))::BIGINT")}
+           |)
+           |SELECT doc_id, j, minhash FROM sigs ORDER BY doc_id, j""".stripMargin,
+      "q_dedup_simhash" ->
+        s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           |v AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS v FROM w),
+           |s AS (SELECT doc_id, $bitSumCols FROM v GROUP BY doc_id)
+           |SELECT doc_id, $packedCols AS simhash FROM s ORDER BY doc_id""".stripMargin,
+      "q_dedup_ngram" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, ws[1] AS first_word,
+          |             list_distinct(list_transform(range(1, len(ws) - 1),
+          |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          |      FROM w)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+          |FROM d a JOIN d b ON a.n_words = b.n_words AND a.first_word = b.first_word
+          |                  AND a.doc_id < b.doc_id
+          |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.05
+          |ORDER BY doc_a, doc_b""".stripMargin
+    )
+  }
+}
