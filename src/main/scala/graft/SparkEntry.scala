@@ -24,7 +24,11 @@ object SparkEntry {
       _root_.graft.queries.WindowSetQueries.queries ++
       _root_.graft.queries.ScalarQueries.queries ++
       streaming.EventQueries.queries ++
-      text.TextQueries.queries
+      text.TextQueries.queries ++
+      sim.SimilarityQueries.queries ++
+      multimodal.BlobQueries.queries ++
+      ml.MLQueries.queries ++
+      core.Sinks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +39,9 @@ object SparkEntry {
       _root_.graft.queries.WindowSetQueries.oracleSql ++
       _root_.graft.queries.ScalarQueries.oracleSql ++
       streaming.EventQueries.oracleSql ++
-      text.TextQueries.oracleSql
+      text.TextQueries.oracleSql ++
+      sim.SimilarityQueries.oracleSql ++
+      multimodal.BlobQueries.oracleSql ++
+      ml.MLQueries.oracleSql ++
+      core.Sinks.oracleSql
 }

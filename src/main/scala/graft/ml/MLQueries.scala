@@ -1,0 +1,82 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.kmeans.{KmeansQueries, Lloyd, VecMeanAgg}
+
+/** The composite K-Means entries (SURVEY.md §2.10-2.11) + MLlib cross-check.
+  */
+object MLQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The VecMeanAgg Aggregator (§2.10) against the same oracle as the
+    // posexplode mean: per-label vector means, exploded back to scalars.
+    // Proves the distributive (sum, count) buffer — the 100 TB path that
+    // shuffles K buffers instead of N·D rows — computes the identical result.
+    "q_udaf_vecmean" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(VecMeanAgg(col("embedding")).as("mean_vec"))
+        .select(col("label"), posexplode(col("mean_vec")).as(Seq("pos", "m")))
+        .select(col("label"), col("pos"), round(col("m"), 9).as("m"))
+        .orderBy("label", "pos")
+    },
+    // Text -> words table (UDTF shape, §2.10): built-in explode covers the
+    // reference-free generator case; grouped to (doc, word, n).
+    "q_udtf_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "word")
+    },
+    // Full Lloyd loop (§2.11): iterate to convergence (<=10 iters, eps 1e-6)
+    // with the Aggregator path, emit final centroids as scalar rows.
+    // No SQL oracle (iteration isn't expressible without recursive CTAS
+    // gymnastics) — semantics are property-tested in ScalaTest instead;
+    // the driver records a rows>0 check.
+    "q_kmeans_full" -> { (s, dir) =>
+      val (cents, iters) = Lloyd.run(Tables.points(s, dir), KmeansQueries.K,
+        maxIter = 10, eps = 1e-6, useAgg = true)
+      val s2 = s
+      import s2.implicits._
+      cents.flatMap(c => c.coordinates.zipWithIndex.map {
+        case (v, pos) => (c.cid, pos, math.rint(v * 1e9) / 1e9, iters.toLong)
+      }).toDF("cid", "pos", "m", "n_iters").orderBy("cid", "pos")
+    },
+    // MLlib K-Means over the same vectors (north-star approach line:
+    // "MLlib K-Means clustering over RDD/DataFrame"): fixed seed, k=5.
+    // Cluster ids are arbitrary -> emit only the sorted cluster sizes and
+    // the training cost (rows-only check; SSE-vs-Lloyd asserted in tests).
+    "q_kmeans_mllib" -> { (s, dir) =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val data = Tables.embeddings(s, dir)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(KmeansQueries.K).setSeed(42L)
+        .setMaxIter(10).setTol(1e-6).fit(data)
+      val sizes = model.summary.clusterSizes.sorted.reverse
+      val s2 = s
+      import s2.implicits._
+      sizes.zipWithIndex.map { case (n, i) => (i.toLong, n.toLong) }
+        .toSeq.toDF("rank", "cluster_size").orderBy("rank")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Same oracle as q_centroid_mean, with BIGINT label to match the cast.
+    "q_udaf_vecmean" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(u.i - 1 AS INT) AS pos,
+        |       round(avg(CAST(embedding AS DOUBLE[])[u.i]), 9) AS m
+        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
+    "q_udtf_tokens" ->
+      """SELECT doc_id, u.word, count(*) AS n
+        |FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
+        |GROUP BY doc_id, u.word
+        |ORDER BY doc_id, u.word""".stripMargin
+  )
+}

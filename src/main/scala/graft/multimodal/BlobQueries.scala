@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (north-star): image/audio/video as opaque `binary`
+  * columns with typed metadata, processed by per-partition batch functions.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[FakeDecoder]]); everything around
+  * it — the (blob, meta struct) schema, the `Dataset.mapPartitions` batch
+  * shape (Scala's analog of `mapInPandas`: one iterator per partition, so
+  * a real decoder amortizes model/codec init per partition, not per row),
+  * partitioning, and the re-aggregation back to columnar — is real and
+  * oracle-checked.
+  *
+  * The `documents.text` bytes stand in for media payloads.
+  */
+object BlobQueries {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class Blob(doc_id: Long, payload: Array[Byte], kind: String, n_bytes: Long)
+  /** One extracted "frame": (doc_id, frame index, byte value at the sample). */
+  case class Frame(doc_id: Long, idx: Long, v: Long)
+
+  /** STUB decoder: a real implementation would decode the codec and emit
+    * pixel/sample frames; this deterministic fake "samples a frame" every
+    * `stride` bytes and returns the byte value — same batch shape, same
+    * schema, no codec dependency.
+    */
+  object FakeDecoder {
+    val Stride = 32
+    def frames(b: Blob): Iterator[Frame] =
+      (0 until b.payload.length by Stride).iterator.zipWithIndex.map {
+        case (off, i) => Frame(b.doc_id, i.toLong, (b.payload(off) & 0xff).toLong)
+      }
+  }
+
+  /** documents -> typed media table: payload bytes + metadata struct. */
+  def blobs(spark: SparkSession, sfDir: String): Dataset[Blob] = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .map(r => {
+        val bytes = r.getString(1).getBytes("UTF-8")
+        Blob(r.getLong(0), bytes, "text/plain", bytes.length.toLong)
+      })
+  }
+
+  /** Per-partition batch decode (the mapInPandas shape): one decoder
+    * instance per partition iterator.
+    */
+  def decodeFrames(blobs: Dataset[Blob]): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // decoder/codec init would happen here, once per partition
+      it.flatMap(FakeDecoder.frames)
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata extraction over the binary payload column: byte length +
+    // content digest, computed on the binary type itself.
+    "q_blob_meta" -> { (s, dir) =>
+      blobs(s, dir).toDF()
+        .select(col("doc_id"), col("kind"), col("n_bytes"),
+          octet_length(col("payload")).cast("long").as("octets"),
+          md5(col("payload")).as("digest"))
+        .orderBy("doc_id")
+    },
+    // Frame sampling through the stubbed per-partition decoder, then
+    // re-aggregated: frame count + byte-value checksum per doc.
+    "q_blob_frames" -> { (s, dir) =>
+      decodeFrames(blobs(s, dir)).toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"), sum("v").as("checksum"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_blob_meta" ->
+      """SELECT doc_id, 'text/plain' AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS octets,
+        |       md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The fixture text is ASCII, so byte k == ord(substr(text, k+1, 1)).
+    "q_blob_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1, 32), i -> ord(substr(text, CAST(i AS INT), 1))) AS vs
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(vs) AS BIGINT) AS n_frames,
+        |       CAST(list_sum(vs) AS BIGINT) AS checksum
+        |FROM f ORDER BY doc_id""".stripMargin
+  )
+}

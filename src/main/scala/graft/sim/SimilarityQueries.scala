@@ -1,0 +1,132 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables, Vec}
+
+/** Similarity search over the embedding column (north-star surface).
+  *
+  * Three tiers, in scale order:
+  *   - [[q_topk_similar]]: exact brute-force cosine top-k — the baseline; a
+  *     single narrow scan + TakeOrderedAndProject (no shuffle of vectors).
+  *   - [[q_ann_ivf]]: IVF — coarse-quantize by nearest centroid, probe only
+  *     the nprobe closest cells. At 100 TB the data is pre-partitioned by
+  *     cell id, so a probe touches nprobe/K of the data.
+  *   - [[q_dedup_embed]]: LSH sign-bucketing (deterministic integer-hash
+  *     hyperplanes) then within-bucket exact cosine — near-dup pairs
+  *     without an all-pairs cross product.
+  */
+object SimilarityQueries {
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
+    * integer-hash arithmetic only, so Spark and DuckDB agree bit-for-bit.
+    */
+  private def hp(j: Int, d: Int): Double =
+    (((j * 64 + d + 1) * 2654435761L) % 1997L - 998L).toDouble
+
+  val NPlanes = 8
+
+  /** Sign-bucket id of a vector: bit j = [dot(v, plane_j) > 0]. */
+  def lshBucket(v: Column): Column =
+    (0 until NPlanes).map { j =>
+      val plane = array((0 until 64).map(d => lit(hp(j, d))): _*)
+      when(Vec.dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact cosine top-10 to the probe vector (vec_id 0): orderBy+limit
+    // compiles to per-partition top-k + a 10-row driver merge.
+    "q_topk_similar" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probe = emb.orderBy("vec_id").limit(1)
+        .select(col("embedding")).head().getSeq[Double](0)
+      val pl = array(probe.map(lit): _*)
+      emb.select(col("vec_id"), round(Vec.cosine(col("embedding"), pl), 9).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    // IVF approximate top-10: cells = the deterministic init centroids
+    // (first K points), probe the 2 cells nearest the probe vector, exact
+    // search within. Fully deterministic, so the oracle replays it.
+    "q_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pts = Tables.points(s, dir)
+      val cents = graft.kmeans.Lloyd.initCentroids(pts, graft.kmeans.KmeansQueries.K)
+      val probe = emb.orderBy("vec_id").limit(1)
+        .select(col("embedding")).head().getSeq[Double](0)
+      // nprobe=2 nearest cells to the probe, computed on the driver (K rows).
+      val probeCells = cents
+        .map(c => (c.cid, {
+          var s0 = 0.0; var i = 0
+          while (i < probe.length) { val d = probe(i) - c.coordinates(i); s0 += d * d; i += 1 }
+          s0
+        }))
+        .sortBy { case (cid, d) => (d, cid) }.take(2).map(_._1)
+      val assigned = graft.kmeans.Lloyd.assign(pts, cents)
+      val pl = array(probe.map(lit): _*)
+      assigned.filter(col("cid").isin(probeCells: _*))
+        .select(col("vec_id"), round(Vec.cosine(col("coordinates"), pl), 9).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    // Embedding near-dup pairs: LSH bucket equi-join + exact cosine filter.
+    "q_dedup_embed" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("bucket"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("bucket"))
+      a.join(b, "bucket")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Vec.cosine(col("e_a"), col("e_b")), 9).as("cos"))
+        .filter(col("cos") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  def oracleSql: Map[String, String] = {
+    val planes = (0 until NPlanes).map { j =>
+      val arr = (0 until 64).map(d => s"${hp(j, d)}").mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(c, $arr::DOUBLE[]) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END"
+    }.mkString(" + ")
+
+    Map(
+      "q_topk_similar" ->
+        """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+          |probe AS (SELECT c AS p FROM t ORDER BY vec_id LIMIT 1)
+          |SELECT t.vec_id,
+          |       round(list_dot_product(t.c, probe.p) /
+          |             (sqrt(list_dot_product(t.c, t.c)) * sqrt(list_dot_product(probe.p, probe.p))), 9) AS sim
+          |FROM t CROSS JOIN probe
+          |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin,
+      "q_ann_ivf" ->
+        s"""${graft.kmeans.KmeansQueries.preludeForOracle},
+           |probe AS (SELECT c AS p FROM pts ORDER BY vec_id LIMIT 1),
+           |cells AS (
+           |  SELECT i.cid FROM init i CROSS JOIN probe
+           |  ORDER BY list_sum(list_transform(list_zip(i.c, probe.p),
+           |           z -> (z[1]-z[2])*(z[1]-z[2]))), i.cid
+           |  LIMIT 2)
+           |SELECT a.vec_id,
+           |       round(list_dot_product(p.c, probe.p) /
+           |             (sqrt(list_dot_product(p.c, p.c)) * sqrt(list_dot_product(probe.p, probe.p))), 9) AS sim
+           |FROM assign a
+           |JOIN pts p USING (vec_id)
+           |CROSS JOIN probe
+           |WHERE a.cid IN (SELECT cid FROM cells)
+           |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+      "q_dedup_embed" ->
+        s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+           |bkt AS (SELECT vec_id, c, $planes AS bucket FROM t)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |       round(list_dot_product(a.c, b.c) /
+           |             (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))), 9) AS cos
+           |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE round(list_dot_product(a.c, b.c) /
+           |            (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))), 9) >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin
+    )
+  }
+}
