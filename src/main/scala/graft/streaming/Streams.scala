@@ -28,10 +28,12 @@ object Streams {
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file streams want a directory: stream the sf dir, globbed to events
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$sfDir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
