@@ -10,6 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Profiling mode: `runMain graft.Bench q_x q_y` times each named query
+    // twice (cold/warm) and dumps the formatted physical plan.
+    if (args.nonEmpty) {
+      args.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        println(s"=== $name ===")
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        for (run <- 1 to 2) {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          println(f"$name run$run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }
+      spark.stop()
+      return
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -90,10 +90,12 @@ object ScalarQueries {
     // NS map ops: per-doc word->count map via map_from_entries, then keyed
     // lookups and cardinality.
     "q_map_funcs" -> { (s, dir) =>
-      val words = split(col("text"), " ")
-      val m = map_from_entries(transform(array_distinct(words),
-        w => struct(w.as("k"), size(filter(words, x => x === w)).cast("long").as("v"))))
+      // `ws` materialized first: `filter(ws, ...)` sits inside the outer
+      // lambda, and an unmaterialized split would re-run per distinct word
+      val m = map_from_entries(transform(array_distinct(col("ws")),
+        w => struct(w.as("k"), size(filter(col("ws"), x => x === w)).cast("long").as("v"))))
       Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"), m.as("m"))
         .select(col("doc_id"),
           size(map_keys(col("m"))).cast("long").as("n_distinct"),

@@ -72,15 +72,20 @@ object SimilarityQueries {
         .limit(10)
     },
     // Embedding near-dup pairs: LSH bucket equi-join + exact cosine filter.
+    // Vectors are L2-normalized ONCE per row before the join, so the
+    // per-pair work (which lands in the join's residual condition) is a
+    // single fused dot product, not dot + two norms.
     "q_dedup_embed" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("bucket"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("bucket"))
+        .select(col("vec_id"),
+          Vec.scale(col("embedding"), lit(1.0) / Vec.norm(col("embedding"))).as("e"),
+          lshBucket(col("embedding")).as("bucket"))
+      val a = emb.select(col("vec_id").as("id_a"), col("e").as("e_a"), col("bucket"))
+      val b = emb.select(col("vec_id").as("id_b"), col("e").as("e_b"), col("bucket"))
       a.join(b, "bucket")
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(Vec.cosine(col("e_a"), col("e_b")), 9).as("cos"))
+          round(Vec.dot(col("e_a"), col("e_b")), 9).as("cos"))
         .filter(col("cos") >= 0.5)
         .orderBy("id_a", "id_b")
     }
@@ -117,15 +122,16 @@ object SimilarityQueries {
            |CROSS JOIN probe
            |WHERE a.cid IN (SELECT cid FROM cells)
            |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+      // mirrors the Spark plan exactly: normalize first, then a single dot
       "q_dedup_embed" ->
         s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
-           |bkt AS (SELECT vec_id, c, $planes AS bucket FROM t)
+           |bkt AS (SELECT vec_id,
+           |               list_transform(c, x -> x * (1.0 / sqrt(list_dot_product(c, c)))) AS e,
+           |               $planes AS bucket FROM t)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |       round(list_dot_product(a.c, b.c) /
-           |             (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))), 9) AS cos
+           |       round(list_dot_product(a.e, b.e), 9) AS cos
            |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |WHERE round(list_dot_product(a.c, b.c) /
-           |            (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))), 9) >= 0.5
+           |WHERE round(list_dot_product(a.e, b.e), 9) >= 0.5
            |ORDER BY id_a, id_b""".stripMargin
     )
   }

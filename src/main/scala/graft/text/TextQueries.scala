@@ -109,12 +109,16 @@ object TextQueries {
     // every signature value. Sketch rows are k per doc — the only thing
     // shuffled at 100 TB.
     "q_dedup_minhash" -> { (s, dir) =>
-      val sh = shingles3(words)
+      // materialize words -> shingles -> shingle hashes as separate
+      // projections: each is computed once per row instead of once per
+      // (signature, element) inside the lambdas
       val sigs = (0 until MinhashK).map { j =>
         struct(lit(j.toLong).as("j"),
-          array_min(transform(sh, x => (h32(x) * mhA(j) + mhB(j)) % P)).as("minhash"))
+          array_min(transform(col("hs"), h => (h * mhA(j) + mhB(j)) % P)).as("minhash"))
       }
       Tables.documents(s, dir)
+        .select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), transform(shingles3(col("ws")), x => h32(x)).as("hs"))
         .select(col("doc_id"), explode(array(sigs: _*)).as("sig"))
         .select(col("doc_id"), col("sig.j").as("j"), col("sig.minhash").as("minhash"))
         .orderBy("doc_id", "j")
@@ -137,11 +141,15 @@ object TextQueries {
     // first_word) — an equi-join, never an all-pairs cross product — then
     // exact Jaccard over distinct 3-gram shingle sets.
     "q_dedup_ngram" -> { (s, dir) =>
+      // materialize words once per row before shingling: referencing
+      // `split(text)` inside the shingle lambda would re-split per element
+      // (no CSE across HOF lambda bodies) — O(words^2) per doc
       val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), words.as("ws"))
         .select(col("doc_id"),
-          size(words).cast("long").as("n_words"),
-          element_at(words, 1).as("first_word"),
-          array_distinct(shingles3(words)).as("sh"))
+          size(col("ws")).cast("long").as("n_words"),
+          element_at(col("ws"), 1).as("first_word"),
+          array_distinct(shingles3(col("ws"))).as("sh"))
       val a = docs.select(col("doc_id").as("doc_a"), col("n_words"), col("first_word"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("n_words"), col("first_word"), col("sh").as("sh_b"))
       a.join(b, Seq("n_words", "first_word"))
