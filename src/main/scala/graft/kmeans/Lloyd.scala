@@ -64,7 +64,7 @@ object Lloyd {
     */
   def assignCol(cents: Seq[Centroid], coords: Column): Column =
     array_min(array(centroidArray(cents).map { case (cid, c) =>
-      struct(Vec.sqDist(coords, c).as("d"), lit(cid).as("cid"))
+      struct(graft.functions.SquaredDistance(coords, c).as("d"), lit(cid).as("cid"))
     }: _*)).getField("cid")
 
   /** points(vec_id, coordinates) -> assigned(vec_id, coordinates, cid). */
@@ -102,7 +102,7 @@ object Lloyd {
   /** Sum of squared distances to the assigned centroid (for MLlib parity). */
   def sse(points: DataFrame, cents: Seq[Centroid]): Double = {
     val minD = array_min(array(centroidArray(cents).map { case (_, c) =>
-      Vec.sqDist(col("coordinates"), c)
+      graft.functions.SquaredDistance(col("coordinates"), c)
     }: _*))
     points.agg(sum(minD)).head().getDouble(0)
   }

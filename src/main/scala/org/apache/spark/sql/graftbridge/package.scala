@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to `private[sql]` Column<->Expression converters, for
+  * registering graft's custom Catalyst expressions as user-facing Columns
+  * (the same mechanism spark-internal `functions` uses).
+  */
+package object graftbridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}
