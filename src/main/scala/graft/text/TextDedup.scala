@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Candidate-pair generation for the sketch-based dedup family — the
+  * "scale path" half of the §2 dedup surface: every method below turns
+  * near-dup search into an equi-join on a small derived key, so candidate
+  * generation is one shuffle of sketch rows (never document bodies, never
+  * an all-pairs product).
+  */
+object TextDedup {
+
+  /** MinHash LSH banding: split each doc's k-value signature into `bands`
+    * bands of k/bands values; docs sharing ANY band land in the same bucket
+    * and become a candidate pair. Standard S-curve: with k=16, bands=4
+    * (r=4), P(candidate) = 1-(1-s^4)^4 for Jaccard s.
+    *
+    * Input: (doc_id, j, minhash) exploded signatures (q_dedup_minhash
+    * shape). Output: distinct candidate (doc_a, doc_b) pairs.
+    */
+  def minhashCandidates(signatures: DataFrame, bands: Int = 4): DataFrame = {
+    val banded = signatures
+      .withColumn("band", pmod(col("j"), lit(bands)))
+      .groupBy("doc_id", "band")
+      // band key = the band's signature values in j order, fingerprinted
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("j"), col("minhash")))),
+          x => x.getField("minhash").cast("string")))).as("band_key"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** SimHash near-dup candidates: band the 32-bit fingerprint into four
+    * 8-bit chunks; two docs within Hamming distance 3 must agree on at
+    * least one chunk (pigeonhole), so chunk-equality equi-joins generate a
+    * complete candidate set for d <= 3, verified exactly by popcount.
+    *
+    * Input: (doc_id, simhash) (q_dedup_simhash shape).
+    * Output: (doc_a, doc_b, hamming) pairs with hamming <= maxHamming.
+    */
+  def simhashNearPairs(simhashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = simhashes.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L)).as("ck"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+    val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("chunk"), col("ck"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("chunk"), col("ck"))
+    a.join(b, Seq("chunk", "ck"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** End-to-end near-dup dedup decision: minhash-LSH candidates verified by
+    * exact shingle Jaccard, keep min doc_id per connected component's edge
+    * set (single-link within candidate pairs).
+    */
+  def nearDupPairs(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                   jaccardThreshold: Double = 0.8): DataFrame = {
+    val sigs = TextQueries.queries("q_dedup_minhash")(spark, sfDir)
+    val cands = minhashCandidates(sigs)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("ws")) - 2),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))).as("sh"))
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+}
