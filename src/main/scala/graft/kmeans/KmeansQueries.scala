@@ -98,6 +98,18 @@ object KmeansQueries {
         .agg(sum(when(Vec.dist(col("coordinates"), col("c0")) < lit(1e-6), 1L).otherwise(0L)).as("n_converged"),
              count(lit(1)).as("n_centroids"))
     },
+    // The codegen SquaredDistance Expression (§2.10 q_expr_dist): same
+    // probe as q_dist_euclid, evaluated through the custom Catalyst
+    // expression's fused primitive loop (bit-equal to the HOF form, so the
+    // oracle is the plain list arithmetic).
+    "q_expr_dist" -> { (s, dir) =>
+      val pts = Tables.points(s, dir)
+      val probe = Lloyd.initCentroids(pts, 1).head
+      val pl = array(probe.coordinates.map(lit).toSeq: _*)
+      pts.select(col("vec_id"),
+          round(graft.functions.SquaredDistance(col("coordinates"), pl), 9).as("d2"))
+        .orderBy("vec_id")
+    },
     // N-D Euclidean distance of every point to a fixed probe (= centroid 1):
     // the reference's distance function generalized (mapper.py:26-30).
     "q_dist_euclid" -> { (s, dir) =>
@@ -142,6 +154,14 @@ object KmeansQueries {
          |              z -> (z[1]-z[2])*(z[1]-z[2])))) < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_converged,
          |       count(*) AS n_centroids
          |FROM nextc n JOIN init i USING (cid)""".stripMargin,
+    "q_expr_dist" ->
+      """WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+        |probe AS (SELECT c FROM pts ORDER BY vec_id LIMIT 1)
+        |SELECT p.vec_id,
+        |       round(list_sum(list_transform(list_zip(p.c, probe.c),
+        |             z -> (z[1]-z[2])*(z[1]-z[2]))), 9) AS d2
+        |FROM pts p CROSS JOIN probe
+        |ORDER BY p.vec_id""".stripMargin,
     "q_dist_euclid" ->
       """WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
         |probe AS (SELECT c FROM pts ORDER BY vec_id LIMIT 1)

@@ -123,6 +123,21 @@ object TextQueries {
         .select(col("doc_id"), col("sig.j").as("j"), col("sig.minhash").as("minhash"))
         .orderBy("doc_id", "j")
     },
+    // MinHash as a true AGGREGATION (§2.10 q_udaf_minhash): shingles
+    // exploded, then 16 distributive min-aggregates per doc — partial mins
+    // on the map side, so the shuffle carries 16 longs per (doc,partition).
+    // Same signature values as q_dedup_minhash's per-row HOF form.
+    "q_udaf_minhash" -> { (s, dir) =>
+      val aggs = (0 until MinhashK).map(j =>
+        min((col("h") * mhA(j) + mhB(j)) % P).as(s"sig$j"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), explode(shingles3(col("ws"))).as("shingle"))
+        .withColumn("h", h32(col("shingle")))
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("doc_id")
+    },
     // SimHash (32-bit): per-bit majority vote over word hashes, packed.
     "q_dedup_simhash" -> { (s, dir) =>
       val bitSums = (0 until 32).map(j =>
@@ -175,7 +190,18 @@ object TextQueries {
       s"struct_pack(hits := CAST(len(list_intersect(ws, $arr)) AS BIGINT), lang := '$lang')"
     }.mkString("[", ", ", "]")
 
+    val sigAggCols = (0 until MinhashK)
+      .map(j => s"min((h * ${mhA(j)} + ${mhB(j)}) % $P) AS sig$j").mkString(", ")
+
     Map(
+      "q_udaf_minhash" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+           |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+           |       FROM w),
+           |h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh)
+           |SELECT doc_id, $sigAggCols
+           |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q_text_langid" ->
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |best AS (SELECT doc_id, list_reverse_sort($langScore)[1] AS b FROM t)
