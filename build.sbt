@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 60+ codegen'd queries per session overflow the default JIT code cache,
+  // silently dropping hot loops to the interpreter mid-run
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )
