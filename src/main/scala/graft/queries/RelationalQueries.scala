@@ -195,6 +195,19 @@ object RelationalQueries {
         .agg(approx_count_distinct("user_id").as("n_users_approx"))
         .orderBy("event_type")
     },
+    // NS: pivot events by type -> per-user counts (explicit value list, so
+    // no extra distinct-values job; missing cells filled 0).
+    "q_pivot" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").cast("long").as("click"),
+          col("error").cast("long").as("error"), col("purchase").cast("long").as("purchase"),
+          col("signup").cast("long").as("signup"), col("view").cast("long").as("view"))
+        .orderBy("user_id")
+    },
     // NS: rollup region -> nation with labeled subtotal rows (coalesce keeps
     // NULL-ordering semantics out of the cross-engine compare).
     "q_rollup" -> { (s, dir) =>
@@ -289,6 +302,14 @@ object RelationalQueries {
     "q_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
