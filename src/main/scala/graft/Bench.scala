@@ -28,6 +28,10 @@ object Bench {
       spark.stop()
       return
     }
+    // untimed session warm-up (codegen machinery + parquet reader init), so
+    // the first timed query isn't charged several seconds of JVM start
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // sorted: stable run order -> comparable per-query numbers across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
