@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Ordinals, Tables}
 
 /** Relational surface: scans, projections/filters, joins, aggregations
   * (SURVEY.md §2.1-2.4 query keys; NS = north-star extensions).
@@ -38,8 +38,9 @@ object RelationalQueries {
       val pts = Tables.embeddings(s, dir).select("vec_id")
       val n = pts.count()
       val chunk = n / m // uniform split, master.py:31
-      pts.select(col("vec_id"),
-          row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")).as("rn"))
+      // global ordinals via range-partition + per-partition offsets — never
+      // a single-partition row_number (graft.core.Ordinals, SCALE.md)
+      Ordinals.withGlobalRowNumbers(pts, "vec_id")
         .select(col("vec_id"),
           least(floor((col("rn") - 1) / chunk), lit(m - 1)).cast("long").as("bucket"))
         .groupBy("bucket")
