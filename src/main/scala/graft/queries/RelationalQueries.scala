@@ -86,6 +86,35 @@ object RelationalQueries {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")
     },
+    // NS: schema-declared JSON parse (from_json -> typed struct; the
+    // scale-preferred form — one parse per row into Tungsten fields, vs a
+    // JSON-path walk per extracted field).
+    "q_project_json_struct" -> { (s, dir) =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+      Tables.events(s, dir)
+        .select(col("event_id"), from_json(col("props"), schema).as("p"))
+        .select(col("event_id"), col("p.k").as("k"))
+        .orderBy("event_id")
+    },
+    // CSV source parity (the reference's input format, master.py:45-52):
+    // round-trip the points through a real CSV file written/read with an
+    // explicit schema, then verify values survived.
+    "q_scan_csv" -> { (s, dir) =>
+      val path = {
+        val d = new java.io.File(s"target/sink_tmp/csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+        d.mkdirs(); d.getAbsolutePath
+      }
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), element_at(col("embedding"), 1).as("x"),
+          element_at(col("embedding"), 2).as("y"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("vec_id LONG, x DOUBLE, y DOUBLE")
+        .csv(path)
+        .orderBy("vec_id")
+    },
 
     // ---- §2.3 joins --------------------------------------------------------
 
@@ -254,6 +283,14 @@ object RelationalQueries {
     "q_project_json" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_project_json_struct" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    // the CSV round trip preserves doubles exactly (shortest-roundtrip
+    // print/parse), so the oracle reads the parquet source directly
+    "q_scan_csv" ->
+      """SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_join_equi" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
