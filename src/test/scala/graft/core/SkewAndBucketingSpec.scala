@@ -57,6 +57,18 @@ class SkewAndBucketingSpec extends AnyFunSuite {
     val customer = Tables.customer(spark, TestSpark.Sf0001)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables between JVMs but their managed
+    // locations persist on disk — clear them or saveAsTable refuses
+    for (t <- Seq("b_orders", "b_customer")) {
+      val dir = new java.io.File(s"target/warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     orders.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
       .saveAsTable("b_orders")
     customer.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
