@@ -45,6 +45,45 @@ object EventQueries {
         .select(col("user_id"), col("w.start").as("w_start"), col("n_events"), col("sum_value"))
         .orderBy("user_id", "w_start")
     },
+    // True watermarked streaming run: the tumbling agg consumed as a real
+    // readStream in Append mode — only windows the 1-hour watermark has
+    // finalized are emitted. The oracle reproduces the emission rule:
+    // window_end <= max(ts) - 1 hour.
+    "q_stream_watermark" -> { (s, dir) =>
+      Streams.runToBatch(s,
+          Streams.tumblingCounts(Streams.readEvents(s, dir)),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    },
+    // Incremental K-Means over a real embedding stream (the stretch
+    // q_stream_kmeans): file-stream the vectors, assign to the
+    // deterministic init centroids, fold per-cid (sum, n) state in
+    // mapGroupsWithState, emit the final means — which must equal the
+    // batch iter-1 means (the oracle).
+    "q_stream_kmeans" -> { (s, dir) =>
+      import s.implicits._
+      val cents = graft.kmeans.Lloyd.initCentroids(
+        graft.core.Tables.points(s, dir), graft.kmeans.KmeansQueries.K)
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val streamed = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .withColumn("cid", graft.kmeans.Lloyd.assignCol(cents, col("embedding")))
+        .select(col("cid"), col("embedding").as("coordinates"))
+        .as[Streams.Assigned]
+      val updates = Streams.runToBatch(s, Streams.incrementalKmeans(streamed).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      // keep each cid's LAST update (max n), then explode to scalar rows
+      updates
+        .groupBy("cid")
+        .agg(max(struct(col("n"), col("coordinates"))).as("last"))
+        .select(col("cid"), col("last.n").as("n_points"),
+          posexplode(col("last.coordinates")).as(Seq("pos", "v")))
+        .select(col("cid"), col("pos"), round(col("v"), 9).as("m"), col("n_points"))
+        .orderBy("cid", "pos")
+    },
     // Drop duplicate event ids (batch form of dropDuplicatesWithinWatermark).
     // Restricted to the key column: among true duplicates Spark keeps an
     // arbitrary full row, so only the key set is deterministic.
@@ -80,6 +119,24 @@ object EventQueries {
         |SELECT user_id, min(ts) AS w_start, count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
     "q_stream_dedup" ->
-      "SELECT DISTINCT event_id FROM events ORDER BY event_id"
+      "SELECT DISTINCT event_id FROM events ORDER BY event_id",
+    "q_stream_watermark" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM e)
+        |SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n
+        |FROM e CROSS JOIN wm
+        |GROUP BY w_start, event_type, wm.wm
+        |HAVING w_start + INTERVAL 1 HOUR <= wm.wm
+        |ORDER BY w_start, event_type""".stripMargin,
+    // the streamed incremental state must land on the batch iter-1 means
+    "q_stream_kmeans" ->
+      s"""${graft.kmeans.KmeansQueries.preludeForOracle},
+         |sizes AS (SELECT cid, count(*) AS n_points FROM assign GROUP BY cid)
+         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 9) AS m,
+         |       any_value(s.n_points) AS n_points
+         |FROM assign a JOIN pts p USING (vec_id) JOIN sizes s ON s.cid = a.cid,
+         |     UNNEST(generate_series(1, len(p.c))) AS u(i)
+         |GROUP BY a.cid, pos
+         |ORDER BY a.cid, pos""".stripMargin
   )
 }
