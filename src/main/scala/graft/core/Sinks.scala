@@ -42,7 +42,7 @@ object Sinks {
       val means = graft.kmeans.Lloyd.updateExplode(
         graft.kmeans.Lloyd.assign(Tables.points(s, dir),
           graft.kmeans.Lloyd.initCentroids(Tables.points(s, dir), graft.kmeans.KmeansQueries.K)))
-        .withColumn("coordinates", transform(col("coordinates"), x => round(x, 9) + lit(0.0)))
+        .withColumn("coordinates", transform(col("coordinates"), x => round(x, 7) + lit(0.0)))
       val path = tmpDir(s"centroids_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
       writeCentroidsCsv(means, path)
       s.read.text(path)
@@ -66,13 +66,13 @@ object Sinks {
   )
 
   def oracleSql: Map[String, String] = Map(
-    // The round trip preserves values (9-dec rounding before write; both
+    // The round trip preserves values (7-dec rounding before write; both
     // engines parse shortest-roundtrip doubles), so the oracle recomputes
     // the iter-1 mean heads directly.
     "q_sink_centroids" ->
       s"""${graft.kmeans.KmeansQueries.preludeForOracle},
          |means AS (
-         |  SELECT a.cid, CAST(u.i AS INT) AS i, round(avg(p.c[u.i]), 9) + 0.0 AS m
+         |  SELECT a.cid, CAST(u.i AS INT) AS i, round(avg(p.c[u.i]), 7) + 0.0 AS m
          |  FROM assign a JOIN pts p USING (vec_id), UNNEST(generate_series(1, len(p.c))) AS u(i)
          |  GROUP BY a.cid, u.i)
          |SELECT min(CASE WHEN i = 1 THEN m END) AS c0, count(*) AS n_dims

@@ -8,8 +8,9 @@ import graft.core.{Tables, Vec}
 /** K-Means query surface: `SparkEntry.queries` entries + DuckDB oracle SQL.
   *
   * Oracle outputs are scalar-only (cid/pos/m rows, not arrays) and every
-  * float that crosses a non-order-deterministic aggregation is rounded to
-  * 9 decimals on BOTH sides (SURVEY.md §7.4 risk 1). K is fixed at 5 and
+  * float that crosses a non-order-deterministic aggregation is rounded
+  * identically on BOTH sides (SURVEY.md §7.4 risk 1; means use 7 decimals
+  * for extra margin against grid-boundary flips). K is fixed at 5 and
   * init is deterministic (first K points by vec_id) so both engines compute
   * the identical clustering.
   */
@@ -63,7 +64,7 @@ object KmeansQueries {
       val pts = Tables.points(s, dir)
       Lloyd.assign(pts, Lloyd.initCentroids(pts, K))
         .select(col("cid"), posexplode(col("coordinates")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(round(avg("v"), 9).as("m"))
+        .groupBy("cid", "pos").agg(round(avg("v"), 7).as("m"))
         .orderBy("cid", "pos")
     },
     // Group sizes under the iter-1 assignment (the reducer's group-by-key,
@@ -80,7 +81,7 @@ object KmeansQueries {
     "q_centroid_mean" -> { (s, dir) =>
       Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("label", "pos").agg(round(avg("v"), 9).as("m"))
+        .groupBy("label", "pos").agg(round(avg("v"), 7).as("m"))
         .orderBy("label", "pos")
     },
     // Convergence count: centroids that moved < eps between init and the
@@ -130,7 +131,7 @@ object KmeansQueries {
          |SELECT vec_id, round(d2, 9) AS d2, cid FROM assign ORDER BY vec_id""".stripMargin,
     "q_kmeans_iter1" ->
       s"""$preludeSql
-         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 9) AS m
+         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 7) AS m
          |FROM assign a JOIN pts p USING (vec_id), UNNEST(generate_series(1, len(p.c))) AS u(i)
          |GROUP BY a.cid, pos
          |ORDER BY a.cid, pos""".stripMargin,
@@ -139,7 +140,7 @@ object KmeansQueries {
          |SELECT cid, count(*) AS n_points FROM assign GROUP BY cid ORDER BY cid""".stripMargin,
     "q_centroid_mean" ->
       """SELECT label, CAST(u.i - 1 AS INT) AS pos,
-        |       round(avg(CAST(embedding AS DOUBLE[])[u.i]), 9) AS m
+        |       round(avg(CAST(embedding AS DOUBLE[])[u.i]), 7) AS m
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,

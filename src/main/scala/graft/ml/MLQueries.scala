@@ -21,7 +21,7 @@ object MLQueries {
         .groupBy(col("label").cast("long").as("label"))
         .agg(VecMeanAgg(col("embedding")).as("mean_vec"))
         .select(col("label"), posexplode(col("mean_vec")).as(Seq("pos", "m")))
-        .select(col("label"), col("pos"), round(col("m"), 9).as("m"))
+        .select(col("label"), col("pos"), round(col("m"), 7).as("m"))
         .orderBy("label", "pos")
     },
     // Text -> words table (UDTF shape, §2.10): built-in explode covers the
@@ -69,7 +69,7 @@ object MLQueries {
     // Same oracle as q_centroid_mean, with BIGINT label to match the cast.
     "q_udaf_vecmean" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(u.i - 1 AS INT) AS pos,
-        |       round(avg(CAST(embedding AS DOUBLE[])[u.i]), 9) AS m
+        |       round(avg(CAST(embedding AS DOUBLE[])[u.i]), 7) AS m
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,

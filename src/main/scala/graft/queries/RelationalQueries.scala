@@ -145,9 +145,11 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")
     },
-    // NS: left-anti — customers with no orders.
+    // NS: left-anti — customers with no high-value (>400k) order. (A plain
+    // no-orders anti-join is empty at every sf in these fixtures.)
     "q_join_anti" -> { (s, dir) =>
-      Tables.customer(s, dir).join(Tables.orders(s, dir),
+      Tables.customer(s, dir).join(
+          Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")
@@ -306,7 +308,8 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
     "q_join_range" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts

@@ -81,7 +81,7 @@ object EventQueries {
         .agg(max(struct(col("n"), col("coordinates"))).as("last"))
         .select(col("cid"), col("last.n").as("n_points"),
           posexplode(col("last.coordinates")).as(Seq("pos", "v")))
-        .select(col("cid"), col("pos"), round(col("v"), 9).as("m"), col("n_points"))
+        .select(col("cid"), col("pos"), round(col("v"), 7).as("m"), col("n_points"))
         .orderBy("cid", "pos")
     },
     // Drop duplicate event ids (batch form of dropDuplicatesWithinWatermark).
@@ -132,7 +132,7 @@ object EventQueries {
     "q_stream_kmeans" ->
       s"""${graft.kmeans.KmeansQueries.preludeForOracle},
          |sizes AS (SELECT cid, count(*) AS n_points FROM assign GROUP BY cid)
-         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 9) AS m,
+         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 7) AS m,
          |       any_value(s.n_points) AS n_points
          |FROM assign a JOIN pts p USING (vec_id) JOIN sizes s ON s.cid = a.cid,
          |     UNNEST(generate_series(1, len(p.c))) AS u(i)
