@@ -39,6 +39,20 @@ object WindowSetQueries {
         .select(col("event_id"), col("user_id"), col("running_value"))
         .orderBy("event_id")
     },
+    // The rest of the ranking/value window family over orders per customer:
+    // dense_rank, quartile bucket, first/last value in the frame.
+    "q_window_funcs" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first("o_orderkey").over(wFull).as("best_order"),
+          last("o_orderkey").over(wFull).as("worst_order"))
+        .orderBy("o_custkey", "drank", "o_orderkey")
+    },
     // Inter-event gap per user in seconds (lag over event time).
     "q_window_lag" -> { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -100,6 +114,15 @@ object WindowSetQueries {
         |       round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_order,
+        |       last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS worst_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, drank, o_orderkey""".stripMargin,
     "q_window_lag" ->
       """SELECT event_id,
         |       CAST(epoch_us(CAST(ts AS TIMESTAMP)) -
