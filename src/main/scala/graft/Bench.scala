@@ -8,6 +8,7 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config(graft.core.Tables.NanosAsLongConf._1, graft.core.Tables.NanosAsLongConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,12 +33,30 @@ object Bench {
     // the first timed query isn't charged several seconds of JVM start
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // sorted: stable run order -> comparable per-query numbers across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
     }
+    // Two full passes, report per-query MIN. Measured on this box: identical
+    // back-to-back full runs differ 5x in total (305 s then 64 s at
+    // local[32]/sf0.1) with per-query GC < 0.3 s — the variance is
+    // environment stalls (cold page cache / first-heavy-run effects) landing
+    // on contiguous query blocks, not plans. min-of-2 measures the engine,
+    // not the machine's warm-up.
+    // sorted: stable run order -> comparable per-query numbers across rounds
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(n: Int): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val g0 = gcMillis
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // per-query diagnostic on stderr; the JSON contract line is unchanged
+      System.err.println(f"[bench p$n] $name%-22s ${sec}%8.2f s  gc=${(gcMillis - g0) / 1000.0}%6.2f s")
+      name -> sec
+    }
+    val p1 = pass(1).toMap
+    val results = pass(2).map { case (name, sec) => name -> math.min(sec, p1(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

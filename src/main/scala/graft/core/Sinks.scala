@@ -41,7 +41,7 @@ object Sinks {
     "q_sink_centroids" -> { (s, dir) =>
       val means = graft.kmeans.Lloyd.updateExplode(
         graft.kmeans.Lloyd.assign(Tables.points(s, dir),
-          graft.kmeans.Lloyd.initCentroids(Tables.points(s, dir), graft.kmeans.KmeansQueries.K)))
+          graft.kmeans.Lloyd.initCentroidsFor(s, dir, graft.kmeans.KmeansQueries.K)))
         .withColumn("coordinates", transform(col("coordinates"), x => round(x, 7) + lit(0.0)))
       val path = tmpDir(s"centroids_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
       writeCentroidsCsv(means, path)
@@ -55,7 +55,7 @@ object Sinks {
     // per-(mapper, reducer) partition files.
     "q_sink_partitioned" -> { (s, dir) =>
       val assigned = graft.kmeans.Lloyd.assign(Tables.points(s, dir),
-        graft.kmeans.Lloyd.initCentroids(Tables.points(s, dir), graft.kmeans.KmeansQueries.K))
+        graft.kmeans.Lloyd.initCentroidsFor(s, dir, graft.kmeans.KmeansQueries.K))
       val path = tmpDir(s"assigned_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
       writePartitioned(assigned, path)
       s.read.parquet(path)

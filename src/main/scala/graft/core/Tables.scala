@@ -23,15 +23,24 @@ object Tables {
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as a
-    * nanosecond long (legacy conf) and truncate to microseconds — integer
-    * `div`, NOT `/`, because ns-since-epoch (~1.7e18) exceeds double's 53-bit
-    * mantissa and float division would corrupt the microsecond digits.
-    * DuckDB's `CAST(ts AS TIMESTAMP)` truncates ns->us identically.
+  /** Conf every graft session must carry (applied by the Bench/Verify/test
+    * builders): `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]) unless read
+    * as a nanosecond long via this legacy conf. Set at session construction,
+    * NOT inside a loader — a loader mutating shared-session conf would
+    * silently change how later parquet reads interpret TIMESTAMP(NANOS).
+    */
+  val NanosAsLongConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Reads `ts` as a nanosecond long (see [[NanosAsLongConf]]) and truncates
+    * to microseconds — integer `div`, NOT `/`, because ns-since-epoch
+    * (~1.7e18) exceeds double's 53-bit mantissa and float division would
+    * corrupt the microsecond digits. DuckDB's `CAST(ts AS TIMESTAMP)`
+    * truncates ns->us identically.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get(NanosAsLongConf._1, "false") == "true",
+      s"session must set ${NanosAsLongConf._1}=true at construction (see Tables.NanosAsLongConf)")
     table(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

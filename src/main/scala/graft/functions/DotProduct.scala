@@ -9,26 +9,25 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
-/** Codegen'd squared Euclidean distance over two `array<double>` columns —
-  * the reference's distance kernel (/root/reference/mapper.py:26-30,
-  * master.py:90-94) generalized to N-D and compiled to a primitive loop.
+/** Codegen'd dot product over two `array<double>` columns — the similarity
+  * kernel behind cosine ([[graft.core.Vec.cosine]]) and the embedding
+  * near-dup join residual (SimilarityQueries q_dedup_embed).
   *
-  * Semantically identical to the HOF composition
-  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0d, (acc,v) => acc+v)`
-  * ([[graft.core.Vec.sqDist]]) in ALL cases, including the degenerate ones:
-  * zip_with null-pads the shorter array, so a length mismatch makes the HOF
-  * yield null — this kernel returns null there too; a null ELEMENT poisons
-  * the HOF sum to null — this kernel checks `isNullAt` (only when the array
-  * type admits nulls, so vector data pays nothing) and returns null too.
-  * Same left-to-right accumulation order, so results are bit-equal and the
-  * DuckDB oracles hold unchanged, and [[graft.plans.RewriteSqDist]] is a
-  * pure physical win on any input. The win is mechanical: no per-row
-  * zip_with array allocation, no lambda-variable boxing — just two
-  * `ArrayData.getDouble` streams in a fused loop, inside whole-stage
-  * codegen. This is the K-Means assignment inner loop, executed K times per
-  * input row — the hottest kernel at 100 TB.
+  * Bit-equal to the HOF composition
+  * `aggregate(zip_with(a, b, (x,y) => x*y), 0d, (acc,v) => acc+v)`
+  * ([[graft.core.Vec.dot]]) in ALL cases — same left-to-right accumulation
+  * order; null on length mismatch (zip_with null-pads the shorter array and
+  * the null poisons the sum); null on null elements (checked only when the
+  * array type admits them). So [[graft.plans.RewriteDot]] can swap this in
+  * for the HOF spelling anywhere, and the DuckDB oracles hold unchanged.
+  *
+  * Why it matters: when the dot lands in a join's residual condition (LSH
+  * bucket join + exact-cosine verify), the HOF form allocates a zip_with
+  * array per candidate PAIR — an allocation storm exactly where pair counts
+  * explode. This kernel is two `ArrayData.getDouble` streams in a fused
+  * loop, zero allocation, inside whole-stage codegen.
   */
-case class SquaredDistance(left: Expression, right: Expression)
+case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -40,7 +39,7 @@ case class SquaredDistance(left: Expression, right: Expression)
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"SquaredDistance expects (array<double>, array<double>), got " +
+      s"DotProduct expects (array<double>, array<double>), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -70,8 +69,7 @@ case class SquaredDistance(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
-      val d = x.getDouble(i) - y.getDouble(i)
-      acc += d * d
+      acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     acc
@@ -81,7 +79,6 @@ case class SquaredDistance(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
-      val d = ctx.freshName("d")
       val acc = ctx.freshName("acc")
       // isNullAt branch compiled in only when the schema admits null
       // elements; dense vector columns keep the branch-free loop.
@@ -97,8 +94,7 @@ case class SquaredDistance(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $nullElemCheck
-         |    double $d = $a.getDouble($i) - $b.getDouble($i);
-         |    $acc += $d * $d;
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
@@ -109,9 +105,9 @@ case class SquaredDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-object SquaredDistance {
-  /** Column-level entry point, interchangeable with [[graft.core.Vec.sqDist]]. */
+object DotProduct {
+  /** Column-level entry point, interchangeable with [[graft.core.Vec.dot]]. */
   def apply(a: Column, b: Column): Column =
     graftbridge.toColumn(
-      SquaredDistance(graftbridge.toExpression(a), graftbridge.toExpression(b)))
+      DotProduct(graftbridge.toExpression(a), graftbridge.toExpression(b)))
 }

@@ -20,6 +20,12 @@ object KmeansQueries {
 
   /** Common oracle prelude: points + deterministic init (SURVEY.md §7.2).
     * Exposed for other modules whose oracle builds on the iter-1 assignment.
+    *
+    * Tie-break is EXPLICIT — row_number ordered by (d2, cid) keeps the
+    * lowest cid on equal distances, exactly Spark's `min(struct(d, cid))`
+    * and the reference's strict-`<` running min (mapper.py:64). DuckDB's
+    * `arg_min(cid, d2)` leaves ties unspecified, which would make every
+    * assign-derived oracle flaky on a distance tie.
     */
   val preludeForOracle: String = preludeSql
   private lazy val preludeSql =
@@ -27,13 +33,14 @@ object KmeansQueries {
        |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, c
        |         FROM (SELECT vec_id, c FROM pts ORDER BY vec_id LIMIT $K) t),
        |assign AS (
-       |  SELECT p.vec_id,
-       |         arg_min(i.cid, list_sum(list_transform(list_zip(p.c, i.c),
-       |                 z -> (z[1]-z[2])*(z[1]-z[2])))) AS cid,
-       |         min(list_sum(list_transform(list_zip(p.c, i.c),
-       |                 z -> (z[1]-z[2])*(z[1]-z[2])))) AS d2
-       |  FROM pts p CROSS JOIN init i
-       |  GROUP BY p.vec_id
+       |  SELECT vec_id, cid, d2 FROM (
+       |    SELECT vec_id, cid, d2,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM (SELECT p.vec_id, i.cid,
+       |                 list_sum(list_transform(list_zip(p.c, i.c),
+       |                   z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+       |          FROM pts p CROSS JOIN init i) d) r
+       |  WHERE rn = 1
        |)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -41,7 +48,7 @@ object KmeansQueries {
     // (/root/reference/mapper.py:57-68) as a zero-shuffle per-row expression.
     "q_assign_nearest" -> { (s, dir) =>
       val pts = Tables.points(s, dir)
-      Lloyd.assign(pts, Lloyd.initCentroids(pts, K))
+      Lloyd.assign(pts, Lloyd.initCentroidsFor(s, dir, K))
         .select(col("vec_id"), col("cid"))
         .orderBy("vec_id")
     },
@@ -49,7 +56,7 @@ object KmeansQueries {
     // mapper.py:59-66) — top-1 of the (dist, cid) scan.
     "q_argmin" -> { (s, dir) =>
       val pts = Tables.points(s, dir)
-      val cents = Lloyd.initCentroids(pts, K)
+      val cents = Lloyd.initCentroidsFor(s, dir, K)
       val minStruct = array_min(array(cents.sortBy(_.cid).map { c =>
         val cl = array(c.coordinates.map(lit).toSeq: _*)
         struct(Vec.sqDist(col("coordinates"), cl).as("d"), lit(c.cid).as("cid"))
@@ -62,7 +69,7 @@ object KmeansQueries {
     // (SURVEY.md §2.11 / §7.2 minimum slice), exploded to scalar rows.
     "q_kmeans_iter1" -> { (s, dir) =>
       val pts = Tables.points(s, dir)
-      Lloyd.assign(pts, Lloyd.initCentroids(pts, K))
+      Lloyd.assign(pts, Lloyd.initCentroidsFor(s, dir, K))
         .select(col("cid"), posexplode(col("coordinates")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(round(avg("v"), 7).as("m"))
         .orderBy("cid", "pos")
@@ -71,7 +78,7 @@ object KmeansQueries {
     // /root/reference/reducer.py:58-61).
     "q_groupby_key" -> { (s, dir) =>
       val pts = Tables.points(s, dir)
-      Lloyd.assign(pts, Lloyd.initCentroids(pts, K))
+      Lloyd.assign(pts, Lloyd.initCentroidsFor(s, dir, K))
         .groupBy("cid").agg(count(lit(1)).as("n_points"))
         .orderBy("cid")
     },
@@ -88,7 +95,7 @@ object KmeansQueries {
     // iter-1 means, joined BY ID (master.py:97-103 intended semantics).
     "q_count_converged" -> { (s, dir) =>
       val pts = Tables.points(s, dir)
-      val cents = Lloyd.initCentroids(pts, K)
+      val cents = Lloyd.initCentroidsFor(s, dir, K)
       val next = Lloyd.updateExplode(Lloyd.assign(pts, cents))
       val init = s.createDataFrame(
         s.sparkContext.parallelize(cents.map(c => org.apache.spark.sql.Row(c.cid, c.coordinates.toSeq)), 1),
@@ -105,7 +112,7 @@ object KmeansQueries {
     // oracle is the plain list arithmetic).
     "q_expr_dist" -> { (s, dir) =>
       val pts = Tables.points(s, dir)
-      val probe = Lloyd.initCentroids(pts, 1).head
+      val probe = Lloyd.initCentroidsFor(s, dir, 1).head
       val pl = array(probe.coordinates.map(lit).toSeq: _*)
       pts.select(col("vec_id"),
           round(graft.functions.SquaredDistance(col("coordinates"), pl), 9).as("d2"))
@@ -115,7 +122,7 @@ object KmeansQueries {
     // the reference's distance function generalized (mapper.py:26-30).
     "q_dist_euclid" -> { (s, dir) =>
       val pts = Tables.points(s, dir)
-      val probe = Lloyd.initCentroids(pts, 1).head
+      val probe = Lloyd.initCentroidsFor(s, dir, 1).head
       val pl = array(probe.coordinates.map(lit).toSeq: _*)
       pts.select(col("vec_id"), round(Vec.dist(col("coordinates"), pl), 9).as("d"))
         .orderBy("vec_id")

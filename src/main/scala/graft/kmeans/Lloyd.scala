@@ -51,6 +51,21 @@ object Lloyd {
       Centroid(i + 1, r.getSeq[Double](r.fieldIndex("coordinates")).toArray)
     }.toSeq
 
+  // (sfDir, k) -> init centroids. Deterministic (first K by vec_id over an
+  // immutable fixture), so memoizing is pure: it only deletes the repeated
+  // orderBy/limit/collect driver job that every K-Means-derived query
+  // (sinks, mod-partition, union, IVF, assignment, ...) would otherwise
+  // re-run. K rows, so the cache is bytes, not data.
+  private val initCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Centroid]]()
+
+  /** Memoized [[initCentroids]] over the fixture at `sfDir` (the common
+    * prologue of every registered K-Means-derived query).
+    */
+  def initCentroidsFor(spark: org.apache.spark.sql.SparkSession, sfDir: String, k: Int): Seq[Centroid] =
+    initCache.computeIfAbsent((sfDir, k),
+      _ => initCentroids(graft.core.Tables.points(spark, sfDir), k))
+
   /** Literal `array<struct<cid,c>>` of the current centroids, ordered by cid
     * ascending so lexicographic min over (dist, cid) reproduces the
     * reference's tie-break.

@@ -37,7 +37,7 @@ object RelationalQueries {
       val m = 4
       val pts = Tables.embeddings(s, dir).select("vec_id")
       val n = pts.count()
-      val chunk = n / m // uniform split, master.py:31
+      val chunk = math.max(1L, n / m) // uniform split, master.py:31; >=1 guards n<m
       // global ordinals via range-partition + per-partition offsets — never
       // a single-partition row_number (graft.core.Ordinals, SCALE.md)
       Ordinals.withGlobalRowNumbers(pts, "vec_id")
@@ -264,7 +264,7 @@ object RelationalQueries {
     "q_scan_split" ->
       """WITH rn AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn,
         |                   count(*) OVER () AS n FROM embeddings),
-        |b AS (SELECT vec_id, CAST(least((rn - 1) // (n // 4), 3) AS BIGINT) AS bucket FROM rn)
+        |b AS (SELECT vec_id, CAST(least((rn - 1) // greatest(1, n // 4), 3) AS BIGINT) AS bucket FROM rn)
         |SELECT bucket, count(*) AS n_rows, min(vec_id) AS first_id, max(vec_id) AS last_id
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_scan_events" ->
@@ -344,12 +344,15 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_pivot" ->
+      // CAST ... AS BIGINT: DuckDB sum(int) is HUGEINT, which pandas
+      // materializes as float64 and the driver's hash then diverges from
+      // Spark's int64 — same cast discipline as q_join_range above.
       """SELECT user_id,
-        |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,

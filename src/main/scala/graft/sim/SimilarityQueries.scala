@@ -27,11 +27,18 @@ object SimilarityQueries {
 
   val NPlanes = 8
 
-  /** Sign-bucket id of a vector: bit j = [dot(v, plane_j) > 0]. */
-  def lshBucket(v: Column): Column =
-    (0 until NPlanes).map { j =>
+  /** Buckets larger than this get refined by [[NPlanes]] extra hyperplanes
+    * (planes 8..15) — an adaptive second LSH level, so clustered embeddings
+    * can't collapse the candidate join to quadratic in one giant sign
+    * bucket, while sparse buckets keep the full 8-plane recall.
+    */
+  val RefineCap = 64
+
+  /** Sign-bucket id over planes [lo, hi): bit (j-lo) = [dot(v, plane_j) > 0]. */
+  def lshBucket(v: Column, lo: Int = 0, hi: Int = NPlanes): Column =
+    (lo until hi).map { j =>
       val plane = array((0 until 64).map(d => lit(hp(j, d))): _*)
-      when(Vec.dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(Vec.dot(v, plane) > 0, lit(1L << (j - lo))).otherwise(lit(0L))
     }.reduce(_ + _)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -40,8 +47,8 @@ object SimilarityQueries {
     // compiles to per-partition top-k + a 10-row driver merge.
     "q_topk_similar" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val probe = emb.orderBy("vec_id").limit(1)
-        .select(col("embedding")).head().getSeq[Double](0)
+      // probe = first vector by vec_id = memoized init centroid 1
+      val probe = graft.kmeans.Lloyd.initCentroidsFor(s, dir, 1).head.coordinates.toSeq
       val pl = array(probe.map(lit): _*)
       emb.select(col("vec_id"), round(Vec.cosine(col("embedding"), pl), 9).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -51,11 +58,9 @@ object SimilarityQueries {
     // (first K points), probe the 2 cells nearest the probe vector, exact
     // search within. Fully deterministic, so the oracle replays it.
     "q_ann_ivf" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
       val pts = Tables.points(s, dir)
-      val cents = graft.kmeans.Lloyd.initCentroids(pts, graft.kmeans.KmeansQueries.K)
-      val probe = emb.orderBy("vec_id").limit(1)
-        .select(col("embedding")).head().getSeq[Double](0)
+      val cents = graft.kmeans.Lloyd.initCentroidsFor(s, dir, graft.kmeans.KmeansQueries.K)
+      val probe = graft.kmeans.Lloyd.initCentroidsFor(s, dir, 1).head.coordinates.toSeq
       // nprobe=2 nearest cells to the probe, computed on the driver (K rows).
       val probeCells = cents
         .map(c => (c.cid, {
@@ -71,18 +76,28 @@ object SimilarityQueries {
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     },
-    // Embedding near-dup pairs: LSH bucket equi-join + exact cosine filter.
-    // Vectors are L2-normalized ONCE per row before the join, so the
-    // per-pair work (which lands in the join's residual condition) is a
-    // single fused dot product, not dot + two norms.
+    // Embedding near-dup pairs: adaptive two-level LSH bucket equi-join +
+    // exact cosine filter. Level 1 = 8-plane sign bucket; buckets whose
+    // population exceeds RefineCap are refined by 8 MORE planes, so one hot
+    // bucket of clustered embeddings can't make the join quadratic. The
+    // bucket census is a tiny aggregate broadcast back onto the rows (never
+    // a window over the hot bucket itself). Vectors are L2-normalized ONCE
+    // per row before the join, so the per-pair work (the join residual) is
+    // a single dot product — fused to the codegen DotProduct kernel by
+    // RewriteDot, zero allocation per pair.
     "q_dedup_embed" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"),
           Vec.scale(col("embedding"), lit(1.0) / Vec.norm(col("embedding"))).as("e"),
-          lshBucket(col("embedding")).as("bucket"))
-      val a = emb.select(col("vec_id").as("id_a"), col("e").as("e_a"), col("bucket"))
-      val b = emb.select(col("vec_id").as("id_b"), col("e").as("e_b"), col("bucket"))
-      a.join(b, "bucket")
+          lshBucket(col("embedding"), 0, NPlanes).as("b8"),
+          lshBucket(col("embedding"), NPlanes, 2 * NPlanes).as("ext8"))
+      val census = emb.groupBy("b8").agg(count(lit(1)).as("n_b8"))
+      val keyed = emb.join(broadcast(census), "b8")
+        .withColumn("ext", when(col("n_b8") > RefineCap, col("ext8")).otherwise(lit(0L)))
+        .select(col("vec_id"), col("e"), col("b8"), col("ext"))
+      val a = keyed.select(col("vec_id").as("id_a"), col("e").as("e_a"), col("b8"), col("ext"))
+      val b = keyed.select(col("vec_id").as("id_b"), col("e").as("e_b"), col("b8"), col("ext"))
+      a.join(b, Seq("b8", "ext"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           round(Vec.dot(col("e_a"), col("e_b")), 9).as("cos"))
@@ -92,9 +107,9 @@ object SimilarityQueries {
   )
 
   def oracleSql: Map[String, String] = {
-    val planes = (0 until NPlanes).map { j =>
+    def planesSql(lo: Int, hi: Int) = (lo until hi).map { j =>
       val arr = (0 until 64).map(d => s"${hp(j, d)}").mkString("[", ", ", "]")
-      s"CASE WHEN list_dot_product(c, $arr::DOUBLE[]) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END"
+      s"CASE WHEN list_dot_product(c, $arr::DOUBLE[]) > 0 THEN (CAST(1 AS BIGINT) << ${j - lo}) ELSE 0 END"
     }.mkString(" + ")
 
     Map(
@@ -122,15 +137,21 @@ object SimilarityQueries {
            |CROSS JOIN probe
            |WHERE a.cid IN (SELECT cid FROM cells)
            |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
-      // mirrors the Spark plan exactly: normalize first, then a single dot
+      // mirrors the Spark plan exactly: normalize first, level-1 bucket,
+      // refine over-populated buckets with planes 8..15, single dot residual
       "q_dedup_embed" ->
         s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
            |bkt AS (SELECT vec_id,
            |               list_transform(c, x -> x * (1.0 / sqrt(list_dot_product(c, c)))) AS e,
-           |               $planes AS bucket FROM t)
+           |               ${planesSql(0, NPlanes)} AS b8,
+           |               ${planesSql(NPlanes, 2 * NPlanes)} AS ext8 FROM t),
+           |keyed AS (SELECT vec_id, e, b8,
+           |                 CASE WHEN count(*) OVER (PARTITION BY b8) > $RefineCap
+           |                      THEN ext8 ELSE 0 END AS ext
+           |          FROM bkt)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |       round(list_dot_product(a.e, b.e), 9) AS cos
-           |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |FROM keyed a JOIN keyed b ON a.b8 = b.b8 AND a.ext = b.ext AND a.vec_id < b.vec_id
            |WHERE round(list_dot_product(a.e, b.e), 9) >= 0.5
            |ORDER BY id_a, id_b""".stripMargin
     )

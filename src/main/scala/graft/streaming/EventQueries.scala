@@ -63,8 +63,7 @@ object EventQueries {
     // batch iter-1 means (the oracle).
     "q_stream_kmeans" -> { (s, dir) =>
       import s.implicits._
-      val cents = graft.kmeans.Lloyd.initCentroids(
-        graft.core.Tables.points(s, dir), graft.kmeans.KmeansQueries.K)
+      val cents = graft.kmeans.Lloyd.initCentroidsFor(s, dir, graft.kmeans.KmeansQueries.K)
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val streamed = s.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet")

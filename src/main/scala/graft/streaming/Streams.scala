@@ -26,7 +26,10 @@ object Streams {
     * multi-file 100 TB directory.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong must come from session construction (Tables.NanosAsLongConf)
+    // — a loader mutating shared conf would change later reads' semantics.
+    require(spark.conf.get(graft.core.Tables.NanosAsLongConf._1, "false") == "true",
+      s"session must set ${graft.core.Tables.NanosAsLongConf._1}=true at construction")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file streams want a directory: stream the sf dir, globbed to events
     spark.readStream

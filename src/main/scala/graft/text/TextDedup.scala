@@ -70,10 +70,7 @@ object TextDedup {
     val cands = minhashCandidates(sigs)
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), size(col("ws")) - 2),
-          i => concat_ws(" ", element_at(col("ws"), i),
-            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))).as("sh"))
+      .select(col("doc_id"), array_distinct(TextQueries.shingles3(col("ws"))).as("sh"))
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

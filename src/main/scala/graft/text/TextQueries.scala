@@ -22,10 +22,17 @@ object TextQueries {
 
   private val words: Column = split(col("text"), " ")
 
-  /** Word-level 3-gram shingles of a words array. */
-  private def shingles3(w: Column): Column =
-    transform(sequence(lit(1), size(w) - 2),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+  /** Word-level 3-gram shingles of a words array. Guarded: with <3 words,
+    * `sequence(1, size-2)` would be DESCENDING (sequence counts down when
+    * stop<start) and `element_at(w, 0)` throws — short docs get an empty
+    * shingle set instead, matching the oracle's `range(1, len-1)` (empty when
+    * stop<=start).
+    */
+  def shingles3(w: Column): Column =
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
 
   // MinHash parameters: k independent universal hashes over a Mersenne prime.
   val MinhashK = 16

@@ -10,10 +10,12 @@ object TestSpark {
   // local[4, 3]: 4 threads, task maxFailures=3 — so FaultToleranceSpec can
   // exercise retries on the same shared context.
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.plans.GraftExtensions)
     .master("local[4, 3]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
+    .config(graft.core.Tables.NanosAsLongConf._1, graft.core.Tables.NanosAsLongConf._2)
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir", "target/warehouse")
     .getOrCreate()
