@@ -74,6 +74,29 @@ object KmeansQueries {
         .groupBy("cid", "pos").agg(round(avg("v"), 7).as("m"))
         .orderBy("cid", "pos")
     },
+    // TWO unrolled Lloyd iterations, oracle-checked end-to-end — covers the
+    // multi-iteration dataflow of the reference's driver loop
+    // (master.py:115-152): assign -> mean -> RE-assign -> mean. Iter-1 means
+    // are rounded to 7 decimals on BOTH engines before becoming iter-2
+    // centroids, so the second assignment starts from bit-identical inputs
+    // (the established determinism discipline); the K-row driver collect
+    // between iterations is exactly the reference's master round-trip
+    // (compile_centroids, master.py:238-247) and what Lloyd.run does.
+    "q_kmeans_iter2" -> { (s, dir) =>
+      val pts = Tables.points(s, dir)
+      val c0 = Lloyd.initCentroidsFor(s, dir, K)
+      val m1 = Lloyd.updateExplode(Lloyd.assign(pts, c0))
+        .select(col("cid"),
+          transform(col("coordinates"), x => round(x, 7) + lit(0.0)).as("coordinates"))
+      val c1 = m1.orderBy("cid").collect().map { r =>
+        Centroid(r.getInt(r.fieldIndex("cid")),
+          r.getSeq[Double](r.fieldIndex("coordinates")).toArray)
+      }.toSeq
+      Lloyd.assign(pts, c1)
+        .select(col("cid"), posexplode(col("coordinates")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(round(avg("v"), 7).as("m"))
+        .orderBy("cid", "pos")
+    },
     // Group sizes under the iter-1 assignment (the reducer's group-by-key,
     // /root/reference/reducer.py:58-61).
     "q_groupby_key" -> { (s, dir) =>
@@ -145,6 +168,29 @@ object KmeansQueries {
     "q_groupby_key" ->
       s"""$preludeSql
          |SELECT cid, count(*) AS n_points FROM assign GROUP BY cid ORDER BY cid""".stripMargin,
+    // unrolled second iteration: iter-1 means (7-dec rounded, -0.0
+    // normalized) become the iter-2 centroids; same explicit (d2, cid)
+    // tie-break as the prelude
+    "q_kmeans_iter2" ->
+      s"""$preludeSql,
+         |means1 AS (
+         |  SELECT a.cid, CAST(u.i AS INT) AS i, round(avg(p.c[u.i]), 7) + 0.0 AS m
+         |  FROM assign a JOIN pts p USING (vec_id), UNNEST(generate_series(1, len(p.c))) AS u(i)
+         |  GROUP BY a.cid, u.i),
+         |c1 AS (SELECT cid, list(m ORDER BY i) AS c FROM means1 GROUP BY cid),
+         |assign2 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, d2,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM (SELECT p.vec_id, c1.cid,
+         |                 list_sum(list_transform(list_zip(p.c, c1.c),
+         |                   z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+         |          FROM pts p CROSS JOIN c1) d) r
+         |  WHERE rn = 1)
+         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 7) AS m
+         |FROM assign2 a JOIN pts p USING (vec_id), UNNEST(generate_series(1, len(p.c))) AS u(i)
+         |GROUP BY a.cid, pos
+         |ORDER BY a.cid, pos""".stripMargin,
     "q_centroid_mean" ->
       """SELECT label, CAST(u.i - 1 AS INT) AS pos,
         |       round(avg(CAST(embedding AS DOUBLE[])[u.i]), 7) AS m

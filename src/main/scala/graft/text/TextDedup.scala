@@ -21,7 +21,32 @@ object TextDedup {
     * Input: (doc_id, j, minhash) exploded signatures (q_dedup_minhash
     * shape). Output: distinct candidate (doc_a, doc_b) pairs.
     */
-  def minhashCandidates(signatures: DataFrame, bands: Int = 4): DataFrame = {
+  def minhashCandidates(signatures: DataFrame, bands: Int = 4,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val kept = bandedWithSize(signatures, bands)
+      .filter(col("n_bucket") <= maxBucketSize)
+    val a = kept.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Bucket-population guard default: a band bucket of b docs yields
+    * b(b-1)/2 candidate pairs, so ONE degenerate key (e.g. an empty-doc
+    * signature repeated across a 100 TB corpus) would go quadratic.
+    * Over-full buckets are dropped from candidate generation — a bounded,
+    * observable recall sacrifice ([[overfullBuckets]] reports what was
+    * dropped) instead of an unbounded shuffle explosion.
+    */
+  val DefaultMaxBucketSize = 1000
+
+  /** Per-(band, band_key) rows annotated with their bucket population.
+    * Census + co-partitioned join (both sides shuffle on the same key; the
+    * census is NOT broadcast because distinct band keys scale with corpus
+    * size).
+    */
+  private def bandedWithSize(signatures: DataFrame, bands: Int): DataFrame = {
     val banded = signatures
       .withColumn("band", pmod(col("j"), lit(bands)))
       .groupBy("doc_id", "band")
@@ -29,12 +54,18 @@ object TextDedup {
       .agg(md5(concat_ws(",",
         transform(array_sort(collect_list(struct(col("j"), col("minhash")))),
           x => x.getField("minhash").cast("string")))).as("band_key"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val census = banded.groupBy("band", "band_key").agg(count(lit(1)).as("n_bucket"))
+    banded.join(census, Seq("band", "band_key"))
   }
+
+  /** The band buckets [[minhashCandidates]] would drop at `maxBucketSize` —
+    * the "log what was dropped" half of the guard.
+    */
+  def overfullBuckets(signatures: DataFrame, bands: Int = 4,
+                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    bandedWithSize(signatures, bands)
+      .filter(col("n_bucket") > maxBucketSize)
+      .select("band", "band_key", "n_bucket").distinct()
 
   /** SimHash near-dup candidates: band the 32-bit fingerprint into four
     * 8-bit chunks; two docs within Hamming distance 3 must agree on at
@@ -67,6 +98,11 @@ object TextDedup {
   def nearDupPairs(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                    jaccardThreshold: Double = 0.8): DataFrame = {
     val sigs = TextQueries.queries("q_dedup_minhash")(spark, sfDir)
+    // size-guard observability: say what the cap threw away (one tiny
+    // aggregate job over sketch rows; nothing at fixture scale)
+    val dropped = overfullBuckets(sigs).count()
+    if (dropped > 0)
+      System.err.println(s"[TextDedup] dropped $dropped over-full band buckets (> $DefaultMaxBucketSize docs) from candidate generation")
     val cands = minhashCandidates(sigs)
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))

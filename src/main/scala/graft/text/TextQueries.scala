@@ -34,6 +34,9 @@ object TextQueries {
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
       .otherwise(array().cast("array<string>"))
 
+  /** q_dedup_ngram blocking-key population cap (see the query's comment). */
+  val NgramBlockCap = 1000
+
   // MinHash parameters: k independent universal hashes over a Mersenne prime.
   val MinhashK = 16
   val P: Long = 2147483647L // 2^31 - 1
@@ -161,17 +164,23 @@ object TextQueries {
     },
     // N-gram Jaccard near-dup: candidate pairs blocked on (n_words,
     // first_word) — an equi-join, never an all-pairs cross product — then
-    // exact Jaccard over distinct 3-gram shingle sets.
+    // exact Jaccard over distinct 3-gram shingle sets. Blocks larger than
+    // NgramBlockCap are dropped (census + co-partitioned join, mirrored in
+    // the oracle): a block of b docs costs b(b-1)/2 pairs, so one hot key
+    // ("the ..." x 10M docs) must not go quadratic at 100 TB.
     "q_dedup_ngram" -> { (s, dir) =>
       // materialize words once per row before shingling: referencing
       // `split(text)` inside the shingle lambda would re-split per element
       // (no CSE across HOF lambda bodies) — O(words^2) per doc
-      val docs = Tables.documents(s, dir)
+      val blocked = Tables.documents(s, dir)
         .select(col("doc_id"), words.as("ws"))
         .select(col("doc_id"),
           size(col("ws")).cast("long").as("n_words"),
           element_at(col("ws"), 1).as("first_word"),
           array_distinct(shingles3(col("ws"))).as("sh"))
+      val census = blocked.groupBy("n_words", "first_word").agg(count(lit(1)).as("n_blk"))
+      val docs = blocked.join(census, Seq("n_words", "first_word"))
+        .filter(col("n_blk") <= NgramBlockCap)
       val a = docs.select(col("doc_id").as("doc_a"), col("n_words"), col("first_word"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("n_words"), col("first_word"), col("sh").as("sh_b"))
       a.join(b, Seq("n_words", "first_word"))
@@ -264,11 +273,13 @@ object TextQueries {
            |s AS (SELECT doc_id, $bitSumCols FROM v GROUP BY doc_id)
            |SELECT doc_id, $packedCols AS simhash FROM s ORDER BY doc_id""".stripMargin,
       "q_dedup_ngram" ->
-        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-          |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, ws[1] AS first_word,
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |d0 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, ws[1] AS first_word,
           |             list_distinct(list_transform(range(1, len(ws) - 1),
           |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-          |      FROM w)
+          |      FROM w),
+          |d AS (SELECT * FROM d0
+          |      QUALIFY count(*) OVER (PARTITION BY n_words, first_word) <= $NgramBlockCap)
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
           |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard

@@ -58,6 +58,49 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cross product leaked:\n$p")
   }
 
+  test("q_dedup_embed's pair work runs the fused DotProduct kernel (no ZipWith survives)") {
+    // RewriteDot must replace every HOF dot spelling — the per-pair join
+    // residual above all — with the zero-allocation codegen kernel.
+    val p = executedPlan("q_dedup_embed")
+    assert(p.contains("dotproduct") || p.contains("DotProduct"), s"kernel not planned:\n$p")
+    assert(!p.contains("zip_with") && !p.contains("ZipWith"),
+      s"HOF dot survived in the dedup plan (allocation per candidate pair):\n$p")
+  }
+
+  test("adaptive LSH refinement bounds the max candidate bucket at sf0.1") {
+    import org.apache.spark.sql.functions._
+    // the two-level bucket key (b8 + ext-on-overflow) must cap bucket
+    // population: this is what keeps the candidate join from going
+    // quadratic when embeddings cluster (sf0.1 level-1 max bucket is 145)
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"),
+        sim.SimilarityQueries.lshBucket(col("embedding"), 0, sim.SimilarityQueries.NPlanes).as("b8"),
+        sim.SimilarityQueries.lshBucket(col("embedding"), sim.SimilarityQueries.NPlanes,
+          2 * sim.SimilarityQueries.NPlanes).as("ext8"))
+    val census = emb.groupBy("b8").agg(count(lit(1)).as("n_b8"))
+    val maxBucket = emb.join(broadcast(census), "b8")
+      .withColumn("ext", when(col("n_b8") > sim.SimilarityQueries.RefineCap, col("ext8")).otherwise(lit(0L)))
+      .groupBy("b8", "ext").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(maxBucket <= sim.SimilarityQueries.RefineCap,
+      s"refined bucket still over cap: $maxBucket > ${sim.SimilarityQueries.RefineCap}")
+  }
+
+  test("approx_count_distinct is within HLL++ error bounds of the exact count") {
+    import org.apache.spark.sql.functions._
+    // default rsd = 0.05; 3x rsd is a ~3-sigma bound for HLL++
+    val exact = SparkEntry.queries("q_distinct")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q_distinct_approx")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 3 * 0.05,
+        s"$k: approx $a vs exact $e out of 3*rsd tolerance")
+    }
+  }
+
   test("every declared oracle key has a queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

@@ -66,6 +66,50 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs((0L, 1L)) == 2L)
   }
 
+  test("a degenerate hot band bucket is capped, not exploded into quadratic pairs") {
+    val s = spark
+    import s.implicits._
+    // synthetic hot key: 40 docs with IDENTICAL signatures (the 100 TB
+    // pathology: e.g. boilerplate/empty docs all hashing alike) + one
+    // normal near-dup pair that must survive the guard
+    val hot = (100L until 140L).flatMap(id =>
+      (0 until TextQueries.MinhashK).map(j => (id, j.toLong, 42L)))
+    val pair = Seq(0L, 1L).flatMap(id =>
+      (0 until TextQueries.MinhashK).map(j => (id, j.toLong, 7000L + j)))
+    val sigs = (hot ++ pair).toDF("doc_id", "j", "minhash")
+    val cands = TextDedup.minhashCandidates(sigs, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == Set((0L, 1L)),
+      s"hot bucket must be dropped, normal pair kept; got ${cands.size} pairs")
+    val dropped = TextDedup.overfullBuckets(sigs, maxBucketSize = 10)
+      .collect().map(r => r.getLong(r.fieldIndex("n_bucket")))
+    assert(dropped.nonEmpty && dropped.forall(_ == 40L),
+      "overfullBuckets must report the 40-doc bucket per band")
+  }
+
+  test("q_dedup_ngram drops over-cap blocking keys (synthetic hot key)") {
+    val s = spark
+    import s.implicits._
+    // same first word + word count for every doc -> one blocking key.
+    // Under a cap smaller than the corpus, the query shape must emit
+    // nothing rather than all-pairs. (The registered query's cap is
+    // NgramBlockCap; here we exercise the guard logic with the census
+    // shape inlined at cap=5.)
+    val docs = (0L until 20L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta word$i"))
+      .toDF("doc_id", "text")
+    val ws = split(col("text"), " ")
+    val blocked = docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        element_at(col("ws"), 1).as("first_word"))
+    val census = blocked.groupBy("n_words", "first_word").agg(count(lit(1)).as("n_blk"))
+    val kept = blocked.join(census, Seq("n_words", "first_word")).filter(col("n_blk") <= 5)
+    assert(kept.count() == 0, "20-doc block must be dropped at cap=5")
+    // and the registered query still runs green on the fixture (cap is a
+    // no-op there -- fixture blocks are far below NgramBlockCap)
+    assert(TextQueries.queries("q_dedup_ngram")(spark, TestSpark.Sf0001).count() >= 0)
+  }
+
   test("end-to-end near-dup decision on the documents fixture is candidate-verified") {
     val pairs = TextDedup.nearDupPairs(spark, TestSpark.Sf0001, jaccardThreshold = 0.8)
     // fixture has no >=0.8 near-dups (verified exhaustively in DuckDB);
