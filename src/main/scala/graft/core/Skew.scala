@@ -36,6 +36,17 @@ object Skew {
       .groupBy(col(key))
       .agg(sum("_partial").as(s"sum_$value"))
 
+  /** Two-stage salted count+sum per key in one pass (the registered
+    * q_salted_agg shape: one shuffle spread over `salts` sub-keys, one tiny
+    * combine).
+    */
+  def saltedStats(df: DataFrame, key: String, value: String, on: Column, salts: Int = 16): DataFrame =
+    df.withColumn("_salt", salt(on, salts))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(value)).as("_s"))
+      .groupBy(col(key))
+      .agg(sum("_n").as("n"), sum("_s").as(s"sum_$value"))
+
   /** Salted big-x-small join for a skewed join key: the big side gets a
     * deterministic salt, the small side is exploded `salts`x (one copy per
     * salt value), and the join key becomes (key, salt) — hot keys spread

@@ -240,6 +240,16 @@ object RelationalQueries {
           col("signup").cast("long").as("signup"), col("view").cast("long").as("view"))
         .orderBy("user_id")
     },
+    // NS: skew-safe salted aggregation (core.Skew two-stage pattern) as a
+    // first-class query: identical results to the plain groupBy — which is
+    // exactly what the oracle checks — while a hot key (one event_type
+    // dominating a 100 TB stream) spreads over 16 sub-keys in stage 1.
+    "q_salted_agg" -> { (s, dir) =>
+      graft.core.Skew.saltedStats(Tables.events(s, dir), "event_type", "value", col("user_id"))
+        .select(col("event_type"), col("n"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("event_type")
+    },
     // NS: rollup region -> nation with labeled subtotal rows (coalesce keeps
     // NULL-ordering semantics out of the cross-engine compare).
     "q_rollup" -> { (s, dir) =>
@@ -354,6 +364,10 @@ object RelationalQueries {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // plain aggregate: the salted two-stage MUST be indistinguishable
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal

@@ -190,6 +190,23 @@ object TextQueries {
             size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.05)
         .orderBy("doc_a", "doc_b")
+    },
+    // MinHash LSH banding candidates (TextDedup.minhashCandidates) as a
+    // first-class query: docs sharing ANY of the 4 bands of their 16-value
+    // signature become a candidate pair. The oracle rebuilds the exact band
+    // fingerprints in DuckDB — every emitted pair cross-checked.
+    "q_lsh_candidates" -> { (s, dir) =>
+      TextDedup.minhashCandidates(queries("q_dedup_minhash")(s, dir))
+        .orderBy("doc_a", "doc_b")
+    },
+    // SimHash near-pairs via pigeonhole chunk banding
+    // (TextDedup.simhashNearPairs). The banding is COMPLETE for Hamming<=3
+    // (4 chunks, <=3 differing bits -> some chunk equal), so the oracle is
+    // the brute-force all-pairs filter — the strongest possible
+    // cross-engine proof that the optimized form loses nothing.
+    "q_simhash_pairs" -> { (s, dir) =>
+      TextDedup.simhashNearPairs(queries("q_dedup_simhash")(s, dir), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
     }
   )
 
@@ -272,6 +289,41 @@ object TextQueries {
            |v AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS v FROM w),
            |s AS (SELECT doc_id, $bitSumCols FROM v GROUP BY doc_id)
            |SELECT doc_id, $packedCols AS simhash FROM s ORDER BY doc_id""".stripMargin,
+      // LSH banding candidates: rebuild the per-(doc, band) signature
+      // fingerprint exactly (minhashes in j order, comma-joined, md5'd) and
+      // replay the size-capped band-bucket equi-join.
+      "q_lsh_candidates" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh AS (SELECT doc_id,
+           |              list_transform(range(1, len(ws) - 1),
+           |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh
+           |       FROM w),
+           |sigs AS (
+           |${sigSelects.replace("hv(x)", "('0x' || substr(md5(x), 1, 8))::BIGINT")}
+           |),
+           |banded AS (
+           |  SELECT doc_id, j % 4 AS band,
+           |         md5(array_to_string(list_transform(list(minhash ORDER BY j),
+           |             x -> CAST(x AS VARCHAR)), ',')) AS band_key
+           |  FROM sigs GROUP BY doc_id, band
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= ${TextDedup.DefaultMaxBucketSize}
+           |)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // brute-force all-pairs Hamming filter: the chunk-banding plan must
+      // produce EXACTLY this (pigeonhole completeness for d<=3)
+      "q_simhash_pairs" ->
+        s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           |v AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS v FROM w),
+           |s AS (SELECT doc_id, $bitSumCols FROM v GROUP BY doc_id),
+           |f AS (SELECT doc_id, $packedCols AS simhash FROM s)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin,
       "q_dedup_ngram" ->
         s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           |d0 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, ws[1] AS first_word,
