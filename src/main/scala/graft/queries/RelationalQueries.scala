@@ -240,6 +240,20 @@ object RelationalQueries {
           col("signup").cast("long").as("signup"), col("view").cast("long").as("view"))
         .orderBy("user_id")
     },
+    // NS: exact percentiles per group (type-7 linear interpolation — the
+    // shared definition between Spark `percentile` and DuckDB
+    // `quantile_cont`). The scale path for this shape is
+    // `approx_percentile` (t-digest sketch, mergeable partials) — kept off
+    // the hash oracle like every sketch.
+    "q_quantiles" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+        .orderBy("l_returnflag")
+    },
     // NS: skew-safe salted aggregation (core.Skew two-stage pattern) as a
     // first-class query: identical results to the plain groupBy — which is
     // exactly what the oracle checks — while a hot key (one event_type
@@ -364,6 +378,12 @@ object RelationalQueries {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // plain aggregate: the salted two-stage MUST be indistinguishable
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value

@@ -63,6 +63,16 @@ object ScalarQueries {
           length(regexp_replace(col("text"), "[^aeiou]", "")).cast("long").as("n_vowels"))
         .orderBy("doc_id")
     },
+    // NS: edit distance (Levenshtein) of each doc's head against a fixed
+    // probe — the character-level near-dup verifier (complements the
+    // token-level Jaccard/minhash family; cost is O(len^2) per ROW, so at
+    // scale it runs only on candidate pairs, never all-pairs).
+    "q_edit_distance" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 16), lit("data processing ")).cast("long").as("dist"))
+        .orderBy("doc_id")
+    },
     // NS date/time scalars over orders.
     "q_date_funcs" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -127,6 +137,10 @@ object ScalarQueries {
          |SELECT CAST(CASE WHEN cid % 2 = 0 THEN 2 ELSE cid % 2 END AS BIGINT) AS pid,
          |       count(*) AS n
          |FROM assign GROUP BY pid ORDER BY pid""".stripMargin,
+    "q_edit_distance" ->
+      """SELECT doc_id,
+        |       CAST(levenshtein(substr(text, 1, 16), 'data processing ') AS BIGINT) AS dist
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_string_funcs" ->
       """SELECT doc_id,
         |       CAST(length(text) AS BIGINT) AS n_chars,

@@ -91,6 +91,42 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup edge set by iterative min-label
+    * propagation — the canonicalization step that turns pairwise dedup
+    * verdicts into clusters (component id = min doc_id in the cluster;
+    * everything but the min is a duplicate to drop).
+    *
+    * Each iteration: every node takes the min of its own label and its
+    * neighbors' labels; stop at fixpoint (or `maxIter`). Converges in
+    * O(component diameter) rounds; each round is one co-partitioned
+    * edge⋈label join + one min-aggregate — both shuffled by node id, so a
+    * 100 TB edge set runs at the usual groupBy cost per round, and
+    * `localCheckpoint` keeps the plan from growing across rounds (the
+    * Lloyd-loop discipline, Lloyd.scala).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val fromNbr = sym.join(labels, sym("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("component"))
+      val next = labels.unionByName(fromNbr)
+        .groupBy("doc_id").agg(min("component").as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
+        .filter(col("component") =!= col("prev")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** End-to-end near-dup dedup decision: minhash-LSH candidates verified by
     * exact shingle Jaccard, keep min doc_id per connected component's edge
     * set (single-link within candidate pairs).

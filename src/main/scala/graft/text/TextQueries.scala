@@ -207,6 +207,17 @@ object TextQueries {
     "q_simhash_pairs" -> { (s, dir) =>
       TextDedup.simhashNearPairs(queries("q_dedup_simhash")(s, dir), maxHamming = 3)
         .orderBy("doc_a", "doc_b")
+    },
+    // Dedup canonicalization: connected components over the simhash
+    // near-pair edges (min-label propagation, TextDedup.connectedComponents)
+    // -> every doc mapped to its cluster's canonical (min) doc_id. The
+    // oracle computes the same fixpoint as a recursive CTE — min reachable
+    // id over the symmetric edge set.
+    "q_dedup_components" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val edges = queries("q_simhash_pairs")(s, dir).select("doc_a", "doc_b")
+      TextDedup.connectedComponents(docs, edges)
+        .orderBy("doc_id")
     }
   )
 
@@ -312,6 +323,25 @@ object TextQueries {
            |FROM banded a JOIN banded b
            |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin,
+      // recursive min-reachable-id fixpoint over the symmetric simhash edge
+      // set == the label-propagation result (undirected reachability)
+      "q_dedup_components" ->
+        s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           |v AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS v FROM w),
+           |s AS (SELECT doc_id, $bitSumCols FROM v GROUP BY doc_id),
+           |f AS (SELECT doc_id, $packedCols AS simhash FROM s),
+           |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |       FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+           |reach(v, u) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+           |)
+           |SELECT v AS doc_id, min(u) AS component
+           |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
       // brute-force all-pairs Hamming filter: the chunk-banding plan must
       // produce EXACTLY this (pigeonhole completeness for d<=3)
       "q_simhash_pairs" ->

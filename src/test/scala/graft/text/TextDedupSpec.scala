@@ -110,6 +110,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(TextQueries.queries("q_dedup_ngram")(spark, TestSpark.Sf0001).count() >= 0)
   }
 
+  test("connected components converge to min-id labels on a known graph") {
+    val s = spark
+    import s.implicits._
+    // components: {0,1,2,3} (a path — propagation needs >1 round),
+    // {10,11} (pair), {20} (isolated)
+    val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = TextDedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("end-to-end near-dup decision on the documents fixture is candidate-verified") {
     val pairs = TextDedup.nearDupPairs(spark, TestSpark.Sf0001, jaccardThreshold = 0.8)
     // fixture has no >=0.8 near-dups (verified exhaustively in DuckDB);
