@@ -111,19 +111,43 @@ object TextDedup {
       .localCheckpoint()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
-    var changed = 1L
+    // Fixpoint detection without a per-round join: labels only ever
+    // DECREASE (min-propagation is monotone), so the label sum is a strict
+    // progress measure — unchanged sum == fixpoint. Decimal sum: immune to
+    // long overflow at any id range / node count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    var converged = false
+    while (!converged && i < maxIter) {
+      // neighbor step: take the min label over self + direct neighbors.
+      // Both union branches re-alias every column: the right branch embeds
+      // `labels` inside its join, so without fresh exprIds the two branches
+      // share attribute ids and Catalyst's union-constraint rewrite throws
+      // (key not found) on the self-referential plan.
       val fromNbr = sym.join(labels, sym("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("component"))
-      val next = labels.unionByName(fromNbr)
+        .select(col("dst").as("doc_id"), col("component").as("component"))
+      val stepped = labels.select(col("doc_id").as("doc_id"), col("component").as("component"))
+        .unionByName(fromNbr)
         .groupBy("doc_id").agg(min("component").as("component"))
+        .localCheckpoint() // materialize once: the jump below reads it twice
+      // pointer-jump step: also adopt the label OF my current label
+      // (component ids are node ids, so label(label) is a valid lookup).
+      // Halves the remaining path distance every round -> O(log diameter)
+      // rounds instead of O(diameter) on chain-shaped components.
+      labels = stepped.as("a")
+        .join(stepped.select(col("doc_id").as("c_id"), col("component").as("c_comp")),
+          col("a.component") === col("c_id"))
+        .select(col("a.doc_id").as("doc_id"),
+          least(col("a.component"), col("c_comp")).as("component"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
-        .filter(col("component") =!= col("prev")).count()
-      labels = next
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
+    System.err.println(s"[TextDedup] connectedComponents converged in $i rounds")
     labels
   }
 
