@@ -240,6 +240,40 @@ object RelationalQueries {
           col("signup").cast("long").as("signup"), col("view").cast("long").as("view"))
         .orderBy("user_id")
     },
+    // NS: co-located bucketed join — the 100 TB co-location story as a
+    // runnable query. Both sides are written `bucketBy(8, custkey)` +
+    // sorted; the SortMergeJoin then needs NO Exchange on either input
+    // (bucket layout satisfies the join's distribution requirement). At
+    // scale this is how repeated fact⋈fact joins amortize their shuffle
+    // into the write. Oracle checks the join result equals the plain join.
+    "q_join_bucketed" -> { (s, dir) =>
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val (oT, cT) = (s"orders_bkt_$sfx", s"customer_bkt_$sfx")
+      if (!s.catalog.tableExists(oT))
+        Tables.orders(s, dir).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .mode("overwrite").saveAsTable(oT)
+      if (!s.catalog.tableExists(cT))
+        Tables.customer(s, dir).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .mode("overwrite").saveAsTable(cT)
+      s.table(oT).hint("merge")
+        .join(s.table(cT).hint("merge"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("nationkey")
+    },
+    // NS: full cube over region x nation (rollup's sibling; all 4 grouping
+    // sets), subtotals labeled via coalesce like q_rollup.
+    "q_cube" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_customers"), col("sum_bal"))
+        .orderBy("region", "nation")
+    },
     // NS: exact percentiles per group (type-7 linear interpolation — the
     // shared definition between Spark `percentile` and DuckDB
     // `quantile_cont`). The scale path for this shape is
@@ -378,6 +412,19 @@ object RelationalQueries {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // bucketing is a physical layout: logical result == plain join
+    "q_join_bucketed" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,

@@ -76,6 +76,28 @@ object SimilarityQueries {
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     },
+    // NS: int8 symmetric quantization of the embedding column — the
+    // storage/IO optimization a 100 TB ANN index runs on (4x smaller
+    // vectors; scan-side dequantize). Per-vector scale = 127/max|x|;
+    // quantize via floor(x*scale + 0.5) — floor, NOT round, so both
+    // engines share one exactly-defined rounding rule. Output: the scale,
+    // head of the quantized vector, and the dequantization error.
+    "q_embed_quantize" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        // materialize scale BEFORE the quantize lambda (HOF-CSE pitfall:
+        // referencing it inside the lambda recomputes array_max per element)
+        .select(col("vec_id"), col("embedding"),
+          (lit(127.0) / array_max(transform(col("embedding"), x => abs(x)))).as("scale"))
+        .select(col("vec_id"), col("embedding"), col("scale"),
+          transform(col("embedding"), x => floor(x * col("scale") + 0.5).cast("long")).as("q"))
+      emb.select(col("vec_id"),
+          round(col("scale"), 9).as("scale_r"),
+          element_at(col("q"), 1).as("q0"),
+          element_at(col("q"), 2).as("q1"),
+          round(Vec.dist(col("embedding"),
+            transform(col("q"), v => v.cast("double") / col("scale"))), 6).as("dequant_err"))
+        .orderBy("vec_id")
+    },
     // Embedding near-dup pairs: adaptive two-level LSH bucket equi-join +
     // exact cosine filter. Level 1 = 8-plane sign bucket; buckets whose
     // population exceeds RefineCap are refined by 8 MORE planes, so one hot
@@ -121,6 +143,17 @@ object SimilarityQueries {
           |             (sqrt(list_dot_product(t.c, t.c)) * sqrt(list_dot_product(probe.p, probe.p))), 9) AS sim
           |FROM t CROSS JOIN probe
           |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin,
+      "q_embed_quantize" ->
+        """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+          |sc AS (SELECT vec_id, c,
+          |              127.0 / list_max(list_transform(c, x -> abs(x))) AS scale FROM t),
+          |q AS (SELECT vec_id, c, scale,
+          |             list_transform(c, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q FROM sc)
+          |SELECT vec_id, round(scale, 9) AS scale_r, q[1] AS q0, q[2] AS q1,
+          |       round(sqrt(list_sum(list_transform(
+          |             list_zip(c, list_transform(q, v -> CAST(v AS DOUBLE) / scale)),
+          |             z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dequant_err
+          |FROM q ORDER BY vec_id""".stripMargin,
       "q_ann_ivf" ->
         s"""${graft.kmeans.KmeansQueries.preludeForOracle},
            |probe AS (SELECT c AS p FROM pts ORDER BY vec_id LIMIT 1),

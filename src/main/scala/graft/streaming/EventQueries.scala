@@ -83,6 +83,21 @@ object EventQueries {
         .select(col("cid"), col("pos"), round(col("v"), 7).as("m"), col("n_points"))
         .orderBy("cid", "pos")
     },
+    // Stream-static join: the event stream enriched against the (static)
+    // customer dim inside a real readStream run, aggregated per nation in
+    // Complete mode. At 100 TB the static side is a broadcast per
+    // micro-batch — no stream-side shuffle for the join itself.
+    "q_stream_join" -> { (s, dir) =>
+      val ev = Streams.readEvents(s, dir)
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val joined = ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      Streams.runToBatch(s, joined,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy("nationkey")
+    },
     // Drop duplicate event ids (batch form of dropDuplicatesWithinWatermark).
     // Restricted to the key column: among true duplicates Spark keeps an
     // arbitrary full row, so only the key set is deterministic.
@@ -119,6 +134,12 @@ object EventQueries {
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT event_id FROM events ORDER BY event_id",
+    // stream-static join == its batch equivalent once the stream drains
+    "q_stream_join" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
     "q_stream_watermark" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
         |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM e)

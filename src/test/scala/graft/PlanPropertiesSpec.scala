@@ -101,6 +101,20 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_bucketed: the bucketed SortMergeJoin has no Exchange on its inputs") {
+    val df = SparkEntry.queries("q_join_bucketed")(spark, TestSpark.Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"bucketed join demoted:\n$plan")
+    // the ONLY exchanges allowed are for the downstream groupBy/orderBy;
+    // the join inputs read bucketed files directly. SMJ appears above its
+    // two scans: assert no Exchange between them by locating the join
+    // subtree (everything after the first SortMergeJoin line until the
+    // scans) and checking it for shuffles.
+    val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange hashpartitioning"),
+      s"bucket layout did not satisfy the join distribution:\n$plan")
+  }
+
   test("every declared oracle key has a queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
