@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout passes through VERBATIM (no "[info] " logger prefix):
+// Bench's single-line JSON contract must reach the driver parseable.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

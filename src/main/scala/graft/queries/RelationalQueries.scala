@@ -16,6 +16,38 @@ import graft.core.{Ordinals, Tables}
   */
 object RelationalQueries {
 
+  /** Content fingerprint of fixture files (path+size+mtime of every file
+    * under the given roots), used to key derived managed tables (the
+    * bucketed-join copies) so a fixture rewrite at the same path can never
+    * serve stale derived data.
+    */
+  private def fixtureFingerprint(roots: Seq[String]): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk) else Seq(f)
+    val desc = roots.flatMap(r => walk(new java.io.File(r)))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** The in-memory catalog forgets managed tables between JVMs, but their
+    * warehouse locations persist — and `saveAsTable` refuses to create a
+    * table over an orphaned location ([LOCATION_ALREADY_EXISTS]). The
+    * bucketed copies are pure derived caches keyed by fixture fingerprint,
+    * so a location the catalog doesn't know about is safe to delete.
+    */
+  private def clearStaleManagedLocation(s: SparkSession, table: String): Unit = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
   // ---- §2.1 scans ----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -246,15 +278,25 @@ object RelationalQueries {
     // (bucket layout satisfies the join's distribution requirement). At
     // scale this is how repeated fact⋈fact joins amortize their shuffle
     // into the write. Oracle checks the join result equals the plain join.
+    // The managed-table name is keyed on a fingerprint of the source
+    // parquet files (size+mtime), so a fixture rewrite at the same sfDir
+    // can never serve stale bucketed data; the one-time bucket-write cost
+    // lands in bench pass 1 only (and is deliberately excluded by the
+    // min-of-2 report — it is amortized setup, not per-query work).
     "q_join_bucketed" -> { (s, dir) =>
       val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val (oT, cT) = (s"orders_bkt_$sfx", s"customer_bkt_$sfx")
-      if (!s.catalog.tableExists(oT))
+      val fp = fixtureFingerprint(Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+      val (oT, cT) = (s"orders_bkt_${sfx}_$fp", s"customer_bkt_${sfx}_$fp")
+      if (!s.catalog.tableExists(oT)) {
+        clearStaleManagedLocation(s, oT)
         Tables.orders(s, dir).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
           .mode("overwrite").saveAsTable(oT)
-      if (!s.catalog.tableExists(cT))
+      }
+      if (!s.catalog.tableExists(cT)) {
+        clearStaleManagedLocation(s, cT)
         Tables.customer(s, dir).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
           .mode("overwrite").saveAsTable(cT)
+      }
       s.table(oT).hint("merge")
         .join(s.table(cT).hint("merge"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey").cast("long").as("nationkey"))
@@ -268,6 +310,22 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .cube(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_customers"), col("sum_bal"))
+        .orderBy("region", "nation")
+    },
+    // NS: explicit GROUPING SETS — the general form rollup/cube specialize:
+    // exactly the requested (region,nation), (region), () subtotal grids,
+    // computed in one pass (Expand + single hash aggregate), not three
+    // scans unioned.
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+          col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("sum_bal"))
         .select(coalesce(col("r_name"), lit("ALL")).as("region"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
@@ -424,6 +482,13 @@ object RelationalQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         |ORDER BY region, nation""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,

@@ -63,6 +63,28 @@ object WindowSetQueries {
         .orderBy("event_id")
     },
 
+    // NS: batch sessionization — the window-function dual of the streaming
+    // session window (q_stream_session): a session break is a >30-min gap
+    // from the previous event of the same user (lag), session ids are the
+    // running count of breaks (cumulative sum), then one aggregate per
+    // (user, session). Two window passes + one aggregate over a SINGLE hash
+    // shuffle on user_id — Catalyst reuses the partitioning across all
+    // three, so at 100 TB this is one shuffle of (user_id, ts, value).
+    "q_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))
+      Tables.events(s, dir)
+        .withColumn("new_sess",
+          when(gapUs.isNull.or(gapUs > lit(30L * 60 * 1000000L)), 1L).otherwise(0L))
+        .withColumn("sess_idx", sum("new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_idx")
+        .agg(min(unix_micros(col("ts"))).as("sess_start_us"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 6).as("sum_value"))
+        .orderBy("user_id", "sess_idx")
+    },
+
     // ---- §2.6 sorts / limits / top-k --------------------------------------
 
     // Global order-by + limit -> TakeOrderedAndProjectExec: per-partition
@@ -129,6 +151,18 @@ object WindowSetQueries {
         |            epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
         |            AS BIGINT) AS gap_us
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |g AS (SELECT *, epoch_us(ts) - epoch_us(lag(ts, 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us FROM e),
+        |s AS (SELECT *, sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+        |      FROM g)
+        |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+        |       min(epoch_us(ts)) AS sess_start_us,
+        |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

@@ -76,18 +76,44 @@ object SimilarityQueries {
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     },
+    // NS: LSH-bucketed ANN — the other scale path beside IVF: the probe's
+    // 8-plane sign bucket is computed ON THE DRIVER (64 multiplies), and the
+    // search scans only rows whose bucket literal-matches it — at 100 TB
+    // with data bucketed/partitioned by sign bucket this is a partition-
+    // pruned read of ~1/256 of the index, no shuffle, no per-row probe
+    // distance to any non-bucket row.
+    "q_ann_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probe = graft.kmeans.Lloyd.initCentroidsFor(s, dir, 1).head.coordinates.toSeq
+      // driver-side replica of lshBucket: same plane constants, same
+      // sequential left-to-right accumulation as Vec.dot / DotProduct
+      val pb = (0 until NPlanes).map { j =>
+        var acc = 0.0
+        var d = 0
+        while (d < probe.length) { acc += probe(d) * hp(j, d); d += 1 }
+        if (acc > 0) 1L << j else 0L
+      }.sum
+      val pl = array(probe.map(lit): _*)
+      emb.filter(lshBucket(col("embedding"), 0, NPlanes) === lit(pb))
+        .select(col("vec_id"), round(Vec.cosine(col("embedding"), pl), 9).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
     // NS: int8 symmetric quantization of the embedding column — the
     // storage/IO optimization a 100 TB ANN index runs on (4x smaller
     // vectors; scan-side dequantize). Per-vector scale = 127/max|x|;
     // quantize via floor(x*scale + 0.5) — floor, NOT round, so both
     // engines share one exactly-defined rounding rule. Output: the scale,
     // head of the quantized vector, and the dequantization error.
+    // max|x| is floored at 1e-12 so an all-zero embedding yields a finite
+    // scale (and q = all zeros) instead of Inf*0 = NaN, which the two
+    // engines cast differently.
     "q_embed_quantize" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
         // materialize scale BEFORE the quantize lambda (HOF-CSE pitfall:
         // referencing it inside the lambda recomputes array_max per element)
         .select(col("vec_id"), col("embedding"),
-          (lit(127.0) / array_max(transform(col("embedding"), x => abs(x)))).as("scale"))
+          (lit(127.0) / greatest(array_max(transform(col("embedding"), x => abs(x))), lit(1e-12))).as("scale"))
         .select(col("vec_id"), col("embedding"), col("scale"),
           transform(col("embedding"), x => floor(x * col("scale") + 0.5).cast("long")).as("q"))
       emb.select(col("vec_id"),
@@ -107,10 +133,12 @@ object SimilarityQueries {
     // per row before the join, so the per-pair work (the join residual) is
     // a single dot product — fused to the codegen DotProduct kernel by
     // RewriteDot, zero allocation per pair.
+    // (norm floored at 1e-12: a zero vector must normalize to zeros, not
+    // NaN — Spark filters NaN cos out but DuckDB sorts NaN above 0.5.)
     "q_dedup_embed" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"),
-          Vec.scale(col("embedding"), lit(1.0) / Vec.norm(col("embedding"))).as("e"),
+          Vec.scale(col("embedding"), lit(1.0) / greatest(Vec.norm(col("embedding")), lit(1e-12))).as("e"),
           lshBucket(col("embedding"), 0, NPlanes).as("b8"),
           lshBucket(col("embedding"), NPlanes, 2 * NPlanes).as("ext8"))
       val census = emb.groupBy("b8").agg(count(lit(1)).as("n_b8"))
@@ -143,10 +171,21 @@ object SimilarityQueries {
           |             (sqrt(list_dot_product(t.c, t.c)) * sqrt(list_dot_product(probe.p, probe.p))), 9) AS sim
           |FROM t CROSS JOIN probe
           |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin,
+      "q_ann_lsh" ->
+        s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+           |probe AS (SELECT c AS p FROM t ORDER BY vec_id LIMIT 1),
+           |pb AS (SELECT ${planesSql(0, NPlanes)} AS b FROM (SELECT p AS c FROM probe)),
+           |bk AS (SELECT vec_id, c, ${planesSql(0, NPlanes)} AS b FROM t)
+           |SELECT bk.vec_id,
+           |       round(list_dot_product(bk.c, probe.p) /
+           |             (sqrt(list_dot_product(bk.c, bk.c)) * sqrt(list_dot_product(probe.p, probe.p))), 9) AS sim
+           |FROM bk CROSS JOIN probe CROSS JOIN pb
+           |WHERE bk.b = pb.b
+           |ORDER BY sim DESC, bk.vec_id LIMIT 10""".stripMargin,
       "q_embed_quantize" ->
         """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
           |sc AS (SELECT vec_id, c,
-          |              127.0 / list_max(list_transform(c, x -> abs(x))) AS scale FROM t),
+          |              127.0 / greatest(list_max(list_transform(c, x -> abs(x))), 1e-12) AS scale FROM t),
           |q AS (SELECT vec_id, c, scale,
           |             list_transform(c, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q FROM sc)
           |SELECT vec_id, round(scale, 9) AS scale_r, q[1] AS q0, q[2] AS q1,
@@ -175,7 +214,7 @@ object SimilarityQueries {
       "q_dedup_embed" ->
         s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
            |bkt AS (SELECT vec_id,
-           |               list_transform(c, x -> x * (1.0 / sqrt(list_dot_product(c, c)))) AS e,
+           |               list_transform(c, x -> x * (1.0 / greatest(sqrt(list_dot_product(c, c)), 1e-12))) AS e,
            |               ${planesSql(0, NPlanes)} AS b8,
            |               ${planesSql(NPlanes, 2 * NPlanes)} AS ext8 FROM t),
            |keyed AS (SELECT vec_id, e, b8,

@@ -22,9 +22,16 @@ object TextDedup {
     * shape). Output: distinct candidate (doc_a, doc_b) pairs.
     */
   def minhashCandidates(signatures: DataFrame, bands: Int = 4,
-                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val kept = bandedWithSize(signatures, bands)
-      .filter(col("n_bucket") <= maxBucketSize)
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    candidatesFromBanded(bandedWithSize(signatures, bands), maxBucketSize)
+
+  /** Candidate pairs from a pre-computed [[bandedWithSize]] frame — split
+    * out so callers needing BOTH the candidates and the over-full-bucket
+    * report (e.g. [[nearDupPairs]]) band once, not twice.
+    */
+  def candidatesFromBanded(banded: DataFrame,
+                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val kept = banded.filter(col("n_bucket") <= maxBucketSize)
     val a = kept.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = kept.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
@@ -44,9 +51,13 @@ object TextDedup {
   /** Per-(band, band_key) rows annotated with their bucket population.
     * Census + co-partitioned join (both sides shuffle on the same key; the
     * census is NOT broadcast because distinct band keys scale with corpus
-    * size).
+    * size). Materialized once (`localCheckpoint`): the output is small —
+    * `bands` rows of (id, key, count) per doc, never document bodies — but
+    * every consumer reads it at least twice (self-join sides, census,
+    * over-full report), and without the cut each read would re-run the
+    * whole shingle→minhash pipeline upstream.
     */
-  private def bandedWithSize(signatures: DataFrame, bands: Int): DataFrame = {
+  def bandedWithSize(signatures: DataFrame, bands: Int = 4): DataFrame = {
     val banded = signatures
       .withColumn("band", pmod(col("j"), lit(bands)))
       .groupBy("doc_id", "band")
@@ -54,8 +65,9 @@ object TextDedup {
       .agg(md5(concat_ws(",",
         transform(array_sort(collect_list(struct(col("j"), col("minhash")))),
           x => x.getField("minhash").cast("string")))).as("band_key"))
+      .localCheckpoint()
     val census = banded.groupBy("band", "band_key").agg(count(lit(1)).as("n_bucket"))
-    banded.join(census, Seq("band", "band_key"))
+    banded.join(census, Seq("band", "band_key")).localCheckpoint()
   }
 
   /** The band buckets [[minhashCandidates]] would drop at `maxBucketSize` —
@@ -63,7 +75,12 @@ object TextDedup {
     */
   def overfullBuckets(signatures: DataFrame, bands: Int = 4,
                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
-    bandedWithSize(signatures, bands)
+    overfullFromBanded(bandedWithSize(signatures, bands), maxBucketSize)
+
+  /** Over-full-bucket report from a pre-computed [[bandedWithSize]] frame. */
+  def overfullFromBanded(banded: DataFrame,
+                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    banded
       .filter(col("n_bucket") > maxBucketSize)
       .select("band", "band_key", "n_bucket").distinct()
 
@@ -147,7 +164,13 @@ object TextDedup {
       prevSum = s
       i += 1
     }
-    System.err.println(s"[TextDedup] connectedComponents converged in $i rounds")
+    if (converged)
+      System.err.println(s"[TextDedup] connectedComponents converged in $i rounds")
+    else
+      // the labeling below the fixpoint is still a valid (coarser-ward)
+      // upper bound on components, but it is NOT the answer — say so loudly
+      // instead of claiming convergence.
+      System.err.println(s"[TextDedup] WARNING: connectedComponents stopped at maxIter=$maxIter WITHOUT reaching the fixpoint — labels may be unconverged")
     labels
   }
 
@@ -158,12 +181,15 @@ object TextDedup {
   def nearDupPairs(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                    jaccardThreshold: Double = 0.8): DataFrame = {
     val sigs = TextQueries.queries("q_dedup_minhash")(spark, sfDir)
+    // band ONCE; both the over-full report and the kept candidates read the
+    // same materialized frame (banding was previously computed twice here)
+    val banded = bandedWithSize(sigs)
     // size-guard observability: say what the cap threw away (one tiny
     // aggregate job over sketch rows; nothing at fixture scale)
-    val dropped = overfullBuckets(sigs).count()
+    val dropped = overfullFromBanded(banded).count()
     if (dropped > 0)
       System.err.println(s"[TextDedup] dropped $dropped over-full band buckets (> $DefaultMaxBucketSize docs) from candidate generation")
-    val cands = minhashCandidates(sigs)
+    val cands = candidatesFromBanded(banded)
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), array_distinct(TextQueries.shingles3(col("ws"))).as("sh"))

@@ -218,6 +218,67 @@ object TextQueries {
       val edges = queries("q_simhash_pairs")(s, dir).select("doc_a", "doc_b")
       TextDedup.connectedComponents(docs, edges)
         .orderBy("doc_id")
+    },
+
+    // ---- corpus-prep family (NS) ------------------------------------------
+
+    // NS: text normalization — the canonicalization pass every training
+    // corpus runs before dedup/tokenization: lowercase, strip non-alnum,
+    // collapse runs of spaces, trim. Narrow per-row (no shuffle); at 100 TB
+    // it is a pure map stage fused into whatever scan follows it.
+    "q_text_normalize" -> { (s, dir) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"),
+          substring(col("norm"), 1, 40).as("head40"),
+          length(col("norm")).cast("long").as("n_chars_norm"),
+          size(split(col("norm"), " ")).cast("long").as("n_tokens_norm"))
+        .orderBy("doc_id")
+    },
+    // NS: deterministic train/valid/test split via content-free hash
+    // bucketing — `h32("split:" || doc_id) mod 100` -> 80/10/10. No RNG, so
+    // the split is stable under retries, re-runs, and re-partitioning (the
+    // property `sample(fraction)` does NOT have on a task retry), and any
+    // engine can reproduce the assignment from doc_id alone.
+    "q_sample_hash" -> { (s, dir) =>
+      val bucket = pmod(h32(concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), bucket.cast("long").as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    // NS: source-weighted corpus mixing — per-source keep rates (derived
+    // here deterministically from the source name: 20..79%) applied by the
+    // same hash-bucket trick as q_sample_hash. This is the "sample web at
+    // 30%, books at 70%" mixing step of a training-data pipeline, as one
+    // narrow filter: no shuffle, no RNG, reproducible at any scale.
+    "q_mix_sources" -> { (s, dir) =>
+      val rate = pmod(h32(col("source")), lit(60)) + lit(20)
+      val bucket = pmod(h32(concat(lit("mix:"), col("doc_id").cast("string"))), lit(100))
+      Tables.documents(s, dir)
+        .withColumn("rate_pct", rate)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < col("rate_pct"))
+        .select(col("doc_id"), col("source"), col("rate_pct").cast("long").as("rate_pct"))
+        .orderBy("doc_id")
+    },
+    // NS: corpus document-frequency / IDF stats — the vocabulary table a
+    // quality-filtering or TF-IDF stage needs. Distinct words per doc
+    // explode to (word, doc) pairs; one hash shuffle on word (partial
+    // counts map-side); the 1-row total joins in by broadcast.
+    "q_doc_idf" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      docs.select(col("doc_id"), explode(array_distinct(words)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+        .crossJoin(broadcast(total))
+        .select(col("word"), col("df"),
+          round(log(col("n_docs") / col("df").cast("double")), 6).as("idf"))
+        .orderBy("word")
     }
   )
 
@@ -369,7 +430,38 @@ object TextQueries {
           |                  AND a.doc_id < b.doc_id
           |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
           |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.05
-          |ORDER BY doc_a, doc_b""".stripMargin
+          |ORDER BY doc_a, doc_b""".stripMargin,
+      "q_text_normalize" ->
+        """WITH n AS (SELECT doc_id,
+          |                  trim(regexp_replace(regexp_replace(lower(text),
+          |                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+          |           FROM documents)
+          |SELECT doc_id, substr(norm, 1, 40) AS head40,
+          |       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+          |       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm
+          |FROM n ORDER BY doc_id""".stripMargin,
+      "q_sample_hash" ->
+        """WITH b AS (SELECT doc_id,
+          |                  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+          |           FROM documents)
+          |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+          |       CASE WHEN bucket < 80 THEN 'train'
+          |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+          |FROM b ORDER BY doc_id""".stripMargin,
+      "q_mix_sources" ->
+        """WITH d AS (SELECT doc_id, source,
+          |                  (('0x' || substr(md5(source), 1, 8))::BIGINT % 60) + 20 AS rate_pct,
+          |                  ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+          |           FROM documents)
+          |SELECT doc_id, source, CAST(rate_pct AS BIGINT) AS rate_pct
+          |FROM d WHERE bucket < rate_pct ORDER BY doc_id""".stripMargin,
+      "q_doc_idf" ->
+        """WITH total AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+          |w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+          |      FROM documents),
+          |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM w GROUP BY word)
+          |SELECT word, df, round(ln(total.n_docs / CAST(df AS DOUBLE)), 6) AS idf
+          |FROM df CROSS JOIN total WHERE df >= 5 ORDER BY word""".stripMargin
     )
   }
 }

@@ -22,6 +22,12 @@ object TestSpark {
 
   val Sf0001 = "/root/testdata/sf0.001"
 
+  /** Larger fixture used only by data-scale-sensitive specs; callers must
+    * `assume(new java.io.File(TestSpark.Sf01).exists)` so the suite stays
+    * green on machines without the big fixture.
+    */
+  val Sf01 = "/root/testdata/sf0.1"
+
   /** The reference's own 20-point 2-D sample
     * (/root/reference/Data/Input/points.txt:1-20), replayed for exact
     * semantics parity (FIXTURES.md A4).
