@@ -265,6 +265,53 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("rate_pct").cast("long").as("rate_pct"))
         .orderBy("doc_id")
     },
+    // NS: Gopher/C4-style repetition quality signals — the filters that
+    // catch boilerplate and degenerate generations: distinct-word ratio,
+    // the most-frequent word's share, and the duplicate-bigram fraction.
+    // All narrow per-row HOF math; the per-doc top-word count is
+    // O(distinct × words) inside one row — no shuffle anywhere.
+    "q_text_repetition" -> { (s, dir) =>
+      val ws = col("ws")
+      val bigrams = when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val topFreq = array_max(transform(array_distinct(ws),
+        w => size(filter(ws, x => x === w))))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), ws, bigrams.as("bg"), topFreq.as("top_n"))
+        .select(col("doc_id"),
+          round(size(array_distinct(ws)).cast("double") / size(ws).cast("double"), 6)
+            .as("distinct_ratio"),
+          round(col("top_n").cast("double") / size(ws).cast("double"), 6)
+            .as("top_word_frac"),
+          round(when(size(col("bg")) > 0,
+            lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")).cast("double"))
+            .otherwise(lit(0.0)), 6).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+    // NS: corpus-level top-20 terms by total frequency — the vocabulary
+    // head a tokenizer trainer or stopword list builds from. One explode +
+    // hash agg (partial map-side) + TakeOrderedAndProject (top-k merge on
+    // the driver, never a global sort).
+    "q_top_terms" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(words).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    },
+    // NS: document-length histogram (100-char buckets) — the corpus-shape
+    // profile a length filter is tuned from. groupBy on a derived bucket
+    // key; K buckets shuffle, not rows.
+    "q_length_hist" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(size(words)), 6).as("avg_words"))
+        .orderBy("len_bucket")
+    },
     // NS: corpus document-frequency / IDF stats — the vocabulary table a
     // quality-filtering or TF-IDF stage needs. Distinct words per doc
     // explode to (word, doc) pairs; one hash shuffle on word (partial
@@ -455,6 +502,29 @@ object TextQueries {
           |           FROM documents)
           |SELECT doc_id, source, CAST(rate_pct AS BIGINT) AS rate_pct
           |FROM d WHERE bucket < rate_pct ORDER BY doc_id""".stripMargin,
+      "q_text_repetition" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |b AS (SELECT doc_id, ws,
+          |             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg,
+          |             list_max(list_transform(list_distinct(ws),
+          |               w -> len(list_filter(ws, x -> x = w)))) AS top_n
+          |      FROM t)
+          |SELECT doc_id,
+          |       round(CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) AS distinct_ratio,
+          |       round(CAST(top_n AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) AS top_word_frac,
+          |       round(CASE WHEN len(bg) > 0
+          |                  THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+          |                  ELSE 0.0 END, 6) AS dup_bigram_frac
+          |FROM b ORDER BY doc_id""".stripMargin,
+      "q_top_terms" ->
+        """SELECT word, count(*) AS n
+          |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+      "q_length_hist" ->
+        """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+          |       count(*) AS n_docs,
+          |       round(avg(len(string_split(text, ' '))), 6) AS avg_words
+          |FROM documents GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
       "q_doc_idf" ->
         """WITH total AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
           |w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
