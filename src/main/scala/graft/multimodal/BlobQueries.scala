@@ -58,6 +58,31 @@ object BlobQueries {
     }
   }
 
+  /** A fixed-width "thumbnail": nearest-neighbor resample of the payload to
+    * `ThumbW` taps + mean intensity — the resize / feature-extract shape
+    * (a real pipeline would emit pixels-after-resize or a model embedding;
+    * the batch plumbing is identical).
+    */
+  case class Thumb(doc_id: Long, taps: Array[Long], mean_v: Double)
+  val ThumbW = 8
+
+  /** Per-partition batch resize (one "model" per partition, like
+    * [[decodeFrames]]). Nearest-neighbor: tap k reads byte floor(k*n/W).
+    */
+  def resizeThumbs(blobs: Dataset[Blob]): Dataset[Thumb] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val n = b.payload.length
+        val taps = Array.tabulate(ThumbW)(k => (b.payload((k.toLong * n / ThumbW).toInt) & 0xff).toLong)
+        var s = 0L
+        var i = 0
+        while (i < n) { s += (b.payload(i) & 0xff); i += 1 }
+        Thumb(b.doc_id, taps, s.toDouble / n)
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata extraction over the binary payload column: byte length +
     // content digest, computed on the binary type itself.
@@ -74,6 +99,14 @@ object BlobQueries {
       decodeFrames(blobs(s, dir)).toDF()
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"), sum("v").as("checksum"))
+        .orderBy("doc_id")
+    },
+    // Resize / feature-extract over the payload: 8 nearest-neighbor taps +
+    // mean intensity, flattened to scalar columns for the oracle.
+    "q_blob_resize" -> { (s, dir) =>
+      val tapCols = (0 until ThumbW).map(k => col("taps")(k).as(s"t$k"))
+      resizeThumbs(blobs(s, dir)).toDF()
+        .select(col("doc_id") +: tapCols :+ round(col("mean_v"), 6).as("mean_v"): _*)
         .orderBy("doc_id")
     }
   )
@@ -93,6 +126,17 @@ object BlobQueries {
         |  FROM documents)
         |SELECT doc_id, CAST(len(vs) AS BIGINT) AS n_frames,
         |       CAST(list_sum(vs) AS BIGINT) AS checksum
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // ASCII fixture: byte at 0-based offset o == ord(substr(text, o+1, 1)).
+    "q_blob_resize" -> {
+      val taps = (0 until ThumbW).map(k =>
+        s"CAST(ord(substr(text, CAST((($k * length(text)) // $ThumbW) + 1 AS INT), 1)) AS BIGINT) AS t$k")
+        .mkString(",\n|       ")
+      s"""SELECT doc_id,
+         |       $taps,
+         |       round(list_avg(list_transform(range(1, length(text) + 1),
+         |             i -> ord(substr(text, CAST(i AS INT), 1)))), 6) AS mean_v
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
   )
 }

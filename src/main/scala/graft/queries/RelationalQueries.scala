@@ -186,6 +186,31 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")
     },
+    // Left outer join: every customer with their order count — zero-order
+    // customers kept with n_orders 0. Same shuffle cost as the inner form;
+    // the outer side's unmatched rows stream through without a probe hit.
+    "q_join_left" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("sum_price"))
+        .orderBy("c_custkey")
+    },
+    // Full outer join: per-user click vs purchase counts, keeping users who
+    // only ever did one of the two (the classic reconciliation shape).
+    "q_join_outer" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("n_clicks"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("pu")).agg(count(lit(1)).as("n_purchases"))
+      clicks.join(buys, col("cu") === col("pu"), "full_outer")
+        .select(coalesce(col("cu"), col("pu")).as("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("user_id")
+    },
     // NS range/theta join, written scale-first: clicks within 5 minutes
     // after a purchase by the same user. The equi part (user_id) carries the
     // shuffle; the time band is a residual predicate — no nested-loop join
@@ -302,6 +327,24 @@ object RelationalQueries {
         .groupBy(col("c_nationkey").cast("long").as("nationkey"))
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
         .orderBy("nationkey")
+    },
+    // NS: the SQL front door — the engine's full TPC-H-Q1 shape submitted
+    // as ANSI SQL through spark.sql() over a registered view, proving a
+    // reference user can keep their SQL verbatim. Same Catalyst plan as
+    // the DataFrame form: pushdown, partial+final agg, one shuffle.
+    "q_sql_tpch" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |       round(sum(l_quantity), 2) AS sum_qty,
+              |       round(sum(l_extendedprice), 2) AS sum_base_price,
+              |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              |       round(avg(l_quantity), 6) AS avg_qty,
+              |       round(avg(l_discount), 6) AS avg_disc,
+              |       count(*) AS count_order
+              |FROM lineitem_v
+              |WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     },
     // NS: full cube over region x nation (rollup's sibling; all 4 grouping
     // sets), subtotals labeled via coalesce like q_rollup.
@@ -427,6 +470,21 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0.0), 2) AS sum_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_outer" ->
+      """WITH c AS (SELECT user_id AS cu, count(*) AS n_clicks FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (SELECT user_id AS pu, count(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT coalesce(cu, pu) AS user_id,
+        |       coalesce(n_clicks, 0) AS n_clicks,
+        |       coalesce(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON cu = pu
+        |ORDER BY user_id""".stripMargin,
     "q_join_range" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
         |           FROM events WHERE event_type = 'purchase'),
@@ -483,6 +541,18 @@ object RelationalQueries {
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE (r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+    "q_sql_tpch" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal

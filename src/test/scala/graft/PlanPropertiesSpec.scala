@@ -96,6 +96,31 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(maxBucket <= 64, s"refined max bucket grew past the pinned bound: $maxBucket > 64")
   }
 
+  test("q_sessionize runs both window passes and the aggregate on ONE user_id shuffle") {
+    val p = executedPlan("q_sessionize")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"sessionize re-shuffles between windows/agg ($hashEx hash exchanges):\n$p")
+  }
+
+  test("q_ann_lsh is a narrow bucket filter + top-k: no hash shuffle at all") {
+    val p = executedPlan("q_ann_lsh")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"LSH probe shuffled:\n$p")
+  }
+
+  test("q_top_terms ends in TakeOrderedAndProject with partial aggregation below") {
+    val p = executedPlan("q_top_terms")
+    assert(p.contains("TakeOrderedAndProject"), s"vocabulary head global-sorts:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"), s"no map-side partials:\n$p")
+  }
+
+  test("q_grouping_sets is one Expand + a single aggregation pass") {
+    val p = executedPlan("q_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets not via Expand:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"subtotal grids cost extra shuffles ($hashEx):\n$p")
+  }
+
   test("approx_count_distinct is within HLL++ error bounds of the exact count") {
     import org.apache.spark.sql.functions._
     // default rsd = 0.05; 3x rsd is a ~3-sigma bound for HLL++
