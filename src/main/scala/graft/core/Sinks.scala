@@ -62,6 +62,23 @@ object Sinks {
         .groupBy(col("cid").cast("int").as("cid"))
         .agg(count(lit(1)).as("n_points"))
         .orderBy("cid")
+    },
+    // Partition-pruned read-back: filter the partitioned sink on the
+    // partition column — the scan plans PartitionFilters and touches only
+    // the matching cid directories (2 of K), never listing the rest's
+    // files. THIS is why the sink partitions by reduce key: at 100 TB a
+    // reader of one key reads 1/K of the bytes. Plan-asserted in
+    // PlanPropertiesSpec.
+    "q_sink_pruned" -> { (s, dir) =>
+      val assigned = graft.kmeans.Lloyd.assign(Tables.points(s, dir),
+        graft.kmeans.Lloyd.initCentroidsFor(s, dir, graft.kmeans.KmeansQueries.K))
+      val path = tmpDir(s"assigned_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      writePartitioned(assigned, path)
+      s.read.parquet(path)
+        .filter(col("cid").isin(0, 1))
+        .groupBy(col("cid").cast("int").as("cid"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy("cid")
     }
   )
 
@@ -79,6 +96,10 @@ object Sinks {
          |FROM means GROUP BY cid ORDER BY c0""".stripMargin,
     // Identical result set to q_groupby_key: partition counts survive the
     // partitioned write/read round trip.
-    "q_sink_partitioned" -> graft.kmeans.KmeansQueries.oracleSql("q_groupby_key")
+    "q_sink_partitioned" -> graft.kmeans.KmeansQueries.oracleSql("q_groupby_key"),
+    "q_sink_pruned" ->
+      s"""${graft.kmeans.KmeansQueries.preludeForOracle}
+         |SELECT cid, count(*) AS n_points FROM assign
+         |WHERE cid IN (0, 1) GROUP BY cid ORDER BY cid""".stripMargin
   )
 }

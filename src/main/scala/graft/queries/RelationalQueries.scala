@@ -389,6 +389,34 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
         .orderBy("l_returnflag")
     },
+    // NS: second-moment statistical aggregates — correlation, sample
+    // stddev/variance/covariance per group. All distributive via
+    // (n, sum, sum-of-squares, sum-of-products) partials: map-side combine,
+    // K rows shuffled. Rounding margins sized per column magnitude (the
+    // two engines use different numerically-stable accumulations).
+    "q_corr_stats" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    // NS: t-digest-style approximate percentiles — the sketch path for
+    // q_quantiles at 100 TB (mergeable partials, bounded memory). Like
+    // every sketch, excluded from the hash oracle; ScalaTest asserts it
+    // against the exact percentiles within rank-error tolerance.
+    "q_quantiles_approx" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("ps"))
+        .select(col("l_returnflag"),
+          col("ps")(0).as("p25"), col("ps")(1).as("p50"), col("ps")(2).as("p75"))
+        .orderBy("l_returnflag")
+    },
     // NS: skew-safe salted aggregation (core.Skew two-stage pattern) as a
     // first-class query: identical results to the plain groupBy — which is
     // exactly what the oracle checks — while a hot key (one event_type
@@ -560,6 +588,13 @@ object RelationalQueries {
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         |ORDER BY region, nation""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |       round(var_samp(l_quantity), 6) AS var_qty,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,

@@ -121,6 +121,27 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(hashEx == 1, s"subtotal grids cost extra shuffles ($hashEx):\n$p")
   }
 
+  test("q_sink_pruned plans PartitionFilters on the partitioned sink read-back") {
+    val p = executedPlan("q_sink_pruned")
+    assert(p.contains("PartitionFilters"), s"no partition filters planned:\n$p")
+    assert(!p.contains("PartitionFilters: []"), s"partition filter list empty (full scan):\n$p")
+  }
+
+  test("approx_percentile tracks the exact percentiles within rank tolerance") {
+    val exact = SparkEntry.queries("q_quantiles")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = SparkEntry.queries("q_quantiles_approx")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (e25, e50, e75)) <- exact; (a25, a50, a75) = approx(k)) {
+      // accuracy=10000 -> rank error 1e-4; on a smooth price distribution
+      // that is well under 2% relative on every quartile
+      def ok(a: Double, e: Double) = math.abs(a - e) / math.abs(e) < 0.02
+      assert(ok(a25, e25) && ok(a50, e50) && ok(a75, e75),
+        s"$k: approx ($a25,$a50,$a75) vs exact ($e25,$e50,$e75)")
+    }
+  }
+
   test("approx_count_distinct is within HLL++ error bounds of the exact count") {
     import org.apache.spark.sql.functions._
     // default rsd = 0.05; 3x rsd is a ~3-sigma bound for HLL++
