@@ -389,6 +389,17 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
         .orderBy("l_returnflag")
     },
+    // NS: scalar-subquery shape — orders above twice the global average
+    // price. The 1-row aggregate broadcasts onto the scan (no shuffle of
+    // the fact side); the threshold is rounded to 6 decimals on both
+    // engines so a row at the float boundary cannot flip membership.
+    "q_scalar_subquery" -> { (s, dir) =>
+      val stats = Tables.orders(s, dir).agg(round(avg("o_totalprice"), 6).as("avg_price"))
+      Tables.orders(s, dir).crossJoin(broadcast(stats))
+        .filter(col("o_totalprice") > col("avg_price") * 2)
+        .select(col("o_orderkey"), col("o_totalprice"), col("avg_price"))
+        .orderBy("o_orderkey")
+    },
     // NS: second-moment statistical aggregates — correlation, sample
     // stddev/variance/covariance per group. All distributive via
     // (n, sum, sum-of-squares, sum-of-products) partials: map-side combine,
@@ -588,6 +599,12 @@ object RelationalQueries {
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         |ORDER BY region, nation""".stripMargin,
+    "q_scalar_subquery" ->
+      """WITH a AS (SELECT round(avg(o_totalprice), 6) AS avg_price FROM orders)
+        |SELECT o_orderkey, o_totalprice, avg_price
+        |FROM orders CROSS JOIN a
+        |WHERE o_totalprice > avg_price * 2
+        |ORDER BY o_orderkey""".stripMargin,
     "q_corr_stats" ->
       """SELECT l_returnflag,
         |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,

@@ -63,6 +63,21 @@ object WindowSetQueries {
         .orderBy("event_id")
     },
 
+    // NS: RANGE-frame window — per-user revenue in the trailing 1-hour
+    // *time* window at each event (RANGE BETWEEN INTERVAL, not ROWS: peers
+    // are defined by timestamp distance, so ties and gaps behave
+    // correctly). Same single user_id shuffle as every window here.
+    "q_window_range_frame" -> { (s, dir) =>
+      // exact integer microseconds on both engines: casting ts to seconds
+      // would truncate sub-second parts differently than DuckDB's epoch()
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("trailing_1h_value", round(sum("value").over(w), 6))
+        .select(col("event_id"), col("user_id"), col("trailing_1h_value"))
+        .orderBy("event_id")
+    },
     // NS: batch sessionization — the window-function dual of the streaming
     // session window (q_stream_session): a session break is a >30-min gap
     // from the previous event of the same user (lag), session ids are the
@@ -150,6 +165,12 @@ object WindowSetQueries {
         |       CAST(epoch_us(CAST(ts AS TIMESTAMP)) -
         |            epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
         |            AS BIGINT) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS trailing_1h_value
         |FROM events ORDER BY event_id""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
