@@ -297,6 +297,18 @@ object RelationalQueries {
           col("signup").cast("long").as("signup"), col("view").cast("long").as("view"))
         .orderBy("user_id")
     },
+    // NS: unpivot (melt) — pivot's inverse: wide measure columns to long
+    // (key, metric, value) rows. Pure narrow Expand (3 output rows per
+    // input row), no shuffle; the orderBy is the only exchange.
+    "q_unpivot" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
     // NS: co-located bucketed join — the 100 TB co-location story as a
     // runnable query. Both sides are written `bucketBy(8, custkey)` +
     // sorted; the SortMergeJoin then needs NO Exchange on either input
@@ -592,6 +604,13 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value
+        |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |               FROM lineitem)
+        |      ON l_quantity, l_extendedprice, l_discount
+        |      INTO NAME metric VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
