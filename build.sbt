@@ -14,6 +14,11 @@ run / fork := true
 // Forked-run stdout passes through VERBATIM (no "[info] " logger prefix):
 // Bench's single-line JSON contract must reach the driver parseable.
 run / outputStrategy := Some(StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." line so the bench
+// JSON contract line is the LAST stdout line of `sbt runMain graft.Bench`
+// (BENCH_r03 recorded parsed:null with the success banner after the JSON).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -109,7 +109,10 @@ object RelationalQueries {
         .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           col("l_quantity"), col("l_discount"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // all output columns in the sort: (l_orderkey, l_linenumber) is NOT
+        // unique in the synthetic lineitem, and a non-total order makes the
+        // row-order-sensitive oracle compare nondeterministic
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
     },
     // NS: typed field extraction from the JSON props string on events.
     "q_project_json" -> { (s, dir) =>
@@ -307,7 +310,10 @@ object RelationalQueries {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "value")
-        .orderBy("l_orderkey", "l_linenumber", "metric")
+        // value included in the sort: the synthetic lineitem has duplicate
+        // (l_orderkey, l_linenumber) pairs, so without it the order is not
+        // total and the row-order-sensitive oracle compare can flip
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")
     },
     // NS: co-located bucketed join — the 100 TB co-location story as a
     // runnable query. Both sides are written `bucketBy(8, custkey)` +
@@ -491,7 +497,7 @@ object RelationalQueries {
     "q_filter_nonempty" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_discount
         |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
     "q_project_json" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
@@ -610,7 +616,7 @@ object RelationalQueries {
         |               FROM lineitem)
         |      ON l_quantity, l_extendedprice, l_discount
         |      INTO NAME metric VALUE value)
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal

@@ -50,8 +50,9 @@ object EventQueries {
     // finalized are emitted. The oracle reproduces the emission rule:
     // window_end <= max(ts) - 1 hour.
     "q_stream_watermark" -> { (s, dir) =>
-      Streams.runToBatch(s,
-          Streams.tumblingCounts(Streams.readEvents(s, dir)),
+      val ss = Streams.streamingSession(s)
+      Streams.runToBatch(ss,
+          Streams.tumblingCounts(Streams.readEvents(ss, dir)),
           org.apache.spark.sql.streaming.OutputMode.Append())
         .select(col("w_start"), col("event_type"), col("n"))
         .orderBy("w_start", "event_type")
@@ -62,10 +63,11 @@ object EventQueries {
     // mapGroupsWithState, emit the final means — which must equal the
     // batch iter-1 means (the oracle).
     "q_stream_kmeans" -> { (s, dir) =>
-      import s.implicits._
+      val ss = Streams.streamingSession(s)
+      import ss.implicits._
       val cents = graft.kmeans.Lloyd.initCentroidsFor(s, dir, graft.kmeans.KmeansQueries.K)
-      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
-      val streamed = s.readStream.schema(schema)
+      val schema = ss.read.parquet(s"$dir/embeddings.parquet").schema
+      val streamed = ss.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet")
         .parquet(dir)
         .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -88,8 +90,9 @@ object EventQueries {
     // Complete mode. At 100 TB the static side is a broadcast per
     // micro-batch — no stream-side shuffle for the join itself.
     "q_stream_join" -> { (s, dir) =>
-      val ev = Streams.readEvents(s, dir)
-      val cust = Tables.customer(s, dir)
+      val ss = Streams.streamingSession(s)
+      val ev = Streams.readEvents(ss, dir)
+      val cust = Tables.customer(ss, dir)
         .select(col("c_custkey"), col("c_nationkey"))
       val joined = ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
         .groupBy(col("c_nationkey").cast("long").as("nationkey"))

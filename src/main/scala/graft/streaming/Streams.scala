@@ -105,14 +105,33 @@ object Streams {
       }
   }
 
+  /** Child session for streaming runs, with the state-partition count cut
+    * down: every stateful operator commits one state store per shuffle
+    * partition per micro-batch, so a batch-engine default (32 at bench
+    * config) is pure per-batch commit/IO overhead on small micro-batches.
+    * At 100 TB the state-partition count is sized to stream key cardinality
+    * and rate — independently of the batch engine's shuffle width — which
+    * is exactly what a separate session scope expresses. Confs set at
+    * parent-session construction (e.g. nanosAsLong) are inherited via the
+    * shared SparkContext conf.
+    */
+  def streamingSession(parent: SparkSession, statePartitions: Int = 4): SparkSession = {
+    val child = parent.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    child
+  }
+
   /** Run any of the above to completion against the (finite) file stream and
-    * return the final result as a batch DataFrame — used by tests.
+    * return the final result as a batch DataFrame — used by tests. The
+    * memory sink registers its table in the session that owns the stream
+    * (which may be a [[streamingSession]] child), so the result is read
+    * back from `streamed.sparkSession`, not from the caller's session.
     */
   def runToBatch(spark: SparkSession, streamed: DataFrame, mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val name = s"graft_sink_${System.nanoTime()}"
     val q = streamed.writeStream.format("memory").queryName(name).outputMode(mode).start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    streamed.sparkSession.table(name)
   }
 }

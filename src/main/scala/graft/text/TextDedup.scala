@@ -145,20 +145,31 @@ object TextDedup {
       // (key not found) on the self-referential plan.
       val fromNbr = sym.join(labels, sym("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("component").as("component"))
+      // Eager checkpoint: the pointer-jump self-join below reads this agg
+      // twice, and AQE does NOT dedupe the two into one exchange (verified
+      // in the executed plan: two materialized ShuffleQueryStages with
+      // distinct plan_ids; only the tiny label broadcast gets
+      // ReusedExchange). Without the cut the aggregation — the round's one
+      // big shuffle at 100 TB — would run twice per round; one small extra
+      // job is the cheaper side of that trade.
       val stepped = labels.select(col("doc_id").as("doc_id"), col("component").as("component"))
         .unionByName(fromNbr)
         .groupBy("doc_id").agg(min("component").as("component"))
-        .localCheckpoint() // materialize once: the jump below reads it twice
+        .localCheckpoint()
       // pointer-jump step: also adopt the label OF my current label
       // (component ids are node ids, so label(label) is a valid lookup).
       // Halves the remaining path distance every round -> O(log diameter)
       // rounds instead of O(diameter) on chain-shaped components.
+      // LAZY checkpoint: the labelSum action right below is what
+      // materializes it (truncating lineage for the next round), so each
+      // round costs two jobs total — previously three (two eager
+      // checkpoints + the sum).
       labels = stepped.as("a")
         .join(stepped.select(col("doc_id").as("c_id"), col("component").as("c_comp")),
           col("a.component") === col("c_id"))
         .select(col("a.doc_id").as("doc_id"),
           least(col("a.component"), col("c_comp")).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
