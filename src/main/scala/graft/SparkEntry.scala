@@ -25,6 +25,7 @@ object SparkEntry {
       _root_.graft.queries.ScalarQueries.queries ++
       streaming.EventQueries.queries ++
       text.TextQueries.queries ++
+      text.CorpusQueries.queries ++
       sim.SimilarityQueries.queries ++
       multimodal.BlobQueries.queries ++
       ml.MLQueries.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       _root_.graft.queries.ScalarQueries.oracleSql ++
       streaming.EventQueries.oracleSql ++
       text.TextQueries.oracleSql ++
+      text.CorpusQueries.oracleSql ++
       sim.SimilarityQueries.oracleSql ++
       multimodal.BlobQueries.oracleSql ++
       ml.MLQueries.oracleSql ++

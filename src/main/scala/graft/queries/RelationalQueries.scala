@@ -150,6 +150,36 @@ object RelationalQueries {
         .csv(path)
         .orderBy("vec_id")
     },
+    // NS: ORC source/sink round trip — the second columnar format a 100 TB
+    // lake mixes in. Write the supplier dim to ORC once per invocation
+    // (overwrite; cheap at dim size), read it back through the ORC reader,
+    // and aggregate — the oracle runs the same aggregate on the original
+    // parquet, so the round trip must be lossless.
+    "q_scan_orc" -> { (s, dir) =>
+      val path = {
+        val d = new java.io.File(s"target/sink_tmp/orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+        d.mkdirs(); d.getAbsolutePath
+      }
+      Tables.supplier(s, dir).write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"), round(sum("s_acctbal"), 2).as("sum_bal"))
+        .orderBy("nationkey")
+    },
+    // NS: JSON-lines source/sink round trip (the interchange format of
+    // most raw web-scrape corpora). Read back with an EXPLICIT schema —
+    // schema inference would re-scan the whole dataset at 100 TB.
+    "q_scan_json" -> { (s, dir) =>
+      val path = {
+        val d = new java.io.File(s"target/sink_tmp/json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+        d.mkdirs(); d.getAbsolutePath
+      }
+      Tables.nation(s, dir).write.mode("overwrite").json(path)
+      s.read.schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
+        .json(path)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
 
     // ---- §2.3 joins --------------------------------------------------------
 
@@ -456,6 +486,21 @@ object RelationalQueries {
           round(col("sum_value"), 6).as("sum_value"))
         .orderBy("event_type")
     },
+    // NS: skew-salted join (core.Skew.saltedJoin) as a first-class query —
+    // the big side gets a deterministic per-row salt, the small side is
+    // exploded salts x, and the join key becomes (key, salt), so one hot
+    // user cannot pin a single task at 100 TB. Semantics = plain inner
+    // equi-join (the oracle), spec-proven on zipf data in
+    // SkewAndBucketingSpec.
+    "q_salted_join" -> { (s, dir) =>
+      val big = Tables.events(s, dir).select(col("user_id"), col("event_id"), col("value"))
+      val small = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      graft.core.Skew.saltedJoin(big, small, "user_id", col("event_id"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+        .orderBy("nationkey")
+    },
     // NS: rollup region -> nation with labeled subtotal rows (coalesce keeps
     // NULL-ordering semantics out of the cross-engine compare).
     "q_rollup" -> { (s, dir) =>
@@ -509,6 +554,16 @@ object RelationalQueries {
     "q_scan_csv" ->
       """SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // round trips must be lossless: the oracle aggregates the ORIGINAL
+    // parquet, the query aggregates the ORC/JSON copy
+    "q_scan_orc" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        |       count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "q_scan_json" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_join_equi" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -647,6 +702,12 @@ object RelationalQueries {
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // salted join == plain inner equi-join
+    "q_salted_join" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal

@@ -1,0 +1,232 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-corpus hygiene operators (north-star LLM-pipeline surface, all
+  * NS — the reference has no text ops): PII redaction, benchmark
+  * contamination detection, sub-document (paragraph/chunk) dedup, MinHash
+  * accuracy estimation, and tokenizer compression stats.
+  *
+  * Scale notes: everything here is either narrow per-row regex/HOF math or
+  * an equi-join on a small derived key. The contamination check broadcasts
+  * the eval-set shingle hashes (benchmarks are KBs-to-MBs even when the
+  * corpus is 100 TB); chunk dedup shuffles (hash, position) pairs, never
+  * chunk text bodies beyond the md5 input.
+  */
+object CorpusQueries {
+
+  private val words: Column = split(col("text"), " ")
+
+  /** Docs with doc_id < EvalDocs play "the held-out benchmark" in the
+    * contamination check; the rest are the training corpus.
+    */
+  val EvalDocs = 20
+
+  /** Chunk width (in words) for sub-document dedup. */
+  val ChunkWords = 10
+
+  // PII patterns shared by query and oracle (RE2/Java-regex common subset:
+  // no lookarounds, no \b — both engines interpret these identically).
+  private val EmailRe = "[a-z0-9#]+@[a-z0-9-]+\\.org"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // NS: PII redaction — the scrub pass a corpus runs before training.
+    // The fixture has no real PII, so a contact blob is derived
+    // deterministically from customer fields (same construction in the
+    // oracle), then emails/phones are counted and masked. Narrow per-row
+    // regex work; at 100 TB this is a map stage fused into the scan.
+    "q_pii_redact" -> { (s, dir) =>
+      val blob = concat(col("c_name"), lit(" <"), lower(col("c_name")),
+        lit("@mail-"), col("c_nationkey").cast("string"), lit(".org> call 555-"),
+        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), blob.as("contact"))
+        .select(col("c_custkey"),
+          regexp_count(col("contact"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("contact"), lit(PhoneRe)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("contact"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>").as("redacted"))
+        .orderBy("c_custkey")
+    },
+
+    // NS: benchmark-contamination check — which training docs share 3-gram
+    // shingles with the held-out eval set. The eval side collapses to a
+    // DISTINCT shingle-hash set and is broadcast (eval sets stay small at
+    // any corpus scale); the corpus side streams (doc_id, hash) pairs
+    // through the broadcast join — no shuffle of the corpus at all.
+    "q_contamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"),
+          transform(array_distinct(TextQueries.shingles3(col("ws"))),
+            x => TextQueries.h32(x)).as("hs"))
+      val evalSet = docs.filter(col("doc_id") < EvalDocs)
+        .select(explode(col("hs")).as("h")).distinct()
+      docs.filter(col("doc_id") >= EvalDocs)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+        .join(broadcast(evalSet), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("contaminated", (col("n_shared") >= 3).cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // NS: sub-document dedup — split every doc into consecutive
+    // ChunkWords-word chunks and find chunks occurring 2+ times across the
+    // corpus (the paragraph-level pass that catches boilerplate exact dedup
+    // misses). One shuffle of (md5, encoded position) pairs; first_pos =
+    // doc_id*1000+idx is a single-scalar deterministic "earliest
+    // occurrence" both engines agree on.
+    "q_dedup_paragraph" -> { (s, dir) =>
+      val nChunks = ceil(size(col("ws")) / lit(ChunkWords.toDouble)).cast("int")
+      val chunks = when(size(col("ws")) > 0,
+        transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(col("ws"), i * ChunkWords + 1, lit(ChunkWords)))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+        .groupBy(md5(col("chunk")).as("chunk_hash"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          min(col("doc_id") * 1000 + col("chunk_idx")).as("first_pos"))
+        .filter(col("n_occurrences") >= 2)
+        .orderBy("chunk_hash")
+    },
+
+    // NS: MinHash sketch accuracy, measured — estimated Jaccard (matching
+    // signature positions / k) vs exact shingle Jaccard for every LSH
+    // candidate pair. The quality dial (k, bands) of the dedup pipeline
+    // becomes a queryable number instead of a design-doc claim. Signatures
+    // are checkpointed once and reused for banding + both pair sides.
+    "q_minhash_est" -> { (s, dir) =>
+      val sigs = TextQueries.queries("q_dedup_minhash")(s, dir).localCheckpoint()
+      val pairs = TextDedup.minhashCandidates(sigs)
+      val a = sigs.select(col("doc_id").as("doc_a"), col("j"), col("minhash").as("mh_a"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("j"), col("minhash").as("mh_b"))
+      val est = pairs.join(a, "doc_a").join(b, Seq("doc_b", "j"))
+        .groupBy("doc_a", "doc_b")
+        .agg(round(sum(when(col("mh_a") === col("mh_b"), 1.0).otherwise(0.0)) /
+          TextQueries.MinhashK, 6).as("est_jaccard"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), array_distinct(TextQueries.shingles3(col("ws"))).as("sh"))
+      est.join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // NS: tokenizer compression stats per source — chars-per-token under
+    // the BPE-ish regex tokenizer, the signal a tokenizer trainer / data
+    // mixer reads per corpus slice. Narrow per-row tokenize + one tiny
+    // groupBy on source.
+    "q_tokenizer_stats" -> { (s, dir) =>
+      val nBpe = size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+      Tables.documents(s, dir)
+        .select(col("source"), length(col("text")).cast("double").as("nc"),
+          nBpe.cast("double").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("nc") / col("nt")), 6).as("avg_chars_per_token"),
+          round(min(col("nc") / col("nt")), 6).as("min_cpt"),
+          round(max(col("nc") / col("nt")), 6).as("max_cpt"))
+        .orderBy("source")
+    }
+  )
+
+  def oracleSql: Map[String, String] = {
+    import TextQueries.{MinhashK, P, mhA, mhB}
+    val sigSelects = (0 until MinhashK).map { j =>
+      s"SELECT doc_id, CAST($j AS BIGINT) AS j, list_min(list_transform(sh, x -> ((('0x' || substr(md5(x), 1, 8))::BIGINT) * ${mhA(j)} + ${mhB(j)}) % $P)) AS minhash FROM shl"
+    }.mkString("\nUNION ALL\n")
+
+    Map(
+      "q_pii_redact" ->
+        s"""WITH c AS (SELECT c_custkey,
+           |                  c_name || ' <' || lower(c_name) || '@mail-' ||
+           |                  CAST(c_nationkey AS VARCHAR) || '.org> call 555-' ||
+           |                  lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+           |           FROM customer)
+           |SELECT c_custkey,
+           |       CAST(len(regexp_extract_all(contact, '$EmailRe')) AS BIGINT) AS n_emails,
+           |       CAST(len(regexp_extract_all(contact, '$PhoneRe')) AS BIGINT) AS n_phones,
+           |       regexp_replace(regexp_replace(contact, '$EmailRe', '<EMAIL>', 'g'),
+           |                      '$PhoneRe', '<PHONE>', 'g') AS redacted
+           |FROM c ORDER BY c_custkey""".stripMargin,
+      "q_contamination" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+           |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+           |h AS (SELECT doc_id, unnest(list_transform(sh,
+           |             x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS h FROM sh),
+           |ev AS (SELECT DISTINCT h FROM h WHERE doc_id < $EvalDocs)
+           |SELECT c.doc_id, count(*) AS n_shared,
+           |       CAST(count(*) >= 3 AS BIGINT) AS contaminated
+           |FROM h c JOIN ev USING (h)
+           |WHERE c.doc_id >= $EvalDocs
+           |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+      "q_dedup_paragraph" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |c AS (SELECT doc_id,
+           |             unnest(list_transform(range(0, CAST(ceil(len(ws) / ${ChunkWords}.0) AS INT)),
+           |               i -> struct_pack(idx := i,
+           |                 chunk := array_to_string(ws[(i*$ChunkWords+1):(i*$ChunkWords+$ChunkWords)], ' ')))) AS ch
+           |      FROM w)
+           |SELECT md5(ch.chunk) AS chunk_hash, count(*) AS n_occurrences,
+           |       min(doc_id * 1000 + ch.idx) AS first_pos
+           |FROM c GROUP BY chunk_hash HAVING count(*) >= 2
+           |ORDER BY chunk_hash""".stripMargin,
+      "q_minhash_est" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |shl AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+           |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+           |sigs AS (
+           |$sigSelects
+           |),
+           |banded AS (
+           |  SELECT doc_id, j % 4 AS band,
+           |         md5(array_to_string(list_transform(list(minhash ORDER BY j),
+           |             x -> CAST(x AS VARCHAR)), ',')) AS band_key
+           |  FROM sigs GROUP BY doc_id, band
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= ${TextDedup.DefaultMaxBucketSize}
+           |),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |est AS (
+           |  SELECT p.doc_a, p.doc_b,
+           |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END) / $MinhashK, 6) AS est_jaccard
+           |  FROM pairs p
+           |  JOIN sigs sa ON sa.doc_id = p.doc_a
+           |  JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+           |  GROUP BY p.doc_a, p.doc_b
+           |),
+           |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl)
+           |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+           |FROM est e JOIN ds a ON a.doc_id = e.doc_a JOIN ds b ON b.doc_id = e.doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "q_tokenizer_stats" ->
+        """WITH t AS (SELECT source,
+          |                  CAST(length(text) AS DOUBLE) AS nc,
+          |                  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE) AS nt
+          |           FROM documents)
+          |SELECT source, count(*) AS n_docs,
+          |       round(avg(nc / nt), 6) AS avg_chars_per_token,
+          |       round(min(nc / nt), 6) AS min_cpt,
+          |       round(max(nc / nt), 6) AS max_cpt
+          |FROM t GROUP BY source ORDER BY source""".stripMargin
+    )
+  }
+}

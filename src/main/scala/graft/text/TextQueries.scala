@@ -40,8 +40,8 @@ object TextQueries {
   // MinHash parameters: k independent universal hashes over a Mersenne prime.
   val MinhashK = 16
   val P: Long = 2147483647L // 2^31 - 1
-  private def mhA(j: Int): Long = 2L * j + 1
-  private def mhB(j: Int): Long = 12345L * j + 7
+  private[text] def mhA(j: Int): Long = 2L * j + 1
+  private[text] def mhB(j: Int): Long = 12345L * j + 7
 
   /** Per-language tiny stopword lists for the n-gram/stopword language-ID
     * heuristic (decide by hit-count ratio; deterministic argmax).
