@@ -376,6 +376,45 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
         .orderBy("nationkey")
     },
+    // NS: dynamic partition pruning — the 100 TB reason to partition a
+    // fact table: a filter on the DIM side (not statically foldable into a
+    // partition predicate) prunes the fact scan at RUNTIME via a
+    // dynamicpruning subquery on the broadcast side. The fact is a derived
+    // event_type-partitioned copy of events (fingerprint-keyed cache, like
+    // the bucketed tables); the dim carries a conversion flag the optimizer
+    // cannot see through statically. Plan-asserted in PlanPropertiesSpec.
+    "q_join_dpp" -> { (s, dir) =>
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val fp = fixtureFingerprint(Seq(s"$dir/events.parquet"))
+      val path = new java.io.File(s"target/sink_tmp/dpp_${sfx}_$fp").getAbsolutePath
+      val dimPath = new java.io.File(s"target/sink_tmp/dpp_dim_${sfx}_$fp").getAbsolutePath
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      }
+      if (!new java.io.File(dimPath, "_SUCCESS").exists()) {
+        // explicit Rows + schema (not toDF): no scala-reflection encoder
+        // derivation, so the query builds under any classloader (REPL, tests).
+        // The dim must be a FILE table, not a LocalRelation: Catalyst folds a
+        // Filter over a LocalRelation into the relation itself
+        // (ConvertToLocalRelation), and the DPP rule then finds no selective
+        // predicate on the build side — with a file-backed dim the filter
+        // survives and the fact scan gets its dynamicpruning subquery.
+        val dimSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "et STRING, is_conversion INT")
+        val dimRows = Seq(("click", 0), ("error", 0), ("purchase", 1), ("signup", 1), ("view", 0))
+          .map { case (t, f) => org.apache.spark.sql.Row(t, f) }
+        s.createDataFrame(java.util.Arrays.asList(dimRows: _*), dimSchema)
+          .write.mode("overwrite").parquet(dimPath)
+      }
+      val dim = s.read.parquet(dimPath)
+      s.read.parquet(path)
+        .join(broadcast(dim.filter(col("is_conversion") === 1)), col("event_type") === col("et"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+        .orderBy("event_type")
+    },
     // NS: the SQL front door — the engine's full TPC-H-Q1 shape submitted
     // as ANSI SQL through spark.sql() over a registered view, proving a
     // reference user can keep their SQL verbatim. Same Catalyst plan as
@@ -702,6 +741,11 @@ object RelationalQueries {
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the DPP join semantics == a static IN filter on the conversion types
+    "q_join_dpp" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // salted join == plain inner equi-join
     "q_salted_join" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

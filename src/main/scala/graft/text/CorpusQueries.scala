@@ -123,6 +123,62 @@ object CorpusQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // NS: per-document top TF-IDF term — the keyword-extraction shape of a
+    // corpus indexer. tf shuffles (doc, word) pairs, df shuffles words, the
+    // vocabulary joins back broadcast (a post-min-df vocab fits memory at
+    // any corpus scale), and the per-doc argmax is one window pass ranked
+    // on (rounded tfidf desc, word) so ties break identically across
+    // engines.
+    "q_tfidf_top" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val tf = docs.select(col("doc_id"), explode(words).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = docs.select(col("doc_id"), explode(array_distinct(words)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "word")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("word"),
+          round(col("tf") * log(col("n_docs") / col("df").cast("double")), 6).as("tfidf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("word").as("top_word"), col("tfidf"))
+        .orderBy("doc_id")
+    },
+
+    // NS: bigram PMI collocations — the corpus-statistics query behind
+    // phrase mining / tokenizer merges: pointwise mutual information of
+    // adjacent word pairs vs their unigram marginals, min-count 5, top 20.
+    // Two count shuffles + two broadcast joins of the vocabulary; the final
+    // top-k is a TakeOrderedAndProject, never a global sort.
+    "q_bigram_pmi" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), words.as("ws"))
+      val bigrams = when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val uni = docs.select(explode(col("ws")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val totals = docs.select(explode(col("ws")).as("word"))
+        .agg(count(lit(1)).cast("double").as("t_words"))
+      val bg = docs.select(explode(bigrams).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      val bgTotal = docs
+        .agg(sum(greatest(size(col("ws")) - 1, lit(0))).cast("double").as("t_bigrams"))
+      bg.join(broadcast(uni.select(col("word").as("w1"), col("c").as("c1"))), "w1")
+        .join(broadcast(uni.select(col("word").as("w2"), col("c").as("c2"))), "w2")
+        .crossJoin(broadcast(totals)).crossJoin(broadcast(bgTotal))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((col("c12") / col("t_bigrams")) /
+            ((col("c1") / col("t_words")) * (col("c2") / col("t_words")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
     // NS: tokenizer compression stats per source — chars-per-token under
     // the BPE-ish regex tokenizer, the signal a tokenizer trainer / data
     // mixer reads per corpus slice. Narrow per-row tokenize + one tiny
@@ -217,6 +273,39 @@ object CorpusQueries {
            |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
            |FROM est e JOIN ds a ON a.doc_id = e.doc_a JOIN ds b ON b.doc_id = e.doc_b
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "q_tfidf_top" ->
+        """WITH total AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+          |tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |tfc AS (SELECT doc_id, word, count(*) AS tf FROM tf GROUP BY doc_id, word),
+          |dfc AS (SELECT word, count(*) AS df
+          |        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+          |              FROM documents)
+          |        GROUP BY word),
+          |scored AS (SELECT doc_id, word,
+          |                  round(tf * ln(total.n_docs / CAST(df AS DOUBLE)), 6) AS tfidf
+          |           FROM tfc JOIN dfc USING (word) CROSS JOIN total)
+          |SELECT doc_id, word AS top_word, tfidf
+          |FROM scored
+          |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) = 1
+          |ORDER BY doc_id""".stripMargin,
+      "q_bigram_pmi" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |uni AS (SELECT word, count(*) AS c
+          |        FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
+          |tw AS (SELECT CAST(count(*) AS DOUBLE) AS t_words
+          |       FROM (SELECT unnest(ws) AS word FROM w)),
+          |bgl AS (SELECT unnest(list_transform(range(1, len(ws)),
+          |               i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b FROM w),
+          |bg AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c12
+          |       FROM bgl GROUP BY w1, w2 HAVING count(*) >= 5),
+          |tb AS (SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS DOUBLE) AS t_bigrams FROM w)
+          |SELECT bg.w1, bg.w2, bg.c12,
+          |       round(ln((c12 / tb.t_bigrams) /
+          |             ((u1.c / tw.t_words) * (u2.c / tw.t_words))), 6) AS pmi
+          |FROM bg JOIN uni u1 ON u1.word = bg.w1
+          |        JOIN uni u2 ON u2.word = bg.w2
+          |        CROSS JOIN tw CROSS JOIN tb
+          |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
       "q_tokenizer_stats" ->
         """WITH t AS (SELECT source,
           |                  CAST(length(text) AS DOUBLE) AS nc,

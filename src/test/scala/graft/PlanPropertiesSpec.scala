@@ -171,6 +171,18 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"bucket layout did not satisfy the join distribution:\n$plan")
   }
 
+  test("q_join_dpp prunes fact partitions at runtime (dynamicpruning on the scan)") {
+    val p = executedPlan("q_join_dpp")
+    assert(p.contains("dynamicpruningexpression"),
+      s"dynamic partition pruning did not fire (dim filter folded away?):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim must broadcast:\n$p")
+  }
+
+  test("q_bigram_pmi ends in TakeOrderedAndProject (top-k, no global sort)") {
+    val p = executedPlan("q_bigram_pmi")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
+  }
+
   test("every declared oracle key has a queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

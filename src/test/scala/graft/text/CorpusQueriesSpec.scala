@@ -77,6 +77,29 @@ class CorpusQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_tfidf_top: exactly one winner per document with positive tfidf") {
+    val nDocs = graft.core.Tables.documents(spark, TestSpark.Sf0001).count()
+    val rows = SparkEntry.queries("q_tfidf_top")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == nDocs, "every doc has a top term")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (_, w, s) =>
+      assert(w.nonEmpty)
+      assert(s >= 0.0, "idf >= 0 since df <= N, so tfidf >= 0")
+    }
+  }
+
+  test("q_bigram_pmi: top-20 collocations, min support respected, sorted by pmi") {
+    val rows = SparkEntry.queries("q_bigram_pmi")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (_, _, c12, pmi) =>
+      assert(c12 >= 5)
+      assert(!pmi.isNaN && !pmi.isInfinite)
+    }
+    assert(rows.map(-_._4).toSeq == rows.map(-_._4).sorted.toSeq, "must be pmi-descending")
+  }
+
   test("q_salted_join result equals the plain inner join aggregate") {
     val salted = SparkEntry.queries("q_salted_join")(spark, TestSpark.Sf0001).collect().toSeq
     val ev = graft.core.Tables.events(spark, TestSpark.Sf0001)
