@@ -60,14 +60,22 @@ object CorpusQueries {
     // any corpus scale); the corpus side streams (doc_id, hash) pairs
     // through the broadcast join — no shuffle of the corpus at all.
     "q_contamination" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // The (doc_id, shingle-hash-set) frame is materialized ONCE
+      // (localCheckpoint): it feeds both the eval side and the corpus side,
+      // and without the cut InferFiltersFromGenerate copies the whole
+      // shingle+md5 pipeline into a generate-inferred Filter, evaluating it
+      // 2-3x per row (measured 8.6 s for the 20-doc eval side alone at
+      // sf0.1 vs ~1 s for the whole hash pass). What is materialized is
+      // sketch rows — ~50 longs/doc — never document bodies.
+      val hashed = Tables.documents(s, dir)
         .select(col("doc_id"), words.as("ws"))
         .select(col("doc_id"),
           transform(array_distinct(TextQueries.shingles3(col("ws"))),
             x => TextQueries.h32(x)).as("hs"))
-      val evalSet = docs.filter(col("doc_id") < EvalDocs)
+        .localCheckpoint()
+      val evalSet = hashed.filter(col("doc_id") < EvalDocs)
         .select(explode(col("hs")).as("h")).distinct()
-      docs.filter(col("doc_id") >= EvalDocs)
+      hashed.filter(col("doc_id") >= EvalDocs)
         .select(col("doc_id"), explode(col("hs")).as("h"))
         .join(broadcast(evalSet), "h")
         .groupBy("doc_id")
