@@ -99,6 +99,51 @@ object SimilarityQueries {
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     },
+    // NS: product-quantization ANN (IVF-PQ's compression half): split each
+    // 64-dim vector into 8 subvectors of 8 dims, quantize every subvector
+    // to its nearest of 4 deterministic codebook entries (the subvectors of
+    // the first 4 vectors — "training" pinned for the oracle), then rank by
+    // asymmetric distance (ADC): the probe's 8x4 subspace-distance table is
+    // computed ON THE DRIVER and the per-row estimate is 8 literal-array
+    // lookups + adds — no vector math against the probe at query time. At
+    // 100 TB this is the memory story: 8 bytes/vector in the index instead
+    // of 256, scan-side codes only.
+    "q_ann_pq" -> { (s, dir) =>
+      val M = 8; val Dsub = 8; val Kc = 4
+      val train = graft.kmeans.Lloyd.initCentroidsFor(s, dir, Kc)
+      val cb: IndexedSeq[IndexedSeq[Array[Double]]] =
+        (0 until M).map(m => (0 until Kc).map(c =>
+          train(c).coordinates.slice(m * Dsub, (m + 1) * Dsub)))
+      val probe = graft.kmeans.Lloyd.initCentroidsFor(s, dir, 1).head.coordinates
+      def sq(a: Array[Double], b: Array[Double]): Double = {
+        var s0 = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s0 += d * d; i += 1 }
+        s0
+      }
+      // ADC lookup table adc(m)(c) = ||probe_sub_m - cb(m)(c)||^2 (driver-side)
+      val adc = (0 until M).map(m => (0 until Kc).map(c =>
+        sq(probe.slice(m * Dsub, (m + 1) * Dsub), cb(m)(c))))
+      // left-to-right d-order fold, mirrored exactly by the oracle's
+      // list_sum over range(1,9) so the doubles (and argmin ties) agree
+      def subDist(v: Column, m: Int, c: Int): Column =
+        (0 until Dsub).map { d =>
+          val diff = element_at(v, m * Dsub + d + 1) - lit(cb(m)(c)(d))
+          diff * diff
+        }.reduce(_ + _)
+      def codeCol(v: Column, m: Int): Column =
+        array_min(array((0 until Kc).map(c =>
+          struct(subDist(v, m, c).as("d"), lit(c).as("c"))): _*)).getField("c")
+      val coded = Tables.embeddings(s, dir)
+        .select(col("vec_id") +:
+          (0 until M).map(m => codeCol(col("embedding"), m).as(s"code$m")): _*)
+      val est = (0 until M).map(m =>
+        element_at(array(adc(m).map(lit): _*), col(s"code$m") + 1)).reduce(_ + _)
+      coded.select(col("vec_id"),
+          col("code0").cast("long").as("code0"), col("code1").cast("long").as("code1"),
+          round(sqrt(est), 6).as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+    },
     // NS: int8 symmetric quantization of the embedding column — the
     // storage/IO optimization a 100 TB ANN index runs on (4x smaller
     // vectors; scan-side dequantize). Per-vector scale = 127/max|x|;
@@ -182,6 +227,36 @@ object SimilarityQueries {
            |FROM bk CROSS JOIN probe CROSS JOIN pb
            |WHERE bk.b = pb.b
            |ORDER BY sim DESC, bk.vec_id LIMIT 10""".stripMargin,
+      // PQ replay: same codebooks (first 4 vectors' subvectors), same
+      // (dist, code) argmin tie-break, ADC summed in m order via an ordered
+      // list so the fold matches Spark's left-to-right add
+      "q_ann_pq" ->
+        """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+          |train AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, c
+          |          FROM t ORDER BY vec_id LIMIT 4),
+          |ms AS (SELECT unnest(range(0, 8)) AS m),
+          |sub AS (SELECT t.vec_id, ms.m, tr.cidx,
+          |               list_sum(list_transform(range(1, 9),
+          |                 d -> (t.c[ms.m*8 + d] - tr.c[ms.m*8 + d]) *
+          |                      (t.c[ms.m*8 + d] - tr.c[ms.m*8 + d]))) AS dist
+          |        FROM t CROSS JOIN ms CROSS JOIN train tr),
+          |codes AS (SELECT vec_id, m, cidx AS code FROM sub
+          |          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cidx) = 1),
+          |probe AS (SELECT c AS p FROM t ORDER BY vec_id LIMIT 1),
+          |adc AS (SELECT ms.m, tr.cidx,
+          |               list_sum(list_transform(range(1, 9),
+          |                 d -> (probe.p[ms.m*8 + d] - tr.c[ms.m*8 + d]) *
+          |                      (probe.p[ms.m*8 + d] - tr.c[ms.m*8 + d]))) AS dist
+          |        FROM probe CROSS JOIN ms CROSS JOIN train tr),
+          |est AS (SELECT c.vec_id,
+          |               list_sum(list(a.dist ORDER BY c.m)) AS s,
+          |               min(CASE WHEN c.m = 0 THEN c.code END) AS code0,
+          |               min(CASE WHEN c.m = 1 THEN c.code END) AS code1
+          |        FROM codes c JOIN adc a ON a.m = c.m AND a.cidx = c.code
+          |        GROUP BY c.vec_id)
+          |SELECT vec_id, CAST(code0 AS BIGINT) AS code0, CAST(code1 AS BIGINT) AS code1,
+          |       round(sqrt(s), 6) AS adc_dist
+          |FROM est ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
       "q_embed_quantize" ->
         """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
           |sc AS (SELECT vec_id, c,

@@ -79,6 +79,23 @@ class CorpusPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_pq: probe self-retrieves at ADC distance 0 and codes stay in the codebook range") {
+    val rows = SparkEntry.queries("q_ann_pq")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // the probe (vec 0) is also codebook entry 0 in every subspace, so its
+    // codes are all 0 and its ADC estimate is exactly 0 -> it must rank first
+    assert(rows.head._1 == 0L, s"probe not first: ${rows.head}")
+    assert(rows.head._4 == 0.0)
+    assert(rows.head._2 == 0L && rows.head._3 == 0L)
+    rows.foreach { case (_, c0, c1, d) =>
+      assert(c0 >= 0 && c0 < 4 && c1 >= 0 && c1 < 4)
+      assert(d >= 0.0)
+    }
+    // ADC estimates are sorted ascending (it's a top-k by estimated distance)
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+  }
+
   test("q_ann_lsh: returns the probe itself (sim 1.0) and a subset of the exact top-k's domain") {
     val lsh = SparkEntry.queries("q_ann_lsh")(spark, TestSpark.Sf0001).collect()
     assert(lsh.nonEmpty)
