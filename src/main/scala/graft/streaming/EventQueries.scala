@@ -101,6 +101,34 @@ object EventQueries {
           org.apache.spark.sql.streaming.OutputMode.Complete())
         .orderBy("nationkey")
     },
+    // True stream-stream interval join: click->purchase attribution within
+    // a 1-hour window, run as TWO real file streams with per-side
+    // watermarks. The equality key (user_id) partitions join state; the
+    // time-interval condition + watermarks bound how long each side's rows
+    // are retained — the state-cleanup contract that makes this run forever
+    // on an unbounded 100 TB/day stream. Inner join in Append mode emits
+    // each match exactly once; on a drained finite stream that equals the
+    // batch interval join (the oracle).
+    "q_stream_stream_join" -> { (s, dir) =>
+      val ss = Streams.streamingSession(s)
+      val clicks = Streams.readEvents(ss, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = Streams.readEvents(ss, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      Streams.runToBatch(ss, joined,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
     // Drop duplicate event ids (batch form of dropDuplicatesWithinWatermark).
     // Restricted to the key column: among true duplicates Spark keeps an
     // arbitrary full row, so only the key set is deterministic.
@@ -137,6 +165,16 @@ object EventQueries {
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT event_id FROM events ORDER BY event_id",
+    // drained inner interval join == batch interval join
+    "q_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+        |SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM e c JOIN e p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     // stream-static join == its batch equivalent once the stream drains
     "q_stream_join" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

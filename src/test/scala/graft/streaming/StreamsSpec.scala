@@ -90,4 +90,19 @@ class StreamsSpec extends AnyFunSuite {
       .groupBy("w_start", "event_type").agg(sum("n").as("n"))
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("drained stream-stream interval join equals the batch interval join (q_stream_stream_join)") {
+    val streamed = EventQueries.queries("q_stream_stream_join")(spark, TestSpark.Sf0001)
+    val e = graft.core.Tables.events(spark, TestSpark.Sf0001)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0, "fixture must yield at least one attributed pair")
+  }
 }
