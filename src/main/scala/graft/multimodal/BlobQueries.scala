@@ -83,6 +83,31 @@ object BlobQueries {
     }
   }
 
+  /** One audio "analysis window": doc, window index, sample count, energy. */
+  case class AudioWindow(doc_id: Long, w_idx: Long, n_samples: Long, energy: Double)
+  val WindowSamples = 64
+
+  /** Audio feature-extraction shape: window the payload into fixed
+    * [[WindowSamples]]-sample non-overlapping windows and compute each
+    * window's energy (mean squared sample, samples centered at 128). A real
+    * pipeline would run FFT/mel filters per window — same batch shape,
+    * same per-partition init amortization, no codec dependency.
+    */
+  def audioWindows(blobs: Dataset[Blob]): Dataset[AudioWindow] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // window/FFT plan init would happen here, once per partition
+      it.flatMap { b =>
+        b.payload.grouped(WindowSamples).zipWithIndex.map { case (w, i) =>
+          var s = 0.0
+          var j = 0
+          while (j < w.length) { val v = (w(j) & 0xff) - 128.0; s += v * v; j += 1 }
+          AudioWindow(b.doc_id, i.toLong, w.length.toLong, s / w.length)
+        }
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata extraction over the binary payload column: byte length +
     // content digest, computed on the binary type itself.
@@ -100,6 +125,15 @@ object BlobQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"), sum("v").as("checksum"))
         .orderBy("doc_id")
+    },
+    // Audio-style frame windowing through the per-partition batch map:
+    // per-window energy rows, the input shape of any spectral feature
+    // stage.
+    "q_blob_audio" -> { (s, dir) =>
+      audioWindows(blobs(s, dir)).toDF()
+        .select(col("doc_id"), col("w_idx"), col("n_samples"),
+          round(col("energy"), 6).as("energy"))
+        .orderBy("doc_id", "w_idx")
     },
     // Resize / feature-extract over the payload: 8 nearest-neighbor taps +
     // mean intensity, flattened to scalar columns for the oracle.
@@ -127,6 +161,24 @@ object BlobQueries {
         |SELECT doc_id, CAST(len(vs) AS BIGINT) AS n_frames,
         |       CAST(list_sum(vs) AS BIGINT) AS checksum
         |FROM f ORDER BY doc_id""".stripMargin,
+    // ASCII fixture: sample at 0-based offset o == ord(substr(text, o+1, 1));
+    // windows are [w*64, min((w+1)*64, n)) 0-based -> 1-based substr offsets
+    "q_blob_audio" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |         unnest(range(0, CAST(ceil(length(text) / ${WindowSamples}.0) AS BIGINT))) AS w_idx
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id, w_idx,
+         |         least((w_idx + 1) * $WindowSamples, n) - w_idx * $WindowSamples AS n_samples,
+         |         list_avg(list_transform(
+         |           range(w_idx * $WindowSamples + 1, least((w_idx + 1) * $WindowSamples, n) + 1),
+         |           i -> (ord(substr(text, CAST(i AS INT), 1)) - 128.0) *
+         |                (ord(substr(text, CAST(i AS INT), 1)) - 128.0))) AS energy
+         |  FROM w)
+         |SELECT doc_id, CAST(w_idx AS BIGINT) AS w_idx,
+         |       CAST(n_samples AS BIGINT) AS n_samples, round(energy, 6) AS energy
+         |FROM e ORDER BY doc_id, w_idx""".stripMargin,
     // ASCII fixture: byte at 0-based offset o == ord(substr(text, o+1, 1)).
     "q_blob_resize" -> {
       val taps = (0 until ThumbW).map(k =>

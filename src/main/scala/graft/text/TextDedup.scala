@@ -170,10 +170,18 @@ object TextDedup {
         .select(col("a.doc_id").as("doc_id"),
           least(col("a.component"), col("c_comp")).as("component"))
         .localCheckpoint(eager = false)
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
       i += 1
+      // Fixpoint probe every 2nd round only: the sum is a full-pass action,
+      // labels are monotone non-increasing, and pointer jumping converges in
+      // O(log diameter) rounds — so probing alternate rounds halves the
+      // probe actions for at most one extra (cheap) post-fixpoint round.
+      // Un-probed rounds leave the lazy checkpoint to be materialized by the
+      // NEXT round's stepped job, so they cost a single job.
+      if (i % 2 == 0 || i == maxIter) {
+        val s = labelSum(labels)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      }
     }
     if (converged)
       System.err.println(s"[TextDedup] connectedComponents converged in $i rounds")
