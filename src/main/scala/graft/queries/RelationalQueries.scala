@@ -415,6 +415,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
         .orderBy("event_type")
     },
+    // NS: Z-order (Morton) layout — the multi-column data-skipping story a
+    // 100 TB lake uses when queries filter on BOTH user and value: interleave
+    // the bits of the two dimension keys, cluster rows by z-ranges, and each
+    // z-bucket becomes a file whose min/max spans a small rectangle in BOTH
+    // dimensions (so either predicate prunes it). The query materializes the
+    // layout's pruning evidence: per z-bucket row counts + per-dimension
+    // min/max envelopes. Pure integer bit math — the oracle replays it
+    // exactly.
+    "q_zorder_layout" -> { (s, dir) =>
+      val ub = col("user_id").bitwiseAND(lit(255L))
+      val vb = floor(col("value") * 10).cast("long").bitwiseAND(lit(255L))
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(ub, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+          shiftleft(shiftright(vb, i).bitwiseAND(lit(1L)), 2 * i)
+      }.reduce(_ + _)
+      Tables.events(s, dir)
+        .select(ub.as("ub"), vb.as("vb"), z.as("z"))
+        .groupBy(shiftright(col("z"), 8).as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("ub").as("min_ub"), max("ub").as("max_ub"),
+          min("vb").as("min_vb"), max("vb").as("max_vb"))
+        .orderBy("z_bucket")
+    },
     // NS: the SQL front door — the engine's full TPC-H-Q1 shape submitted
     // as ANSI SQL through spark.sql() over a registered view, proving a
     // reference user can keep their SQL verbatim. Same Catalyst plan as
@@ -741,6 +764,19 @@ object RelationalQueries {
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_zorder_layout" -> {
+      val zExpr = (0 until 8).map(i =>
+        s"(((ub >> $i) & 1) << ${2 * i + 1}) + (((vb >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH k AS (SELECT user_id & 255 AS ub,
+         |                  CAST(floor(value * 10) AS BIGINT) & 255 AS vb
+         |           FROM events),
+         |z AS (SELECT ub, vb, $zExpr AS z FROM k)
+         |SELECT z >> 8 AS z_bucket, count(*) AS n,
+         |       min(ub) AS min_ub, max(ub) AS max_ub,
+         |       min(vb) AS min_vb, max(vb) AS max_vb
+         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+    },
     // the DPP join semantics == a static IN filter on the conversion types
     "q_join_dpp" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value

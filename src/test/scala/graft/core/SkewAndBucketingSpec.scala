@@ -82,4 +82,19 @@ class SkewAndBucketingSpec extends AnyFunSuite {
     assert(joined.count() == orders.join(customer,
       col("o_custkey") === col("c_custkey")).count())
   }
+
+  test("q_zorder_layout: every z-bucket confines BOTH dimensions to a 16-value envelope") {
+    // z >> 8 fixes the top 4 interleaved bits of ub AND vb, so within a
+    // bucket each dimension spans at most 16 consecutive values - the
+    // min/max-pruning property that makes the layout skip files for
+    // predicates on EITHER column.
+    val rows = graft.SparkEntry.queries("q_zorder_layout")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (zb, n, minU, maxU, minV, maxV) =>
+      assert(n > 0)
+      assert(maxU - minU <= 15, s"bucket $zb ub envelope [$minU,$maxU] wider than 16")
+      assert(maxV - minV <= 15, s"bucket $zb vb envelope [$minV,$maxV] wider than 16")
+    }
+  }
 }
