@@ -99,6 +99,30 @@ object SimilarityQueries {
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     },
+    // NS: top-k similarity JOIN (kNN join): each of the first 10 vectors
+    // gets its 3 nearest cosine neighbors. The query set broadcasts (query
+    // sets are small at any corpus scale), the corpus is scanned ONCE with
+    // a 10x fanout, and the per-query top-3 is a bounded custom Aggregator
+    // (functions.TopKAgg) — partial aggregation trims map-side, so the
+    // shuffle carries 3 rows per (query, partition), never the whole
+    // group. Contrast: a window rank here would shuffle and sort ALL N
+    // scored rows per query.
+    "q_knn_join" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+      val topk = udaf(new graft.functions.TopKAgg(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredId]())
+      emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(Vec.cosine(col("embedding"), col("q")), 9).as("sim"))
+        .groupBy("q_id")
+        .agg(topk(col("n_id"), col("sim")).as("nn"))
+        .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("n.id").as("n_id"), col("n.sim").as("sim"))
+        .orderBy("q_id", "rank")
+    },
     // NS: product-quantization ANN (IVF-PQ's compression half): split each
     // 64-dim vector into 8 subvectors of 8 dims, quantize every subvector
     // to its nearest of 4 deterministic codebook entries (the subvectors of
@@ -227,6 +251,21 @@ object SimilarityQueries {
            |FROM bk CROSS JOIN probe CROSS JOIN pb
            |WHERE bk.b = pb.b
            |ORDER BY sim DESC, bk.vec_id LIMIT 10""".stripMargin,
+      // kNN join replay: same rounded cosine, window rank == bounded-heap
+      // top-3 with (sim desc, id) ties
+      "q_knn_join" ->
+        """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+          |q AS (SELECT vec_id AS q_id, c AS qc FROM t WHERE vec_id < 10),
+          |s AS (SELECT q.q_id, t.vec_id AS n_id,
+          |             round(list_dot_product(t.c, q.qc) /
+          |                   (sqrt(list_dot_product(t.c, t.c)) * sqrt(list_dot_product(q.qc, q.qc))), 9) AS sim
+          |      FROM t CROSS JOIN q WHERE t.vec_id <> q.q_id)
+          |SELECT q_id,
+          |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+          |       n_id, sim
+          |FROM s
+          |QUALIFY rank <= 3
+          |ORDER BY q_id, rank""".stripMargin,
       // PQ replay: same codebooks (first 4 vectors' subvectors), same
       // (dist, code) argmin tie-break, ADC summed in m order via an ordered
       // list so the fold matches Spark's left-to-right add
