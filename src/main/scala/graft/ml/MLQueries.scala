@@ -32,6 +32,32 @@ object MLQueries {
         .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
         .orderBy("doc_id", "word")
     },
+    // Typed cogroup (§2.10 family; KeyValueGroupedDataset.cogroup): the
+    // reference's reducer is exactly this shape — all records for a key
+    // from BOTH inputs handed to one function (reducer.py:58-67 holds one
+    // dict of grouped points). Per customer key: order stats cogrouped
+    // with event stats in a single co-partitioned shuffle (both sides
+    // hash-partition on k; no join materialization of the pair product).
+    // Sums are rounded AFTER the typed fold, in the same select style as
+    // every other sum aggregate.
+    "q_cogroup" -> { (s, dir) =>
+      val s2 = s
+      import s2.implicits._
+      val orders = Tables.orders(s, dir)
+        .select(col("o_custkey").as("k"), col("o_totalprice").as("v")).as[(Long, Double)]
+      val events = Tables.events(s, dir)
+        .select(col("user_id").as("k"), col("value").as("v")).as[(Long, Double)]
+      orders.groupByKey(_._1).cogroup(events.groupByKey(_._1)) { (k, os, es) =>
+        var no = 0L; var so = 0.0
+        os.foreach { o => no += 1; so += o._2 }
+        var ne = 0L; var se = 0.0
+        es.foreach { e => ne += 1; se += e._2 }
+        Iterator((k, no, so, ne, se))
+      }.toDF("k", "n_orders", "sum_orders", "n_events", "sum_events")
+        .select(col("k"), col("n_orders"), round(col("sum_orders"), 2).as("sum_orders"),
+          col("n_events"), round(col("sum_events"), 6).as("sum_events"))
+        .orderBy("k")
+    },
     // Full Lloyd loop (§2.11): iterate to convergence (<=10 iters, eps 1e-6)
     // with the Aggregator path, emit final centroids as scalar rows.
     // No SQL oracle (iteration isn't expressible without recursive CTAS
@@ -66,6 +92,20 @@ object MLQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // cogroup == full outer join of the two per-key aggregates (absent
+    // side contributes (0, 0.0))
+    "q_cogroup" ->
+      """WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders, sum(o_totalprice) AS sum_orders
+        |           FROM orders GROUP BY k),
+        |e AS (SELECT user_id AS k, count(*) AS n_events, sum(value) AS sum_events
+        |      FROM events GROUP BY k)
+        |SELECT coalesce(o.k, e.k) AS k,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       round(coalesce(sum_orders, 0.0), 2) AS sum_orders,
+        |       coalesce(n_events, 0) AS n_events,
+        |       round(coalesce(sum_events, 0.0), 6) AS sum_events
+        |FROM o FULL OUTER JOIN e ON o.k = e.k
+        |ORDER BY k""".stripMargin,
     // Same oracle as q_centroid_mean, with BIGINT label to match the cast.
     "q_udaf_vecmean" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(u.i - 1 AS INT) AS pos,
