@@ -187,6 +187,34 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // NS: the end-to-end corpus-prep pipeline as ONE query — normalize →
+    // quality-filter → exact-dedup (keep min doc_id per normalized hash) →
+    // deterministic split → per-(split, source) stats. The composition is
+    // what a real training-data run executes; Catalyst fuses the narrow
+    // stages into the scan and the only shuffles are the dedup groupBy and
+    // the final tiny stats groupBy.
+    "q_corpus_pipeline" -> { (s, dir) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val normed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), norm.as("norm"))
+        .select(col("doc_id"), col("source"), col("norm"),
+          size(split(col("norm"), " ")).as("n_words"))
+        .filter(col("n_words") >= 30)
+      val canonical = normed
+        .groupBy(md5(col("norm")).as("h"))
+        .agg(min(struct(col("doc_id"), col("source"), col("n_words"))).as("keep"))
+        .select(col("keep.doc_id").as("doc_id"), col("keep.source").as("source"),
+          col("keep.n_words").as("n_words"))
+      val bucket = pmod(TextQueries.h32(concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+      canonical
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_words"), 6).as("avg_words"))
+        .orderBy("split", "source")
+    },
+
     // NS: tokenizer compression stats per source — chars-per-token under
     // the BPE-ish regex tokenizer, the signal a tokenizer trainer / data
     // mixer reads per corpus slice. Narrow per-row tokenize + one tiny
@@ -314,6 +342,24 @@ object CorpusQueries {
           |        JOIN uni u2 ON u2.word = bg.w2
           |        CROSS JOIN tw CROSS JOIN tb
           |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+      "q_corpus_pipeline" ->
+        """WITH n AS (SELECT doc_id, source,
+          |                  trim(regexp_replace(regexp_replace(lower(text),
+          |                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+          |           FROM documents),
+          |q AS (SELECT doc_id, source, norm, len(string_split(norm, ' ')) AS n_words
+          |      FROM n WHERE len(string_split(norm, ' ')) >= 30),
+          |c AS (SELECT min(struct_pack(doc_id := doc_id, source := source, n_words := n_words)) AS keep
+          |      FROM q GROUP BY md5(norm)),
+          |k AS (SELECT keep.doc_id AS doc_id, keep.source AS source,
+          |             keep.n_words AS n_words FROM c),
+          |b AS (SELECT *,
+          |             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+          |      FROM k)
+          |SELECT CASE WHEN bucket < 80 THEN 'train'
+          |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+          |       source, count(*) AS n_docs, round(avg(n_words), 6) AS avg_words
+          |FROM b GROUP BY split, source ORDER BY split, source""".stripMargin,
       "q_tokenizer_stats" ->
         """WITH t AS (SELECT source,
           |                  CAST(length(text) AS DOUBLE) AS nc,
