@@ -100,6 +100,51 @@ object WindowSetQueries {
         .orderBy("user_id", "sess_idx")
     },
 
+    // NS: conversion funnel — per user, the furthest stage reached:
+    // 0 = never clicked, 1 = clicked but no purchase within 1 h of the
+    // FIRST click, 2 = converted (purchase inside the attribution window).
+    // The per-user first-click aggregate joins back onto the purchase
+    // stream (user-key equi-join — both sides hash on user_id, the classic
+    // funnel shape at any scale), then one tiny stage rollup.
+    "q_funnel" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("first_click"))
+      val converted = ev.filter(col("event_type") === "purchase")
+        .join(firstClick, "user_id")
+        .filter(col("ts") > col("first_click") &&
+          col("ts") <= col("first_click") + expr("INTERVAL 1 HOUR"))
+        .select("user_id").distinct()
+        .withColumn("conv", lit(1L))
+      ev.select("user_id").distinct()
+        .join(firstClick, Seq("user_id"), "left")
+        .join(converted, Seq("user_id"), "left")
+        .select(when(col("first_click").isNull, 0L)
+          .when(col("conv").isNotNull, 2L)
+          .otherwise(1L).as("stage"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    },
+    // NS: cohort retention — users bucketed by first-seen hour (their
+    // cohort), counted as retained at each hour offset 0..3 if they have
+    // any event in that hour. Two shuffles: per-user cohort (user keys),
+    // then per-(cohort, offset) distinct users (the classic retention
+    // matrix). At 100 TB both shuffle compact (user, hour) pairs.
+    "q_cohort_retention" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      val cohort = ev.groupBy("user_id").agg(min("h").as("cohort_h"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_h"),
+          ((unix_micros(col("h")) - unix_micros(col("cohort_h"))) / lit(3600L * 1000000L))
+            .cast("long").as("offset_h"))
+        .filter(col("offset_h") <= 3)
+        .groupBy("cohort_h", "offset_h")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_h", "offset_h")
+    },
+
     // ---- §2.6 sorts / limits / top-k --------------------------------------
 
     // Global order-by + limit -> TakeOrderedAndProjectExec: per-partition
@@ -184,6 +229,31 @@ object WindowSetQueries {
         |       min(epoch_us(ts)) AS sess_start_us,
         |       count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |fc AS (SELECT user_id, min(ts) AS first_click FROM e
+        |       WHERE event_type = 'click' GROUP BY user_id),
+        |conv AS (SELECT DISTINCT p.user_id FROM e p JOIN fc ON p.user_id = fc.user_id
+        |         WHERE p.event_type = 'purchase'
+        |           AND p.ts > fc.first_click AND p.ts <= fc.first_click + INTERVAL 1 HOUR),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |st AS (SELECT CASE WHEN fc.user_id IS NULL THEN 0
+        |                   WHEN conv.user_id IS NOT NULL THEN 2
+        |                   ELSE 1 END AS stage
+        |       FROM u LEFT JOIN fc ON u.user_id = fc.user_id
+        |              LEFT JOIN conv ON u.user_id = conv.user_id)
+        |SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users
+        |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |c AS (SELECT user_id, min(h) AS cohort_h FROM e GROUP BY user_id),
+        |o AS (SELECT e.user_id, c.cohort_h,
+        |             (epoch_us(e.h) - epoch_us(c.cohort_h)) // 3600000000 AS offset_h
+        |      FROM e JOIN c ON e.user_id = c.user_id)
+        |SELECT cohort_h, CAST(offset_h AS BIGINT) AS offset_h,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM o WHERE offset_h <= 3
+        |GROUP BY cohort_h, offset_h ORDER BY cohort_h, offset_h""".stripMargin,
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
