@@ -215,6 +215,26 @@ object CorpusQueries {
         .orderBy("split", "source")
     },
 
+    // NS: unigram log-probability scoring — the perplexity-style quality
+    // signal (docs of improbable words score high): corpus unigram
+    // frequencies broadcast back onto the exploded words, mean -ln p(word)
+    // per doc. The post-count vocabulary is small at any corpus scale
+    // (it's the distinct-word table), so the join is a broadcast; the only
+    // big shuffles are the two word-key counts.
+    "q_unigram_logprob" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val uni = docs.select(explode(words).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val total = uni.agg(sum("c").cast("double").as("t"))
+      docs.select(col("doc_id"), explode(words).as("word"))
+        .join(broadcast(uni), "word")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("c") / col("t"))), 6).as("mean_nll"),
+          count(lit(1)).as("n_words"))
+        .orderBy("doc_id")
+    },
+
     // NS: tokenizer compression stats per source — chars-per-token under
     // the BPE-ish regex tokenizer, the signal a tokenizer trainer / data
     // mixer reads per corpus slice. Narrow per-row tokenize + one tiny
@@ -360,6 +380,15 @@ object CorpusQueries {
           |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
           |       source, count(*) AS n_docs, round(avg(n_words), 6) AS avg_words
           |FROM b GROUP BY split, source ORDER BY split, source""".stripMargin,
+      "q_unigram_logprob" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |uni AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+          |t AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni)
+          |SELECT w.doc_id,
+          |       round(avg(-ln(uni.c / t.t)), 6) AS mean_nll,
+          |       count(*) AS n_words
+          |FROM w JOIN uni USING (word) CROSS JOIN t
+          |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
       "q_tokenizer_stats" ->
         """WITH t AS (SELECT source,
           |                  CAST(length(text) AS DOUBLE) AS nc,
