@@ -23,9 +23,12 @@ object SparkEntry {
       _root_.graft.queries.RelationalQueries.queries ++
       _root_.graft.queries.WindowSetQueries.queries ++
       _root_.graft.queries.ScalarQueries.queries ++
+      _root_.graft.queries.DataPrepQueries.queries ++
       streaming.EventQueries.queries ++
       text.TextQueries.queries ++
       text.CorpusQueries.queries ++
+      text.RetrievalQueries.queries ++
+      text.GraphQueries.queries ++
       sim.SimilarityQueries.queries ++
       multimodal.BlobQueries.queries ++
       ml.MLQueries.queries ++
@@ -39,9 +42,12 @@ object SparkEntry {
       _root_.graft.queries.RelationalQueries.oracleSql ++
       _root_.graft.queries.WindowSetQueries.oracleSql ++
       _root_.graft.queries.ScalarQueries.oracleSql ++
+      _root_.graft.queries.DataPrepQueries.oracleSql ++
       streaming.EventQueries.oracleSql ++
       text.TextQueries.oracleSql ++
       text.CorpusQueries.oracleSql ++
+      text.RetrievalQueries.oracleSql ++
+      text.GraphQueries.oracleSql ++
       sim.SimilarityQueries.oracleSql ++
       multimodal.BlobQueries.oracleSql ++
       ml.MLQueries.oracleSql ++

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.TextQueries
+
+/** Data-maintenance / preparation operators (north-star surface): CDC
+  * merge-upsert, time-series forward fill, conditional (FILTER-style)
+  * aggregates, per-group z-score anomaly flagging, and deterministic
+  * stratified corpus mixing.
+  *
+  * Scale notes: the merge is the one genuine co-partitioned shuffle here (a
+  * full outer join on the key — MERGE semantics need both unmatched sides,
+  * so it cannot broadcast; AQE picks SMJ/SHJ and handles skew). Everything
+  * else is a narrow map plus either a window (one partition-key shuffle) or
+  * a tiny aggregate.
+  */
+object DataPrepQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // NS: CDC MERGE INTO, expressed relationally — target = orders; source
+    // = a derived change set (updates for keys % 10 = 0 at 1.1x price,
+    // inserts at key+100M for keys % 1000 = 0). Full outer join on the key,
+    // coalesce per column, matched/unmatched classification. Output keeps
+    // every update/insert plus a 1%-of-keys slice of untouched rows so the
+    // hash check pins all three actions without dumping the whole table.
+    "q_merge_upsert" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val tgt = orders.select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 1.1, 2).as("u_price"), lit("U").as("u_status"))
+      val ins = orders.filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          round(col("o_totalprice") / 2, 2).as("u_price"), lit("N").as("u_status"))
+      tgt.join(upd.unionByName(ins), Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("u_price"), col("o_totalprice")).as("price"),
+          coalesce(col("u_status"), col("o_orderstatus")).as("status"),
+          when(col("u_status").isNotNull && col("o_orderstatus").isNotNull, "update")
+            .when(col("o_orderstatus").isNull, "insert")
+            .otherwise("keep").as("action"))
+        .filter(col("action") =!= "keep" || pmod(col("o_orderkey"), lit(100)) === 0)
+        .orderBy("o_orderkey")
+    },
+
+    // NS: forward fill — carry the last non-null observation forward per
+    // user (the standard time-series gap repair before feature extraction).
+    // Nulls are injected deterministically (every 5th event id) so both
+    // engines repair the same holes. One user_id shuffle; the running
+    // `last(ignoreNulls)` frame is computed in a single sorted pass.
+    "q_forward_fill" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("v",
+          when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("double"))
+            .otherwise(col("value")))
+        .select(col("event_id"), col("user_id"),
+          col("v").isNull.cast("long").as("was_null"),
+          round(last("v", ignoreNulls = true).over(w), 6).as("filled"))
+        .orderBy("event_id")
+    },
+
+    // Conditional-aggregate family (FILTER-style): count_if, bool_and/
+    // bool_or, count(DISTINCT), sum(DISTINCT), and a predicated avg — all
+    // partial-aggregable (the DISTINCTs expand to a two-phase plan), one
+    // shuffle on the 3-value group key. Booleans cast to long: both engines
+    // hash them identically as integers.
+    "q_agg_filtered" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("count_if(l_quantity > 25)").cast("long").as("n_big"),
+          expr("bool_and(l_quantity > 0)").cast("long").as("all_positive"),
+          expr("bool_or(l_discount > 0.05)").cast("long").as("any_discounted"),
+          countDistinct(col("l_linestatus")).cast("long").as("n_status"),
+          sum_distinct(col("l_linenumber")).cast("long").as("sum_distinct_ln"),
+          round(avg(when(col("l_tax") > 0.04, col("l_extendedprice"))), 6).as("avg_price_hightax"))
+        .orderBy("l_returnflag")
+    },
+
+    // NS: per-group z-score anomaly flags — price outliers per supplier via
+    // group mean/stddev window (no ORDER BY: whole-partition frame, one
+    // l_suppkey shuffle, no sort-within-group needed beyond the hash
+    // exchange). z rounded to 9 BEFORE the threshold so the cut point is
+    // identical across engines despite float-sum ordering.
+    "q_anomaly_zscore" -> { (s, dir) =>
+      val w = Window.partitionBy("l_suppkey")
+      Tables.lineitem(s, dir)
+        .withColumn("z", round((col("l_extendedprice") - avg("l_extendedprice").over(w)) /
+          stddev_samp("l_extendedprice").over(w), 9))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_suppkey"), col("l_extendedprice"), col("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // NS: deterministic stratified corpus mixing — each source gets a
+    // hash-derived keep rate (20-80%), each doc a hash-derived bucket; the
+    // mix report (per-source totals, kept counts, realized ratio) is what a
+    // data-mixture config review reads. Pure narrow map + 20-group agg; at
+    // 100 TB the same query IS the mixer (swap the report agg for a write).
+    "q_mix_report" -> { (s, dir) =>
+      val rate = lit(20) + pmod(TextQueries.h32(col("source")), lit(61))
+      val bucket = pmod(TextQueries.h32(
+        concat(lit("mix:"), col("doc_id").cast("string"), lit(":"), col("source"))), lit(100))
+      Tables.documents(s, dir)
+        .select(col("source"), rate.as("rate"), (bucket < rate).cast("long").as("kept"))
+        .groupBy("source")
+        .agg(min(col("rate")).as("rate"),
+          count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("n_kept"),
+          round(sum(col("kept")).cast("double") / count(lit(1)), 6).as("ratio"))
+        .orderBy("source")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH tgt AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |upd AS (SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS u_price, 'U' AS u_status
+        |        FROM orders WHERE o_orderkey % 10 = 0),
+        |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+        |               round(o_totalprice / 2, 2) AS u_price, 'N' AS u_status
+        |        FROM orders WHERE o_orderkey % 1000 = 0),
+        |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |m AS (SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |             coalesce(s.u_price, t.o_totalprice) AS price,
+        |             coalesce(s.u_status, t.o_orderstatus) AS status,
+        |             CASE WHEN s.u_status IS NOT NULL AND t.o_orderstatus IS NOT NULL THEN 'update'
+        |                  WHEN t.o_orderstatus IS NULL THEN 'insert'
+        |                  ELSE 'keep' END AS action
+        |      FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+        |SELECT o_orderkey, price, status, action
+        |FROM m WHERE action <> 'keep' OR o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_forward_fill" ->
+      """WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |           FROM events)
+        |SELECT event_id, user_id,
+        |       CAST(v IS NULL AS BIGINT) AS was_null,
+        |       round(last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
+        |FROM v ORDER BY event_id""".stripMargin,
+    "q_agg_filtered" ->
+      """SELECT l_returnflag,
+        |       CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+        |       CAST(bool_and(l_quantity > 0) AS BIGINT) AS all_positive,
+        |       CAST(bool_or(l_discount > 0.05) AS BIGINT) AS any_discounted,
+        |       CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status,
+        |       CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS sum_distinct_ln,
+        |       round(avg(l_extendedprice) FILTER (WHERE l_tax > 0.04), 6) AS avg_price_hightax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH z AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |                  l_suppkey, l_extendedprice,
+        |                  round((l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_suppkey)) /
+        |                        stddev_samp(l_extendedprice) OVER (PARTITION BY l_suppkey), 9) AS z
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice, z
+        |FROM z WHERE abs(z) > 2.5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_mix_report" ->
+      """WITH d AS (SELECT source,
+        |                  20 + (('0x' || substr(md5(source), 1, 8))::BIGINT % 61) AS rate,
+        |                  CAST((('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR) || ':' || source), 1, 8))::BIGINT % 100
+        |                       < 20 + (('0x' || substr(md5(source), 1, 8))::BIGINT % 61)) AS BIGINT) AS kept
+        |           FROM documents)
+        |SELECT source, min(rate) AS rate, count(*) AS n_docs,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS ratio
+        |FROM d GROUP BY source ORDER BY source""".stripMargin
+  )
+}

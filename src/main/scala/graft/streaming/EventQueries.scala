@@ -136,6 +136,42 @@ object EventQueries {
       Tables.events(s, dir)
         .select("event_id").dropDuplicates("event_id")
         .orderBy("event_id")
+    },
+    // NS: foreachBatch upsert sink — the pattern for pushing a streaming
+    // aggregation into a non-streaming store: Update-mode per-type totals,
+    // each micro-batch MERGEd into a versioned parquet snapshot (previous
+    // snapshot anti-joined on the key, changed keys replaced, written to
+    // snapshot v<batchId> — idempotent under micro-batch replay because the
+    // batch id names the output). On the drained stream the last snapshot
+    // equals the batch aggregate (the oracle). At 100 TB the same closure
+    // targets a transactional table; the read-merge-write here is the
+    // minimal store this container has.
+    "q_stream_foreachbatch" -> { (s, dir) =>
+      val ss = Streams.streamingSession(s)
+      val counts = Streams.readEvents(ss, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      val target = s"target/streams/fb_${System.nanoTime()}"
+      var lastSnapshot = -1L
+      val q = counts.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val merged =
+            if (lastSnapshot >= 0) {
+              ss.read.parquet(s"$target/v$lastSnapshot")
+                .join(batch, Seq("event_type"), "left_anti")
+                .unionByName(batch)
+            } else batch
+          merged.write.mode("overwrite").parquet(s"$target/v$id")
+          lastSnapshot = id
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(s"$target/v$lastSnapshot")
+        .select(col("event_type"), col("n"), round(col("sum_v"), 6).as("sum_v"))
+        .orderBy("event_type")
     }
   )
 
@@ -165,6 +201,10 @@ object EventQueries {
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
     "q_stream_dedup" ->
       "SELECT DISTINCT event_id FROM events ORDER BY event_id",
+    // drained foreachBatch-merged snapshot == batch aggregate
+    "q_stream_foreachbatch" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // drained inner interval join == batch interval join
     "q_stream_stream_join" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)

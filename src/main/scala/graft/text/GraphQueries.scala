@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Graph analytics over the corpus word-adjacency graph (north-star
+  * surface; complements [[TextDedup.connectedComponents]]'s fixpoint
+  * labeling with a weighted iterative rank): nodes = words, edge w1→w2
+  * weighted by adjacent-occurrence count.
+  *
+  * Scale notes: the edge list shuffles once on (w1, w2) to build weights;
+  * each PageRank iteration is one join of the (node, rank) frame onto the
+  * edge list + one aggregate on the destination key — the canonical
+  * "rank joins edges, contributions shuffle on dst" dataflow. Iterations
+  * are unrolled (fixed 2) so the whole computation is ONE declarative plan
+  * Catalyst can see end-to-end; an open-ended fixpoint with checkpointed
+  * rounds is [[TextDedup.connectedComponents]]'s job. The vocabulary
+  * (node set) is tiny relative to the corpus at any scale, so rank frames
+  * broadcast, but the code keeps shuffle joins: at 100 TB the node set of a
+  * general graph does NOT fit one executor, and this shape survives that.
+  */
+object GraphQueries {
+
+  /** Damping factor (the standard 0.85). */
+  val D = 0.85
+
+  /** Unrolled iteration count. */
+  val Iters = 2
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // NS: PageRank, 2 unrolled iterations, on the bigram word graph.
+    // Dangling mass (words that only end bigrams) is dropped, the standard
+    // simplification, mirrored exactly by the oracle's unrolled CTE chain.
+    "q_pagerank" -> { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val bigrams = when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val edges = Tables.documents(s, dir)
+        .select(ws.as("ws"))
+        .select(explode(bigrams).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val nodes = edges.select(col("w1").as("word"))
+        .union(edges.select(col("w2").as("word"))).distinct()
+      val total = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+      val outw = edges.groupBy("w1").agg(sum("c12").cast("double").as("wout"))
+      val pr0 = nodes.crossJoin(broadcast(total))
+        .select(col("word"), (lit(1.0) / col("n_nodes")).as("pr"))
+      def step(pr: DataFrame): DataFrame = {
+        val contrib = edges.join(outw, "w1")
+          .join(pr.withColumnRenamed("word", "w1"), "w1")
+          .select(col("w2").as("word"), (col("pr") * col("c12") / col("wout")).as("m"))
+          .groupBy("word").agg(sum("m").as("m"))
+        nodes.crossJoin(broadcast(total))
+          .join(contrib, Seq("word"), "left_outer")
+          .select(col("word"),
+            (lit(1.0 - D) / col("n_nodes") + lit(D) * coalesce(col("m"), lit(0.0))).as("pr"))
+      }
+      val ranked = (1 to Iters).foldLeft(pr0)((pr, _) => step(pr))
+      ranked.select(col("word"), round(col("pr"), 6).as("pagerank"))
+        .orderBy("word")
+    }
+  )
+
+  def oracleSql: Map[String, String] = {
+    // one unrolled iteration: contributions on dst + damped recombine
+    def iter(prev: String, c: String, next: String): String =
+      s"""$c AS (SELECT e.w2 AS word, sum(p.pr * e.c12 / ow.wout) AS m
+         |       FROM e JOIN ow USING (w1) JOIN $prev p ON p.word = e.w1
+         |       GROUP BY e.w2),
+         |$next AS (SELECT n.word, ${1.0 - D} / t.n + $D * coalesce($c.m, 0.0) AS pr
+         |          FROM nodes n CROSS JOIN t LEFT JOIN $c ON $c.word = n.word)""".stripMargin
+
+    Map(
+      "q_pagerank" ->
+        s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+           |              i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b FROM w),
+           |e AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+           |nodes AS (SELECT DISTINCT word FROM
+           |            (SELECT w1 AS word FROM e UNION ALL SELECT w2 AS word FROM e)),
+           |t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |ow AS (SELECT w1, CAST(sum(c12) AS DOUBLE) AS wout FROM e GROUP BY w1),
+           |pr0 AS (SELECT word, 1.0 / t.n AS pr FROM nodes CROSS JOIN t),
+           |${iter("pr0", "c1", "pr1")},
+           |${iter("pr1", "c2", "pr2")}
+           |SELECT word, round(pr, 6) AS pagerank FROM pr2 ORDER BY word""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,189 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables, Vec}
+
+/** Retrieval scoring over the corpus (north-star surface — the search half
+  * of a training-data/RAG stack): BM25 lexical ranking and reciprocal-rank
+  * fusion of a lexical and an embedding ranking.
+  *
+  * Scale notes: query terms are collected ONCE on the driver (3 rows — a
+  * query is driver-side data by definition, exactly like the ANN probe
+  * vector) and enter the plan as literals, so per-doc scoring is a narrow
+  * map over the scan — tf via `filter(ws, ...)` per term, no (doc, word)
+  * explode shuffle at all. Corpus statistics (N, Σdl, df per term) are one
+  * tiny aggregate broadcast back via crossJoin. Rankings are truncated with
+  * orderBy+limit (TakeOrderedAndProject: per-partition top-k, k-row driver
+  * merge) BEFORE any window — the row_number window only ever sees ≤50
+  * rows, never the corpus.
+  */
+object RetrievalQueries {
+
+  /** BM25 shape parameters (Robertson–Spärck Jones defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Fused lists are truncated to this depth before ranking. */
+  val TopN = 50
+
+  // (sfDir -> top-3 corpus terms), memoized like Lloyd.initCentroidsFor:
+  // the "user query" of every retrieval entry, derived deterministically
+  // from the fixture (most frequent words, ties by word) so the oracle can
+  // replay it.
+  private val termsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  def queryTermsFor(s: SparkSession, dir: String): Seq[String] =
+    termsCache.computeIfAbsent(dir, _ =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word"))
+        .limit(3)
+        .collect().map(_.getString(0)).toSeq)
+
+  /** Per-doc frame (doc_id, dl, tf0..tfN) for the query terms — narrow,
+    * shuffle-free: one `filter` count per term against the materialized
+    * word array (terms sorted ascending so downstream folds have one
+    * fixed order both engines share).
+    */
+  private def tfFrame(s: SparkSession, dir: String): (DataFrame, Seq[String]) = {
+    val terms = queryTermsFor(s, dir).sorted
+    val df = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id") +: size(col("ws")).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("ws"), x => x === lit(t))).as(s"tf$i")
+        }: _*)
+    (df, terms)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // NS: BM25 — the standard lexical relevance score, on the top-3 corpus
+    // words as the query. One narrow tf pass + one 1-row stats aggregate
+    // (N, Σdl, df per term) broadcast back; score folds per-term
+    // contributions in ascending-term order (deterministic doubles: tf/dl/
+    // df/N are integers, so both engines compute bit-identical IEEE sums).
+    "q_bm25" -> { (s, dir) =>
+      val (tf, terms) = tfFrame(s, dir)
+      val n = terms.length
+      val stats = tf.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).cast("double").as("sum_dl") +:
+          (0 until n).map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df$i")): _*)
+      val scored = tf.crossJoin(broadcast(stats))
+      val avgdl = col("sum_dl") / col("n_docs")
+      def contrib(i: Int): Column = {
+        val idf = log(lit(1.0) + (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+        val tfi = col(s"tf$i").cast("double")
+        idf * (tfi * (K1 + 1.0)) / (tfi + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
+      }
+      scored
+        .select(col("doc_id"),
+          (0 until n).map(i => col(s"tf$i")).reduce(_ + _).cast("long").as("n_hits"),
+          round((0 until n).map(contrib).reduce(_ + _), 6).as("bm25"))
+        .filter(col("n_hits") > 0)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // NS: reciprocal-rank fusion — merge a lexical top-50 (hit count over
+    // the query terms; integer score, so ranking is exactly reproducible)
+    // with an embedding top-50 (cosine to the probe vector, rounded to 9
+    // before ranking) via RRF(60). Both lists are TakeOrderedAndProject-
+    // truncated before the row_number window, so the global-window stage
+    // sees ≤50 rows; the fusion itself is a full outer join of two ≤50-row
+    // frames.
+    "q_rrf_fusion" -> { (s, dir) =>
+      val (tf, terms) = tfFrame(s, dir)
+      val hits = tf
+        .select(col("doc_id"),
+          terms.indices.map(i => col(s"tf$i")).reduce(_ + _).cast("long").as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .orderBy(col("n_hits").desc, col("doc_id"))
+        .limit(TopN)
+      val txt = hits.withColumn("rank_text",
+        row_number().over(Window.orderBy(col("n_hits").desc, col("doc_id"))).cast("long"))
+      val probe = graft.kmeans.Lloyd.initCentroidsFor(s, dir, 1).head.coordinates.toSeq
+      val pl = array(probe.map(lit): _*)
+      val sims = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"),
+          round(Vec.cosine(col("embedding"), pl), 9).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id"))
+        .limit(TopN)
+      val emb = sims.withColumn("rank_emb",
+        row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+      txt.select(col("doc_id"), col("rank_text"))
+        .join(emb.select(col("doc_id"), col("rank_emb")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rank_text"), col("rank_emb"),
+          round(coalesce(lit(1.0) / (lit(60.0) + col("rank_text")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rank_emb")), lit(0.0)), 9).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    }
+  )
+
+  def oracleSql: Map[String, String] = {
+    // terms + per-doc tf replay: DuckDB derives the same top-3 query terms
+    // and the same (doc_id, dl, per-term tf) rows; list_sum over an
+    // ORDER BY word list mirrors Spark's ascending-term left fold.
+    val prelude =
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |terms AS (SELECT word FROM (
+        |            SELECT word, count(*) AS c
+        |            FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word)
+        |          ORDER BY c DESC, word LIMIT 3),
+        |tf AS (SELECT b.doc_id, CAST(len(b.ws) AS DOUBLE) AS dl, t.word,
+        |              len(list_filter(b.ws, x -> x = t.word)) AS tf
+        |       FROM w b CROSS JOIN terms t)""".stripMargin
+
+    Map(
+      "q_bm25" ->
+        s"""$prelude,
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |                 CAST(sum(len(ws)) AS DOUBLE) AS sum_dl
+           |          FROM w),
+           |df AS (SELECT word, CAST(count(*) FILTER (WHERE tf > 0) AS DOUBLE) AS df
+           |       FROM tf GROUP BY word),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |         CAST(sum(tf.tf) AS BIGINT) AS n_hits,
+           |         list_sum(list(
+           |           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+           |           (tf.tf * (${K1} + 1.0)) /
+           |           (tf.tf + ${K1} * (1.0 - ${B} + ${B} * tf.dl / (s.sum_dl / s.n_docs)))
+           |           ORDER BY tf.word)) AS score
+           |  FROM tf JOIN df d USING (word) CROSS JOIN stats s
+           |  GROUP BY tf.doc_id)
+           |SELECT doc_id, n_hits, round(score, 6) AS bm25
+           |FROM scored WHERE n_hits > 0
+           |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+      "q_rrf_fusion" ->
+        s"""$prelude,
+           |hits AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_hits
+           |         FROM tf GROUP BY doc_id HAVING sum(tf) > 0),
+           |txt AS (SELECT doc_id,
+           |               CAST(row_number() OVER (ORDER BY n_hits DESC, doc_id) AS BIGINT) AS rank_text
+           |        FROM hits QUALIFY rank_text <= $TopN),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+           |probe AS (SELECT c AS p FROM e ORDER BY vec_id LIMIT 1),
+           |sims AS (SELECT e.vec_id AS doc_id,
+           |                round(list_dot_product(e.c, probe.p) /
+           |                      (sqrt(list_dot_product(e.c, e.c)) * sqrt(list_dot_product(probe.p, probe.p))), 9) AS sim
+           |         FROM e CROSS JOIN probe),
+           |emb AS (SELECT doc_id,
+           |               CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank_emb
+           |        FROM sims QUALIFY rank_emb <= $TopN)
+           |SELECT coalesce(t.doc_id, m.doc_id) AS doc_id, t.rank_text, m.rank_emb,
+           |       round(coalesce(1.0 / (60.0 + t.rank_text), 0.0) +
+           |             coalesce(1.0 / (60.0 + m.rank_emb), 0.0), 9) AS rrf
+           |FROM txt t FULL OUTER JOIN emb m ON t.doc_id = m.doc_id
+           |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    )
+  }
+}
