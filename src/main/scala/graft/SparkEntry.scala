@@ -24,6 +24,7 @@ object SparkEntry {
       _root_.graft.queries.WindowSetQueries.queries ++
       _root_.graft.queries.ScalarQueries.queries ++
       _root_.graft.queries.DataPrepQueries.queries ++
+      _root_.graft.queries.TimeSeriesQueries.queries ++
       streaming.EventQueries.queries ++
       text.TextQueries.queries ++
       text.CorpusQueries.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       _root_.graft.queries.WindowSetQueries.oracleSql ++
       _root_.graft.queries.ScalarQueries.oracleSql ++
       _root_.graft.queries.DataPrepQueries.oracleSql ++
+      _root_.graft.queries.TimeSeriesQueries.oracleSql ++
       streaming.EventQueries.oracleSql ++
       text.TextQueries.oracleSql ++
       text.CorpusQueries.oracleSql ++

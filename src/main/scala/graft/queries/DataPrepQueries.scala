@@ -33,10 +33,10 @@ object DataPrepQueries {
       val tgt = orders.select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       val upd = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
         .select(col("o_orderkey"),
-          round(col("o_totalprice") * 1.1, 2).as("u_price"), lit("U").as("u_status"))
+          round(col("o_totalprice") * 1.1, 4).as("u_price"), lit("U").as("u_status"))
       val ins = orders.filter(pmod(col("o_orderkey"), lit(1000)) === 0)
         .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
-          round(col("o_totalprice") / 2, 2).as("u_price"), lit("N").as("u_status"))
+          round(col("o_totalprice") / 2, 4).as("u_price"), lit("N").as("u_status"))
       tgt.join(upd.unionByName(ins), Seq("o_orderkey"), "full_outer")
         .select(col("o_orderkey"),
           coalesce(col("u_price"), col("o_totalprice")).as("price"),
@@ -100,6 +100,25 @@ object DataPrepQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // NS: error-safe ingestion arithmetic — try_cast over dirty numeric
+    // strings (planted deterministically: empty / non-numeric / trailing
+    // garbage / clean) and try_divide with a sometimes-zero divisor, the
+    // null-not-crash semantics a 100 TB ingest needs (one malformed row
+    // must not kill a 1000-executor stage). Narrow per-row.
+    "q_try_arith" -> { (s, dir) =>
+      val raw = when(pmod(col("o_orderkey"), lit(4)) === 0, lit(""))
+        .when(pmod(col("o_orderkey"), lit(4)) === 1, lit("n/a"))
+        .when(pmod(col("o_orderkey"), lit(4)) === 2,
+          concat(col("o_custkey").cast("string"), lit("x")))
+        .otherwise(col("o_custkey").cast("string"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), raw.as("raw"))
+        .select(col("o_orderkey"), col("raw"),
+          expr("try_cast(raw AS BIGINT)").as("parsed"),
+          round(expr("try_divide(o_totalprice, o_orderkey % 3)"), 6).as("safe_ratio"))
+        .orderBy("o_orderkey")
+    },
+
     // NS: deterministic stratified corpus mixing — each source gets a
     // hash-derived keep rate (20-80%), each doc a hash-derived bucket; the
     // mix report (per-source totals, kept counts, realized ratio) is what a
@@ -123,10 +142,10 @@ object DataPrepQueries {
   def oracleSql: Map[String, String] = Map(
     "q_merge_upsert" ->
       """WITH tgt AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
-        |upd AS (SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS u_price, 'U' AS u_status
+        |upd AS (SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS u_price, 'U' AS u_status
         |        FROM orders WHERE o_orderkey % 10 = 0),
         |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
-        |               round(o_totalprice / 2, 2) AS u_price, 'N' AS u_status
+        |               round(o_totalprice / 2, 4) AS u_price, 'N' AS u_status
         |        FROM orders WHERE o_orderkey % 1000 = 0),
         |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
         |m AS (SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
@@ -167,6 +186,17 @@ object DataPrepQueries {
         |SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice, z
         |FROM z WHERE abs(z) > 2.5
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_try_arith" ->
+      """WITH r AS (SELECT o_orderkey, o_totalprice,
+        |                  CASE WHEN o_orderkey % 4 = 0 THEN ''
+        |                       WHEN o_orderkey % 4 = 1 THEN 'n/a'
+        |                       WHEN o_orderkey % 4 = 2 THEN CAST(o_custkey AS VARCHAR) || 'x'
+        |                       ELSE CAST(o_custkey AS VARCHAR) END AS raw
+        |           FROM orders)
+        |SELECT o_orderkey, raw,
+        |       TRY_CAST(raw AS BIGINT) AS parsed,
+        |       round(o_totalprice / nullif(o_orderkey % 3, 0), 6) AS safe_ratio
+        |FROM r ORDER BY o_orderkey""".stripMargin,
     "q_mix_report" ->
       """WITH d AS (SELECT source,
         |                  20 + (('0x' || substr(md5(source), 1, 8))::BIGINT % 61) AS rate,

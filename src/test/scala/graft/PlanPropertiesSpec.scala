@@ -183,6 +183,32 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
   }
 
+  test("q_bm25 scores without exploding the corpus (no Generate, 1-row stats broadcast)") {
+    val p = executedPlan("q_bm25")
+    assert(!p.contains("Generate"), s"per-term tf should be filter(ws), not explode:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus stats not broadcast back:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 global-sorts:\n$p")
+  }
+
+  test("q_rrf_fusion truncates both lists with top-k before any window") {
+    val p = executedPlan("q_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"), s"list truncation global-sorts:\n$p")
+  }
+
+  test("q_merge_upsert keeps MERGE as a co-partitioned shuffle join (full outer cannot broadcast)") {
+    val p = executedPlan("q_merge_upsert")
+    assert(p.contains("FullOuter"), s"merge lost full-outer semantics:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"full outer join must be a shuffle join:\n$p")
+  }
+
+  test("q_time_weighted_avg runs window + aggregate on ONE user_id shuffle") {
+    val p = executedPlan("q_time_weighted_avg")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"lead-gap window and agg should share the user_id exchange ($hashEx):\n$p")
+  }
+
   test("every declared oracle key has a queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
