@@ -119,6 +119,45 @@ object DataPrepQueries {
         .orderBy("o_orderkey")
     },
 
+    // NS: one-pass dataset profiler — the `describe`-at-scale shape: null
+    // counts, exact distinct cardinality, and min/max for four columns of
+    // mixed type, computed in ONE aggregate over ONE scan (Catalyst expands
+    // the multi-DISTINCT into a single Expand + two-phase agg), then
+    // unpivoted to a row per column. At 100 TB profiling cost == one read.
+    "q_profile_summary" -> { (s, dir) =>
+      def nulls(c: String) = sum(col(c).isNull.cast("long")).as(s"${c}_nulls")
+      val stats = Tables.orders(s, dir).agg(
+        nulls("o_orderstatus"),
+        countDistinct(col("o_orderstatus")).as("o_orderstatus_distinct"),
+        min(col("o_orderstatus")).as("o_orderstatus_min"),
+        max(col("o_orderstatus")).as("o_orderstatus_max"),
+        nulls("o_orderpriority"),
+        countDistinct(col("o_orderpriority")).as("o_orderpriority_distinct"),
+        min(col("o_orderpriority")).as("o_orderpriority_min"),
+        max(col("o_orderpriority")).as("o_orderpriority_max"),
+        nulls("o_totalprice"),
+        countDistinct(col("o_totalprice")).as("o_totalprice_distinct"),
+        min(col("o_totalprice")).as("o_totalprice_min"),
+        max(col("o_totalprice")).as("o_totalprice_max"),
+        nulls("o_custkey"),
+        countDistinct(col("o_custkey")).as("o_custkey_distinct"),
+        min(col("o_custkey")).as("o_custkey_min"),
+        max(col("o_custkey")).as("o_custkey_max"))
+      def strRow(c: String) = struct(lit(c).as("col_name"),
+        col(s"${c}_nulls").as("n_nulls"), col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").cast("string").as("str_min"), col(s"${c}_max").cast("string").as("str_max"),
+        lit(null).cast("double").as("num_min"), lit(null).cast("double").as("num_max"))
+      def numRow(c: String) = struct(lit(c).as("col_name"),
+        col(s"${c}_nulls").as("n_nulls"), col(s"${c}_distinct").as("n_distinct"),
+        lit(null).cast("string").as("str_min"), lit(null).cast("string").as("str_max"),
+        col(s"${c}_min").cast("double").as("num_min"), col(s"${c}_max").cast("double").as("num_max"))
+      stats
+        .select(explode(array(strRow("o_orderstatus"), strRow("o_orderpriority"),
+          numRow("o_totalprice"), numRow("o_custkey"))).as("p"))
+        .select(col("p.*"))
+        .orderBy("col_name")
+    },
+
     // NS: deterministic stratified corpus mixing — each source gets a
     // hash-derived keep rate (20-80%), each doc a hash-derived bucket; the
     // mix report (per-source totals, kept counts, realized ratio) is what a
@@ -197,6 +236,37 @@ object DataPrepQueries {
         |       TRY_CAST(raw AS BIGINT) AS parsed,
         |       round(o_totalprice / nullif(o_orderkey % 3, 0), 6) AS safe_ratio
         |FROM r ORDER BY o_orderkey""".stripMargin,
+    "q_profile_summary" ->
+      """WITH s AS (SELECT
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS st_nulls,
+        |  count(DISTINCT o_orderstatus) AS st_distinct,
+        |  min(o_orderstatus) AS st_min, max(o_orderstatus) AS st_max,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pr_nulls,
+        |  count(DISTINCT o_orderpriority) AS pr_distinct,
+        |  min(o_orderpriority) AS pr_min, max(o_orderpriority) AS pr_max,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp_nulls,
+        |  count(DISTINCT o_totalprice) AS tp_distinct,
+        |  min(o_totalprice) AS tp_min, max(o_totalprice) AS tp_max,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_nulls,
+        |  count(DISTINCT o_custkey) AS ck_distinct,
+        |  min(o_custkey) AS ck_min, max(o_custkey) AS ck_max
+        |FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderstatus' AS col_name, st_nulls AS n_nulls, st_distinct AS n_distinct,
+        |         st_min AS str_min, st_max AS str_max,
+        |         CAST(NULL AS DOUBLE) AS num_min, CAST(NULL AS DOUBLE) AS num_max FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', pr_nulls, pr_distinct, pr_min, pr_max,
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s
+        |  UNION ALL
+        |  SELECT 'o_totalprice', tp_nulls, tp_distinct,
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |         tp_min, tp_max FROM s
+        |  UNION ALL
+        |  SELECT 'o_custkey', ck_nulls, ck_distinct,
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |         CAST(ck_min AS DOUBLE), CAST(ck_max AS DOUBLE) FROM s)
+        |ORDER BY col_name""".stripMargin,
     "q_mix_report" ->
       """WITH d AS (SELECT source,
         |                  20 + (('0x' || substr(md5(source), 1, 8))::BIGINT % 61) AS rate,
