@@ -108,6 +108,38 @@ object BlobQueries {
     }
   }
 
+  /** A perceptual-hash-style signature: bit b = [mean of block b > global
+    * mean] over 8 equal byte blocks — the aHash construction a real image
+    * dedup runs on decoded pixels, applied to the payload bytes here
+    * (robust to small payload perturbations, unlike the exact digest).
+    */
+  case class PHash(doc_id: Long, sig: Long)
+
+  def phashes(blobs: Dataset[Blob]): Dataset[PHash] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val n = b.payload.length
+        var total = 0L
+        var i = 0
+        while (i < n) { total += (b.payload(i) & 0xff); i += 1 }
+        val mean = total.toDouble / n
+        var sig = 0L
+        var blk = 0
+        while (blk < 8) {
+          val lo = (blk.toLong * n / 8).toInt
+          val hi = ((blk + 1).toLong * n / 8).toInt
+          var s = 0L
+          var j = lo
+          while (j < hi) { s += (b.payload(j) & 0xff); j += 1 }
+          if (hi > lo && s.toDouble / (hi - lo) > mean) sig |= 1L << blk
+          blk += 1
+        }
+        PHash(b.doc_id, sig)
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Metadata extraction over the binary payload column: byte length +
     // content digest, computed on the binary type itself.
@@ -142,6 +174,18 @@ object BlobQueries {
       resizeThumbs(blobs(s, dir)).toDF()
         .select(col("doc_id") +: tapCols :+ round(col("mean_v"), 6).as("mean_v"): _*)
         .orderBy("doc_id")
+    },
+    // NS: perceptual-hash dedup buckets — aHash signatures through the
+    // per-partition batch map, grouped: one shuffle of (sig, doc_id) pairs
+    // (8 bytes/doc, never payloads), the media-dedup analog of the text
+    // LSH buckets. Collision groups are candidates for a byte-level or
+    // embedding-level residual check downstream.
+    "q_blob_phash" -> { (s, dir) =>
+      phashes(blobs(s, dir)).toDF()
+        .groupBy("sig")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("sig")
     }
   )
 
@@ -189,6 +233,25 @@ object BlobQueries {
          |       round(list_avg(list_transform(range(1, length(text) + 1),
          |             i -> ord(substr(text, CAST(i AS INT), 1)))), 6) AS mean_v
          |FROM documents ORDER BY doc_id""".stripMargin
-    }
+    },
+    // same block boundaries (integer //), same exact-integer block sums,
+    // same double divisions — bit-identical signatures
+    "q_blob_phash" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n,
+        |                  list_transform(range(1, length(text) + 1),
+        |                    i -> ord(substr(text, CAST(i AS INT), 1))) AS bytes
+        |           FROM documents),
+        |m AS (SELECT doc_id, n, bytes,
+        |             CAST(list_sum(bytes) AS DOUBLE) / n AS mean FROM b),
+        |sig AS (SELECT doc_id,
+        |               list_sum(list_transform(range(0, 8), blk ->
+        |                 CASE WHEN ((blk + 1) * n) // 8 > (blk * n) // 8 AND
+        |                           CAST(list_sum(bytes[(blk * n) // 8 + 1 : ((blk + 1) * n) // 8]) AS DOUBLE)
+        |                             / (((blk + 1) * n) // 8 - (blk * n) // 8) > mean
+        |                      THEN CAST(1 AS BIGINT) << CAST(blk AS INT) ELSE CAST(0 AS BIGINT) END)) AS sig
+        |        FROM m)
+        |SELECT CAST(sig AS BIGINT) AS sig, count(*) AS n_docs, min(doc_id) AS canonical
+        |FROM sig GROUP BY sig HAVING count(*) >= 2
+        |ORDER BY sig""".stripMargin
   )
 }

@@ -119,6 +119,44 @@ object DataPrepQueries {
         .orderBy("o_orderkey")
     },
 
+    // NS: incremental view maintenance — the don't-recompute-the-world
+    // pattern: base aggregate (the standing view, keys % 7 != 0) merged
+    // with a delta-batch aggregate via full outer join + additive combine.
+    // The ORACLE is the direct full re-aggregation, so the check IS the IVM
+    // correctness theorem (incremental == recompute). Sums round at 2
+    // decimals: both paths approximate the same exact-2-decimal total, and
+    // float drift (~1e-4 on 1e9-scale sums) is far from the half-cent
+    // boundary — while 6-decimal rounding would sit inside the drift.
+    "q_incremental_agg" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      def part(pred: org.apache.spark.sql.Column) = orders.filter(pred)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sp"))
+      val base = part(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .select(col("o_orderstatus"), col("n").as("bn"), col("sp").as("bs"))
+      val delta = part(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderstatus"), col("n").as("dn"), col("sp").as("ds"))
+      base.join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          round(coalesce(col("bs"), lit(0.0)) + coalesce(col("ds"), lit(0.0)), 2).as("revenue"))
+        .orderBy("o_orderstatus")
+    },
+
+    // NS: deterministic per-group sample — the first-5-per-source peek a
+    // corpus review runs: hash-ordered row_number inside each group, no
+    // RNG (stable under retries). One source-key shuffle; the window sees
+    // each group once.
+    "q_group_sample" -> { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(TextQueries.h32(concat(lit("samp:"), col("doc_id").cast("string"))), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    },
+
     // NS: one-pass dataset profiler — the `describe`-at-scale shape: null
     // counts, exact distinct cardinality, and min/max for four columns of
     // mixed type, computed in ONE aggregate over ONE scan (Catalyst expands
@@ -236,6 +274,21 @@ object DataPrepQueries {
         |       TRY_CAST(raw AS BIGINT) AS parsed,
         |       round(o_totalprice / nullif(o_orderkey % 3, 0), 6) AS safe_ratio
         |FROM r ORDER BY o_orderkey""".stripMargin,
+    // the direct recompute — checking the incremental path against it
+    "q_incremental_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_group_sample" ->
+      """SELECT source,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY source
+        |         ORDER BY ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id)
+        |         AS BIGINT) AS rn,
+        |       doc_id
+        |FROM documents
+        |QUALIFY rn <= 5
+        |ORDER BY source, rn""".stripMargin,
     "q_profile_summary" ->
       """WITH s AS (SELECT
         |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS st_nulls,

@@ -108,6 +108,50 @@ class DataPrepRetrievalSpec extends AnyFunSuite {
     assert(prs.sum <= 1.0 + 1e-3, s"mass ${prs.sum} exceeds 1")
   }
 
+  test("q_incremental_agg: incremental merge equals direct recompute") {
+    val inc = SparkEntry.queries("q_incremental_agg")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val full = graft.core.Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(inc.toSeq == full.toSeq, "IVM must be indistinguishable from recompute")
+  }
+
+  test("q_group_sample: at most 5 per group, members really belong to the group") {
+    val srcOf = graft.core.Tables.documents(spark, dir)
+      .select("doc_id", "source").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("q_group_sample")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+      rs.foreach(r => assert(srcOf(r.getLong(2)) == src))
+    }
+  }
+
+  test("q_blob_phash: groups have 2+ members, signatures fit in 8 bits and match a driver replay") {
+    val rows = SparkEntry.queries("q_blob_phash")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 255)
+      assert(r.getLong(1) >= 2)
+    }
+    // driver-side replay of the signature for one canonical doc
+    val canonical = rows.head.getLong(2)
+    val text = graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") === canonical).select("text").head().getString(0)
+    val bytes = text.getBytes("UTF-8")
+    val mean = bytes.map(_ & 0xff).map(_.toLong).sum.toDouble / bytes.length
+    val sig = (0 until 8).map { blk =>
+      val lo = (blk.toLong * bytes.length / 8).toInt
+      val hi = ((blk + 1).toLong * bytes.length / 8).toInt
+      val bs = (lo until hi).map(i => (bytes(i) & 0xff).toLong).sum
+      if (hi > lo && bs.toDouble / (hi - lo) > mean) 1L << blk else 0L
+    }.sum
+    assert(sig == rows.head.getLong(0), "engine signature must equal the reference construction")
+  }
+
   test("q_stream_foreachbatch: the merged snapshot equals the batch aggregate") {
     val streamed = SparkEntry.queries("q_stream_foreachbatch")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
