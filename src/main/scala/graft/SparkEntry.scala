@@ -25,9 +25,11 @@ object SparkEntry {
       _root_.graft.queries.ScalarQueries.queries ++
       _root_.graft.queries.DataPrepQueries.queries ++
       _root_.graft.queries.TimeSeriesQueries.queries ++
+      _root_.graft.queries.SketchQueries.queries ++
       streaming.EventQueries.queries ++
       text.TextQueries.queries ++
       text.CorpusQueries.queries ++
+      text.PackingQueries.queries ++
       text.RetrievalQueries.queries ++
       text.GraphQueries.queries ++
       sim.SimilarityQueries.queries ++
@@ -45,9 +47,11 @@ object SparkEntry {
       _root_.graft.queries.ScalarQueries.oracleSql ++
       _root_.graft.queries.DataPrepQueries.oracleSql ++
       _root_.graft.queries.TimeSeriesQueries.oracleSql ++
+      _root_.graft.queries.SketchQueries.oracleSql ++
       streaming.EventQueries.oracleSql ++
       text.TextQueries.oracleSql ++
       text.CorpusQueries.oracleSql ++
+      text.PackingQueries.oracleSql ++
       text.RetrievalQueries.oracleSql ++
       text.GraphQueries.oracleSql ++
       sim.SimilarityQueries.oracleSql ++

@@ -213,6 +213,36 @@ object DataPrepQueries {
           sum(col("kept")).as("n_kept"),
           round(sum(col("kept")).cast("double") / count(lit(1)), 6).as("ratio"))
         .orderBy("source")
+    },
+
+    // NS: winsorization — per-group outlier capping at the p05/p95
+    // percentiles, the numeric-repair pass feature pipelines run before
+    // normalization. The per-group thresholds are a tiny aggregate joined
+    // back broadcast; the capping itself is a narrow map. Thresholds are
+    // rounded to 6 decimals on BOTH engines before comparing (the
+    // interpolated percentile is float-boundary-sensitive; the raw prices
+    // have 2 decimals, so 6 is far from any data boundary). At 100 TB the
+    // exact percentile becomes `approx_percentile` (q_quantiles_approx's
+    // sketch) — the join-back shape is unchanged.
+    "q_winsorize" -> { (s, dir) =>
+      val pct = Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("p05"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+      val capped = greatest(least(col("l_extendedprice"), col("p95")), col("p05"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(pct), "l_returnflag")
+        .select(col("l_returnflag"), capped.as("wz"),
+          (col("l_extendedprice") < col("p05")).cast("long").as("lo"),
+          (col("l_extendedprice") > col("p95")).cast("long").as("hi"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("lo").as("n_capped_low"),
+          sum("hi").as("n_capped_high"),
+          round(avg("wz"), 6).as("avg_winsorized"),
+          round(min("wz"), 6).as("min_winsorized"),
+          round(max("wz"), 6).as("max_winsorized"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -329,6 +359,23 @@ object DataPrepQueries {
         |SELECT source, min(rate) AS rate, count(*) AS n_docs,
         |       CAST(sum(kept) AS BIGINT) AS n_kept,
         |       round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS ratio
-        |FROM d GROUP BY source ORDER BY source""".stripMargin
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q_winsorize" ->
+      """WITH p AS (SELECT l_returnflag,
+        |                  round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+        |                  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        |           FROM lineitem GROUP BY l_returnflag),
+        |c AS (SELECT l.l_returnflag,
+        |             greatest(least(l.l_extendedprice, p.p95), p.p05) AS wz,
+        |             CASE WHEN l.l_extendedprice < p.p05 THEN 1 ELSE 0 END AS lo,
+        |             CASE WHEN l.l_extendedprice > p.p95 THEN 1 ELSE 0 END AS hi
+        |      FROM lineitem l JOIN p USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |       CAST(sum(lo) AS BIGINT) AS n_capped_low,
+        |       CAST(sum(hi) AS BIGINT) AS n_capped_high,
+        |       round(avg(wz), 6) AS avg_winsorized,
+        |       round(min(wz), 6) AS min_winsorized,
+        |       round(max(wz), 6) AS max_winsorized
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -83,6 +83,26 @@ object TimeSeriesQueries {
         .agg(count(lit(1)).as("n_segments"),
           round(sum(col("value") * col("gap_us")) / sum(col("gap_us")), 6).as("twa"))
         .orderBy("user_id")
+    },
+
+    // NS: ordered-sequence pattern match (the MATCH_RECOGNIZE shape): the
+    // earliest click → view → purchase chain per user, each stage strictly
+    // after the previous. Three per-user min-aggregates chained by
+    // co-partitioned user_id joins — group sizes are per-user event counts,
+    // so each stage is one key-local pass; no window sorts the full stream.
+    "q_seq_pattern" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts", "event_type")
+      val c = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val v = ev.filter(col("event_type") === "view")
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy("user_id", "t_click").agg(min("ts").as("t_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id", "t_click", "t_view").agg(min("ts").as("t_purchase"))
+      p.select(col("user_id"), col("t_click"), col("t_view"), col("t_purchase"),
+        (unix_micros(col("t_purchase")) - unix_micros(col("t_click"))).as("span_us"))
+        .orderBy("user_id")
     }
   )
 
@@ -123,6 +143,21 @@ object TimeSeriesQueries {
         |SELECT user_id, count(*) AS n_segments,
         |       round(sum(value * gap_us) / sum(gap_us), 6) AS twa
         |FROM g WHERE gap_us IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_seq_pattern" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |c AS (SELECT user_id, min(ts) AS t_click FROM e
+        |      WHERE event_type = 'click' GROUP BY user_id),
+        |v AS (SELECT e.user_id, c.t_click, min(e.ts) AS t_view
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'view' AND e.ts > c.t_click
+        |      GROUP BY e.user_id, c.t_click),
+        |p AS (SELECT e.user_id, v.t_click, v.t_view, min(e.ts) AS t_purchase
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        |      GROUP BY e.user_id, v.t_click, v.t_view)
+        |SELECT user_id, t_click, t_view, t_purchase,
+        |       epoch_us(t_purchase) - epoch_us(t_click) AS span_us
+        |FROM p ORDER BY user_id""".stripMargin
   )
 }

@@ -64,6 +64,43 @@ object GraphQueries {
       val ranked = (1 to Iters).foldLeft(pr0)((pr, _) => step(pr))
       ranked.select(col("word"), round(col("pr"), 6).as("pagerank"))
         .orderBy("word")
+    },
+
+    // NS: triangle counting over the simhash near-dup graph — the density
+    // diagnostic of a dedup edge set (many triangles = tight duplicate
+    // clusters; closure near 0 = chains/noise). Uses the degree-ordering
+    // algorithm that survives skew at scale: edges are oriented from the
+    // (degree, id)-smaller endpoint, so a hub vertex of degree d generates
+    // wedges only from its LOW-degree neighbors — the classic O(m^1.5)
+    // bound instead of sum(d^2) on the raw adjacency. One shuffle builds
+    // degrees, one self-join makes oriented wedges, one equi-join closes
+    // them against the (a<b-canonical) edge list.
+    "q_graph_triangles" -> { (s, dir) =>
+      val edges = TextQueries.queries("q_simhash_pairs")(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint() // edge set feeds degrees, wedges, and closure
+      val deg = edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val oriented = edges
+        .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+        .select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("src"),
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("dst"))
+      val wedges = oriented.select(col("src"), col("dst").as("y"))
+        .join(oriented.select(col("src"), col("dst").as("z")), "src")
+        .filter(col("y") < col("z"))
+      val tri = wedges.join(edges, col("y") === col("a") && col("z") === col("b"))
+      deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
+        edges.agg(count(lit(1)).as("n_edges"))).crossJoin(
+        wedges.agg(count(lit(1)).as("n_wedges"))).crossJoin(
+        tri.agg(count(lit(1)).as("n_triangles")))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(col("n_triangles").cast("double") /
+            greatest(col("n_wedges"), lit(1L)).cast("double"), 6).as("closure"))
     }
   )
 
@@ -89,7 +126,31 @@ object GraphQueries {
            |pr0 AS (SELECT word, 1.0 / t.n AS pr FROM nodes CROSS JOIN t),
            |${iter("pr0", "c1", "pr1")},
            |${iter("pr1", "c2", "pr2")}
-           |SELECT word, round(pr, 6) AS pagerank FROM pr2 ORDER BY word""".stripMargin
+           |SELECT word, round(pr, 6) AS pagerank FROM pr2 ORDER BY word""".stripMargin,
+      // same simhash edge set as q_simhash_pairs, then the identical
+      // degree-oriented wedge + closure count
+      "q_graph_triangles" ->
+        s"""WITH ${TextQueries.simhashFrameCte},
+           |edges AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |          FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |deg AS (SELECT v, count(*) AS d FROM
+           |          (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+           |        GROUP BY v),
+           |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+           |                  THEN e.a ELSE e.b END AS src,
+           |             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+           |                  THEN e.b ELSE e.a END AS dst
+           |      FROM edges e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+           |wedges AS (SELECT o1.src, o1.dst AS y, o2.dst AS z
+           |           FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+           |tri AS (SELECT * FROM wedges w JOIN edges e ON w.y = e.a AND w.z = e.b)
+           |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           |       (SELECT count(*) FROM edges) AS n_edges,
+           |       (SELECT count(*) FROM wedges) AS n_wedges,
+           |       (SELECT count(*) FROM tri) AS n_triangles,
+           |       round(CAST((SELECT count(*) FROM tri) AS DOUBLE) /
+           |             CAST(greatest((SELECT count(*) FROM wedges), 1) AS DOUBLE), 6) AS closure""".stripMargin
     )
   }
 }

@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-example assembly operators (north-star LLM-pipeline surface —
+  * the reference has no text ops): sequence packing of documents into
+  * fixed-token-budget context windows, and vocabulary id-encoding of
+  * document prefixes.
+  *
+  * Scale notes: packing is the concat-and-chunk layout GPT-style training
+  * uses — documents are laid out contiguously per source shard and cut
+  * into `PackBudget`-token bins. The running offset is ONE window pass
+  * partitioned by source (at 100 TB the unit of packing is the shard, so
+  * no global sort ever exists; each shard's window sorts only its own
+  * rows). Vocabulary encoding ranks the POST-AGGREGATION vocabulary (a
+  * tiny frame at any corpus scale — rank the counts, never the corpus) and
+  * broadcasts it back onto the exploded prefix tokens.
+  */
+object PackingQueries {
+
+  /** Tokens per packed training example (context window length). */
+  val PackBudget = 512
+
+  /** Vocabulary size for id-encoding (fixture vocab is 31 words, so a
+    * 20-word vocab makes OOV → 0 a real, exercised path).
+    */
+  val VocabSize = 20
+
+  /** Words of each document encoded (prefix truncation). */
+  val EncodeLen = 12
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // NS: sequence packing — lay documents out contiguously per source
+    // (ordered by doc_id) and assign each to the PackBudget-token bins it
+    // occupies: first_bin = floor(offset / B), last_bin covers the final
+    // token. last_bin - first_bin > 0 means the document straddles a
+    // context-window boundary (the fragmentation a packing stage reports).
+    "q_pack_sequences" -> { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("tok_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("tok_offset"),
+          expr(s"tok_offset div $PackBudget").as("first_bin"),
+          expr(s"(tok_offset + n_tokens - 1) div $PackBudget").as("last_bin"))
+        .orderBy("source", "doc_id")
+    },
+
+    // NS: vocabulary id-encoding — build the frequency-ranked vocabulary
+    // (rank ties broken by word so ids are deterministic), keep the top
+    // VocabSize words, and encode each document's first EncodeLen words as
+    // an id array with OOV = 0. The global row_number ranks the aggregated
+    // word counts (vocab-sized, NOT corpus-sized); the id table broadcasts.
+    "q_vocab_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val vocab = docs.select(explode(col("ws")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("c").desc, col("word"))).cast("long"))
+        .filter(col("id") <= VocabSize)
+        .select("word", "id")
+      docs
+        .select(col("doc_id"),
+          posexplode(slice(col("ws"), 1, EncodeLen)).as(Seq("pos", "word")))
+        .join(broadcast(vocab), Seq("word"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_enc"),
+          transform(
+            array_sort(collect_list(struct(col("pos"),
+              coalesce(col("id"), lit(0L)).as("id")))),
+            x => x.getField("id")).as("token_ids"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |o AS (SELECT source, doc_id, n_tokens,
+         |             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |      FROM d)
+         |SELECT source, doc_id, n_tokens, tok_offset,
+         |       tok_offset // $PackBudget AS first_bin,
+         |       (tok_offset + n_tokens - 1) // $PackBudget AS last_bin
+         |FROM o ORDER BY source, doc_id""".stripMargin,
+    "q_vocab_encode" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |vc AS (SELECT word, count(*) AS c
+         |       FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
+         |vocab AS (SELECT word, CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS id
+         |          FROM vc QUALIFY id <= $VocabSize),
+         |tok0 AS (SELECT doc_id,
+         |                unnest(list_transform(range(1, least(len(ws), $EncodeLen) + 1),
+         |                  i -> struct_pack(pos := i, word := ws[i]))) AS t
+         |         FROM w),
+         |tok AS (SELECT doc_id, t.pos AS pos, t.word AS word FROM tok0)
+         |SELECT t.doc_id, count(*) AS n_enc,
+         |       list(CAST(coalesce(v.id, 0) AS BIGINT) ORDER BY t.pos) AS token_ids
+         |FROM tok t LEFT JOIN vocab v USING (word)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+  )
+}

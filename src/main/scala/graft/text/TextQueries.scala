@@ -347,11 +347,26 @@ object TextQueries {
     }
   )
 
+  /** DuckDB fragments for the 32-bit simhash rebuild — shared with
+    * [[GraphQueries]]'s oracle, which reruns the same near-dup edge set.
+    */
+  private[graft] val simhashBitSumCols: String = (0 until 32)
+    .map(j => s"sum(((v >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")
+  private[graft] val simhashPackedCols: String = (0 until 32)
+    .map(j => s"CASE WHEN s$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END").mkString(" + ")
+
+  /** DuckDB CTE prefix yielding `f(doc_id, simhash)` on the documents
+    * table — the oracle-side twin of `queries("q_dedup_simhash")`.
+    */
+  private[graft] def simhashFrameCte: String =
+    s"""w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |v AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS v FROM w),
+       |s AS (SELECT doc_id, $simhashBitSumCols FROM v GROUP BY doc_id),
+       |f AS (SELECT doc_id, $simhashPackedCols AS simhash FROM s)""".stripMargin
+
   def oracleSql: Map[String, String] = {
-    val bitSumCols = (0 until 32)
-      .map(j => s"sum(((v >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")
-    val packedCols = (0 until 32)
-      .map(j => s"CASE WHEN s$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END").mkString(" + ")
+    val bitSumCols = simhashBitSumCols
+    val packedCols = simhashPackedCols
     val sigSelects = (0 until MinhashK).map { j =>
       s"SELECT doc_id, CAST($j AS BIGINT) AS j, list_min(list_transform(sh, x -> (hv(x) * ${mhA(j)} + ${mhB(j)}) % $P)) AS minhash FROM sh"
     }.mkString("\nUNION ALL\n")

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, TestSpark}
+import graft.text.PackingQueries
+
+/** Properties of the sequence-packing, vocab-encoding, bloom-pruning,
+  * winsorization, pattern-match, and triangle operators that the hash
+  * oracle can't express: the no-false-negative bloom guarantee, packing
+  * offset contiguity, OOV behavior, capping fractions, stage ordering,
+  * and wedge/triangle algebra.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  test("q_pack_sequences: offsets are contiguous per source and bins are consistent") {
+    val rows = SparkEntry.queries("q_pack_sequences")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { docs =>
+      val sorted = docs.sortBy(_._2).toSeq
+      assert(sorted.head._4 == 0L, "first doc of a source starts at offset 0")
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(1)._4 == w(0)._4 + w(0)._3, "token layout must be gapless per source")
+      }
+    }
+    rows.foreach { case (_, _, n, off, first, last) =>
+      assert(n >= 1 && off >= 0 && first <= last)
+      assert(first == off / PackingQueries.PackBudget)
+      assert(last == (off + n - 1) / PackingQueries.PackBudget)
+    }
+  }
+
+  test("q_vocab_encode: id range bounded by VocabSize, OOV=0 occurs, lengths agree") {
+    val rows = SparkEntry.queries("q_vocab_encode")(spark, dir).collect()
+    assert(rows.length == 500)
+    var sawOov = false
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](2)
+      assert(ids.length == r.getLong(1) && ids.length <= PackingQueries.EncodeLen)
+      ids.foreach(id => assert(id >= 0 && id <= PackingQueries.VocabSize))
+      sawOov ||= ids.contains(0L)
+    }
+    assert(sawOov, "a 20-word vocab over a 31-word corpus must produce OOV ids")
+  }
+
+  test("q_bloom_prune: no false negatives, nontrivial pruning, fp rate sane") {
+    val rows = SparkEntry.queries("q_bloom_prune")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val (orders, pass, truth, fp) =
+      rows.reduce((x, y) => (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 + y._4))
+    assert(pass >= truth, "bloom must never drop a true match (no false negatives)")
+    assert(pass == truth + fp, "pass splits exactly into true matches + false positives")
+    assert(pass < orders, "the filter must actually prune")
+    assert(fp.toDouble / (orders - truth).max(1L) < 0.25,
+      "2-bit/4Kbit bloom at this load factor should stay well under 25% fp")
+  }
+
+  test("q_winsorize: capped fractions ~5% per tail, avg inside [min, max]") {
+    val rows = SparkEntry.queries("q_winsorize")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1).toDouble
+      val (lo, hi) = (r.getLong(2).toDouble, r.getLong(3).toDouble)
+      assert(lo / n <= 0.06 && hi / n <= 0.06, "strictly-outside-p05/p95 tails are <=5%+ties")
+      val (avg, mn, mx) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(mn <= avg && avg <= mx)
+    }
+  }
+
+  test("q_seq_pattern: stages strictly ordered, span matches the endpoints") {
+    val rows = SparkEntry.queries("q_seq_pattern")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, v, p) = (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))
+      assert(c.before(v) && v.before(p), "click < view < purchase")
+      val spanUs = r.getLong(4)
+      assert(spanUs == (p.getTime - c.getTime) * 1000 +
+        (p.getNanos / 1000 % 1000) - (c.getNanos / 1000 % 1000))
+    }
+  }
+
+  test("q_graph_triangles: wedge/triangle algebra holds and matches brute force") {
+    val row = SparkEntry.queries("q_graph_triangles")(spark, dir).collect()(0)
+    val (nodes, edges, wedges, tris, closure) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+    assert(nodes >= 2 && edges >= 1)
+    assert(tris <= wedges, "every triangle closes exactly one oriented wedge")
+    assert(closure >= 0.0 && closure <= 1.0)
+    // brute-force count over the collected edge set (fixture-sized)
+    val es = graft.text.TextQueries.queries("q_simhash_pairs")(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vs = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    var brute = 0L
+    for {
+      Seq(a, b, c) <- vs.combinations(3)
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } brute += 1
+    assert(tris == brute, s"degree-oriented count $tris != brute-force $brute")
+  }
+}
