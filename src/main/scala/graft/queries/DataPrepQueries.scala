@@ -243,6 +243,52 @@ object DataPrepQueries {
           round(min("wz"), 6).as("min_winsorized"),
           round(max("wz"), 6).as("max_winsorized"))
         .orderBy("l_returnflag")
+    },
+
+    // NS: per-group linear trend fit — OLS slope/intercept/R² of order
+    // totalprice over time (x = days since epoch), the drift-detection
+    // aggregate a feature pipeline runs per segment. regr_* aggregates are
+    // second-moment sums (distributive partials, map-side combine) — the
+    // same one-shuffle shape as q_corr_stats, at any scale.
+    "q_linear_fit" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("double").as("x"),
+          col("o_totalprice").as("y"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(expr("regr_slope(y, x)"), 6).as("slope"),
+          round(expr("regr_intercept(y, x)"), 6).as("intercept"),
+          round(expr("regr_r2(y, x)"), 6).as("r2"))
+        .orderBy("o_orderstatus")
+    },
+
+    // NS: order-insensitive table fingerprint — the row-level integrity
+    // check a CDC/replication pipeline runs to certify "these two copies
+    // hold the same rows" without sorting either side: per-row md5-derived
+    // 32-bit hash over a canonical column encoding (exact-decimal prices
+    // as integer cents, timestamps as epoch micros — no float formatting
+    // crosses the engines), then commutative sum + xor aggregates. One
+    // scan, one 1-row aggregate per table; at 100 TB the cost is a read.
+    "q_table_hash" -> { (s, dir) =>
+      def fp(df: org.apache.spark.sql.DataFrame, name: String,
+             key: org.apache.spark.sql.Column) =
+        df.select(TextQueries.h32(key).as("h"))
+          .agg(count(lit(1)).as("n_rows"), sum("h").as("hash_sum"),
+            expr("bit_xor(h)").as("hash_xor"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("hash_sum"), col("hash_xor"))
+      val orders = fp(Tables.orders(s, dir), "orders",
+        concat_ws("|", col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").cast("string"),
+          unix_micros(col("o_orderdate").cast("timestamp")).cast("string"),
+          col("o_orderpriority")))
+      val customer = fp(Tables.customer(s, dir), "customer",
+        concat_ws("|", col("c_custkey").cast("string"), col("c_name"),
+          col("c_nationkey").cast("string"),
+          round(col("c_acctbal") * 100).cast("long").cast("string"), col("c_mktsegment")))
+      orders.union(customer).orderBy("table_name")
     }
   )
 
@@ -376,6 +422,33 @@ object DataPrepQueries {
         |       round(avg(wz), 6) AS avg_winsorized,
         |       round(min(wz), 6) AS min_winsorized,
         |       round(max(wz), 6) AS max_winsorized
-        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_linear_fit" ->
+      """WITH d AS (SELECT o_orderstatus,
+        |                  CAST(date_diff('day', DATE '1970-01-01',
+        |                       CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+        |                  o_totalprice AS y
+        |           FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       round(regr_slope(y, x), 6) AS slope,
+        |       round(regr_intercept(y, x), 6) AS intercept,
+        |       round(regr_r2(y, x), 6) AS r2
+        |FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_table_hash" ->
+      """WITH o AS (SELECT ('0x' || substr(md5(concat_ws('|',
+        |             o_orderkey, o_custkey, o_orderstatus,
+        |             CAST(round(o_totalprice * 100) AS BIGINT),
+        |             epoch_us(CAST(o_orderdate AS TIMESTAMP)), o_orderpriority)), 1, 8))::BIGINT AS h
+        |      FROM orders),
+        |c AS (SELECT ('0x' || substr(md5(concat_ws('|',
+        |             c_custkey, c_name, c_nationkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT),
+        |             c_mktsegment)), 1, 8))::BIGINT AS h
+        |      FROM customer)
+        |SELECT 'customer' AS table_name, count(*) AS n_rows,
+        |       CAST(sum(h) AS BIGINT) AS hash_sum, bit_xor(h) AS hash_xor FROM c
+        |UNION ALL
+        |SELECT 'orders', count(*), CAST(sum(h) AS BIGINT), bit_xor(h) FROM o
+        |ORDER BY table_name""".stripMargin
   )
 }

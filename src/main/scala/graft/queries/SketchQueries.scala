@@ -80,6 +80,27 @@ object SketchQueries {
             greatest(count(lit(1)) - sum("truth"), lit(1L)).cast("double"), 6)
             .as("fp_rate"))
         .orderBy("o_orderstatus")
+    },
+
+    // NS: exact heavy hitters via sketch + recount — the Misra–Gries
+    // Aggregator generates a ≤64-entry candidate map (partition-local
+    // sketches, k-entry maps merge — the full tokenized corpus never
+    // shuffles), the candidates broadcast back for an exact recount, and
+    // the n/30 threshold cut makes the output EXACT (MG guarantees the
+    // candidate set is a superset of everything above n/(k+1)) — so the
+    // plain groupBy-HAVING oracle certifies the sketch path end to end.
+    "q_heavy_hitters" -> { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val cand = words.agg(graft.functions.MisraGriesAgg(col("word")).as("mg"))
+        .select(explode(map_keys(col("mg"))).as("word"))
+      val total = words.agg(count(lit(1)).as("n_total"))
+      words.join(broadcast(cand), "word")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * lit(30L) > col("n_total"))
+        .select(col("word"), col("cnt"), col("n_total"))
+        .orderBy("word")
     }
   )
 
@@ -113,7 +134,17 @@ object SketchQueries {
            |       CAST(sum(pass * (1 - truth)) AS BIGINT) AS n_false_pos,
            |       round(CAST(sum(pass * (1 - truth)) AS DOUBLE) /
            |             CAST(greatest(count(*) - sum(truth), 1) AS DOUBLE), 6) AS fp_rate
-           |FROM flags GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+           |FROM flags GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      // exact heavy hitters: the sketch+recount plan must equal the plain
+      // full groupBy with a HAVING threshold
+      "q_heavy_hitters" ->
+        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          |t AS (SELECT count(*) AS n_total FROM w)
+          |SELECT word, count(*) AS cnt, t.n_total AS n_total
+          |FROM w CROSS JOIN t
+          |GROUP BY word, t.n_total
+          |HAVING count(*) * 30 > t.n_total
+          |ORDER BY word""".stripMargin
     )
   }
 }

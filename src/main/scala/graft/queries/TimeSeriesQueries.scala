@@ -103,6 +103,46 @@ object TimeSeriesQueries {
       p.select(col("user_id"), col("t_click"), col("t_view"), col("t_purchase"),
         (unix_micros(col("t_purchase")) - unix_micros(col("t_click"))).as("span_us"))
         .orderBy("user_id")
+    },
+
+    // NS: interval-overlap join — user sessions (30-min-gap intervals,
+    // the q_sessionize construction) joined against synthetic hourly
+    // maintenance windows ([h+15min, h+45min) per hour of the stream's
+    // span), overlap duration computed per pair. The join is BUCKETED, not
+    // theta: each session explodes to the hour buckets it covers, each
+    // window lives in exactly one bucket, and the pair match is an
+    // equi-join on the bucket with the exact overlap as residual — the
+    // interval-join shape that survives 100 TB, where a theta join would
+    // be a cross product. Completeness: a window is confined to its hour,
+    // so any overlapping session covers that hour bucket.
+    "q_interval_join" -> { (s, dir) =>
+      val HourUs = 3600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))
+      val sess = Tables.events(s, dir)
+        .withColumn("new_sess",
+          when(gapUs.isNull.or(gapUs > lit(30L * 60 * 1000000L)), 1L).otherwise(0L))
+        .withColumn("sess_idx", sum("new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_idx")
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      val wins = Tables.events(s, dir)
+        .agg(expr(s"min(unix_micros(ts)) div $HourUs").as("h0"),
+          expr(s"max(unix_micros(ts)) div $HourUs").as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+        .select(col("h"),
+          (col("h") * HourUs + 15L * 60 * 1000000L).as("ws_us"),
+          (col("h") * HourUs + 45L * 60 * 1000000L).as("we_us"))
+      val overlap = least(col("e_us"), col("we_us")) - greatest(col("s_us"), col("ws_us"))
+      sess
+        .select(col("user_id"), col("sess_idx"), col("s_us"), col("e_us"),
+          explode(sequence(expr(s"s_us div $HourUs"), expr(s"e_us div $HourUs"))).as("h"))
+        .join(wins, "h")
+        .withColumn("overlap_us", overlap)
+        .filter(col("overlap_us") > 0L)
+        .select(col("user_id"), col("sess_idx"), col("ws_us"), col("overlap_us"))
+        .orderBy("user_id", "sess_idx", "ws_us")
     }
   )
 
@@ -158,6 +198,30 @@ object TimeSeriesQueries {
         |      GROUP BY e.user_id, v.t_click, v.t_view)
         |SELECT user_id, t_click, t_view, t_purchase,
         |       epoch_us(t_purchase) - epoch_us(t_click) AS span_us
-        |FROM p ORDER BY user_id""".stripMargin
+        |FROM p ORDER BY user_id""".stripMargin,
+    // the oracle joins on the overlap predicate directly (theta join is
+    // fine at oracle scale); the engine's bucketed plan must produce the
+    // identical pair set + overlaps
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT *, epoch_us(ts) - epoch_us(lag(ts, 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us FROM e),
+        |s AS (SELECT *, sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+        |      FROM g),
+        |sess AS (SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+        |                min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+        |         FROM s GROUP BY user_id, sess_idx),
+        |b AS (SELECT min(epoch_us(ts)) // 3600000000 AS h0,
+        |             max(epoch_us(ts)) // 3600000000 AS h1 FROM e),
+        |wins AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
+        |w2 AS (SELECT h * 3600000000 + 900000000 AS ws_us,
+        |              h * 3600000000 + 2700000000 AS we_us FROM wins)
+        |SELECT s.user_id, s.sess_idx, w.ws_us,
+        |       least(s.e_us, w.we_us) - greatest(s.s_us, w.ws_us) AS overlap_us
+        |FROM sess s JOIN w2 w
+        |  ON least(s.e_us, w.we_us) - greatest(s.s_us, w.ws_us) > 0
+        |ORDER BY user_id, sess_idx, ws_us""".stripMargin
   )
 }

@@ -86,6 +86,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MisraGriesAgg: superset guarantee when distinct items exceed capacity") {
+    val mg = new graft.functions.MisraGriesAgg(4)
+    // 60 'a' + 40 'b' + 50 distinct noise singletons, interleaved
+    val stream = (Seq.fill(60)("a") ++ Seq.fill(40)("b") ++
+      (1 to 50).map(i => s"noise$i")).sorted
+    val sketch = stream.foldLeft(mg.zero)(mg.reduce)
+    assert(sketch.size <= 4, "buffer must stay within capacity")
+    // n=150, capacity 4 => anything with freq > 150/5=30 must survive
+    assert(sketch.contains("a") && sketch.contains("b"),
+      s"MG must retain items above n/(k+1): $sketch")
+    // merge path: two half-streams sketched independently then merged
+    val (s1, s2) = stream.splitAt(75)
+    val merged = mg.merge(s1.foldLeft(mg.zero)(mg.reduce), s2.foldLeft(mg.zero)(mg.reduce))
+    assert(merged.size <= 4 && merged.contains("a") && merged.contains("b"))
+  }
+
+  test("q_heavy_hitters: every output word clears the n/30 threshold exactly") {
+    val rows = SparkEntry.queries("q_heavy_hitters")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) * 30 > r.getLong(2)))
+  }
+
+  test("q_interval_join: overlaps positive and bounded by the 30-min window") {
+    val rows = SparkEntry.queries("q_interval_join")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val overlap = r.getLong(3)
+      assert(overlap > 0 && overlap <= 30L * 60 * 1000000L,
+        "overlap must be positive and can never exceed the window length")
+    }
+  }
+
+  test("q_linear_fit: r2 in [0,1], group sizes cover the table") {
+    val rows = SparkEntry.queries("q_linear_fit")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = graft.core.Tables.orders(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("q_table_hash: fingerprint is invariant under row order") {
+    val out = SparkEntry.queries("q_table_hash")(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // recompute the orders fingerprint from a deliberately re-ordered,
+    // re-partitioned copy — commutative aggs must not care
+    val reordered = graft.core.Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      .repartition(7)
+    val h = graft.text.TextQueries.h32(concat_ws("|",
+      col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").cast("string"),
+      unix_micros(col("o_orderdate").cast("timestamp")).cast("string"),
+      col("o_orderpriority")))
+    val r = reordered.select(h.as("h"))
+      .agg(count(lit(1)), sum("h"), expr("bit_xor(h)")).collect()(0)
+    assert(out("orders") == ((r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
   test("q_graph_triangles: wedge/triangle algebra holds and matches brute force") {
     val row = SparkEntry.queries("q_graph_triangles")(spark, dir).collect()(0)
     val (nodes, edges, wedges, tris, closure) =
