@@ -67,6 +67,33 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"HOF dot survived in the dedup plan (allocation per candidate pair):\n$p")
   }
 
+  test("q_bloom_prune: filter and dim both broadcast — the fact side never hash-shuffles pre-agg") {
+    val p = executedPlan("q_bloom_prune")
+    assert(p.contains("BroadcastHashJoin"), s"bloom/dim join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe fell back to SMJ:\n$p")
+  }
+
+  test("q_interval_join: bucketed equi-join, never a nested-loop/cross join") {
+    val p = executedPlan("q_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a theta join:\n$p")
+  }
+
+  test("q_heavy_hitters: sketch aggregates partially before the single-group merge") {
+    val p = executedPlan("q_heavy_hitters")
+    assert(p.contains("partial_misragriesagg") || p.contains("partial_MisraGriesAgg") ||
+      p.toLowerCase.contains("partial_misragries"),
+      s"MG sketch lost map-side partials (full input would shuffle):\n$p")
+  }
+
+  test("q_pack_sequences: exactly one shuffle — the per-source window partitioning") {
+    val p = executedPlan("q_pack_sequences")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("rangepartitioning"),
+      s"packing collapsed to a single partition before the window:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"per-source window partitioning missing:\n$p")
+  }
+
   test("adaptive LSH refinement shrinks over-cap buckets at sf0.1") {
     import org.apache.spark.sql.functions._
     // data-scale-sensitive: needs the big fixture; skip (not fail) without it
