@@ -26,6 +26,8 @@ object SparkEntry {
       _root_.graft.queries.DataPrepQueries.queries ++
       _root_.graft.queries.TimeSeriesQueries.queries ++
       _root_.graft.queries.SketchQueries.queries ++
+      _root_.graft.queries.StatsQueries.queries ++
+      _root_.graft.queries.QualityQueries.queries ++
       streaming.EventQueries.queries ++
       text.TextQueries.queries ++
       text.CorpusQueries.queries ++
@@ -48,6 +50,8 @@ object SparkEntry {
       _root_.graft.queries.DataPrepQueries.oracleSql ++
       _root_.graft.queries.TimeSeriesQueries.oracleSql ++
       _root_.graft.queries.SketchQueries.oracleSql ++
+      _root_.graft.queries.StatsQueries.oracleSql ++
+      _root_.graft.queries.QualityQueries.oracleSql ++
       streaming.EventQueries.oracleSql ++
       text.TextQueries.oracleSql ++
       text.CorpusQueries.oracleSql ++

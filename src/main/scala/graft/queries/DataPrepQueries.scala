@@ -289,6 +289,45 @@ object DataPrepQueries {
           col("c_nationkey").cast("string"),
           round(col("c_acctbal") * 100).cast("long").cast("string"), col("c_mktsegment")))
       orders.union(customer).orderBy("table_name")
+    },
+
+    // NS: equal-frequency (quartile) bucketizer — the MLlib
+    // QuantileDiscretizer shape as a query: exact quartile boundaries from
+    // one single-row aggregate (Spark's exact percentile keeps a
+    // value→count map — bounded by the 2-decimal price DOMAIN, not row
+    // count; swap in approx_percentile for unbounded domains), broadcast
+    // to a per-row bucket assignment, then per-bucket stats. Two narrow
+    // passes + one K-group shuffle at any scale.
+    "q_percentile_bucket" -> { (s, dir) =>
+      val b = Tables.orders(s, dir)
+        .agg(expr("percentile(o_totalprice, 0.25)").as("q1"),
+          expr("percentile(o_totalprice, 0.5)").as("q2"),
+          expr("percentile(o_totalprice, 0.75)").as("q3"))
+      Tables.orders(s, dir).crossJoin(broadcast(b))
+        .select(col("o_totalprice").as("v"),
+          when(col("o_totalprice") < col("q1"), 0L)
+            .when(col("o_totalprice") < col("q2"), 1L)
+            .when(col("o_totalprice") < col("q3"), 2L).otherwise(3L).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(min("v"), 2).as("lo"),
+          round(max("v"), 2).as("hi"), round(avg("v"), 4).as("mean"))
+        .orderBy("bucket")
+    },
+
+    // NS: per-group min-max feature scaling — acctbal normalized to [0,1]
+    // within each nation. Group envelopes are one tiny aggregate broadcast
+    // back onto the rows (no second shuffle of the data); degenerate
+    // single-value groups (max == min) scale to 0 via the guarded
+    // denominator on both engines.
+    "q_minmax_scale" -> { (s, dir) =>
+      val env = Tables.customer(s, dir).groupBy("c_nationkey")
+        .agg(min("c_acctbal").as("lo"), max("c_acctbal").as("hi"))
+      Tables.customer(s, dir)
+        .join(broadcast(env), "c_nationkey")
+        .select(col("c_custkey"),
+          round((col("c_acctbal") - col("lo")) /
+            greatest(col("hi") - col("lo"), lit(1e-12)), 6).as("scaled"))
+        .orderBy("c_custkey")
     }
   )
 
@@ -449,6 +488,24 @@ object DataPrepQueries {
         |       CAST(sum(h) AS BIGINT) AS hash_sum, bit_xor(h) AS hash_xor FROM c
         |UNION ALL
         |SELECT 'orders', count(*), CAST(sum(h) AS BIGINT), bit_xor(h) FROM o
-        |ORDER BY table_name""".stripMargin
+        |ORDER BY table_name""".stripMargin,
+    "q_percentile_bucket" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |                  quantile_cont(o_totalprice, 0.5) AS q2,
+        |                  quantile_cont(o_totalprice, 0.75) AS q3 FROM orders),
+        |t AS (SELECT o_totalprice AS v,
+        |             CASE WHEN o_totalprice < q1 THEN 0 WHEN o_totalprice < q2 THEN 1
+        |                  WHEN o_totalprice < q3 THEN 2 ELSE 3 END AS bucket
+        |      FROM orders CROSS JOIN b)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+        |       round(min(v), 2) AS lo, round(max(v), 2) AS hi, round(avg(v), 4) AS mean
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_minmax_scale" ->
+      """WITH env AS (SELECT c_nationkey, min(c_acctbal) AS lo, max(c_acctbal) AS hi
+        |             FROM customer GROUP BY 1)
+        |SELECT c.c_custkey,
+        |       round((c.c_acctbal - env.lo) / greatest(env.hi - env.lo, 1e-12), 6) AS scaled
+        |FROM customer c JOIN env USING (c_nationkey)
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.TextQueries
+
+/** Data-quality / dataset-curation operators: referential-integrity audit,
+  * per-source quality-gate yield, deterministic stratified splits, and
+  * character-entropy scoring. The observability half of a corpus pipeline —
+  * the queries that certify a 100 TB snapshot BEFORE training reads it.
+  *
+  * Scale design: every operator is either a narrow per-row computation
+  * (entropy, gate rules, split hashing) followed by one map-side-combinable
+  * aggregation, or an anti/outer join whose dim side broadcasts. Nothing
+  * here shuffles text bodies except the per-row derived columns they
+  * reduce to.
+  */
+object QualityQueries {
+
+  /** Entropy alphabet: lowercase letters + space. Fixed and tiny, so the
+    * per-doc histogram is 27 narrow `replace` scans (O(27·len) per row, no
+    * explode → no shuffle of per-char rows, no Generate in the plan).
+    */
+  val Alphabet: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+
+  private def h100(tag: String, k: Column): Column =
+    pmod(TextQueries.h32(concat(lit(tag), k.cast("string"))), lit(100L))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // NS: referential-integrity audit over the star schema — orphan counts
+    // for every FK edge plus the reverse check (childless orders). Each
+    // edge is a left-outer join against parent KEYS only (broadcast for
+    // dims; the orders edge reduces lineitem to distinct keys first so the
+    // big-big join carries keys, not rows). The union is a 5-row report:
+    // the certification a pipeline gates a snapshot on.
+    "q_fk_audit" -> { (s, dir) =>
+      def edge(name: String, child: DataFrame, key: String,
+               parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+        val p = parent.select(col(pkey)).withColumn("_hit", lit(1))
+        val pj = if (bcast) broadcast(p) else p
+        child.join(pj, col(key) === col(pkey), "left_outer")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_orphan"))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphan"))
+      }
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      edge("events.user_id->customer", Tables.events(s, dir), "user_id",
+          Tables.customer(s, dir), "c_custkey", bcast = true)
+        .unionByName(edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          ord, "o_orderkey", bcast = false))
+        .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.part(s, dir), "p_partkey", bcast = true))
+        .unionByName(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey", bcast = true))
+        // reverse edge: parents with no children (dead orders). The child
+        // side collapses to distinct keys BEFORE the join — at 100 TB the
+        // join probes |orders| x |distinct orderkeys|, never raw lineitem.
+        .unionByName(
+          ord.join(li.select(col("l_orderkey")).distinct().withColumn("_hit", lit(1)),
+              col("o_orderkey") === col("l_orderkey"), "left_outer")
+            .agg(count(lit(1)).as("n_child"),
+              sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_orphan"))
+            .select(lit("orders!->lineitem (childless)").as("fk"),
+              col("n_child"), col("n_orphan")))
+        .orderBy("fk")
+    },
+
+    // NS: quality-gate yield report — four independent corpus rules
+    // (non-empty, length band, min words, distinct-word ratio) evaluated
+    // per row, aggregated per source. One narrow pass + one K-group
+    // shuffle; the `yield` column is what a curation run monitors per
+    // snapshot (which sources are rotting).
+    "q_quality_gate" -> { (s, dir) =>
+      val w = split(col("text"), " ")
+      val gated = Tables.documents(s, dir)
+        .withColumn("r_nonempty", (length(trim(col("text"))) > 0).cast("long"))
+        .withColumn("r_len", (col("n_chars").between(20, 2000)).cast("long"))
+        .withColumn("r_words", (size(w) >= 5).cast("long"))
+        .withColumn("r_distinct",
+          (size(array_distinct(w)).cast("double") >=
+            size(w).cast("double") * 0.3).cast("long"))
+      gated.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("r_nonempty").as("pass_nonempty"),
+          sum("r_len").as("pass_len"),
+          sum("r_words").as("pass_words"),
+          sum("r_distinct").as("pass_distinct"),
+          round(sum(col("r_nonempty") * col("r_len") * col("r_words") * col("r_distinct"))
+            .cast("double") / count(lit(1)).cast("double"), 6).as("yield_rate"))
+        .orderBy("source")
+    },
+
+    // NS: deterministic stratified train/val/test split (80/10/10 by hashed
+    // doc_id) with per-(lang, split) counts and within-stratum shares. The
+    // split is a pure row-local hash — reproducible across engines, runs,
+    // and cluster sizes (no RNG, no sampling state), which is the property
+    // a 100 TB training snapshot needs: re-running the split never moves a
+    // document between sets.
+    "q_stratified_split" -> { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .withColumn("h", h100("split:", col("doc_id")))
+        .withColumn("split",
+          when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
+      val strata = t.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      t.groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .join(broadcast(strata), "lang")
+        .select(col("lang"), col("split"), col("n"),
+          round(col("n").cast("double") / col("n_lang").cast("double"), 6).as("share"))
+        .orderBy("lang", "split")
+    },
+
+    // NS: per-document character-level Shannon entropy over a fixed
+    // 27-symbol alphabet — the cheap gibberish/boilerplate detector (low
+    // entropy = repeated chars/padding; ~3.1 = English-like). The histogram
+    // is 27 `replace` length-diffs (narrow, codegen, no explode of N·len
+    // char rows); the entropy fold runs in fixed left-to-right order in
+    // both engines so the float sum is reproducible.
+    "q_char_entropy" -> { (s, dir) =>
+      val t = lower(col("text"))
+      val counts = array(Alphabet.map(ch =>
+        (length(t) - length(replace(t, lit(ch), lit("")))).cast("double")): _*)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), counts.as("cnt"))
+        .select(col("doc_id"), col("cnt"),
+          aggregate(col("cnt"), lit(0.0d), (acc, x) => acc + x).as("n"))
+        .select(col("doc_id"),
+          round(-aggregate(
+            transform(col("cnt"), c =>
+              when(c > 0, (c / col("n")) * log(c / col("n"))).otherwise(lit(0.0d))),
+            lit(0.0d), (acc, x) => acc + x), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // Correlated EXISTS / NOT EXISTS as verbatim SQL (the reference-user
+    // migration path, like q_sql_tpch): nations' customers with an open
+    // order but no finalized order. Catalyst decorrelates both subqueries
+    // into one semi and one anti hash join — no per-row subquery execution
+    // at any scale (plan-asserted in PlanPropertiesSpec).
+    "q_exists_subquery" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""SELECT n_name, count(*) AS n_cust
+              |FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+              |WHERE EXISTS (SELECT 1 FROM orders_v
+              |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+              |  AND NOT EXISTS (SELECT 1 FROM orders_v
+              |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+              |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }
+  )
+
+  def oracleSql: Map[String, String] = {
+    val alphabetSql = Alphabet.map(c => s"'${if (c == "'") "''" else c}'").mkString("[", ", ", "]")
+    Map(
+      "q_fk_audit" ->
+        """WITH a AS (
+          |  SELECT 'events.user_id->customer' AS fk, count(*) AS n_child,
+          |         count(*) FILTER (WHERE p.c_custkey IS NULL) AS n_orphan
+          |  FROM events c LEFT JOIN customer p ON c.user_id = p.c_custkey
+          |  UNION ALL
+          |  SELECT 'lineitem.l_orderkey->orders', count(*),
+          |         count(*) FILTER (WHERE p.o_orderkey IS NULL)
+          |  FROM lineitem c LEFT JOIN orders p ON c.l_orderkey = p.o_orderkey
+          |  UNION ALL
+          |  SELECT 'lineitem.l_partkey->part', count(*),
+          |         count(*) FILTER (WHERE p.p_partkey IS NULL)
+          |  FROM lineitem c LEFT JOIN part p ON c.l_partkey = p.p_partkey
+          |  UNION ALL
+          |  SELECT 'lineitem.l_suppkey->supplier', count(*),
+          |         count(*) FILTER (WHERE p.s_suppkey IS NULL)
+          |  FROM lineitem c LEFT JOIN supplier p ON c.l_suppkey = p.s_suppkey
+          |  UNION ALL
+          |  SELECT 'orders!->lineitem (childless)', count(*),
+          |         count(*) FILTER (WHERE k.l_orderkey IS NULL)
+          |  FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) k
+          |    ON o.o_orderkey = k.l_orderkey
+          |)
+          |SELECT fk, n_child, n_orphan FROM a ORDER BY fk""".stripMargin,
+      "q_quality_gate" ->
+        """WITH g AS (SELECT source,
+          |  CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END AS r1,
+          |  CASE WHEN n_chars BETWEEN 20 AND 2000 THEN 1 ELSE 0 END AS r2,
+          |  CASE WHEN len(string_split(text, ' ')) >= 5 THEN 1 ELSE 0 END AS r3,
+          |  CASE WHEN len(list_distinct(string_split(text, ' ')))::DOUBLE >=
+          |            len(string_split(text, ' '))::DOUBLE * 0.3 THEN 1 ELSE 0 END AS r4
+          |FROM documents)
+          |SELECT source, count(*) AS n_docs,
+          |       sum(r1) AS pass_nonempty, sum(r2) AS pass_len,
+          |       sum(r3) AS pass_words, sum(r4) AS pass_distinct,
+          |       round(sum(r1*r2*r3*r4)::DOUBLE / count(*)::DOUBLE, 6) AS yield_rate
+          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+      "q_stratified_split" ->
+        """WITH t AS (SELECT lang,
+          |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+          |  FROM documents),
+          |s AS (SELECT lang,
+          |             CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+          |                  ELSE 'test' END AS split FROM t),
+          |strata AS (SELECT lang, count(*) AS n_lang FROM s GROUP BY 1)
+          |SELECT s.lang, s.split, count(*) AS n,
+          |       round(count(*)::DOUBLE / max(strata.n_lang)::DOUBLE, 6) AS share
+          |FROM s JOIN strata ON s.lang = strata.lang
+          |GROUP BY s.lang, s.split ORDER BY s.lang, s.split""".stripMargin,
+      "q_char_entropy" ->
+        s"""WITH e AS (SELECT doc_id, lower(text) AS t FROM documents),
+           |cnts AS (SELECT doc_id,
+           |  list_transform($alphabetSql,
+           |    c -> (length(t) - length(replace(t, c, '')))::DOUBLE) AS cnt FROM e),
+           |tot AS (SELECT doc_id, cnt, list_sum(cnt) AS n FROM cnts)
+           |SELECT doc_id,
+           |       round(-list_sum(list_transform(cnt,
+           |         c -> CASE WHEN c > 0 THEN (c/n)*ln(c/n) ELSE 0.0 END)), 6) AS entropy
+           |FROM tot ORDER BY doc_id""".stripMargin,
+      "q_exists_subquery" ->
+        """SELECT n_name, count(*) AS n_cust
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+          |GROUP BY n_name ORDER BY n_name""".stripMargin
+    )
+  }
+}

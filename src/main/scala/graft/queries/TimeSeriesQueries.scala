@@ -143,6 +143,56 @@ object TimeSeriesQueries {
         .filter(col("overlap_us") > 0L)
         .select(col("user_id"), col("sess_idx"), col("ws_us"), col("overlap_us"))
         .orderBy("user_id", "sess_idx", "ws_us")
+    },
+
+    // NS: 24-hour rolling Pearson correlation between the hourly click and
+    // purchase series — the drift/covariation monitor. Raw events reduce to
+    // ONE row per hour first (map-side-combinable), so the unpartitioned
+    // ordered window runs over O(hours), never O(events); zero-variance
+    // windows (corr undefined: NaN in Spark, NULL in DuckDB) are pinned to
+    // 0 on both engines.
+    "q_rolling_corr" -> { (s, dir) =>
+      val h = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("double").as("clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("double").as("buys"))
+      val w = Window.orderBy("hr").rowsBetween(-23, 0)
+      // corr spelled as guarded covar/stddev: ANSI mode turns the
+      // zero-variance window (constant series) into DIVIDE_BY_ZERO inside
+      // Corr itself; the `when` guard evaluates the division only on
+      // windows where it is defined, matching DuckDB's NULL->0 coalesce.
+      h.withColumn("cv", covar_samp(col("clicks"), col("buys")).over(w))
+        .withColumn("sx", stddev_samp(col("clicks")).over(w))
+        .withColumn("sy", stddev_samp(col("buys")).over(w))
+        .withColumn("nw", count(lit(1)).over(w))
+        .filter(col("nw") >= 24)
+        .select(col("hr"), col("clicks").cast("long").as("clicks"),
+          col("buys").cast("long").as("buys"),
+          round(when(col("sx") > 0 && col("sy") > 0,
+            col("cv") / (col("sx") * col("sy"))).otherwise(lit(0.0)), 6).as("roll_corr"))
+        .orderBy("hr")
+    },
+
+    // NS: CUSUM changepoint detection on the hourly event-count series —
+    // where did the level shift? cusum_t = Σ(n_i − μ); the argmax of
+    // |cusum| is the most likely single changepoint. Same reduce-first
+    // shape as q_rolling_corr (window over hours, not events); the argmax
+    // pick compares ROUNDED |cusum| so float-epsilon never flips the
+    // deterministic (|cusum| desc, hr) tie-break.
+    "q_changepoint" -> { (s, dir) =>
+      val h = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val wc = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("mu", avg("n").over(Window.partitionBy()))
+        .withColumn("n_hours", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("cusum", sum(col("n") - col("mu")).over(wc))
+        .orderBy(round(abs(col("cusum")), 6).desc, col("hr"))
+        .limit(1)
+        .select(col("hr").as("cp_hr"), round(col("cusum"), 6).as("cusum_at_cp"),
+          col("n_hours"))
     }
   )
 
@@ -222,6 +272,28 @@ object TimeSeriesQueries {
         |       least(s.e_us, w.we_us) - greatest(s.s_us, w.ws_us) AS overlap_us
         |FROM sess s JOIN w2 w
         |  ON least(s.e_us, w.we_us) - greatest(s.s_us, w.ws_us) > 0
-        |ORDER BY user_id, sess_idx, ws_us""".stripMargin
+        |ORDER BY user_id, sess_idx, ws_us""".stripMargin,
+    "q_rolling_corr" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |                  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS clicks,
+        |                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS buys
+        |           FROM events GROUP BY 1),
+        |r AS (SELECT hr, clicks, buys,
+        |             corr(clicks, buys) OVER (ORDER BY hr
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS c,
+        |             count(*) OVER (ORDER BY hr
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS nw
+        |      FROM h)
+        |SELECT hr, CAST(clicks AS BIGINT) AS clicks, CAST(buys AS BIGINT) AS buys,
+        |       round(coalesce(c, 0.0), 6) AS roll_corr
+        |FROM r WHERE nw >= 24 ORDER BY hr""".stripMargin,
+    "q_changepoint" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, count(*)::DOUBLE AS n
+        |           FROM events GROUP BY 1),
+        |m AS (SELECT hr, n, avg(n) OVER () AS mu, count(*) OVER () AS n_hours FROM h),
+        |c AS (SELECT hr, n_hours, sum(n - mu) OVER (ORDER BY hr
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum FROM m)
+        |SELECT hr AS cp_hr, round(cusum, 6) AS cusum_at_cp, CAST(n_hours AS BIGINT) AS n_hours
+        |FROM c ORDER BY round(abs(cusum), 6) DESC, hr LIMIT 1""".stripMargin
   )
 }

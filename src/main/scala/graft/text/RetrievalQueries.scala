@@ -125,6 +125,31 @@ object RetrievalQueries {
             coalesce(lit(1.0) / (lit(60.0) + col("rank_emb")), lit(0.0)), 9).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // NS: inverted-index construction — per term (hapaxes dropped; the
+    // fixture corpus has a closed ~31-word vocabulary, so no stopword band
+    // applies), the posting list of its top-10 docs by (tf desc, doc_id).
+    // The one shuffle
+    // carries (word, doc, tf) triples with map-side combine; the per-term
+    // top-10 is the bounded TopKAgg (k rows per term per partition — the
+    // whole posting list of a stopword never materializes anywhere), which
+    // is the property that makes index BUILD feasible at 100 TB. Postings
+    // serialize as a comma-joined string (cross-engine stable).
+    "q_posting_lists" -> { (s, dir) =>
+      val topk = udaf(new graft.functions.TopKAgg(10),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredId]())
+      val posts = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+      posts.groupBy("word")
+        .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
+          topk(col("doc_id"), col("tf").cast("double")).as("top"))
+        .filter(col("df") >= 2)
+        .select(col("word"), col("df"), col("total_tf"),
+          array_join(transform(col("top"), x => x.getField("id").cast("string")), ",")
+            .as("postings"))
+        .orderBy("word")
     }
   )
 
@@ -183,7 +208,16 @@ object RetrievalQueries {
            |       round(coalesce(1.0 / (60.0 + t.rank_text), 0.0) +
            |             coalesce(1.0 / (60.0 + m.rank_emb), 0.0), 9) AS rrf
            |FROM txt t FULL OUTER JOIN emb m ON t.doc_id = m.doc_id
-           |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+           |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+      "q_posting_lists" ->
+        """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+          |tf AS (SELECT word, doc_id, count(*) AS tf FROM p GROUP BY 1, 2),
+          |g AS (SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+          |             array_to_string(list(doc_id ORDER BY tf DESC, doc_id)[1:10], ',') AS postings
+          |      FROM tf GROUP BY word)
+          |SELECT word, df, total_tf, postings
+          |FROM g WHERE df >= 2
+          |ORDER BY word""".stripMargin
     )
   }
 }

