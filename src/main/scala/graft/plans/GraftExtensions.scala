@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     e.injectOptimizerRule(_ => RewriteSqDist)
     e.injectOptimizerRule(_ => RewriteDot)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

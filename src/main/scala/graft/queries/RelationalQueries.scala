@@ -284,6 +284,24 @@ object RelationalQueries {
         .select(col("event_id"), col("asof_order"))
         .orderBy("event_id")
     },
+    // NS: the SAME as-of semantics through the engine's native operator —
+    // graft's custom LogicalPlan + SparkStrategy + BinaryExecNode
+    // (plans.AsOfJoin): co-partitioned by EnsureRequirements, sorted by
+    // (key, time), merged in one O(|L|+|R|) forward pass with O(1) state.
+    // Oracle = q_join_asof's DuckDB ASOF JOIN; equivalence with the
+    // union+window spelling is additionally spec-pinned.
+    "q_join_asof_native" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ot"),
+          col("o_orderkey"))
+      graft.plans.AsOfJoin(ev, "user_id", "t", ord, "o_custkey", "ot",
+          "o_orderkey", "asof_order")
+        .select(col("event_id"), col("asof_order"))
+        .orderBy("event_id")
+    },
 
     // ---- §2.4 aggregations -------------------------------------------------
 
@@ -669,6 +687,14 @@ object RelationalQueries {
         |       AND c.c_ts > p.p_ts AND c.c_ts <= p.p_ts + INTERVAL 5 MINUTE
         |GROUP BY p.p_id ORDER BY p.p_id""".stripMargin,
     "q_join_asof" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+        |                  row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |           FROM orders)
+        |SELECT e.event_id, o.o_orderkey AS asof_order
+        |FROM events e ASOF LEFT JOIN (SELECT * FROM o WHERE rn = 1) o
+        |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_join_asof_native" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
         |                  row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
         |           FROM orders)

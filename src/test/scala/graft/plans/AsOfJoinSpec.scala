@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** The native as-of operator: plan shape, equivalence with the composable
+  * union+window spelling, and the merge loop's edge semantics on
+  * hand-built frames (ties, no-match, cross-key isolation).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q_join_asof_native plans through AsOfJoinExec with sorted co-partitioned inputs") {
+    val df = SparkEntry.queries("q_join_asof_native")(spark, TestSpark.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), s"native operator not planned:\n$p")
+    assert(p.contains("Sort [user_id") && p.contains("Sort [o_custkey"),
+      s"EnsureRequirements added no within-partition sorts:\n$p")
+    assert(p.contains("Exchange hashpartitioning(user_id") &&
+      p.contains("Exchange hashpartitioning(o_custkey"),
+      s"children not co-partitioned on the key:\n$p")
+  }
+
+  test("native as-of == union+window as-of on the fixture") {
+    val native = SparkEntry.queries("q_join_asof_native")(spark, TestSpark.Sf0001).collect()
+    val window = SparkEntry.queries("q_join_asof")(spark, TestSpark.Sf0001).collect()
+    assert(native.length === window.length)
+    native.zip(window).foreach { case (n, w) =>
+      assert(n.getLong(0) === w.getLong(0))
+      assert(Option(n.get(1)) === Option(w.get(1)), s"mismatch at event ${n.getLong(0)}")
+    }
+  }
+
+  test("merge semantics: time ties take the largest value; no earlier right row -> null; keys isolated") {
+    val left = Seq(
+      (1L, 1L, 9L),   // before any right row for key 1 -> null
+      (2L, 1L, 10L),  // tie on t=10 -> larger value wins (20)
+      (3L, 1L, 50L),  // after all -> latest (30)
+      (4L, 2L, 100L)  // key 2 has no right rows -> null (no cross-key leak)
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, 10L, 10L), (1L, 10L, 20L), (1L, 11L, 30L)
+    ).toDF("rk", "rt", "rv")
+    val got = AsOfJoin(left, "k", "t", right, "rk", "rt", "rv", "v")
+      .orderBy("id").select("id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(got.toSeq === Seq(
+      1L -> None, 2L -> Some(20L), 3L -> Some(30L), 4L -> None))
+  }
+}
