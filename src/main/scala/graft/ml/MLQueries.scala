@@ -88,6 +88,24 @@ object MLQueries {
       import s2.implicits._
       sizes.zipWithIndex.map { case (n, i) => (i.toLong, n.toLong) }
         .toSeq.toDF("rank", "cluster_size").orderBy("rank")
+    },
+
+    // NS: the hashing trick — 16-dim signed hashed bag-of-words per doc
+    // (HashingTF's collision-tolerant shape, md5-derived so both engines
+    // agree bit-for-bit). The (doc, dim) shuffle is map-side combined to
+    // <=16 rows per doc regardless of document length — the fixed-width
+    // feature encoding that never needs a vocabulary broadcast at 100 TB.
+    "q_feature_hash" -> { (s, dir) =>
+      val word = col("word")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"),
+          pmod(graft.text.TextQueries.h32(concat(lit("fh:"), word)), lit(16L)).as("dim"),
+          (pmod(graft.text.TextQueries.h32(concat(lit("sg:"), word)), lit(2L)) * 2 - 1)
+            .as("sign"))
+        .groupBy("doc_id", "dim")
+        .agg(sum("sign").as("val"))
+        .orderBy("doc_id", "dim")
     }
   )
 
@@ -117,6 +135,14 @@ object MLQueries {
       """SELECT doc_id, u.word, count(*) AS n
         |FROM documents, UNNEST(string_split(text, ' ')) AS u(word)
         |GROUP BY doc_id, u.word
-        |ORDER BY doc_id, u.word""".stripMargin
+        |ORDER BY doc_id, u.word""".stripMargin,
+    "q_feature_hash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |h AS (SELECT doc_id,
+        |             ('0x' || substr(md5('fh:' || word), 1, 8))::BIGINT % 16 AS dim,
+        |             (('0x' || substr(md5('sg:' || word), 1, 8))::BIGINT % 2) * 2 - 1 AS sign
+        |      FROM w)
+        |SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS val
+        |FROM h GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin
   )
 }

@@ -328,6 +328,26 @@ object DataPrepQueries {
           round((col("c_acctbal") - col("lo")) /
             greatest(col("hi") - col("lo"), lit(1e-12)), 6).as("scaled"))
         .orderBy("c_custkey")
+    },
+
+    // NS: weighted sampling without replacement (Efraimidis–Spirakis):
+    // per-row key ln(u)/w with u derived from an md5 hash — NO RNG, so the
+    // sample is reproducible across engines, retries, and cluster sizes —
+    // and the top-10 keys are the sample. One narrow pass +
+    // TakeOrderedAndProject (per-partition top-k, k-row driver merge): the
+    // scalable one-pass weighted reservoir. The cut compares ROUNDED keys
+    // (1e-12 of a ~1e-10-gapped key space) so last-ulp libm ln()
+    // differences can never flip the selection.
+    "q_weighted_sample" -> { (s, dir) =>
+      val h = TextQueries.h32(concat(lit("ws:"), col("o_orderkey").cast("string")))
+      val u = (pmod(h, lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice").as("w"), u.as("u"))
+        .select(col("o_orderkey"), col("w"), (log(col("u")) / col("w")).as("key"))
+        .orderBy(round(col("key"), 12).desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("w"), 2).as("weight"),
+          round(col("key") * 1e6, 3).as("es_key_x1e6"))
     }
   )
 
@@ -506,6 +526,14 @@ object DataPrepQueries {
         |SELECT c.c_custkey,
         |       round((c.c_acctbal - env.lo) / greatest(env.hi - env.lo, 1e-12), 6) AS scaled
         |FROM customer c JOIN env USING (c_nationkey)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice AS w,
+        |                  (('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        |                    % 1000000 + 0.5) / 1000000.0 AS u
+        |           FROM orders),
+        |k AS (SELECT o_orderkey, w, ln(u) / w AS key FROM t)
+        |SELECT o_orderkey, round(w, 2) AS weight, round(key * 1e6, 3) AS es_key_x1e6
+        |FROM k ORDER BY round(key, 12) DESC, o_orderkey LIMIT 10""".stripMargin
   )
 }

@@ -122,19 +122,33 @@ object StatsQueries {
     },
 
     // NS: 2-D skyline (Pareto frontier): lineitems minimizing price while
-    // maximizing quantity — no other line is both cheaper and larger. The
-    // staircase algorithm: collapse to max-quantity-per-distinct-price (the
-    // one real shuffle; window input = |price domain|, not N), then keep
-    // rows whose quantity strictly beats the running max over all cheaper
-    // prices. For unbounded domains the same operator runs as local
-    // skyline per partition + merge of the (small) local frontiers — the
-    // staircase is associative under union.
+    // maximizing quantity — no other line is both cheaper and larger.
+    // Two-level staircase, because the distinct-price frame is NOT small
+    // (~N at this generator): level 1 collapses to max-qty per 1000-wide
+    // price bucket (one small agg), runs the strictly-earlier-bucket
+    // running max over those ~500 rows, and broadcasts it back; only rows
+    // that beat every earlier bucket's max survive to the exact
+    // single-partition staircase — provably the same frontier (a dropped
+    // row is dominated by the earlier-bucket row that set the running max,
+    // which itself survives), with the global window seeing ~1e2-1e3
+    // candidates instead of ~N distinct prices. This two-level
+    // prefilter+exact shape is the 100 TB form of every "global ordered
+    // scan" operator.
     "q_skyline" -> { (s, dir) =>
       val g = Tables.lineitem(s, dir)
         .groupBy(col("l_extendedprice").as("price"))
         .agg(max("l_quantity").as("qty"))
+      val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val bmax = g.groupBy(floor(col("price") / 1000.0).cast("long").as("bkt"))
+        .agg(max("qty").as("bqty"))
+        .withColumn("bprev", max("bqty").over(wb))
+        .select(col("bkt"), col("bprev"))
+      val cand = g
+        .withColumn("bkt", floor(col("price") / 1000.0).cast("long"))
+        .join(broadcast(bmax), "bkt")
+        .filter(col("bprev").isNull || col("qty") > col("bprev"))
       val w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
-      g.withColumn("prevmax", max("qty").over(w))
+      cand.withColumn("prevmax", max("qty").over(w))
         .filter(col("prevmax").isNull || col("qty") > col("prevmax"))
         .select("price", "qty")
         .orderBy("price")
