@@ -193,6 +193,25 @@ object TimeSeriesQueries {
         .limit(1)
         .select(col("hr").as("cp_hr"), round(col("cusum"), 6).as("cusum_at_cp"),
           col("n_hours"))
+    },
+
+    // NS: exponentially time-decayed aggregate (24-h half-life) per user —
+    // the feature-store recency-weighted sum. Pure narrow math against a
+    // broadcast 1-row max-timestamp frame + one user-key shuffle; the
+    // decay constant is the same spelled-out double literal on both
+    // engines so the weights agree bit-for-bit (mod libm exp ulp, absorbed
+    // by round 6).
+    "q_decay_agg" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("tus"))
+      val tmax = e.agg(max("tus").as("t_max"))
+      e.crossJoin(broadcast(tmax))
+        .select(col("user_id"),
+          (col("value") * exp(lit(-0.6931471805599453 / 24.0) *
+            (col("t_max") - col("tus")).cast("double") / lit(3600000000.0d))).as("dv"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("dv"), 6).as("decayed_sum"))
+        .orderBy("user_id")
     }
   )
 
@@ -294,6 +313,13 @@ object TimeSeriesQueries {
         |c AS (SELECT hr, n_hours, sum(n - mu) OVER (ORDER BY hr
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum FROM m)
         |SELECT hr AS cp_hr, round(cusum, 6) AS cusum_at_cp, CAST(n_hours AS BIGINT) AS n_hours
-        |FROM c ORDER BY round(abs(cusum), 6) DESC, hr LIMIT 1""".stripMargin
+        |FROM c ORDER BY round(abs(cusum), 6) DESC, hr LIMIT 1""".stripMargin,
+    "q_decay_agg" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |m AS (SELECT max(tus) AS t_max FROM e)
+        |SELECT user_id, count(*) AS n,
+        |       round(sum(value * exp((-0.6931471805599453 / 24.0) *
+        |             CAST(t_max - tus AS DOUBLE) / 3600000000.0)), 6) AS decayed_sum
+        |FROM e CROSS JOIN m GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -100,6 +100,30 @@ object TextQueries {
           best.getField("hits").as("n_hits"))
         .orderBy("doc_id")
     },
+    // NS: model-eval of the engine's OWN langid operator — confusion matrix
+    // of predicted vs fixture-truth language plus per-class recall shares.
+    // The per-row prediction is the identical narrow expression as
+    // q_text_langid; the matrix is one tiny two-key aggregate. This is the
+    // eval loop a curation pipeline closes over its classifiers.
+    "q_langid_confusion" -> { (s, dir) =>
+      val scores = langMarkers.map { case (lang, ws) =>
+        val markers = array(ws.map(lit): _*)
+        struct(size(array_intersect(words, markers)).cast("long").as("hits"),
+          lit(lang).as("lang"))
+      }
+      val best = sort_array(array(scores: _*), asc = false).getItem(0)
+      val pred = Tables.documents(s, dir)
+        .select(col("lang").as("true_lang"),
+          when(best.getField("hits") > 0, best.getField("lang"))
+            .otherwise("und").as("pred_lang"))
+      val conf = pred.groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val tot = pred.groupBy("true_lang").agg(count(lit(1)).as("n_true"))
+      conf.join(broadcast(tot), "true_lang")
+        .select(col("true_lang"), col("pred_lang"), col("n"),
+          round(col("n").cast("double") / col("n_true").cast("double"), 6).as("frac"))
+        .orderBy("true_lang", "pred_lang")
+    },
+
     // Quality scoring: length/stopword/char-class ratios + a composite score.
     "q_text_quality" -> { (s, dir) =>
       val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
@@ -394,6 +418,18 @@ object TextQueries {
            |       CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS pred_lang,
            |       b.hits AS n_hits
            |FROM best ORDER BY doc_id""".stripMargin,
+      "q_langid_confusion" ->
+        s"""WITH t AS (SELECT lang AS true_lang, string_split(text, ' ') AS ws FROM documents),
+           |best AS (SELECT true_lang, list_reverse_sort($langScore)[1] AS b FROM t),
+           |p AS (SELECT true_lang,
+           |             CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS pred_lang
+           |      FROM best),
+           |c AS (SELECT true_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+           |tot AS (SELECT true_lang, count(*) AS n_true FROM p GROUP BY 1)
+           |SELECT c.true_lang, c.pred_lang, c.n,
+           |       round(c.n::DOUBLE / tot.n_true::DOUBLE, 6) AS frac
+           |FROM c JOIN tot USING (true_lang)
+           |ORDER BY true_lang, pred_lang""".stripMargin,
       "q_text_quality" ->
         """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
           |m AS (SELECT doc_id,
