@@ -302,6 +302,28 @@ object RelationalQueries {
         .select(col("event_id"), col("asof_order"))
         .orderBy("event_id")
     },
+    // NS: star join — the fact scanned ONCE against three dims, two of
+    // them broadcast (part, supplier) so the only real shuffle is the
+    // orders equi-join + the final group-by. The 100 TB plan shape for
+    // every star schema: no dim ever sort-merge-joins the fact.
+    "q_star_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val revenue = sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      li.join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderstatus"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("p_brand", "o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct("s_nationkey").as("n_supp_nations"),
+          // 4 decimals: the product has <=4 true decimals, so the sum's
+          // 4-dec grid is boundary-free; rounding at 2 sits ON the .005
+          // boundary and float-sum order flips it (seen live at sf0.001)
+          round(revenue, 4).as("revenue"))
+        .orderBy("p_brand", "o_orderstatus")
+    },
 
     // ---- §2.4 aggregations -------------------------------------------------
 
@@ -694,6 +716,16 @@ object RelationalQueries {
         |FROM events e ASOF LEFT JOIN (SELECT * FROM o WHERE rn = 1) o
         |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q_star_join" ->
+      """SELECT p.p_brand, o.o_orderstatus, count(*) AS n_lines,
+        |       count(DISTINCT s.s_nationkey) AS n_supp_nations,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY p.p_brand, o.o_orderstatus
+        |ORDER BY p_brand, o_orderstatus""".stripMargin,
     "q_join_asof_native" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
         |                  row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn

@@ -94,6 +94,35 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"per-source window partitioning missing:\n$p")
   }
 
+  test("q_star_join: both dims broadcast; the fact never sort-merge-joins a dim") {
+    val p = executedPlan("q_star_join")
+    assert(p.split("BroadcastHashJoin").length >= 3, s"part/supplier not both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin join_type=Inner, p_partkey") &&
+      !p.contains("SortMergeJoin join_type=Inner, s_suppkey"),
+      s"a dim fell back to SMJ:\n$p")
+  }
+
+  test("q_skyline: the bucket prefilter broadcasts back (no second big-frame shuffle)") {
+    val p = executedPlan("q_skyline")
+    assert(p.contains("BroadcastHashJoin"), s"prefilter join not broadcast:\n$p")
+  }
+
+  test("q_fk_audit: dim-edge probes are broadcast joins") {
+    val p = executedPlan("q_fk_audit")
+    assert(p.split("BroadcastHashJoin").length >= 4,
+      s"customer/part/supplier edges should broadcast:\n$p")
+  }
+
+  test("q_feature_hash: the (doc,dim) aggregate is map-side combined") {
+    val p = executedPlan("q_feature_hash")
+    assert(p.contains("partial_sum"), s"no partial aggregation before shuffle:\n$p")
+  }
+
+  test("q_weighted_sample plans as TakeOrderedAndProject (per-partition top-k)") {
+    val p = executedPlan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort leaked into the sample:\n$p")
+  }
+
   test("adaptive LSH refinement shrinks over-cap buckets at sf0.1") {
     import org.apache.spark.sql.functions._
     // data-scale-sensitive: needs the big fixture; skip (not fail) without it
