@@ -135,6 +135,23 @@ object QualityQueries {
         .orderBy("doc_id")
     },
 
+    // NS: NOT IN with three-valued-logic semantics — the null-aware anti
+    // join. The subquery column is not provably non-null (nullif), so
+    // Catalyst MUST plan the null-aware variant (a broadcast NAAJ): one
+    // null in the subquery would empty the result, and a plain anti join
+    // would silently get that wrong. The subquery side is an aggregate of
+    // dim cardinality — broadcastable at any fact scale.
+    "q_not_in" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_naaj_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_naaj_v")
+      s.sql("""SELECT o_orderstatus, count(*) AS n_orders
+              |FROM orders_naaj_v
+              |WHERE o_custkey NOT IN
+              |  (SELECT nullif(c_custkey, -1) FROM customer_naaj_v
+              |   WHERE c_acctbal < 500)
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
     // Correlated EXISTS / NOT EXISTS as verbatim SQL (the reference-user
     // migration path, like q_sql_tpch): nations' customers with an open
     // order but no finalized order. Catalyst decorrelates both subqueries
@@ -216,6 +233,12 @@ object QualityQueries {
            |       round(-list_sum(list_transform(cnt,
            |         c -> CASE WHEN c > 0 THEN (c/n)*ln(c/n) ELSE 0.0 END)), 6) AS entropy
            |FROM tot ORDER BY doc_id""".stripMargin,
+      "q_not_in" ->
+        """SELECT o_orderstatus, count(*) AS n_orders
+          |FROM orders
+          |WHERE o_custkey NOT IN
+          |  (SELECT nullif(c_custkey, -1) FROM customer WHERE c_acctbal < 500)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "q_exists_subquery" ->
         """SELECT n_name, count(*) AS n_cust
           |FROM customer JOIN nation ON c_nationkey = n_nationkey

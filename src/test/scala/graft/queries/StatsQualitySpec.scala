@@ -99,6 +99,15 @@ class StatsQualitySpec extends AnyFunSuite {
       s"subquery degenerated to nested loop:\n$p")
   }
 
+  test("q_not_in plans the null-aware anti join (plain anti would be wrong under 3VL)") {
+    val p = SparkEntry.queries("q_not_in")(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    // Spark 3.1+ spells NAAJ as a BroadcastHashJoin LeftAnti whose last
+    // flag (isNullAwareAntiJoin) prints as a trailing `true`
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN lost its null-aware anti join plan:\n$p")
+  }
+
   test("q_char_entropy plan has no Generate: the char histogram never explodes rows") {
     val p = SparkEntry.queries("q_char_entropy")(spark, TestSpark.Sf0001)
       .queryExecution.executedPlan.toString
