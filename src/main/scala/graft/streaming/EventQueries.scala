@@ -172,6 +172,32 @@ object EventQueries {
       s.read.parquet(s"$target/v$lastSnapshot")
         .select(col("event_type"), col("n"), round(col("sum_v"), 6).as("sum_v"))
         .orderBy("event_type")
+    },
+    // NS: Spark 4 `transformWithState` (the arbitrary-state successor of
+    // mapGroupsWithState: named typed state handles + TTL, RocksDB-backed
+    // so state lives off-heap and spills) — per-user running (count, sum)
+    // in one ValueState cell per user. Update mode emits the running
+    // totals per micro-batch; the LAST update per user on the drained
+    // stream equals the batch group-by (the oracle).
+    "q_stream_transformstate" -> { (s, dir) =>
+      val ss = Streams.streamingSession(s)
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import ss.implicits._
+      val ev = Streams.readEvents(ss, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Streams.Event]
+      val out = ev.groupByKey(_.user_id)
+        .transformWithState(new Streams.RunningTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      Streams.runToBatch(s, out.toDF(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("sum_value"))).as("last"))
+        .select(col("user_id"), col("last.n").as("n_events"),
+          round(col("last.sum_value"), 6).as("sum_value"))
+        .orderBy("user_id")
     }
   )
 
@@ -229,6 +255,10 @@ object EventQueries {
         |GROUP BY w_start, event_type, wm.wm
         |HAVING w_start + INTERVAL 1 HOUR <= wm.wm
         |ORDER BY w_start, event_type""".stripMargin,
+    // drained transformWithState running totals == batch per-user group-by
+    "q_stream_transformstate" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the streamed incremental state must land on the batch iter-1 means
     "q_stream_kmeans" ->
       s"""${graft.kmeans.KmeansQueries.preludeForOracle},

@@ -105,6 +105,35 @@ object Streams {
       }
   }
 
+  /** Output row of [[RunningTotalsProcessor]]. */
+  case class UserTotals(user_id: Long, n: Long, sum_value: Double)
+
+  /** Per-user running (count, sum) via Spark 4's `transformWithState`
+    * arbitrary-state API (the successor of mapGroupsWithState: typed state
+    * handles, TTL support, RocksDB-backed). One ValueState cell per user —
+    * state size is O(users), not O(events), and the RocksDB provider keeps
+    * it off-heap/spillable at stream scale.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; s += e.value }
+      totals.update((n, s))
+      Iterator.single(UserTotals(key, n, s))
+    }
+  }
+
   /** Child session for streaming runs, with the state-partition count cut
     * down: every stateful operator commits one state store per shuffle
     * partition per micro-batch, so a batch-engine default (32 at bench
