@@ -166,6 +166,60 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_suppliers"), round(sum("s_acctbal"), 2).as("sum_bal"))
         .orderBy("nationkey")
     },
+    // NS: schema evolution across parquet snapshot generations — the
+    // data-lake reality that columns get ADDED over time. v1 (no priority
+    // column) and v2 (priority added) written as sibling dirs; one
+    // mergeSchema read unions them with nulls for the pre-evolution rows.
+    // mergeSchema costs a footer read per FILE GROUP, not a data scan —
+    // and at 100 TB you'd pin the merged schema in a catalog instead;
+    // this query is the migration-window read path.
+    "q_schema_evolution" -> { (s, dir) =>
+      val base = {
+        val d = new java.io.File(s"target/sink_tmp/evo_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+        d.mkdirs(); d.getAbsolutePath
+      }
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/gen=1")
+      o.filter(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$base/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/gen=1", s"$base/gen=2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>")).as("pri"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("pri")
+    },
+    // NS: snapshot diff — derive the CHANGESET between two table versions
+    // (the inverse of q_merge_upsert, which applies one): full outer join
+    // on the key, classify added/removed/changed/unchanged, aggregate
+    // counts + price deltas. MERGE needs both unmatched sides, so the
+    // join shuffles both snapshots on the key — there is no broadcast
+    // shortcut for a diff, which is exactly why CDC systems ship deltas
+    // instead of re-diffing snapshots at 100 TB; this query is the
+    // backfill/repair path.
+    "q_snapshot_diff" -> { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p0"))
+      val next = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 13 =!= 0) // deletions
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.05)
+            .otherwise(col("o_totalprice")).as("p1"))
+      val added = Tables.orders(s, dir).filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 100000000L).as("k"), col("o_totalprice").as("p1"))
+      base.join(next.unionByName(added), Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("p0").isNull, "added")
+            .when(col("p1").isNull, "removed")
+            .when(col("p0") =!= col("p1"), "changed")
+            .otherwise("unchanged").as("change_type"),
+          coalesce(col("p1"), lit(0.0)) - coalesce(col("p0"), lit(0.0)))
+        .toDF("k", "change_type", "delta")
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"), round(sum("delta"), 4).as("sum_delta"))
+        .orderBy("change_type")
+    },
     // NS: JSON-lines source/sink round trip (the interchange format of
     // most raw web-scrape corpora). Read back with an EXPLICIT schema —
     // schema inference would re-scan the whole dataset at 100 TB.
@@ -656,6 +710,30 @@ object RelationalQueries {
     "q_scan_csv" ->
       """SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // the oracle replays the two schema generations as a UNION with null
+    // back-fill — mergeSchema must be exactly that
+    "q_schema_evolution" ->
+      """WITH v1 AS (SELECT o_totalprice, NULL AS pri FROM orders WHERE o_orderstatus = 'F'),
+        |v2 AS (SELECT o_totalprice, o_orderpriority AS pri FROM orders WHERE o_orderstatus = 'O'),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT coalesce(pri, '<pre-evolution>') AS pri, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p0 FROM orders),
+        |nxt AS (SELECT o_orderkey AS k,
+        |               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05
+        |                    ELSE o_totalprice END AS p1
+        |        FROM orders WHERE o_orderkey % 13 <> 0
+        |        UNION ALL
+        |        SELECT o_orderkey + 100000000, o_totalprice
+        |        FROM orders WHERE o_orderkey % 11 = 0),
+        |j AS (SELECT b.p0, n.p1 FROM base b FULL OUTER JOIN nxt n ON b.k = n.k)
+        |SELECT CASE WHEN p0 IS NULL THEN 'added' WHEN p1 IS NULL THEN 'removed'
+        |            WHEN p0 <> p1 THEN 'changed' ELSE 'unchanged' END AS change_type,
+        |       count(*) AS n,
+        |       round(sum(coalesce(p1, 0.0) - coalesce(p0, 0.0)), 4) AS sum_delta
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // round trips must be lossless: the oracle aggregates the ORIGINAL
     // parquet, the query aggregates the ORC/JSON copy
     "q_scan_orc" ->
