@@ -718,7 +718,7 @@ object RelationalQueries {
         |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
         |SELECT coalesce(pri, '<pre-evolution>') AS pri, count(*) AS n,
         |       round(sum(o_totalprice), 2) AS sum_price
-        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM u GROUP BY 1 ORDER BY pri""".stripMargin,
     "q_snapshot_diff" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p0 FROM orders),
         |nxt AS (SELECT o_orderkey AS k,
@@ -733,7 +733,7 @@ object RelationalQueries {
         |            WHEN p0 <> p1 THEN 'changed' ELSE 'unchanged' END AS change_type,
         |       count(*) AS n,
         |       round(sum(coalesce(p1, 0.0) - coalesce(p0, 0.0)), 4) AS sum_delta
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin,
     // round trips must be lossless: the oracle aggregates the ORIGINAL
     // parquet, the query aggregates the ORC/JSON copy
     "q_scan_orc" ->

@@ -161,7 +161,7 @@ object StatsQueries {
         |SELECT l.l_returnflag, count(*) AS n, round(max(m.med), 6) AS med,
         |       round(median(abs(l.l_quantity - m.med)), 6) AS mad
         |FROM lineitem l JOIN m USING (l_returnflag)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_chi_square" ->
       """WITH ct AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri, count(*)::DOUBLE AS obs
         |            FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),

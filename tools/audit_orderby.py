@@ -21,8 +21,15 @@ for name, sql in sorted(oracle.items()):
     flat = sql.replace('\n', ' ')
     idx = flat.upper().rfind('ORDER BY')
     if idx < 0:
-        print(f"NO-ORDER-BY {name}")
-        bad.append(name)
+        # a 1-row result has no order to be nondeterministic about
+        # (single-row aggregates like q_chi_square legitimately skip ORDER BY)
+        try:
+            n = len(con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df())
+        except Exception:
+            n = -1
+        if n != 1:
+            print(f"NO-ORDER-BY {name} ({n} rows)")
+            bad.append(name)
         continue
     tail = flat[idx + 8:]
     cols = [re.sub(r'[^A-Za-z0-9_.]', '', c.strip().split()[0]) for c in tail.split(',') if c.strip()]
@@ -38,6 +45,11 @@ for name, sql in sorted(oracle.items()):
         if len(df) > 1:
             print(f"UNPARSED {name} ({len(df)} rows): {tail[:70]}")
         continue
+    # array-valued columns (e.g. signature / id-list outputs) are unhashable
+    # for pandas dedup — stringify object columns; uniqueness is preserved
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(str)
     gg = df.drop_duplicates().groupby(cols, dropna=False).size()
     real = gg[gg > 1]
     if len(real):
