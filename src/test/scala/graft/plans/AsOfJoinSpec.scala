@@ -33,6 +33,42 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("pre-bucketed inputs satisfy the declared distribution: no shuffle on either side") {
+    // the reason AsOfJoin declares requirements instead of hand-rolling
+    // zipPartitions: bucketed tables ALREADY satisfy ClusteredDistribution,
+    // so EnsureRequirements inserts no Exchange — at 100 TB the as-of join
+    // against a bucketed layout is shuffle-free, like any co-located SMJ
+    import spark.implicits._
+    val (lT, rT) = ("asof_left_bkt", "asof_right_bkt")
+    Seq(lT, rT).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // the in-memory catalog forgets tables between JVMs but the warehouse
+      // dir persists; saveAsTable refuses an orphaned location
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    Seq((1L, 1L, 9L), (2L, 1L, 10L), (3L, 2L, 50L), (4L, 3L, 100L))
+      .toDF("id", "k", "t")
+      .write.bucketBy(4, "k").sortBy("k", "t").saveAsTable(lT)
+    Seq((1L, 10L, 10L), (2L, 40L, 20L), (3L, 90L, 30L))
+      .toDF("rk", "rt", "rv")
+      .write.bucketBy(4, "rk").sortBy("rk", "rt").saveAsTable(rT)
+    val joined = AsOfJoin(spark.table(lT), "k", "t",
+      spark.table(rT), "rk", "rt", "rv", "v")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), s"native operator not planned:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed inputs still shuffled:\n$p")
+    val got = joined.orderBy("id").select("id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(got.toSeq === Seq(1L -> None, 2L -> Some(10L), 3L -> Some(20L), 4L -> Some(30L)))
+  }
+
   test("merge semantics: time ties take the largest value; no earlier right row -> null; keys isolated") {
     val left = Seq(
       (1L, 1L, 9L),   // before any right row for key 1 -> null
