@@ -149,6 +149,29 @@ object KmeansQueries {
       val pl = array(probe.coordinates.map(lit).toSeq: _*)
       pts.select(col("vec_id"), round(Vec.dist(col("coordinates"), pl), 9).as("d"))
         .orderBy("vec_id")
+    },
+    // NS: simplified (centroid-based) silhouette score per cluster — the
+    // clustering-quality eval for the flagship algorithm: a = distance to
+    // own centroid (the argmin, so the array minimum), b = distance to the
+    // nearest OTHER centroid (the second minimum), s = (b−a)/max(a,b).
+    // Pure per-row math over the K literal centroids (same zero-shuffle
+    // shape as assignment) + one K-group aggregate; degenerate a=b=0
+    // points score 0 on both engines.
+    "q_silhouette" -> { (s, dir) =>
+      val cents = Lloyd.initCentroidsFor(s, dir, K)
+      val dists = array(cents.sortBy(_.cid).map(c =>
+        graft.functions.SquaredDistance(col("coordinates"),
+          array(c.coordinates.map(lit).toSeq: _*))): _*)
+      val sorted = sort_array(dists)
+      val a = sqrt(element_at(sorted, 1))
+      val b = sqrt(element_at(sorted, 2))
+      Tables.points(s, dir)
+        .withColumn("cid", Lloyd.assignCol(cents, col("coordinates")))
+        .select(col("cid"),
+          when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0)).as("sil"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), round(avg("sil"), 6).as("mean_silhouette"))
+        .orderBy("cid")
     }
   )
 
@@ -223,6 +246,25 @@ object KmeansQueries {
         |       round(sqrt(list_sum(list_transform(list_zip(p.c, probe.c),
         |             z -> (z[1]-z[2])*(z[1]-z[2])))), 9) AS d
         |FROM pts p CROSS JOIN probe
-        |ORDER BY p.vec_id""".stripMargin
+        |ORDER BY p.vec_id""".stripMargin,
+    "q_silhouette" ->
+      s"""$preludeSql,
+         |d AS (SELECT p.vec_id, i.cid,
+         |             sqrt(list_sum(list_transform(list_zip(p.c, i.c),
+         |               z -> (z[1]-z[2])*(z[1]-z[2])))) AS dist
+         |      FROM pts p CROSS JOIN init i),
+         |r AS (SELECT vec_id, dist,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |      FROM d),
+         |ab AS (SELECT vec_id, min(CASE WHEN rn = 1 THEN dist END) AS a,
+         |              min(CASE WHEN rn = 2 THEN dist END) AS b
+         |       FROM r GROUP BY vec_id),
+         |sil AS (SELECT asg.cid,
+         |               CASE WHEN greatest(ab.a, ab.b) > 0
+         |                    THEN (ab.b - ab.a) / greatest(ab.a, ab.b)
+         |                    ELSE 0.0 END AS sil
+         |        FROM ab JOIN assign asg USING (vec_id))
+         |SELECT cid, count(*) AS n, round(avg(sil), 6) AS mean_silhouette
+         |FROM sil GROUP BY cid ORDER BY cid""".stripMargin
   )
 }
