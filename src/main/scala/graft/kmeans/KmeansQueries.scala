@@ -172,6 +172,22 @@ object KmeansQueries {
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), round(avg("sil"), 6).as("mean_silhouette"))
         .orderBy("cid")
+    },
+    // NS: per-cluster inertia (within-cluster SSE) — THE K-Means training
+    // metric (what Lloyd minimizes; the reference's convergence quantity
+    // made queryable). min-d² is the same argmin the assignment computes;
+    // one K-group partial+final aggregate.
+    "q_inertia" -> { (s, dir) =>
+      val cents = Lloyd.initCentroidsFor(s, dir, K)
+      val minD2 = array_min(array(cents.sortBy(_.cid).map(c =>
+        graft.functions.SquaredDistance(col("coordinates"),
+          array(c.coordinates.map(lit).toSeq: _*))): _*))
+      Tables.points(s, dir)
+        .withColumn("cid", Lloyd.assignCol(cents, col("coordinates")))
+        .select(col("cid"), minD2.as("d2"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), round(sum("d2"), 6).as("inertia"))
+        .orderBy("cid")
     }
   )
 
@@ -265,6 +281,10 @@ object KmeansQueries {
          |                    ELSE 0.0 END AS sil
          |        FROM ab JOIN assign asg USING (vec_id))
          |SELECT cid, count(*) AS n, round(avg(sil), 6) AS mean_silhouette
-         |FROM sil GROUP BY cid ORDER BY cid""".stripMargin
+         |FROM sil GROUP BY cid ORDER BY cid""".stripMargin,
+    "q_inertia" ->
+      s"""$preludeSql
+         |SELECT cid, count(*) AS n, round(sum(d2), 6) AS inertia
+         |FROM assign GROUP BY cid ORDER BY cid""".stripMargin
   )
 }
