@@ -181,6 +181,25 @@ object WindowSetQueries {
       ev.filter(col("event_type") === "signup").select("user_id")
         .except(ev.filter(col("event_type") === "purchase").select("user_id"))
         .orderBy("user_id")
+    },
+    // NS: MULTISET set ops — exceptAll/intersectAll keep duplicate counts
+    // (bag semantics: click user occurrences minus purchase occurrences).
+    // Spark plans both as one count-aggregate per side + a generate that
+    // replays min/diff multiplicities — one shuffle each, no row-by-row
+    // matching. Output aggregated per user so the frame is deterministic.
+    "q_except_all" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "click").select("user_id")
+        .exceptAll(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_residual"))
+        .orderBy("user_id")
+    },
+    "q_intersect_all" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersectAll(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_common"))
+        .orderBy("user_id")
     }
   )
 
@@ -269,6 +288,20 @@ object WindowSetQueries {
       """SELECT user_id FROM events WHERE event_type = 'signup'
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'purchase'
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "q_except_all" ->
+      """WITH r AS (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_residual
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_intersect_all" ->
+      """WITH r AS (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_common
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
