@@ -152,6 +152,22 @@ object QualityQueries {
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // NS: correlated LATERAL subquery — per-nation top-2 customers by
+    // balance, written as the SQL-standard lateral join. Catalyst
+    // decorrelates it into a window-rank over ONE customer shuffle (no
+    // per-nation subquery execution); the same plan the window spelling
+    // gets, with the lateral syntax a migrating SQL user expects.
+    "q_lateral_topn" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_lat_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_lat_v")
+      s.sql("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+              |FROM nation_lat_v n,
+              |LATERAL (SELECT c_custkey, c_acctbal FROM customer_lat_v
+              |         WHERE c_nationkey = n.n_nationkey
+              |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+              |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+    },
+
     // Correlated EXISTS / NOT EXISTS as verbatim SQL (the reference-user
     // migration path, like q_sql_tpch): nations' customers with an open
     // order but no finalized order. Catalyst decorrelates both subqueries
@@ -233,6 +249,13 @@ object QualityQueries {
            |       round(-list_sum(list_transform(cnt,
            |         c -> CASE WHEN c > 0 THEN (c/n)*ln(c/n) ELSE 0.0 END)), 6) AS entropy
            |FROM tot ORDER BY doc_id""".stripMargin,
+      "q_lateral_topn" ->
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM nation n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+          |         WHERE c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
       "q_not_in" ->
         """SELECT o_orderstatus, count(*) AS n_orders
           |FROM orders
