@@ -108,6 +108,24 @@ class StatsQualitySpec extends AnyFunSuite {
       s"NOT IN lost its null-aware anti join plan:\n$p")
   }
 
+  test("q_lateral_topn decorrelates to WindowGroupLimit (no per-outer-row subquery)") {
+    val p = SparkEntry.queries("q_lateral_topn")(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"lateral lost the group-limit pushdown:\n$p")
+    assert(!p.contains("CartesianProduct"), s"lateral degenerated to a cross product:\n$p")
+  }
+
+  test("q_silhouette and q_inertia plan zero shuffles before the K-group aggregate") {
+    Seq("q_silhouette", "q_inertia").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, TestSpark.Sf0001)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("partial_count") || p.contains("partial_sum") || p.contains("partial_avg"),
+        s"$q lost map-side partial aggregation:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q should be join-free (literal centroids):\n$p")
+    }
+  }
+
   test("q_char_entropy plan has no Generate: the char histogram never explodes rows") {
     val p = SparkEntry.queries("q_char_entropy")(spark, TestSpark.Sf0001)
       .queryExecution.executedPlan.toString
