@@ -195,6 +195,35 @@ object TimeSeriesQueries {
           col("n_hours"))
     },
 
+    // NS: RFM user segmentation — recency (hours since last event),
+    // frequency (event count), monetary (value sum) + quintile scores.
+    // One user-key aggregate + a broadcast 1-row reference time; the
+    // ntile windows run over the per-user frame (O(users), not events) —
+    // at 1e9 users the scale path is broadcast percentile boundaries (the
+    // q_percentile_bucket shape) instead of a global ntile sort. Scores
+    // order by ROUNDED monetary so float-sum noise can't flip a quintile.
+    "q_rfm" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val tref = ev.agg(max(unix_micros(col("ts"))).as("t_ref"))
+      val base = ev.groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("t_last"),
+          count(lit(1)).as("frequency"),
+          round(sum("value"), 6).as("monetary"))
+        .crossJoin(broadcast(tref))
+        .withColumn("recency_h",
+          round((col("t_ref") - col("t_last")).cast("double") / lit(3600000000.0d), 6))
+      base
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy(col("t_last").desc, col("user_id"))).cast("long"))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
+        .select("user_id", "recency_h", "frequency", "monetary",
+          "r_score", "f_score", "m_score")
+        .orderBy("user_id")
+    },
+
     // NS: exponentially time-decayed aggregate (24-h half-life) per user —
     // the feature-store recency-weighted sum. Pure narrow math against a
     // broadcast 1-row max-timestamp frame + one user-key shuffle; the
@@ -314,6 +343,19 @@ object TimeSeriesQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum FROM m)
         |SELECT hr AS cp_hr, round(cusum, 6) AS cusum_at_cp, CAST(n_hours AS BIGINT) AS n_hours
         |FROM c ORDER BY round(abs(cusum), 6) DESC, hr LIMIT 1""".stripMargin,
+    "q_rfm" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |ref AS (SELECT max(tus) AS t_ref FROM e),
+        |b AS (SELECT user_id, max(tus) AS t_last, count(*) AS frequency,
+        |             round(sum(value), 6) AS monetary
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id,
+        |       round(CAST(t_ref - t_last AS DOUBLE) / 3600000000.0, 6) AS recency_h,
+        |       frequency, monetary,
+        |       CAST(ntile(5) OVER (ORDER BY t_last DESC, user_id) AS BIGINT) AS r_score,
+        |       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+        |       CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
+        |FROM b CROSS JOIN ref ORDER BY user_id""".stripMargin,
     "q_decay_agg" ->
       """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
         |m AS (SELECT max(tus) AS t_max FROM e)
