@@ -169,6 +169,23 @@ object TextQueries {
         .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
         .orderBy("canonical_id")
     },
+    // NS: survivorship dedup — the OTHER canonical-pick policy: among
+    // near-identical normalized texts keep the RICHEST copy (max n_chars,
+    // lowest doc_id on ties) instead of min-id. One min(struct) aggregate:
+    // the (-n_chars, doc_id) struct min IS the argmax-with-tie-break, so
+    // the shuffle carries one struct per group per partition (map-side
+    // combined), never the duplicate bodies.
+    "q_dedup_survivor" -> { (s, dir) =>
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+      Tables.documents(s, dir)
+        .groupBy(md5(norm).as("content_hash"))
+        .agg(min(struct((-col("n_chars")).as("neg_len"), col("doc_id"))).as("best"),
+          count(lit(1)).as("n_copies"),
+          max("n_chars").as("kept_chars"))
+        .select(col("content_hash"), col("best.doc_id").as("survivor_id"),
+          col("n_copies"), col("kept_chars"))
+        .orderBy("survivor_id")
+    },
     // MinHash sketch, exploded to (doc_id, j, minhash) so the oracle checks
     // every signature value. Sketch rows are k per doc — the only thing
     // shuffled at 100 TB.
@@ -462,6 +479,19 @@ object TextQueries {
       "q_dedup_exact" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
           |FROM documents GROUP BY content_hash ORDER BY canonical_id""".stripMargin,
+      "q_dedup_survivor" ->
+        """WITH n AS (SELECT doc_id, n_chars,
+          |                  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS content_hash
+          |           FROM documents),
+          |r AS (SELECT content_hash, doc_id, n_chars,
+          |             row_number() OVER (PARTITION BY content_hash
+          |               ORDER BY n_chars DESC, doc_id) AS rn
+          |      FROM n),
+          |g AS (SELECT content_hash, count(*) AS n_copies, max(n_chars) AS kept_chars
+          |      FROM n GROUP BY content_hash)
+          |SELECT r.content_hash, r.doc_id AS survivor_id, g.n_copies, g.kept_chars
+          |FROM r JOIN g USING (content_hash)
+          |WHERE r.rn = 1 ORDER BY survivor_id""".stripMargin,
       "q_dedup_minhash" ->
         s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |sh AS (SELECT doc_id,

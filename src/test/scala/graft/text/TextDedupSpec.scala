@@ -123,6 +123,22 @@ class TextDedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("survivorship dedup keeps the richest copy, min doc_id on ties") {
+    // independent recomputation: window rank by (n_chars DESC, doc_id) per
+    // normalized-content hash must agree with the single-aggregate
+    // min(struct(-n_chars, doc_id)) the query uses
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col("n_chars").desc, col("doc_id"))
+    val expected = docs.select(md5(norm).as("content_hash"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("content_hash"), col("doc_id").as("survivor_id"))
+    val got = TextQueries.queries("q_dedup_survivor")(spark, TestSpark.Sf0001)
+      .select("content_hash", "survivor_id")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("end-to-end near-dup decision on the documents fixture is candidate-verified") {
     val pairs = TextDedup.nearDupPairs(spark, TestSpark.Sf0001, jaccardThreshold = 0.8)
     // fixture has no >=0.8 near-dups (verified exhaustively in DuckDB);
