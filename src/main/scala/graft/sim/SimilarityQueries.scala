@@ -222,6 +222,33 @@ object SimilarityQueries {
           round(Vec.dot(col("e_a"), col("e_b")), 9).as("cos"))
         .filter(col("cos") >= 0.5)
         .orderBy("id_a", "id_b")
+    },
+    // NS: nearest-centroid classifier eval (Rocchio / prototype network):
+    // train = per-label mean embedding, predict = argmin squared distance,
+    // output = confusion matrix. Two narrow shuffles total at any corpus
+    // size: the centroid agg moves dim*K partially-aggregated rows (the
+    // posexplode is map-side combined), and the confusion matrix is <= K^2
+    // rows; prediction itself is a broadcast of K tiny arrays against a
+    // single corpus scan — nothing per-row is ever shuffled. Means are
+    // rounded to 9 before scoring so both engines classify against
+    // bit-identical prototypes.
+    "q_centroid_classify" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding").as("v"))
+      val cents = emb.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("label", "dim").agg(avg("x").as("m"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), round(col("m"), 7).as("m")))).as("ms"))
+        .select(col("label").as("c_label"),
+          transform(col("ms"), e => e.getField("m")).as("centroid"))
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"),
+          struct(round(Vec.sqDist(col("v"), col("centroid")), 9).as("d"),
+            col("c_label")).as("sc"))
+        .groupBy("vec_id", "label").agg(min("sc").as("best"))
+        .groupBy(col("label").as("true_label"), col("best.c_label").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
     }
   )
 
@@ -339,7 +366,23 @@ object SimilarityQueries {
            |       round(list_dot_product(a.e, b.e), 9) AS cos
            |FROM keyed a JOIN keyed b ON a.b8 = b.b8 AND a.ext = b.ext AND a.vec_id < b.vec_id
            |WHERE round(list_dot_product(a.e, b.e), 9) >= 0.5
-           |ORDER BY id_a, id_b""".stripMargin
+           |ORDER BY id_a, id_b""".stripMargin,
+      // same rounded-mean prototypes; argmin replayed as the row_number
+      // pattern with (d, c_label) tie order == Spark's min(struct)
+      "q_centroid_classify" ->
+        """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |d AS (SELECT label, u.i AS dim, avg(v[u.i]) AS m
+          |      FROM e, UNNEST(generate_series(1, len(v))) AS u(i) GROUP BY 1, 2),
+          |c AS (SELECT label AS c_label, list(round(m, 7) ORDER BY dim) AS centroid
+          |      FROM d GROUP BY 1),
+          |s AS (SELECT e.vec_id, e.label, c.c_label,
+          |             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |               round(list_sum(list_transform(list_zip(e.v, c.centroid),
+          |                     z -> (z[1]-z[2])*(z[1]-z[2]))), 9), c.c_label) AS rn
+          |      FROM e CROSS JOIN c)
+          |SELECT label AS true_label, c_label AS pred_label, count(*) AS n
+          |FROM s WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
 }
