@@ -348,6 +348,26 @@ object DataPrepQueries {
         .limit(10)
         .select(col("o_orderkey"), round(col("w"), 2).as("weight"),
           round(col("key") * 1e6, 3).as("es_key_x1e6"))
+    },
+
+    // NS: k-anonymity suppression — the privacy transform a training-data
+    // release needs beside PII redaction: rows whose quasi-identifier
+    // combination (event_type, day, floor(value)) occurs < k times get the
+    // identifying value generalized to NULL. ONE hash shuffle total: the
+    // group census is a window count over the QI key, not a join of an
+    // aggregate back onto the rows — at 100 TB there's no second pass and
+    // no census table to broadcast or shuffle twice.
+    "q_kanon_suppress" -> { (s, dir) =>
+      val k = 5
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value")).cast("long").as("value_bin"))
+      val n = count(lit(1)).over(Window.partitionBy("event_type", "day", "value_bin"))
+      ev.withColumn("grp_n", n)
+        .select(col("event_id"), col("event_type"), col("day"),
+          when(col("grp_n") >= k, col("value_bin")).as("value_bin"),
+          (col("grp_n") < k).as("suppressed"))
+        .orderBy("event_id")
     }
   )
 
@@ -534,6 +554,14 @@ object DataPrepQueries {
         |           FROM orders),
         |k AS (SELECT o_orderkey, w, ln(u) / w AS key FROM t)
         |SELECT o_orderkey, round(w, 2) AS weight, round(key * 1e6, 3) AS es_key_x1e6
-        |FROM k ORDER BY round(key, 12) DESC, o_orderkey LIMIT 10""".stripMargin
+        |FROM k ORDER BY round(key, 12) DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_kanon_suppress" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                  CAST(floor(value) AS BIGINT) AS value_bin FROM events),
+        |n AS (SELECT *, count(*) OVER (PARTITION BY event_type, day, value_bin) AS grp_n FROM e)
+        |SELECT event_id, event_type, day,
+        |       CASE WHEN grp_n >= 5 THEN value_bin END AS value_bin,
+        |       grp_n < 5 AS suppressed
+        |FROM n ORDER BY event_id""".stripMargin
   )
 }

@@ -32,6 +32,13 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
   }
 
+  test("q_kanon_suppress is join-free: census via window, one hash shuffle") {
+    val p = executedPlan("q_kanon_suppress")
+    assert(!p.contains("Join"), s"census joined back instead of windowed:\n$p")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash shuffle:\n$p")
+  }
+
   test("q_agg_stats uses partial (map-side) aggregation") {
     val p = executedPlan("q_agg_stats")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
