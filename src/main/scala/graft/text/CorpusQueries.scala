@@ -235,6 +235,27 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // NS: BPE pair counting — the tokenizer-TRAINING inner loop (which
+    // adjacent symbol pair merges next): adjacent char pairs weighted by
+    // word frequency. The corpus collapses to the vocabulary FIRST (one
+    // word-key shuffle, map-side combined), so the pair explosion runs
+    // over vocab-sized data — the classic BPE-trainer trick; at 100 TB
+    // the pair stage touches millions of rows, not the corpus. Top-20 by
+    // weight ends in TakeOrdered, never a global sort.
+    "q_bpe_pairs" -> { (s, dir) =>
+      val vocab = Tables.documents(s, dir)
+        .select(explode(words).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+      vocab
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum("wc").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
     // NS: tokenizer compression stats per source — chars-per-token under
     // the BPE-ish regex tokenizer, the signal a tokenizer trainer / data
     // mixer reads per corpus slice. Narrow per-row tokenize + one tiny
@@ -389,6 +410,13 @@ object CorpusQueries {
           |       count(*) AS n_words
           |FROM w JOIN uni USING (word) CROSS JOIN t
           |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+      "q_bpe_pairs" ->
+        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          |v AS (SELECT word, count(*) AS wc FROM w WHERE length(word) >= 2 GROUP BY word),
+          |p AS (SELECT substr(v.word, u.i, 2) AS pair, v.wc
+          |      FROM v, UNNEST(generate_series(1, length(v.word) - 1)) AS u(i))
+          |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+          |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
       "q_tokenizer_stats" ->
         """WITH t AS (SELECT source,
           |                  CAST(length(text) AS DOUBLE) AS nc,

@@ -32,6 +32,17 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
   }
 
+  test("q_bpe_pairs collapses to vocab before the pair explode; top-k never global-sorts") {
+    val p = executedPlan("q_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
+    // the pair Generate must sit ABOVE the word aggregate (vocab-sized
+    // input), not over the raw corpus scan
+    val gen = p.indexOf("Generate explode")
+    val deepestAgg = p.lastIndexOf("HashAggregate")
+    assert(gen >= 0 && deepestAgg > gen,
+      s"pair explode not fed by the vocab aggregate:\n$p")
+  }
+
   test("q_kanon_suppress is join-free: census via window, one hash shuffle") {
     val p = executedPlan("q_kanon_suppress")
     assert(!p.contains("Join"), s"census joined back instead of windowed:\n$p")
