@@ -223,6 +223,23 @@ object SimilarityQueries {
         .filter(col("cos") >= 0.5)
         .orderBy("id_a", "id_b")
     },
+    // NS: ANN self-evaluation — recall@10 of each approximate path (LSH
+    // bucket, IVF probe) against the exact cosine top-10. The eval is two
+    // 10-row joins over results the engine already computes; at 100 TB
+    // this is how an index build is accepted or rejected, and it costs
+    // nothing beyond the candidate queries themselves.
+    "q_ann_recall" -> { (s, dir) =>
+      val exact = queries("q_topk_similar")(s, dir).select(col("vec_id"))
+      def recallOf(method: String, approx: DataFrame): DataFrame =
+        exact.join(approx.select(col("vec_id")), "vec_id")
+          .agg(count(lit(1)).as("n_common"))
+          .select(lit(method).as("method"), lit(10L).as("k"), col("n_common"),
+            round(col("n_common") / lit(10.0), 2).as("recall_at_10"))
+      recallOf("ivf", queries("q_ann_ivf")(s, dir))
+        .unionByName(recallOf("lsh", queries("q_ann_lsh")(s, dir)))
+        .orderBy("method")
+    },
+
     // NS: nearest-centroid classifier eval (Rocchio / prototype network):
     // train = per-label mean embedding, predict = argmin squared distance,
     // output = confusion matrix. Two narrow shuffles total at any corpus
@@ -258,26 +275,57 @@ object SimilarityQueries {
       s"CASE WHEN list_dot_product(c, $arr::DOUBLE[]) > 0 THEN (CAST(1 AS BIGINT) << ${j - lo}) ELSE 0 END"
     }.mkString(" + ")
 
+    val topkSql =
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+        |probe AS (SELECT c AS p FROM t ORDER BY vec_id LIMIT 1)
+        |SELECT t.vec_id,
+        |       round(list_dot_product(t.c, probe.p) /
+        |             (sqrt(list_dot_product(t.c, t.c)) * sqrt(list_dot_product(probe.p, probe.p))), 9) AS sim
+        |FROM t CROSS JOIN probe
+        |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin
+    val annLshSql =
+      s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+         |probe AS (SELECT c AS p FROM t ORDER BY vec_id LIMIT 1),
+         |pb AS (SELECT ${planesSql(0, NPlanes)} AS b FROM (SELECT p AS c FROM probe)),
+         |bk AS (SELECT vec_id, c, ${planesSql(0, NPlanes)} AS b FROM t)
+         |SELECT bk.vec_id,
+         |       round(list_dot_product(bk.c, probe.p) /
+         |             (sqrt(list_dot_product(bk.c, bk.c)) * sqrt(list_dot_product(probe.p, probe.p))), 9) AS sim
+         |FROM bk CROSS JOIN probe CROSS JOIN pb
+         |WHERE bk.b = pb.b
+         |ORDER BY sim DESC, bk.vec_id LIMIT 10""".stripMargin
+    val annIvfSql =
+      s"""${graft.kmeans.KmeansQueries.preludeForOracle},
+         |probe AS (SELECT c AS p FROM pts ORDER BY vec_id LIMIT 1),
+         |cells AS (
+         |  SELECT i.cid FROM init i CROSS JOIN probe
+         |  ORDER BY list_sum(list_transform(list_zip(i.c, probe.p),
+         |           z -> (z[1]-z[2])*(z[1]-z[2]))), i.cid
+         |  LIMIT 2)
+         |SELECT a.vec_id,
+         |       round(list_dot_product(p.c, probe.p) /
+         |             (sqrt(list_dot_product(p.c, p.c)) * sqrt(list_dot_product(probe.p, probe.p))), 9) AS sim
+         |FROM assign a
+         |JOIN pts p USING (vec_id)
+         |CROSS JOIN probe
+         |WHERE a.cid IN (SELECT cid FROM cells)
+         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
     Map(
-      "q_topk_similar" ->
-        """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
-          |probe AS (SELECT c AS p FROM t ORDER BY vec_id LIMIT 1)
-          |SELECT t.vec_id,
-          |       round(list_dot_product(t.c, probe.p) /
-          |             (sqrt(list_dot_product(t.c, t.c)) * sqrt(list_dot_product(probe.p, probe.p))), 9) AS sim
-          |FROM t CROSS JOIN probe
-          |ORDER BY sim DESC, t.vec_id LIMIT 10""".stripMargin,
-      "q_ann_lsh" ->
-        s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
-           |probe AS (SELECT c AS p FROM t ORDER BY vec_id LIMIT 1),
-           |pb AS (SELECT ${planesSql(0, NPlanes)} AS b FROM (SELECT p AS c FROM probe)),
-           |bk AS (SELECT vec_id, c, ${planesSql(0, NPlanes)} AS b FROM t)
-           |SELECT bk.vec_id,
-           |       round(list_dot_product(bk.c, probe.p) /
-           |             (sqrt(list_dot_product(bk.c, bk.c)) * sqrt(list_dot_product(probe.p, probe.p))), 9) AS sim
-           |FROM bk CROSS JOIN probe CROSS JOIN pb
-           |WHERE bk.b = pb.b
-           |ORDER BY sim DESC, bk.vec_id LIMIT 10""".stripMargin,
+      "q_topk_similar" -> topkSql,
+      "q_ann_lsh" -> annLshSql,
+      // recall@10 of each approximate path vs the exact top-10 — the three
+      // candidate pipelines verbatim as nested-WITH subqueries
+      "q_ann_recall" ->
+        s"""WITH ex AS (SELECT vec_id FROM ($topkSql) t0),
+           |lsh AS (SELECT vec_id FROM ($annLshSql) t1),
+           |ivf AS (SELECT vec_id FROM ($annIvfSql) t2),
+           |r AS (
+           |  SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS k,
+           |         CAST(count(*) AS BIGINT) AS n_common FROM ex JOIN ivf USING (vec_id)
+           |  UNION ALL
+           |  SELECT 'lsh', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT) FROM ex JOIN lsh USING (vec_id))
+           |SELECT method, k, n_common, round(n_common / 10.0, 2) AS recall_at_10
+           |FROM r ORDER BY method""".stripMargin,
       // kNN join replay: same rounded cosine, window rank == bounded-heap
       // top-3 with (sim desc, id) ties
       "q_knn_join" ->
@@ -334,22 +382,7 @@ object SimilarityQueries {
           |             list_zip(c, list_transform(q, v -> CAST(v AS DOUBLE) / scale)),
           |             z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dequant_err
           |FROM q ORDER BY vec_id""".stripMargin,
-      "q_ann_ivf" ->
-        s"""${graft.kmeans.KmeansQueries.preludeForOracle},
-           |probe AS (SELECT c AS p FROM pts ORDER BY vec_id LIMIT 1),
-           |cells AS (
-           |  SELECT i.cid FROM init i CROSS JOIN probe
-           |  ORDER BY list_sum(list_transform(list_zip(i.c, probe.p),
-           |           z -> (z[1]-z[2])*(z[1]-z[2]))), i.cid
-           |  LIMIT 2)
-           |SELECT a.vec_id,
-           |       round(list_dot_product(p.c, probe.p) /
-           |             (sqrt(list_dot_product(p.c, p.c)) * sqrt(list_dot_product(probe.p, probe.p))), 9) AS sim
-           |FROM assign a
-           |JOIN pts p USING (vec_id)
-           |CROSS JOIN probe
-           |WHERE a.cid IN (SELECT cid FROM cells)
-           |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+      "q_ann_ivf" -> annIvfSql,
       // mirrors the Spark plan exactly: normalize first, level-1 bucket,
       // refine over-populated buckets with planes 8..15, single dot residual
       "q_dedup_embed" ->
