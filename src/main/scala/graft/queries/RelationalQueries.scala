@@ -550,6 +550,29 @@ object RelationalQueries {
               |GROUP BY l_returnflag, l_linestatus
               |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     },
+    // TPC-H Q3 (shipping priority): the multi-join SQL shape — customer
+    // filters broadcast onto orders, the orders ⋈ lineitem join shuffles on
+    // the orderkey, revenue is a partial+final agg, and the top-10 ends in
+    // TakeOrdered. AQE reorders/sizes the joins from runtime stats; revenue
+    // rounds at 4 (the product's true decimal grid — 2-dec price × 2-dec
+    // discount — so no half-boundary row can flip between engines).
+    "q_sql_tpch_q3" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_orderkey,
+              |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              |       o_orderdate, o_orderpriority
+              |FROM customer_v c
+              |JOIN orders_v o ON c.c_custkey = o.o_custkey
+              |JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+              |WHERE c.c_mktsegment = 'BUILDING'
+              |  AND o.o_orderdate < timestamp '1998-06-01 00:00:00'
+              |  AND l.l_shipdate > timestamp '1998-06-01 00:00:00'
+              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              |ORDER BY revenue DESC, o_orderdate, l_orderkey
+              |LIMIT 10""".stripMargin)
+    },
     // NS: full cube over region x nation (rollup's sibling; all 4 grouping
     // sets), subtotals labeled via coalesce like q_rollup.
     "q_cube" -> { (s, dir) =>
@@ -863,6 +886,19 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_sql_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value
         |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount

@@ -32,6 +32,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
   }
 
+  test("q_sql_tpch_q3 broadcasts the filtered dims; top-10 is TakeOrdered") {
+    val p = executedPlan("q_sql_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
+  }
+
   test("q_bpe_pairs collapses to vocab before the pair explode; top-k never global-sorts") {
     val p = executedPlan("q_bpe_pairs")
     assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
