@@ -383,6 +383,22 @@ object RelationalQueries {
 
     // NS: TPC-H Q1-shaped multi-aggregate over lineitem. Partial (map-side)
     // aggregation makes the shuffle K groups, not N rows.
+    // Exact DECIMAL money aggregation — the no-canonicalization story:
+    // every double-sum oracle in this repo needs a rounding grid because
+    // float addition is order-dependent; DECIMAL(18,2) sums are exact and
+    // associative, so Spark and DuckDB agree bit-for-bit with NO round()
+    // on either side. At 100 TB this is why financial columns aggregate in
+    // decimal: partial aggregation across 10^5 tasks cannot drift.
+    "q_decimal_exact" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .groupBy("o_orderstatus")
+        .agg(sum("p").cast("decimal(18,2)").as("total_price"),
+          count(lit(1)).as("n_orders"),
+          min("p").as("min_price"), max("p").as("max_price"))
+        .orderBy("o_orderstatus")
+    },
     "q_agg_stats" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
@@ -886,6 +902,11 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_decimal_exact" ->
+      """WITH t AS (SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+        |SELECT o_orderstatus, CAST(sum(p) AS DECIMAL(18,2)) AS total_price,
+        |       count(*) AS n_orders, min(p) AS min_price, max(p) AS max_price
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_sql_tpch_q3" ->
       """SELECT l_orderkey,
         |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
