@@ -131,6 +131,33 @@ object CorpusQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // NS: containment dedup (asymmetric Jaccard) — |A∩B|/|A| finds
+    // documents CONTAINED in others (quotes, boilerplate-wrapped copies,
+    // excerpts) that resemblance misses: a 50-shingle doc embedded in a
+    // 500-shingle doc has jaccard 0.1 but containment 1.0. Same LSH
+    // candidate generation as the resemblance path (shingle sets only
+    // materialize for candidate pairs, never all-pairs); ANSI-safe because
+    // shingle-less docs (<3 words) are filtered before any denominator.
+    "q_dedup_containment" -> { (s, dir) =>
+      val sigs = TextQueries.minhashSigsFor(s, dir)
+      val pairs = TextDedup.minhashCandidates(sigs)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(TextQueries.shingles3(words)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("n_common"),
+          size(col("sh_a")).cast("double").as("n_a"),
+          size(col("sh_b")).cast("double").as("n_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_common") / col("n_a"), 6).as("containment_a_in_b"),
+          round(col("n_common") / col("n_b"), 6).as("containment_b_in_a"),
+          round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // NS: per-document top TF-IDF term — the keyword-extraction shape of a
     // corpus indexer. tf shuffles (doc, word) pairs, df shuffles words, the
     // vocabulary joins back broadcast (a post-min-df vocab fits memory at
@@ -349,6 +376,35 @@ object CorpusQueries {
            |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
            |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
            |FROM est e JOIN ds a ON a.doc_id = e.doc_a JOIN ds b ON b.doc_id = e.doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // same candidate prelude as q_minhash_est; exact set math adds the
+      // two directed containments beside the resemblance
+      "q_dedup_containment" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |shl AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+           |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+           |sigs AS (
+           |$sigSelects
+           |),
+           |banded AS (
+           |  SELECT doc_id, j % 4 AS band,
+           |         md5(array_to_string(list_transform(list(minhash ORDER BY j),
+           |             x -> CAST(x AS VARCHAR)), ',')) AS band_key
+           |  FROM sigs GROUP BY doc_id, band
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= ${TextDedup.DefaultMaxBucketSize}
+           |),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl WHERE len(list_distinct(sh)) > 0)
+           |SELECT p.doc_a, p.doc_b,
+           |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment_a_in_b,
+           |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) AS containment_b_in_a,
+           |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+           |FROM pairs p JOIN ds a ON a.doc_id = p.doc_a JOIN ds b ON b.doc_id = p.doc_b
            |ORDER BY doc_a, doc_b""".stripMargin,
       "q_tfidf_top" ->
         """WITH total AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),

@@ -139,6 +139,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("containment catches a planted subset pair that resemblance misses") {
+    val s = spark
+    import s.implicits._
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = (1 to 120).map(i => s"w$i").mkString(" ") // small is a prefix of big
+    val docs = Seq((0L, small), (1L, big)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        array_distinct(TextQueries.shingles3(split(col("text"), " "))).as("sh"))
+    val a = docs.filter(col("doc_id") === 0).select(col("sh").as("sh_a"))
+    val b = docs.filter(col("doc_id") === 1).select(col("sh").as("sh_b"))
+    val r = a.crossJoin(b).select(
+      (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(col("sh_a"))).as("containment"),
+      (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")).head()
+    assert(r.getDouble(0) == 1.0, "subset must have containment 1.0")
+    assert(r.getDouble(1) < 0.15, "resemblance must stay low for the subset pair")
+    // registered query invariant on the fixture: jaccard never exceeds
+    // either directed containment, and all three are in [0,1]
+    val q = graft.text.CorpusQueries.queries("q_dedup_containment")(spark, TestSpark.Sf0001)
+    assert(q.filter(col("jaccard") > col("containment_a_in_b") + 1e-9 ||
+      col("jaccard") > col("containment_b_in_a") + 1e-9 ||
+      col("containment_a_in_b") > 1.0 || col("containment_b_in_a") > 1.0 ||
+      col("jaccard") < 0.0).count() == 0)
+  }
+
   test("end-to-end near-dup decision on the documents fixture is candidate-verified") {
     val pairs = TextDedup.nearDupPairs(spark, TestSpark.Sf0001, jaccardThreshold = 0.8)
     // fixture has no >=0.8 near-dups (verified exhaustively in DuckDB);
