@@ -14,6 +14,22 @@ class StatsQualitySpec extends AnyFunSuite {
   private def run(name: String): Array[Row] =
     SparkEntry.queries(name)(spark, TestSpark.Sf0001).collect()
 
+  test("q_decimal_exact is bit-identical across partition layouts (the exactness claim)") {
+    import org.apache.spark.sql.functions._
+    val base = graft.core.Tables.orders(spark, TestSpark.Sf0001)
+      .select(col("o_orderstatus"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_orderstatus")
+        .agg(sum("p").cast("decimal(18,2)").as("total_price"))
+        .orderBy("o_orderstatus").collect().toSeq
+    // a double sum over a different partitioning may drift in the last ulp;
+    // the decimal sum must NOT — partial aggregates are exact and associative
+    assert(agg(base.repartition(1)) == agg(base.repartition(13)))
+    assert(agg(base.repartition(13)) ==
+      SparkEntry.queries("q_decimal_exact")(spark, TestSpark.Sf0001)
+        .select("o_orderstatus", "total_price").orderBy("o_orderstatus").collect().toSeq)
+  }
+
   test("q_auc lies in [0,1] and price is a near-random predictor of status") {
     val r = run("q_auc").head
     val auc = r.getAs[Double]("auc")
