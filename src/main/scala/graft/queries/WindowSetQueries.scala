@@ -65,6 +65,20 @@ object WindowSetQueries {
 
     // NS: RANGE-frame window — per-user revenue in the trailing 1-hour
     // *time* window at each event (RANGE BETWEEN INTERVAL, not ROWS: peers
+    // Relative-rank window forms (percent_rank = (rank-1)/(n-1),
+    // cume_dist = rank_with_ties/n): the normalized-position signals a
+    // feature pipeline reads off a sort. Ordered on (price, key) — a total
+    // order — so the rational is identical integer arithmetic on both
+    // engines; one status-key shuffle like every window here.
+    "q_window_pctrank" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          round(cume_dist().over(w), 9).as("cume"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    },
     // are defined by timestamp distance, so ties and gaps behave
     // correctly). Same single user_id shuffle as every window here.
     "q_window_range_frame" -> { (s, dir) =>
@@ -230,6 +244,13 @@ object WindowSetQueries {
         |            epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
         |            AS BIGINT) AS gap_us
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_pctrank" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |       round(percent_rank() OVER (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey), 9) AS pct_rank,
+        |       round(cume_dist() OVER (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey), 9) AS cume
+        |FROM orders ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "q_window_range_frame" ->
       """SELECT event_id, user_id,
         |       round(sum(value) OVER (
