@@ -278,6 +278,29 @@ object TextQueries {
       TextDedup.connectedComponents(docs, edges)
         .orderBy("doc_id")
     },
+    // NS: train/test LEAKAGE AUDIT — near-dup clusters straddling split
+    // boundaries (the reason dedup must run BEFORE splitting: a near-copy
+    // of a training doc inside the test set inflates eval). Composes the
+    // component labels with the deterministic hash split; report = the
+    // leaking clusters with their per-split membership. Beyond the CC
+    // fixpoint the audit is one component-key aggregate — tiny at any
+    // corpus scale (clusters, not docs, reach the report).
+    "q_split_leakage" -> { (s, dir) =>
+      val labels = queries("q_dedup_components")(s, dir)
+      val bucket = pmod(h32(concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+      val split = Tables.documents(s, dir)
+        .select(col("doc_id"), when(bucket < 80, "train")
+          .when(bucket < 90, "valid").otherwise("test").as("split"))
+      labels.join(split, "doc_id")
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split")).as("n_splits"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .filter(col("n_splits") > 1)
+        .orderBy("component")
+    },
 
     // ---- corpus-prep family (NS) ------------------------------------------
 
@@ -419,6 +442,24 @@ object TextQueries {
     val sigAggCols = (0 until MinhashK)
       .map(j => s"min((h * ${mhA(j)} + ${mhB(j)}) % $P) AS sig$j").mkString(", ")
 
+    // simhash frame -> symmetric near-pair edges -> recursive min-reachable
+    // fixpoint; shared by q_dedup_components and q_split_leakage
+    val ccPrelude =
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |v AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS v FROM w),
+         |s AS (SELECT doc_id, $bitSumCols FROM v GROUP BY doc_id),
+         |f AS (SELECT doc_id, $packedCols AS simhash FROM s),
+         |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |       FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+         |reach(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+         |)""".stripMargin
+
     Map(
       "q_udaf_minhash" ->
         s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -533,22 +574,28 @@ object TextQueries {
       // recursive min-reachable-id fixpoint over the symmetric simhash edge
       // set == the label-propagation result (undirected reachability)
       "q_dedup_components" ->
-        s"""WITH RECURSIVE
-           |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-           |v AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS v FROM w),
-           |s AS (SELECT doc_id, $bitSumCols FROM v GROUP BY doc_id),
-           |f AS (SELECT doc_id, $packedCols AS simhash FROM s),
-           |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
-           |       FROM f a JOIN f b ON a.doc_id < b.doc_id
-           |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-           |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
-           |reach(v, u) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
-           |)
+        s"""$ccPrelude
            |SELECT v AS doc_id, min(u) AS component
            |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+      // same CC fixpoint + the q_sample_hash split; clusters spanning >1
+      // split are the leakage report
+      "q_split_leakage" ->
+        s"""$ccPrelude,
+           |labels AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
+           |sp AS (SELECT doc_id,
+           |              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+           |                   ELSE 'test' END AS split
+           |       FROM (SELECT doc_id,
+           |                    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+           |             FROM documents) t)
+           |SELECT l.component, count(*) AS n_docs,
+           |       CAST(count(DISTINCT s.split) AS BIGINT) AS n_splits,
+           |       CAST(sum(CASE WHEN s.split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           |       CAST(sum(CASE WHEN s.split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           |       CAST(sum(CASE WHEN s.split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+           |FROM labels l JOIN sp s USING (doc_id)
+           |GROUP BY l.component HAVING count(DISTINCT s.split) > 1
+           |ORDER BY component""".stripMargin,
       // brute-force all-pairs Hamming filter: the chunk-banding plan must
       // produce EXACTLY this (pigeonhole completeness for d<=3)
       "q_simhash_pairs" ->
