@@ -32,6 +32,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
   }
 
+  test("q_variant_json prunes the scan to (event_id, props) only") {
+    val p = executedPlan("q_variant_json")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,props:string>"),
+      s"column pruning regressed past the variant parse:\n$p")
+  }
+
   test("q_sql_tpch_q3 broadcasts the filtered dims; top-10 is TakeOrdered") {
     val p = executedPlan("q_sql_tpch_q3")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
