@@ -415,7 +415,7 @@ object SimilarityQueries {
           |                     z -> (z[1]-z[2])*(z[1]-z[2]))), 9), c.c_label) AS rn
           |      FROM e CROSS JOIN c)
           |SELECT label AS true_label, c_label AS pred_label, count(*) AS n
-          |FROM s WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+          |FROM s WHERE rn = 1 GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin
     )
   }
 }
