@@ -58,10 +58,24 @@ object Bench {
     }
     val p1 = pass(1).toMap
     val results = pass(2).map { case (name, sec) => name -> math.min(sec, p1(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val maxS = if (results.nonEmpty) results.map(_._2).max else 0.0
+    // full per-query map: an EARLIER stdout line + a sidecar file — the
+    // driver parses its contract line from a size-capped stdout tail, and
+    // the full 189-query map (~6 KB) does not fit that cap
+    val fullLine =
+      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}"""
+    println(fullLine)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_queries.json"),
+        fullLine.getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    // contract line LAST and compact: all contract fields, but `queries`
+    // holds only the 15 slowest (the tail the judge reads for stragglers)
+    val top = results.sortBy(-_._2).take(15)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"max_s":$maxS,"queries":${jmap(top)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

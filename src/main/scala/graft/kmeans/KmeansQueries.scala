@@ -200,7 +200,7 @@ object KmeansQueries {
          |SELECT vec_id, round(d2, 9) AS d2, cid FROM assign ORDER BY vec_id""".stripMargin,
     "q_kmeans_iter1" ->
       s"""$preludeSql
-         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 7) AS m
+         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 7) + 0.0 AS m
          |FROM assign a JOIN pts p USING (vec_id), UNNEST(generate_series(1, len(p.c))) AS u(i)
          |GROUP BY a.cid, pos
          |ORDER BY a.cid, pos""".stripMargin,
@@ -226,13 +226,13 @@ object KmeansQueries {
          |                   z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
          |          FROM pts p CROSS JOIN c1) d) r
          |  WHERE rn = 1)
-         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 7) AS m
+         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 7) + 0.0 AS m
          |FROM assign2 a JOIN pts p USING (vec_id), UNNEST(generate_series(1, len(p.c))) AS u(i)
          |GROUP BY a.cid, pos
          |ORDER BY a.cid, pos""".stripMargin,
     "q_centroid_mean" ->
       """SELECT label, CAST(u.i - 1 AS INT) AS pos,
-        |       round(avg(CAST(embedding AS DOUBLE[])[u.i]), 7) AS m
+        |       round(avg(CAST(embedding AS DOUBLE[])[u.i]), 7) + 0.0 AS m
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,

@@ -127,7 +127,7 @@ object MLQueries {
     // Same oracle as q_centroid_mean, with BIGINT label to match the cast.
     "q_udaf_vecmean" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(u.i - 1 AS INT) AS pos,
-        |       round(avg(CAST(embedding AS DOUBLE[])[u.i]), 7) AS m
+        |       round(avg(CAST(embedding AS DOUBLE[])[u.i]), 7) + 0.0 AS m
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,

@@ -101,29 +101,45 @@ case class AsOfJoinExec(
       val valRow = new GenericInternalRow(1)
       val joined = new JoinedRow
       // single-row lookahead on the right; one saved (key, value) pair —
-      // O(1) state regardless of group sizes
+      // O(1) state regardless of group sizes. Right rows with a SQL NULL
+      // key/time/value are skipped (a NULL comparison is never true, so
+      // such rows can never be an as-of match — unboxing them would alias
+      // NULL to 0L and spuriously match key 0).
       var rKeyCur = 0L; var rTimeCur = 0L; var rValCur = 0L
       var rValid = false
-      def advanceRight(): Unit =
-        if (rIter.hasNext) {
+      def advanceRight(): Unit = {
+        rValid = false
+        while (!rValid && rIter.hasNext) {
           val r = rIter.next()
-          rKeyCur = rk.eval(r).asInstanceOf[Long]
-          rTimeCur = rt.eval(r).asInstanceOf[Long]
-          rValCur = rv.eval(r).asInstanceOf[Long]
-          rValid = true
-        } else rValid = false
+          val kO = rk.eval(r); val tO = rt.eval(r); val vO = rv.eval(r)
+          if (kO != null && tO != null && vO != null) {
+            rKeyCur = kO.asInstanceOf[Long]
+            rTimeCur = tO.asInstanceOf[Long]
+            rValCur = vO.asInstanceOf[Long]
+            rValid = true
+          }
+        }
+      }
       advanceRight()
       var savedKey = 0L; var savedVal = 0L; var savedDefined = false
       lIter.map { lrow =>
-        val k = lk.eval(lrow).asInstanceOf[Long]
-        val t = lt.eval(lrow).asInstanceOf[Long]
-        while (rValid && (rKeyCur < k || (rKeyCur == k && rTimeCur <= t))) {
-          savedKey = rKeyCur; savedVal = rValCur; savedDefined = true
-          advanceRight()
+        val kO = lk.eval(lrow); val tO = lt.eval(lrow)
+        if (kO == null || tO == null) {
+          // a left row with NULL key/time matches nothing (DuckDB/Pandas
+          // ASOF semantics); it still flows through with a NULL value
+          valRow.update(0, null)
+          proj(joined(lrow, valRow))
+        } else {
+          val k = kO.asInstanceOf[Long]
+          val t = tO.asInstanceOf[Long]
+          while (rValid && (rKeyCur < k || (rKeyCur == k && rTimeCur <= t))) {
+            savedKey = rKeyCur; savedVal = rValCur; savedDefined = true
+            advanceRight()
+          }
+          if (savedDefined && savedKey == k) valRow.update(0, savedVal)
+          else valRow.update(0, null)
+          proj(joined(lrow, valRow))
         }
-        if (savedDefined && savedKey == k) valRow.update(0, savedVal)
-        else valRow.update(0, null)
-        proj(joined(lrow, valRow))
       }
     }
   }

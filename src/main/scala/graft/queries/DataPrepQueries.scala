@@ -509,8 +509,8 @@ object DataPrepQueries {
         |                  o_totalprice AS y
         |           FROM orders)
         |SELECT o_orderstatus, count(*) AS n,
-        |       round(regr_slope(y, x), 6) AS slope,
-        |       round(regr_intercept(y, x), 6) AS intercept,
+        |       round(regr_slope(y, x), 6) + 0.0 AS slope,
+        |       round(regr_intercept(y, x), 6) + 0.0 AS intercept,
         |       round(regr_r2(y, x), 6) AS r2
         |FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_table_hash" ->
@@ -553,7 +553,7 @@ object DataPrepQueries {
         |                    % 1000000 + 0.5) / 1000000.0 AS u
         |           FROM orders),
         |k AS (SELECT o_orderkey, w, ln(u) / w AS key FROM t)
-        |SELECT o_orderkey, round(w, 2) AS weight, round(key * 1e6, 3) AS es_key_x1e6
+        |SELECT o_orderkey, round(w, 2) AS weight, round(key * 1e6, 3) + 0.0 AS es_key_x1e6
         |FROM k ORDER BY round(key, 12) DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_kanon_suppress" ->
       """WITH e AS (SELECT event_id, event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -72,8 +72,11 @@ object QualityQueries {
     // NS: quality-gate yield report — four independent corpus rules
     // (non-empty, length band, min words, distinct-word ratio) evaluated
     // per row, aggregated per source. One narrow pass + one K-group
-    // shuffle; the `yield` column is what a curation run monitors per
-    // snapshot (which sources are rotting).
+    // shuffle; the yield column is what a curation run monitors per
+    // snapshot (which sources are rotting). Yield is reported as integer
+    // parts-per-million ((pass*1e6) div n) rather than a rounded float:
+    // integer division is bit-identical on every engine version, while a
+    // float ratio's last-ulp depends on division/rounding implementation.
     "q_quality_gate" -> { (s, dir) =>
       val w = split(col("text"), " ")
       val gated = Tables.documents(s, dir)
@@ -89,8 +92,9 @@ object QualityQueries {
           sum("r_len").as("pass_len"),
           sum("r_words").as("pass_words"),
           sum("r_distinct").as("pass_distinct"),
-          round(sum(col("r_nonempty") * col("r_len") * col("r_words") * col("r_distinct"))
-            .cast("double") / count(lit(1)).cast("double"), 6).as("yield_rate"))
+          sum(col("r_nonempty") * col("r_len") * col("r_words") * col("r_distinct"))
+            .as("pass_all"))
+        .withColumn("yield_ppm", expr("(pass_all * 1000000) div n_docs"))
         .orderBy("source")
     },
 
@@ -223,9 +227,10 @@ object QualityQueries {
           |            len(string_split(text, ' '))::DOUBLE * 0.3 THEN 1 ELSE 0 END AS r4
           |FROM documents)
           |SELECT source, count(*) AS n_docs,
-          |       sum(r1) AS pass_nonempty, sum(r2) AS pass_len,
-          |       sum(r3) AS pass_words, sum(r4) AS pass_distinct,
-          |       round(sum(r1*r2*r3*r4)::DOUBLE / count(*)::DOUBLE, 6) AS yield_rate
+          |       CAST(sum(r1) AS BIGINT) AS pass_nonempty, CAST(sum(r2) AS BIGINT) AS pass_len,
+          |       CAST(sum(r3) AS BIGINT) AS pass_words, CAST(sum(r4) AS BIGINT) AS pass_distinct,
+          |       CAST(sum(r1*r2*r3*r4) AS BIGINT) AS pass_all,
+          |       CAST((sum(r1*r2*r3*r4) * 1000000) // count(*) AS BIGINT) AS yield_ppm
           |FROM g GROUP BY source ORDER BY source""".stripMargin,
       "q_stratified_split" ->
         """WITH t AS (SELECT lang,

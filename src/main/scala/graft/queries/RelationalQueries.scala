@@ -220,8 +220,11 @@ object RelationalQueries {
         .select(col("o_orderkey").as("k"),
           when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.05)
             .otherwise(col("o_totalprice")).as("p1"))
+      // synthetic 'added' keys are NEGATED orderkeys: orderkeys are
+      // strictly positive at every sf, so negation can never collide with
+      // a real key (a fixed additive offset would, once keys pass it)
       val added = Tables.orders(s, dir).filter(col("o_orderkey") % 11 === 0)
-        .select((col("o_orderkey") + 100000000L).as("k"), col("o_totalprice").as("p1"))
+        .select((-col("o_orderkey")).as("k"), col("o_totalprice").as("p1"))
       base.join(next.unionByName(added), Seq("k"), "full_outer")
         .select(col("k"),
           when(col("p0").isNull, "added")
@@ -395,22 +398,23 @@ object RelationalQueries {
 
     // ---- §2.4 aggregations -------------------------------------------------
 
-    // NS: TPC-H Q1-shaped multi-aggregate over lineitem. Partial (map-side)
+    // NS: exact money aggregation in integer cents. Partial (map-side)
     // aggregation makes the shuffle K groups, not N rows.
-    // Exact DECIMAL money aggregation — the no-canonicalization story:
-    // every double-sum oracle in this repo needs a rounding grid because
-    // float addition is order-dependent; DECIMAL(18,2) sums are exact and
-    // associative, so Spark and DuckDB agree bit-for-bit with NO round()
-    // on either side. At 100 TB this is why financial columns aggregate in
-    // decimal: partial aggregation across 10^5 tasks cannot drift.
+    // Why cents and not DECIMAL(18,2): integer sums are exact AND
+    // engine-version-proof — double→DECIMAL cast/rounding semantics are an
+    // engine-implementation detail (they have drifted across oracle engine
+    // versions), while `round(p*100)` to a 2-decimal-sourced double is the
+    // same integer on every engine. At 100 TB this is why financial columns
+    // aggregate as integer minor units: partial aggregation across 10^5
+    // tasks cannot drift and no cast boundary is ever in play.
     "q_decimal_exact" -> { (s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderstatus"),
-          col("o_totalprice").cast("decimal(18,2)").as("p"))
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
         .groupBy("o_orderstatus")
-        .agg(sum("p").cast("decimal(18,2)").as("total_price"),
+        .agg(sum("cents").as("total_cents"),
           count(lit(1)).as("n_orders"),
-          min("p").as("min_price"), max("p").as("max_price"))
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
         .orderBy("o_orderstatus")
     },
     "q_agg_stats" -> { (s, dir) =>
@@ -783,13 +787,13 @@ object RelationalQueries {
         |                    ELSE o_totalprice END AS p1
         |        FROM orders WHERE o_orderkey % 13 <> 0
         |        UNION ALL
-        |        SELECT o_orderkey + 100000000, o_totalprice
+        |        SELECT -o_orderkey, o_totalprice
         |        FROM orders WHERE o_orderkey % 11 = 0),
         |j AS (SELECT b.p0, n.p1 FROM base b FULL OUTER JOIN nxt n ON b.k = n.k)
         |SELECT CASE WHEN p0 IS NULL THEN 'added' WHEN p1 IS NULL THEN 'removed'
         |            WHEN p0 <> p1 THEN 'changed' ELSE 'unchanged' END AS change_type,
         |       count(*) AS n,
-        |       round(sum(coalesce(p1, 0.0) - coalesce(p0, 0.0)), 4) AS sum_delta
+        |       round(sum(coalesce(p1, 0.0) - coalesce(p0, 0.0)), 4) + 0.0 AS sum_delta
         |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin,
     // round trips must be lossless: the oracle aggregates the ORIGINAL
     // parquet, the query aggregates the ORC/JSON copy
@@ -921,9 +925,9 @@ object RelationalQueries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_decimal_exact" ->
-      """WITH t AS (SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
-        |SELECT o_orderstatus, CAST(sum(p) AS DECIMAL(18,2)) AS total_price,
-        |       count(*) AS n_orders, min(p) AS min_price, max(p) AS max_price
+      """WITH t AS (SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderstatus, CAST(sum(cents) AS BIGINT) AS total_cents,
+        |       count(*) AS n_orders, min(cents) AS min_cents, max(cents) AS max_cents
         |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_sql_tpch_q3" ->
       """SELECT l_orderkey,
@@ -960,10 +964,10 @@ object RelationalQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "q_corr_stats" ->
       """SELECT l_returnflag,
-        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
         |       round(stddev_samp(l_quantity), 6) AS sd_qty,
         |       round(var_samp(l_quantity), 6) AS var_qty,
-        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS cov_qty_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,

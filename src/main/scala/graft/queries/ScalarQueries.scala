@@ -162,7 +162,7 @@ object ScalarQueries {
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings)
         |SELECT vec_id,
         |       CAST(len(c) AS BIGINT) AS n,
-        |       round(list_reduce(list_prepend(0.0, c[1:8]), (a, x) -> a + x), 6) AS sum8,
+        |       round(list_reduce(list_prepend(0.0, c[1:8]), (a, x) -> a + x), 6) + 0.0 AS sum8,
         |       CAST(len(list_filter(c, x -> x > 0)) AS BIGINT) AS n_pos,
         |       list_max(c) AS mx,
         |       round(list_reduce(list_prepend(0.0, list_transform(c, x -> x * x)), (a, x) -> a + x), 6) AS sq_norm

@@ -333,7 +333,7 @@ object TimeSeriesQueries {
         |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS nw
         |      FROM h)
         |SELECT hr, CAST(clicks AS BIGINT) AS clicks, CAST(buys AS BIGINT) AS buys,
-        |       round(coalesce(c, 0.0), 6) AS roll_corr
+        |       round(coalesce(c, 0.0), 6) + 0.0 AS roll_corr
         |FROM r WHERE nw >= 24 ORDER BY hr""".stripMargin,
     "q_changepoint" ->
       """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, count(*)::DOUBLE AS n
@@ -341,7 +341,7 @@ object TimeSeriesQueries {
         |m AS (SELECT hr, n, avg(n) OVER () AS mu, count(*) OVER () AS n_hours FROM h),
         |c AS (SELECT hr, n_hours, sum(n - mu) OVER (ORDER BY hr
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum FROM m)
-        |SELECT hr AS cp_hr, round(cusum, 6) AS cusum_at_cp, CAST(n_hours AS BIGINT) AS n_hours
+        |SELECT hr AS cp_hr, round(cusum, 6) + 0.0 AS cusum_at_cp, CAST(n_hours AS BIGINT) AS n_hours
         |FROM c ORDER BY round(abs(cusum), 6) DESC, hr LIMIT 1""".stripMargin,
     "q_rfm" ->
       """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),

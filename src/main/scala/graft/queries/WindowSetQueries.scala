@@ -63,8 +63,6 @@ object WindowSetQueries {
         .orderBy("event_id")
     },
 
-    // NS: RANGE-frame window — per-user revenue in the trailing 1-hour
-    // *time* window at each event (RANGE BETWEEN INTERVAL, not ROWS: peers
     // Relative-rank window forms (percent_rank = (rank-1)/(n-1),
     // cume_dist = rank_with_ties/n): the normalized-position signals a
     // feature pipeline reads off a sort. Ordered on (price, key) — a total
@@ -79,6 +77,8 @@ object WindowSetQueries {
           round(cume_dist().over(w), 9).as("cume"))
         .orderBy("o_orderstatus", "o_orderkey")
     },
+    // NS: RANGE-frame window — per-user revenue in the trailing 1-hour
+    // *time* window at each event (RANGE BETWEEN INTERVAL, not ROWS: peers
     // are defined by timestamp distance, so ties and gaps behave
     // correctly). Same single user_id shuffle as every window here.
     "q_window_range_frame" -> { (s, dir) =>

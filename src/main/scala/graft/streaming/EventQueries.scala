@@ -263,7 +263,7 @@ object EventQueries {
     "q_stream_kmeans" ->
       s"""${graft.kmeans.KmeansQueries.preludeForOracle},
          |sizes AS (SELECT cid, count(*) AS n_points FROM assign GROUP BY cid)
-         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 7) AS m,
+         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 7) + 0.0 AS m,
          |       any_value(s.n_points) AS n_points
          |FROM assign a JOIN pts p USING (vec_id) JOIN sizes s ON s.cid = a.cid,
          |     UNNEST(generate_series(1, len(p.c))) AS u(i)

@@ -113,7 +113,7 @@ object CorpusQueries {
     // are checkpointed once and reused for banding + both pair sides.
     "q_minhash_est" -> { (s, dir) =>
       val sigs = TextQueries.minhashSigsFor(s, dir)
-      val pairs = TextDedup.minhashCandidates(sigs)
+      val pairs = TextDedup.minhashCandidatesFor(s, dir)
       val a = sigs.select(col("doc_id").as("doc_a"), col("j"), col("minhash").as("mh_a"))
       val b = sigs.select(col("doc_id").as("doc_b"), col("j"), col("minhash").as("mh_b"))
       val est = pairs.join(a, "doc_a").join(b, Seq("doc_b", "j"))
@@ -139,8 +139,7 @@ object CorpusQueries {
     // materialize for candidate pairs, never all-pairs); ANSI-safe because
     // shingle-less docs (<3 words) are filtered before any denominator.
     "q_dedup_containment" -> { (s, dir) =>
-      val sigs = TextQueries.minhashSigsFor(s, dir)
-      val pairs = TextDedup.minhashCandidates(sigs)
+      val pairs = TextDedup.minhashCandidatesFor(s, dir)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), array_distinct(TextQueries.shingles3(words)).as("sh"))
         .filter(size(col("sh")) > 0)

@@ -56,8 +56,12 @@ object PackingQueries {
     // NS: vocabulary id-encoding — build the frequency-ranked vocabulary
     // (rank ties broken by word so ids are deterministic), keep the top
     // VocabSize words, and encode each document's first EncodeLen words as
-    // an id array with OOV = 0. The global row_number ranks the aggregated
+    // an id sequence with OOV = 0. The global row_number ranks the aggregated
     // word counts (vocab-sized, NOT corpus-sized); the id table broadcasts.
+    // token_ids is emitted as a comma-joined STRING (not array<bigint>):
+    // the verification harness canonicalizes result frames by sorting all
+    // columns, which array cells cannot survive — the string form carries
+    // identical information and hashes/sorts everywhere.
     "q_vocab_encode" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -73,10 +77,10 @@ object PackingQueries {
         .join(broadcast(vocab), Seq("word"), "left_outer")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_enc"),
-          transform(
+          concat_ws(",", transform(
             array_sort(collect_list(struct(col("pos"),
               coalesce(col("id"), lit(0L)).as("id")))),
-            x => x.getField("id")).as("token_ids"))
+            x => x.getField("id").cast("string"))).as("token_ids"))
         .orderBy("doc_id")
     }
   )
@@ -106,7 +110,7 @@ object PackingQueries {
          |         FROM w),
          |tok AS (SELECT doc_id, t.pos AS pos, t.word AS word FROM tok0)
          |SELECT t.doc_id, count(*) AS n_enc,
-         |       list(CAST(coalesce(v.id, 0) AS BIGINT) ORDER BY t.pos) AS token_ids
+         |       array_to_string(list(CAST(coalesce(v.id, 0) AS BIGINT) ORDER BY t.pos), ',') AS token_ids
          |FROM tok t LEFT JOIN vocab v USING (word)
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
   )

@@ -81,6 +81,23 @@ object TextQueries {
         .localCheckpoint()
     })
 
+  // (context identity, sfDir) -> converged component labels over the
+  // simhash near-dup edges. Both q_dedup_components and q_split_leakage
+  // consume the SAME fixpoint; without the memo the leakage audit re-ran
+  // the entire edge-generation + CC iteration from scratch. At 100 TB the
+  // component labeling is a persisted dedup artifact (the cluster map),
+  // not something each downstream audit recomputes.
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
+
+  /** Memoized (doc_id, component) labels for the fixture at `dir`. */
+  def componentLabelsFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    ccCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir), _ => {
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val edges = queries("q_simhash_pairs")(s, dir).select("doc_a", "doc_b")
+      TextDedup.connectedComponents(docs, edges).localCheckpoint()
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language ID: stopword hit counts per candidate language, argmax with
@@ -255,7 +272,7 @@ object TextQueries {
     // signature become a candidate pair. The oracle rebuilds the exact band
     // fingerprints in DuckDB — every emitted pair cross-checked.
     "q_lsh_candidates" -> { (s, dir) =>
-      TextDedup.minhashCandidates(minhashSigsFor(s, dir))
+      TextDedup.minhashCandidatesFor(s, dir)
         .orderBy("doc_a", "doc_b")
     },
     // SimHash near-pairs via pigeonhole chunk banding
@@ -273,10 +290,7 @@ object TextQueries {
     // oracle computes the same fixpoint as a recursive CTE — min reachable
     // id over the symmetric edge set.
     "q_dedup_components" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id")
-      val edges = queries("q_simhash_pairs")(s, dir).select("doc_a", "doc_b")
-      TextDedup.connectedComponents(docs, edges)
-        .orderBy("doc_id")
+      componentLabelsFor(s, dir).orderBy("doc_id")
     },
     // NS: train/test LEAKAGE AUDIT — near-dup clusters straddling split
     // boundaries (the reason dedup must run BEFORE splitting: a near-copy
@@ -286,7 +300,7 @@ object TextQueries {
     // fixpoint the audit is one component-key aggregate — tiny at any
     // corpus scale (clusters, not docs, reach the report).
     "q_split_leakage" -> { (s, dir) =>
-      val labels = queries("q_dedup_components")(s, dir)
+      val labels = componentLabelsFor(s, dir)
       val bucket = pmod(h32(concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
       val split = Tables.documents(s, dir)
         .select(col("doc_id"), when(bucket < 80, "train")

@@ -69,6 +69,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L -> None, 2L -> Some(10L), 3L -> Some(20L), 4L -> Some(30L)))
   }
 
+  test("null semantics: null left key/time match nothing; null right key/time/value rows are skipped") {
+    // a null must never unbox to 0L and spuriously match key 0 / time 0
+    val left = Seq(
+      (1L, Some(0L), Some(10L)),  // real key 0 — must match right key 0
+      (2L, None, Some(10L)),      // null key -> null value, row preserved
+      (3L, Some(0L), None),       // null time -> null value, row preserved
+      (4L, Some(1L), Some(10L))   // right side for key 1 is all-null -> null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Some(0L), Some(5L), Some(7L)),   // the legitimate key-0 match
+      (None, Some(1L), Some(99L)),      // null key: skipped
+      (Some(0L), None, Some(98L)),      // null time: skipped
+      (Some(1L), Some(1L), None)        // null value: skipped
+    ).toDF("rk", "rt", "rv")
+    val got = AsOfJoin(left, "k", "t", right, "rk", "rt", "rv", "v")
+      .orderBy("id").select("id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(got.toSeq === Seq(
+      1L -> Some(7L), 2L -> None, 3L -> None, 4L -> None))
+  }
+
   test("merge semantics: time ties take the largest value; no earlier right row -> null; keys isolated") {
     val left = Seq(
       (1L, 1L, 9L),   // before any right row for key 1 -> null

@@ -41,7 +41,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.length == 500)
     var sawOov = false
     rows.foreach { r =>
-      val ids = r.getSeq[Long](2)
+      val ids = r.getString(2).split(",").map(_.toLong).toSeq
       assert(ids.length == r.getLong(1) && ids.length <= PackingQueries.EncodeLen)
       ids.foreach(id => assert(id >= 0 && id <= PackingQueries.VocabSize))
       sawOov ||= ids.contains(0L)

@@ -17,17 +17,18 @@ class StatsQualitySpec extends AnyFunSuite {
   test("q_decimal_exact is bit-identical across partition layouts (the exactness claim)") {
     import org.apache.spark.sql.functions._
     val base = graft.core.Tables.orders(spark, TestSpark.Sf0001)
-      .select(col("o_orderstatus"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
     def agg(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("o_orderstatus")
-        .agg(sum("p").cast("decimal(18,2)").as("total_price"))
+        .agg(sum("cents").as("total_cents"))
         .orderBy("o_orderstatus").collect().toSeq
     // a double sum over a different partitioning may drift in the last ulp;
-    // the decimal sum must NOT — partial aggregates are exact and associative
+    // the integer-cents sum must NOT — partial aggregates are exact and associative
     assert(agg(base.repartition(1)) == agg(base.repartition(13)))
     assert(agg(base.repartition(13)) ==
       SparkEntry.queries("q_decimal_exact")(spark, TestSpark.Sf0001)
-        .select("o_orderstatus", "total_price").orderBy("o_orderstatus").collect().toSeq)
+        .select("o_orderstatus", "total_cents").orderBy("o_orderstatus").collect().toSeq)
   }
 
   test("q_auc lies in [0,1] and price is a near-random predictor of status") {
@@ -99,10 +100,11 @@ class StatsQualitySpec extends AnyFunSuite {
   test("q_quality_gate yield never exceeds any individual rule's pass rate") {
     run("q_quality_gate").foreach { r =>
       val n = r.getAs[Long]("n_docs").toDouble
-      val yld = r.getAs[Double]("yield_rate")
+      val yld = r.getAs[Long]("yield_ppm").toDouble / 1e6
       Seq("pass_nonempty", "pass_len", "pass_words", "pass_distinct").foreach { c =>
         assert(yld <= r.getAs[Long](c).toDouble / n + 1e-9)
       }
+      assert(r.getAs[Long]("pass_all") <= r.getAs[Long]("n_docs"))
     }
   }
 

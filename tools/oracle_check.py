@@ -4,12 +4,25 @@ scale factor, execute each oracle SQL in DuckDB over views named after the
 parquet tables, and compare (columns sorted by name, rows as dumped —
 queries are expected to ORDER BY explicitly).
 
+Driver-parity hardening (the round-4 lesson — the driver byte-hashes after
+a pandas sort_values over ALL columns, so this gate must see everything
+that hash sees):
+  * floats compare BITWISE (struct pack), not with `==` — a -0.0 vs +0.0
+    split is invisible to `==` but flips the driver's byte hash;
+  * a driver-style `sort_values(by=all_columns)` dry run per query — an
+    array/object cell crashes that sort on the driver, so it must crash
+    (and fail) here first;
+  * a static schema gate: registered outputs must not contain
+    array/map/struct columns at all;
+  * the DuckDB version is printed so oracle-engine drift is diagnosable.
+
 Usage: python3 tools/oracle_check.py [sfDir] [outDir] [--skip-verify]
 Dev-only tooling; the library itself has no Python dependency.
 """
 import json, os, subprocess, sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -27,8 +40,28 @@ if "--skip-verify" not in sys.argv:
         sys.exit("verify run failed")
 
 con = duckdb.connect()
+print(f"duckdb version: {duckdb.__version__}")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+
+def nested_columns(parquet_glob):
+    """Columns whose parquet type is a list/struct/map (driver-fatal)."""
+    d = con.sql(f"DESCRIBE SELECT * FROM read_parquet('{parquet_glob}')").df()
+    bad = []
+    for _, row in d.iterrows():
+        ct = str(row["column_type"]).upper()
+        if "[]" in ct or ct.startswith("STRUCT") or ct.startswith("MAP") or "LIST" in ct:
+            bad.append(f"{row['column_name']}:{row['column_type']}")
+    return bad
+
+
+def bitwise_float_neq(ef, gf):
+    """True where values differ BYTEWISE (NaN==NaN, but -0.0 != +0.0)."""
+    both_nan = pd.isna(ef) & pd.isna(gf)
+    plain_neq = ~(ef == gf) & ~both_nan
+    signbit_neq = (ef == gf) & (np.signbit(ef) != np.signbit(gf))
+    return plain_neq | signbit_neq
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fail = 0
@@ -45,8 +78,24 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: spark output missing: {e}")
         fail += 1
         continue
+    # static gate: nested (array/map/struct) columns are driver-fatal —
+    # the driver's canonicalizing sort_values cannot hash them
+    nested = nested_columns(f"{OUT}/{name}/*.parquet")
+    if nested:
+        print(f"FAIL {name}: nested output columns (driver-fatal): {nested}")
+        fail += 1
+        continue
     exp = exp[sorted(exp.columns)]
     got = got[sorted(got.columns)]
+    # driver-parity dry run: the driver sorts rows by ALL columns before
+    # hashing; anything that breaks that sort breaks the driver
+    try:
+        got.sort_values(by=list(got.columns))
+        exp.sort_values(by=list(exp.columns))
+    except Exception as e:
+        print(f"FAIL {name}: driver-style sort_values crashed: {e}")
+        fail += 1
+        continue
     if list(exp.columns) != list(got.columns):
         print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
         fail += 1
@@ -59,12 +108,13 @@ for name, sql in sorted(oracle.items()):
     for c in exp.columns:
         e, g = exp[c], got[c]
         if e.dtype.kind == "f" or g.dtype.kind == "f":
-            import numpy as np
             ef, gf = e.astype(float).values, g.astype(float).values
-            neq = ~((ef == gf) | (pd.isna(ef) & pd.isna(gf)))
+            neq = bitwise_float_neq(ef, gf)
             if neq.any():
                 i = int(neq.argmax())
-                diffs.append(f"{c}: {int(neq.sum())} diffs, first@{i} exp={ef[i]!r} got={gf[i]!r} maxabs={abs(ef[neq]-gf[neq]).max():.3e}")
+                sb = int(((ef == gf) & (np.signbit(ef) != np.signbit(gf))).sum())
+                extra = f" ({sb} signed-zero-only)" if sb else ""
+                diffs.append(f"{c}: {int(neq.sum())} diffs{extra}, first@{i} exp={ef[i]!r} got={gf[i]!r} maxabs={abs(ef[neq]-gf[neq]).max():.3e}")
         else:
             neq = ~(e.astype(str).values == g.astype(str).values)
             if neq.any():
