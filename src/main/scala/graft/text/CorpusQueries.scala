@@ -120,9 +120,7 @@ object CorpusQueries {
         .groupBy("doc_a", "doc_b")
         .agg(round(sum(when(col("mh_a") === col("mh_b"), 1.0).otherwise(0.0)) /
           TextQueries.MinhashK, 6).as("est_jaccard"))
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), words.as("ws"))
-        .select(col("doc_id"), array_distinct(TextQueries.shingles3(col("ws"))).as("sh"))
+      val docs = TextQueries.shingleSetsFor(s, dir).select("doc_id", "sh")
       est.join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
@@ -140,8 +138,8 @@ object CorpusQueries {
     // shingle-less docs (<3 words) are filtered before any denominator.
     "q_dedup_containment" -> { (s, dir) =>
       val pairs = TextDedup.minhashCandidatesFor(s, dir)
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), array_distinct(TextQueries.shingles3(words)).as("sh"))
+      val docs = TextQueries.shingleSetsFor(s, dir)
+        .select("doc_id", "sh")
         .filter(size(col("sh")) > 0)
       pairs
         .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

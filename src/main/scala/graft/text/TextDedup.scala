@@ -3,8 +3,6 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
-
 /** Candidate-pair generation for the sketch-based dedup family — the
   * "scale path" half of the §2 dedup surface: every method below turns
   * near-dup search into an equi-join on a small derived key, so candidate
@@ -227,9 +225,7 @@ object TextDedup {
     if (dropped > 0)
       System.err.println(s"[TextDedup] dropped $dropped over-full band buckets (> $DefaultMaxBucketSize docs) from candidate generation")
     val cands = candidatesFromBanded(banded)
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), array_distinct(TextQueries.shingles3(col("ws"))).as("sh"))
+    val docs = TextQueries.shingleSetsFor(spark, sfDir).select("doc_id", "sh")
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
