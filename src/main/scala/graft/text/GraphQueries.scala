@@ -76,9 +76,14 @@ object GraphQueries {
     // degrees, one self-join makes oriented wedges, one equi-join closes
     // them against the (a<b-canonical) edge list.
     "q_graph_triangles" -> { (s, dir) =>
-      val edges = TextQueries.queries("q_simhash_pairs")(s, dir)
+      // memoized edge artifact (simhashPairsFor) — already materialized,
+      // feeds degrees, wedges, and closure without re-banding
+      val edges = TextQueries.simhashPairsFor(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .localCheckpoint() // edge set feeds degrees, wedges, and closure
+      // NOTE: deg/oriented/wedges are deliberately NOT checkpointed —
+      // measured at sf0.1, materializing them costs more than the
+      // recomputation they save (2.1 s vs 1.2 s warm); the memoized edge
+      // frame is the only reuse worth paying for here.
       val deg = edges.select(col("a").as("v"))
         .union(edges.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))

@@ -101,6 +101,21 @@ object TextQueries {
           array_distinct(shingles3(col("ws"))).as("sh"))
         .localCheckpoint())
 
+  // (context identity, sfDir) -> simhash near-dup edge set (Hamming<=3).
+  // Three consumers (q_simhash_pairs, the CC labels below, triangle
+  // counting) each re-ran the chunk-banding self-join; at 100 TB the
+  // near-dup edge set is the central persisted artifact of the dedup
+  // pipeline — everything downstream (clustering, audits, graph
+  // diagnostics) reads it, nothing recomputes it.
+  private val simhashPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
+
+  /** Memoized (doc_a, doc_b, hamming) simhash near-pair edges. */
+  def simhashPairsFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    simhashPairCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir),
+      _ => TextDedup.simhashNearPairs(queries("q_dedup_simhash")(s, dir), maxHamming = 3)
+        .localCheckpoint())
+
   // (context identity, sfDir) -> converged component labels over the
   // simhash near-dup edges. Both q_dedup_components and q_split_leakage
   // consume the SAME fixpoint; without the memo the leakage audit re-ran
@@ -114,7 +129,7 @@ object TextQueries {
   def componentLabelsFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     ccCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir), _ => {
       val docs = Tables.documents(s, dir).select("doc_id")
-      val edges = queries("q_simhash_pairs")(s, dir).select("doc_a", "doc_b")
+      val edges = simhashPairsFor(s, dir).select("doc_a", "doc_b")
       TextDedup.connectedComponents(docs, edges).localCheckpoint()
     })
 
@@ -297,8 +312,7 @@ object TextQueries {
     // the brute-force all-pairs filter — the strongest possible
     // cross-engine proof that the optimized form loses nothing.
     "q_simhash_pairs" -> { (s, dir) =>
-      TextDedup.simhashNearPairs(queries("q_dedup_simhash")(s, dir), maxHamming = 3)
-        .orderBy("doc_a", "doc_b")
+      simhashPairsFor(s, dir).orderBy("doc_a", "doc_b")
     },
     // Dedup canonicalization: connected components over the simhash
     // near-pair edges (min-label propagation, TextDedup.connectedComponents)
