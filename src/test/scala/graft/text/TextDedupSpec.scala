@@ -171,4 +171,33 @@ class TextDedupSpec extends AnyFunSuite {
     // the invariant under test: every emitted pair satisfies its threshold
     assert(pairs.filter(col("jaccard") < 0.8).count() == 0)
   }
+
+  test("memoized pipeline artifacts equal their direct (un-memoized) derivations") {
+    // the memo layer (sigs/shingles/candidates/edges/CC labels) must be a
+    // pure cache: any keying bug (wrong fixture, stale context) would show
+    // as a row diff against the directly-built frame
+    val dir = TestSpark.Sf0001
+    val directSh = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        element_at(col("ws"), 1).as("first_word"),
+        array_distinct(TextQueries.shingles3(col("ws"))).as("sh"))
+    val memoSh = TextQueries.shingleSetsFor(spark, dir)
+    assert(memoSh.exceptAll(directSh).isEmpty && directSh.exceptAll(memoSh).isEmpty,
+      "shingleSetsFor drifted from the direct derivation")
+
+    val directPairs = TextDedup.simhashNearPairs(
+      TextQueries.queries("q_dedup_simhash")(spark, dir), maxHamming = 3)
+    val memoPairs = TextQueries.simhashPairsFor(spark, dir)
+    assert(memoPairs.exceptAll(directPairs).isEmpty && directPairs.exceptAll(memoPairs).isEmpty,
+      "simhashPairsFor drifted from the direct derivation")
+
+    val directCc = TextDedup.connectedComponents(
+      graft.core.Tables.documents(spark, dir).select("doc_id"),
+      directPairs.select("doc_a", "doc_b"))
+    val memoCc = TextQueries.componentLabelsFor(spark, dir)
+    assert(memoCc.exceptAll(directCc).isEmpty && directCc.exceptAll(memoCc).isEmpty,
+      "componentLabelsFor drifted from the direct CC fixpoint")
+  }
 }
