@@ -237,6 +237,28 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum("delta"), 4).as("sum_delta"))
         .orderBy("change_type")
     },
+    // NS: raw text-lines source/sink round trip — the entry format of an
+    // LLM corpus (one document per line; no schema, no escaping). The
+    // aggregate proves the round trip lossless at line granularity against
+    // an oracle over the ORIGINAL table: same line count, char mass, word
+    // mass, and length envelope. spark.read.text is a pure narrow scan —
+    // at 100 TB it is the cheapest possible ingest (no parse stage at all)
+    // which is exactly why raw dumps ship this way.
+    "q_scan_text" -> { (s, dir) =>
+      val path = {
+        val d = new java.io.File(s"target/sink_tmp/text_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+        d.mkdirs(); d.getAbsolutePath
+      }
+      Tables.documents(s, dir).select("text").write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(length(col("value")).cast("long").as("n_chars"),
+          size(split(col("value"), " ")).cast("long").as("n_words"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum("n_chars").as("total_chars"),
+          sum("n_words").as("total_words"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+    },
     // NS: JSON-lines source/sink round trip (the interchange format of
     // most raw web-scrape corpora). Read back with an EXPLICIT schema —
     // schema inference would re-scan the whole dataset at 100 TB.
@@ -796,7 +818,14 @@ object RelationalQueries {
         |       round(sum(coalesce(p1, 0.0) - coalesce(p0, 0.0)), 4) + 0.0 AS sum_delta
         |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin,
     // round trips must be lossless: the oracle aggregates the ORIGINAL
-    // parquet, the query aggregates the ORC/JSON copy
+    // parquet, the query aggregates the text/ORC/JSON copy
+    "q_scan_text" ->
+      """SELECT count(*) AS n_lines,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        |       CAST(min(length(text)) AS BIGINT) AS min_chars,
+        |       CAST(max(length(text)) AS BIGINT) AS max_chars
+        |FROM documents""".stripMargin,
     "q_scan_orc" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
         |       count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS sum_bal

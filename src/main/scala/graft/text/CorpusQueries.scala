@@ -155,6 +155,32 @@ object CorpusQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // NS: CROSS-SOURCE near-dup audit — the inter-dataset contamination
+    // report: LSH candidate pairs whose endpoints come from DIFFERENT
+    // sources, verified by exact shingle Jaccard. The reason to run dedup
+    // across dataset boundaries, not within them: a benchmark document
+    // mirrored into a web crawl only shows up as a cross-source pair.
+    // Same memoized candidate/shingle artifacts as the resemblance path —
+    // the audit adds two broadcast-sized source lookups and a filter,
+    // nothing corpus-scaled.
+    "q_dedup_cross_source" -> { (s, dir) =>
+      val pairs = TextDedup.minhashCandidatesFor(s, dir)
+      val docs = TextQueries.shingleSetsFor(s, dir)
+        .select("doc_id", "sh")
+        .filter(size(col("sh")) > 0)
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+        .filter(col("source_a") =!= col("source_b"))
+        .select(col("doc_a"), col("doc_b"), col("source_a"), col("source_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // NS: per-document top TF-IDF term — the keyword-extraction shape of a
     // corpus indexer. tf shuffles (doc, word) pairs, df shuffles words, the
     // vocabulary joins back broadcast (a post-min-df vocab fits memory at
@@ -402,6 +428,35 @@ object CorpusQueries {
            |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
            |             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
            |FROM pairs p JOIN ds a ON a.doc_id = p.doc_a JOIN ds b ON b.doc_id = p.doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // same candidate prelude; source lookup + cross-source filter on top
+      "q_dedup_cross_source" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |shl AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+           |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+           |sigs AS (
+           |$sigSelects
+           |),
+           |banded AS (
+           |  SELECT doc_id, j % 4 AS band,
+           |         md5(array_to_string(list_transform(list(minhash ORDER BY j),
+           |             x -> CAST(x AS VARCHAR)), ',')) AS band_key
+           |  FROM sigs GROUP BY doc_id, band
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= ${TextDedup.DefaultMaxBucketSize}
+           |),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl WHERE len(list_distinct(sh)) > 0)
+           |SELECT p.doc_a, p.doc_b, da.source AS source_a, db.source AS source_b,
+           |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+           |FROM pairs p JOIN ds a ON a.doc_id = p.doc_a JOIN ds b ON b.doc_id = p.doc_b
+           |JOIN documents da ON da.doc_id = p.doc_a
+           |JOIN documents db ON db.doc_id = p.doc_b
+           |WHERE da.source <> db.source
            |ORDER BY doc_a, doc_b""".stripMargin,
       "q_tfidf_top" ->
         """WITH total AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),

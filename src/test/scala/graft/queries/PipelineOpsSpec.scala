@@ -16,6 +16,30 @@ class PipelineOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf0001
 
+  test("q_scan_text round trip: line count and char mass match the table's own n_chars column") {
+    val r = SparkEntry.queries("q_scan_text")(spark, dir).head()
+    val docs = graft.core.Tables.documents(spark, dir)
+    assert(r.getAs[Long]("n_lines") === docs.count())
+    // independent cross-check: the fixture carries a materialized n_chars
+    // column — the text round trip must reproduce its total exactly
+    val expectedChars = docs.agg(sum(length(col("text")))).head().getLong(0)
+    assert(r.getAs[Long]("total_chars") === expectedChars)
+    assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars"))
+  }
+
+  test("q_dedup_cross_source: pairs are cross-source, candidate-derived, jaccard in [0,1]") {
+    val rows = SparkEntry.queries("q_dedup_cross_source")(spark, dir).collect()
+    val cands = SparkEntry.queries("q_lsh_candidates")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") !== r.getAs[String]("source_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(cands.contains((r.getLong(0), r.getLong(1))),
+        "cross-source pairs must be a subset of the LSH candidate set")
+    }
+  }
+
   test("q_pack_sequences: offsets are contiguous per source and bins are consistent") {
     val rows = SparkEntry.queries("q_pack_sequences")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
