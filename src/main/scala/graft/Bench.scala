@@ -62,11 +62,17 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val maxS = if (results.nonEmpty) results.map(_._2).max else 0.0
+    // shared-artifact honesty: pass-1 pays every memo's cold build (each
+    // printed as a [memo] stderr line as it happens); expose the sum as its
+    // own field so per-query mins can be read as consumer cost and the
+    // artifact cost is attributed explicitly, not hidden in whichever
+    // query happened to touch the memo first
+    val artifactS = graft.text.ArtifactMemo.totalColdBuildSeconds
     // full per-query map: an EARLIER stdout line + a sidecar file — the
     // driver parses its contract line from a size-capped stdout tail, and
-    // the full 189-query map (~6 KB) does not fit that cap
+    // the full 191-query map (~6 KB) does not fit that cap
     val fullLine =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","artifact_build_s":$artifactS,"queries":${jmap(results)},"sf":"$sfDir"}"""
     println(fullLine)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_queries.json"),
@@ -75,7 +81,7 @@ object Bench {
     // contract line LAST and compact: all contract fields, but `queries`
     // holds only the 15 slowest (the tail the judge reads for stragglers)
     val top = results.sortBy(-_._2).take(15)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"max_s":$maxS,"queries":${jmap(top)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"max_s":$maxS,"artifact_build_s":$artifactS,"queries":${jmap(top)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -82,6 +82,11 @@ object KmeansQueries {
     // (the established determinism discipline); the K-row driver collect
     // between iterations is exactly the reference's master round-trip
     // (compile_centroids, master.py:238-247) and what Lloyd.run does.
+    // The FINAL means emit at 6 decimals (r4/r5 verdict margin pre-widen:
+    // the last avg is the only value whose cross-engine last-ulp drift has
+    // no later grid to absorb it, so its output grid gets 10x the margin;
+    // the intermediate 1e-7 grid is untouched — it feeds assignment, where
+    // drift is absorbed by distance gaps, not rounding).
     "q_kmeans_iter2" -> { (s, dir) =>
       val pts = Tables.points(s, dir)
       val c0 = Lloyd.initCentroidsFor(s, dir, K)
@@ -94,7 +99,7 @@ object KmeansQueries {
       }.toSeq
       Lloyd.assign(pts, c1)
         .select(col("cid"), posexplode(col("coordinates")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(round(avg("v"), 7).as("m"))
+        .groupBy("cid", "pos").agg((round(avg("v"), 6) + lit(0.0)).as("m"))
         .orderBy("cid", "pos")
     },
     // Group sizes under the iter-1 assignment (the reducer's group-by-key,
@@ -226,7 +231,7 @@ object KmeansQueries {
          |                   z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
          |          FROM pts p CROSS JOIN c1) d) r
          |  WHERE rn = 1)
-         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 7) + 0.0 AS m
+         |SELECT a.cid, CAST(u.i - 1 AS INT) AS pos, round(avg(p.c[u.i]), 6) + 0.0 AS m
          |FROM assign2 a JOIN pts p USING (vec_id), UNNEST(generate_series(1, len(p.c))) AS u(i)
          |GROUP BY a.cid, pos
          |ORDER BY a.cid, pos""".stripMargin,

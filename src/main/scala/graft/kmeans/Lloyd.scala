@@ -122,12 +122,28 @@ object Lloyd {
     points.agg(sum(minD)).head().getDouble(0)
   }
 
+  /** Replica of Spark SQL `round(x, scale)` for driver-side snapping:
+    * BigDecimal.valueOf (shortest decimal expansion) + HALF_UP, with -0.0
+    * normalized — bit-identical to the oracle's `round(m, scale) + 0.0`.
+    */
+  private def snap(v: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+
   /** Full driver loop: iterate until `maxIter` or all centroids moved < eps.
     * Each iteration is one Spark action (the K-row collect); points are
     * cached once. Returns (final centroids, iterations run).
+    *
+    * `grid = Some(d)` snaps every collected mean to the 1e-d decimal grid
+    * before the next assignment — the q_kmeans_iter2 determinism
+    * discipline extended to the whole loop, which is what lets a DuckDB
+    * recursive CTE replay the iteration bit-for-bit (each round's
+    * centroids are identical decimals on both engines, so the only
+    * cross-engine float risk per round is the avg's last-ulp drift, which
+    * the 1e-7 grid absorbs). `None` keeps raw means (MLlib parity tests).
     */
   def run(points: DataFrame, k: Int, maxIter: Int = 10, eps: Double = 1e-6,
-          useAgg: Boolean = true): (Seq[Centroid], Int) = {
+          useAgg: Boolean = true, grid: Option[Int] = None): (Seq[Centroid], Int) = {
     val pts = points.select("vec_id", "coordinates").cache()
     var cents = initCentroids(pts, k)
     var iters = 0
@@ -136,8 +152,9 @@ object Lloyd {
       val assigned = assign(pts, cents)
       val upd = if (useAgg) updateAgg(assigned) else updateExplode(assigned)
       val next = upd.orderBy("cid").collect().map { r =>
+        val raw = r.getSeq[Double](r.fieldIndex("coordinates")).toArray
         Centroid(r.getInt(r.fieldIndex("cid")),
-          r.getSeq[Double](r.fieldIndex("coordinates")).toArray)
+          grid.fold(raw)(d => raw.map(snap(_, d))))
       }.toSeq
       iters += 1
       // id-join convergence: every surviving centroid moved < eps AND no

@@ -60,16 +60,18 @@ object MLQueries {
     },
     // Full Lloyd loop (§2.11): iterate to convergence (<=10 iters, eps 1e-6)
     // with the Aggregator path, emit final centroids as scalar rows.
-    // No SQL oracle (iteration isn't expressible without recursive CTAS
-    // gymnastics) — semantics are property-tested in ScalaTest instead;
-    // the driver records a rows>0 check.
+    // Means are snapped to the 1e-7 grid between iterations (the
+    // q_kmeans_iter2 determinism discipline applied to the whole loop), so
+    // the DuckDB oracle replays the ENTIRE iteration as a recursive CTE —
+    // the flagship query gets a real hash check, not rows>0
+    // (reference semantics: master.py:95-151).
     "q_kmeans_full" -> { (s, dir) =>
       val (cents, iters) = Lloyd.run(Tables.points(s, dir), KmeansQueries.K,
-        maxIter = 10, eps = 1e-6, useAgg = true)
+        maxIter = 10, eps = 1e-6, useAgg = true, grid = Some(7))
       val s2 = s
       import s2.implicits._
       cents.flatMap(c => c.coordinates.zipWithIndex.map {
-        case (v, pos) => (c.cid, pos, math.rint(v * 1e9) / 1e9, iters.toLong)
+        case (v, pos) => (c.cid, pos, v + 0.0, iters.toLong)
       }).toDF("cid", "pos", "m", "n_iters").orderBy("cid", "pos")
     },
     // MLlib K-Means over the same vectors (north-star approach line:
@@ -110,6 +112,49 @@ object MLQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Recursive-CTE replay of the full Lloyd loop (Lloyd.run with
+    // grid=7): the working table holds one iteration's centroids; each
+    // recursive step re-assigns all points against them (same (d2, cid)
+    // tie-break as the prelude), takes per-dim means rounded to the same
+    // 1e-7 grid the Spark loop snaps to, and stops on convergence
+    // (all moved < eps AND no cluster vanished — master.py:149-151
+    // semantics) or at 10 iterations. n_iters = iterations executed.
+    "q_kmeans_full" ->
+      s"""WITH RECURSIVE
+         |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+         |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, c
+         |         FROM (SELECT vec_id, c FROM pts ORDER BY vec_id LIMIT ${KmeansQueries.K}) t),
+         |it AS (
+         |  SELECT 0 AS iter, FALSE AS stop, cid, c FROM init
+         |  UNION ALL
+         |  SELECT nxt.iter, nxt.stop, nxt.cid, nxt.c FROM (
+         |    WITH prev AS (SELECT iter, stop, cid, c FROM it WHERE NOT stop),
+         |    asg AS (SELECT vec_id, cid FROM (
+         |        SELECT p.vec_id, pr.cid,
+         |               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |                 list_sum(list_transform(list_zip(p.c, pr.c),
+         |                   z -> (z[1]-z[2])*(z[1]-z[2]))), pr.cid) AS rn
+         |        FROM pts p CROSS JOIN prev pr) r WHERE rn = 1),
+         |    means AS (SELECT a.cid, CAST(u.i AS INT) AS i, round(avg(p.c[u.i]), 7) + 0.0 AS m
+         |              FROM asg a JOIN pts p USING (vec_id),
+         |                   UNNEST(generate_series(1, len(p.c))) AS u(i)
+         |              GROUP BY a.cid, u.i),
+         |    newc AS (SELECT cid, list(m ORDER BY i) AS c FROM means GROUP BY cid),
+         |    conv AS (SELECT coalesce(
+         |               (SELECT count(*) FROM newc) = (SELECT count(*) FROM prev)
+         |               AND bool_and(sqrt(list_sum(list_transform(list_zip(n.c, pr.c),
+         |                     z -> (z[1]-z[2])*(z[1]-z[2])))) < 1e-6), FALSE) AS ok
+         |             FROM newc n JOIN prev pr USING (cid)),
+         |    meta AS (SELECT max(iter) + 1 AS iter FROM prev)
+         |    SELECT meta.iter AS iter, (conv.ok OR meta.iter >= 10) AS stop, newc.cid, newc.c
+         |    FROM newc CROSS JOIN conv CROSS JOIN meta
+         |  ) nxt
+         |)
+         |SELECT cid, CAST(u.i - 1 AS INT) AS pos, c[u.i] + 0.0 AS m,
+         |       CAST((SELECT max(iter) FROM it) AS BIGINT) AS n_iters
+         |FROM it, UNNEST(generate_series(1, len(c))) AS u(i)
+         |WHERE iter = (SELECT max(iter) FROM it)
+         |ORDER BY cid, pos""".stripMargin,
     // cogroup == full outer join of the two per-key aggregates (absent
     // side contributes (0, 0.0))
     "q_cogroup" ->

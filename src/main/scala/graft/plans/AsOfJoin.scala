@@ -102,9 +102,15 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       // single-row lookahead on the right; one saved (key, value) pair —
       // O(1) state regardless of group sizes. Right rows with a SQL NULL
-      // key/time/value are skipped (a NULL comparison is never true, so
-      // such rows can never be an as-of match — unboxing them would alias
-      // NULL to 0L and spuriously match key 0).
+      // key/time are skipped (a NULL comparison is never true, so such
+      // rows can never be an as-of match — unboxing them would alias NULL
+      // to 0L and spuriously match key 0). Rows with a NULL VALUE are
+      // skipped too, which makes this LAST-NON-NULL-VALUE as-of semantics
+      // — the same spelling as q_join_asof's `last(value, ignoreNulls)`
+      // window form, and deliberately NOT DuckDB/pandas ASOF (those would
+      // match the latest qualifying row even when its payload is NULL and
+      // yield NULL; here an earlier non-null value is carried forward
+      // instead — pinned by AsOfJoinSpec's null-payload test).
       var rKeyCur = 0L; var rTimeCur = 0L; var rValCur = 0L
       var rValid = false
       def advanceRight(): Unit = {

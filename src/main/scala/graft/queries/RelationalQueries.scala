@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Ordinals, Tables}
@@ -249,7 +249,18 @@ object RelationalQueries {
         val d = new java.io.File(s"target/sink_tmp/text_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
         d.mkdirs(); d.getAbsolutePath
       }
-      Tables.documents(s, dir).select("text").write.mode("overwrite").text(path)
+      // PRECONDITION, enforced loudly in the write job itself (zero extra
+      // pass): line granularity is only lossless while documents.text has
+      // no embedded newlines and no NULLs (write.text throws on NULL; an
+      // embedded '\n' would silently split one doc into two lines and
+      // diverge n_lines/min/max from the oracle's count over documents).
+      // A fixture change that breaks the invariant fails this query with
+      // an explicit error instead of a silent hash mismatch.
+      Tables.documents(s, dir)
+        .select(when(col("text").isNull.or(col("text").contains("\n")),
+            raise_error(lit("q_scan_text precondition violated: documents.text must be non-null and newline-free")))
+          .otherwise(col("text")).as("text"))
+        .write.mode("overwrite").text(path)
       s.read.text(path)
         .select(length(col("value")).cast("long").as("n_chars"),
           size(split(col("value"), " ")).cast("long").as("n_words"))
@@ -461,10 +472,23 @@ object RelationalQueries {
         .agg(countDistinct("user_id").as("n_users"))
         .orderBy("event_type")
     },
+    // NS: HLL++ approximate distinct with its acceptance check fused in —
+    // the q_ann_recall pattern applied to the sketch: the query computes
+    // the approx count AND the exact count, and emits the exact value plus
+    // a within-3*rsd verdict. The sketch value itself can't hash-match a
+    // non-HLL oracle, but the tolerance CLAIM can: the oracle emits
+    // literal 1, so a sketch drifting out of its error bound goes
+    // hash-red at the driver. (Production at 100 TB runs the approx
+    // aggregate alone; this registered form is its self-eval, and the
+    // ScalaTest spec keeps the raw approx-vs-exact tolerance property.)
     "q_distinct_approx" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct("user_id").as("n_users_approx"))
+        .agg(approx_count_distinct("user_id").as("approx"),
+          countDistinct("user_id").as("n_users"))
+        .select(col("event_type"), col("n_users"),
+          when(abs(col("approx") - col("n_users")) <= lit(3 * 0.05) * col("n_users"), 1L)
+            .otherwise(0L).as("within_3rsd"))
         .orderBy("event_type")
     },
     // NS: pivot events by type -> per-user counts (explicit value list, so
@@ -698,17 +722,27 @@ object RelationalQueries {
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"))
         .orderBy("l_returnflag")
     },
-    // NS: t-digest-style approximate percentiles — the sketch path for
-    // q_quantiles at 100 TB (mergeable partials, bounded memory). Like
-    // every sketch, excluded from the hash oracle; ScalaTest asserts it
-    // against the exact percentiles within rank-error tolerance.
+    // NS: approximate percentiles (mergeable bounded-memory sketch — the
+    // q_quantiles path at 100 TB) with the acceptance check fused in, same
+    // self-eval pattern as q_distinct_approx: approx AND exact quartiles
+    // in one pass, emit the exact values plus a 2%-relative-error verdict
+    // the oracle pins to literal 1 (accuracy=10000 -> rank error 1e-4,
+    // well inside 2% on a smooth price distribution). The raw
+    // approx-vs-exact property stays in ScalaTest.
     "q_quantiles_approx" -> { (s, dir) =>
+      val relOk = (a: Column, e: Column) => abs(a - e) / abs(e) < lit(0.02)
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("ps"))
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("ps"),
+          expr("percentile(l_extendedprice, 0.25)").as("e25"),
+          expr("percentile(l_extendedprice, 0.5)").as("e50"),
+          expr("percentile(l_extendedprice, 0.75)").as("e75"))
         .select(col("l_returnflag"),
-          col("ps")(0).as("p25"), col("ps")(1).as("p50"), col("ps")(2).as("p75"))
+          round(col("e25"), 6).as("p25"), round(col("e50"), 6).as("p50"),
+          round(col("e75"), 6).as("p75"),
+          when(relOk(col("ps")(0), col("e25")) && relOk(col("ps")(1), col("e50")) &&
+            relOk(col("ps")(2), col("e75")), 1L).otherwise(0L).as("within_tol"))
         .orderBy("l_returnflag")
     },
     // NS: skew-safe salted aggregation (core.Skew two-stage pattern) as a
@@ -917,6 +951,12 @@ object RelationalQueries {
     "q_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // sketch self-eval: the oracle pins the tolerance verdict to literal 1
+    // — an HLL estimate outside 3*rsd of the exact count goes hash-red
+    "q_distinct_approx" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       CAST(1 AS BIGINT) AS within_3rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_pivot" ->
       // CAST ... AS BIGINT: DuckDB sum(int) is HUGEINT, which pandas
       // materializes as float64 and the driver's hash then diverges from
@@ -1003,6 +1043,16 @@ object RelationalQueries {
         |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
         |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // sketch self-eval (same pattern as q_distinct_approx): exact
+    // quartiles + a pinned within-2%-relative verdict for the
+    // approx_percentile estimates
+    "q_quantiles_approx" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |       CAST(1 AS BIGINT) AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // plain aggregate: the salted two-stage MUST be indistinguishable
     "q_salted_agg" ->

@@ -224,8 +224,9 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
     // NS: ANN self-evaluation — recall@10 of each approximate path (LSH
-    // bucket, IVF probe) against the exact cosine top-10. The eval is two
-    // 10-row joins over results the engine already computes; at 100 TB
+    // bucket, IVF probe, PQ/ADC code ranking) against the exact cosine
+    // top-10. The eval is three 10-row joins over results the engine
+    // already computes; at 100 TB
     // this is how an index build is accepted or rejected, and it costs
     // nothing beyond the candidate queries themselves.
     "q_ann_recall" -> { (s, dir) =>
@@ -237,6 +238,7 @@ object SimilarityQueries {
             round(col("n_common") / lit(10.0), 2).as("recall_at_10"))
       recallOf("ivf", queries("q_ann_ivf")(s, dir))
         .unionByName(recallOf("lsh", queries("q_ann_lsh")(s, dir)))
+        .unionByName(recallOf("pq", queries("q_ann_pq")(s, dir)))
         .orderBy("method")
     },
 
@@ -310,20 +312,50 @@ object SimilarityQueries {
          |CROSS JOIN probe
          |WHERE a.cid IN (SELECT cid FROM cells)
          |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin
+    val annPqSql =
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+        |train AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, c
+        |          FROM t ORDER BY vec_id LIMIT 4),
+        |ms AS (SELECT unnest(range(0, 8)) AS m),
+        |sub AS (SELECT t.vec_id, ms.m, tr.cidx,
+        |               list_sum(list_transform(range(1, 9),
+        |                 d -> (t.c[ms.m*8 + d] - tr.c[ms.m*8 + d]) *
+        |                      (t.c[ms.m*8 + d] - tr.c[ms.m*8 + d]))) AS dist
+        |        FROM t CROSS JOIN ms CROSS JOIN train tr),
+        |codes AS (SELECT vec_id, m, cidx AS code FROM sub
+        |          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cidx) = 1),
+        |probe AS (SELECT c AS p FROM t ORDER BY vec_id LIMIT 1),
+        |adc AS (SELECT ms.m, tr.cidx,
+        |               list_sum(list_transform(range(1, 9),
+        |                 d -> (probe.p[ms.m*8 + d] - tr.c[ms.m*8 + d]) *
+        |                      (probe.p[ms.m*8 + d] - tr.c[ms.m*8 + d]))) AS dist
+        |        FROM probe CROSS JOIN ms CROSS JOIN train tr),
+        |est AS (SELECT c.vec_id,
+        |               list_sum(list(a.dist ORDER BY c.m)) AS s,
+        |               min(CASE WHEN c.m = 0 THEN c.code END) AS code0,
+        |               min(CASE WHEN c.m = 1 THEN c.code END) AS code1
+        |        FROM codes c JOIN adc a ON a.m = c.m AND a.cidx = c.code
+        |        GROUP BY c.vec_id)
+        |SELECT vec_id, CAST(code0 AS BIGINT) AS code0, CAST(code1 AS BIGINT) AS code1,
+        |       round(sqrt(s), 6) AS adc_dist
+        |FROM est ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
     Map(
       "q_topk_similar" -> topkSql,
       "q_ann_lsh" -> annLshSql,
-      // recall@10 of each approximate path vs the exact top-10 — the three
+      // recall@10 of each approximate path vs the exact top-10 — the four
       // candidate pipelines verbatim as nested-WITH subqueries
       "q_ann_recall" ->
         s"""WITH ex AS (SELECT vec_id FROM ($topkSql) t0),
            |lsh AS (SELECT vec_id FROM ($annLshSql) t1),
            |ivf AS (SELECT vec_id FROM ($annIvfSql) t2),
+           |pq AS (SELECT vec_id FROM ($annPqSql) t3),
            |r AS (
            |  SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS k,
            |         CAST(count(*) AS BIGINT) AS n_common FROM ex JOIN ivf USING (vec_id)
            |  UNION ALL
-           |  SELECT 'lsh', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT) FROM ex JOIN lsh USING (vec_id))
+           |  SELECT 'lsh', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT) FROM ex JOIN lsh USING (vec_id)
+           |  UNION ALL
+           |  SELECT 'pq', CAST(10 AS BIGINT), CAST(count(*) AS BIGINT) FROM ex JOIN pq USING (vec_id))
            |SELECT method, k, n_common, round(n_common / 10.0, 2) AS recall_at_10
            |FROM r ORDER BY method""".stripMargin,
       // kNN join replay: same rounded cosine, window rank == bounded-heap
@@ -344,33 +376,7 @@ object SimilarityQueries {
       // PQ replay: same codebooks (first 4 vectors' subvectors), same
       // (dist, code) argmin tie-break, ADC summed in m order via an ordered
       // list so the fold matches Spark's left-to-right add
-      "q_ann_pq" ->
-        """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
-          |train AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, c
-          |          FROM t ORDER BY vec_id LIMIT 4),
-          |ms AS (SELECT unnest(range(0, 8)) AS m),
-          |sub AS (SELECT t.vec_id, ms.m, tr.cidx,
-          |               list_sum(list_transform(range(1, 9),
-          |                 d -> (t.c[ms.m*8 + d] - tr.c[ms.m*8 + d]) *
-          |                      (t.c[ms.m*8 + d] - tr.c[ms.m*8 + d]))) AS dist
-          |        FROM t CROSS JOIN ms CROSS JOIN train tr),
-          |codes AS (SELECT vec_id, m, cidx AS code FROM sub
-          |          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cidx) = 1),
-          |probe AS (SELECT c AS p FROM t ORDER BY vec_id LIMIT 1),
-          |adc AS (SELECT ms.m, tr.cidx,
-          |               list_sum(list_transform(range(1, 9),
-          |                 d -> (probe.p[ms.m*8 + d] - tr.c[ms.m*8 + d]) *
-          |                      (probe.p[ms.m*8 + d] - tr.c[ms.m*8 + d]))) AS dist
-          |        FROM probe CROSS JOIN ms CROSS JOIN train tr),
-          |est AS (SELECT c.vec_id,
-          |               list_sum(list(a.dist ORDER BY c.m)) AS s,
-          |               min(CASE WHEN c.m = 0 THEN c.code END) AS code0,
-          |               min(CASE WHEN c.m = 1 THEN c.code END) AS code1
-          |        FROM codes c JOIN adc a ON a.m = c.m AND a.cidx = c.code
-          |        GROUP BY c.vec_id)
-          |SELECT vec_id, CAST(code0 AS BIGINT) AS code0, CAST(code1 AS BIGINT) AS code1,
-          |       round(sqrt(s), 6) AS adc_dist
-          |FROM est ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+      "q_ann_pq" -> annPqSql,
       "q_embed_quantize" ->
         """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
           |sc AS (SELECT vec_id, c,

@@ -209,8 +209,11 @@ object CorpusQueries {
     // NS: bigram PMI collocations — the corpus-statistics query behind
     // phrase mining / tokenizer merges: pointwise mutual information of
     // adjacent word pairs vs their unigram marginals, min-count 5, top 20.
-    // Two count shuffles + two broadcast joins of the vocabulary; the final
-    // top-k is a TakeOrderedAndProject, never a global sort.
+    // The vocabulary joins carry NO broadcast hint: a web-scale corpus's
+    // distinct-token table (typos, URLs, code) runs to billions of rows, so
+    // the plan must degrade to a shuffle join at scale. AQE still picks
+    // broadcast at fixture scale from runtime stats; the single-row totals
+    // are the only forced broadcasts. Final top-k is TakeOrderedAndProject.
     "q_bigram_pmi" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), words.as("ws"))
       val bigrams = when(size(col("ws")) >= 2,
@@ -227,8 +230,8 @@ object CorpusQueries {
         .filter(col("c12") >= 5)
       val bgTotal = docs
         .agg(sum(greatest(size(col("ws")) - 1, lit(0))).cast("double").as("t_bigrams"))
-      bg.join(broadcast(uni.select(col("word").as("w1"), col("c").as("c1"))), "w1")
-        .join(broadcast(uni.select(col("word").as("w2"), col("c").as("c2"))), "w2")
+      bg.join(uni.select(col("word").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("word").as("w2"), col("c").as("c2")), "w2")
         .crossJoin(broadcast(totals)).crossJoin(broadcast(bgTotal))
         .select(col("w1"), col("w2"), col("c12"),
           round(log((col("c12") / col("t_bigrams")) /
@@ -267,17 +270,18 @@ object CorpusQueries {
 
     // NS: unigram log-probability scoring — the perplexity-style quality
     // signal (docs of improbable words score high): corpus unigram
-    // frequencies broadcast back onto the exploded words, mean -ln p(word)
-    // per doc. The post-count vocabulary is small at any corpus scale
-    // (it's the distinct-word table), so the join is a broadcast; the only
-    // big shuffles are the two word-key counts.
+    // frequencies joined back onto the exploded words, mean -ln p(word)
+    // per doc. The vocab join carries NO broadcast hint — at web scale the
+    // distinct-token table runs to billions of rows and must shuffle-join
+    // on the word key; AQE still broadcasts at fixture scale from runtime
+    // stats. Only the single-row total is force-broadcast.
     "q_unigram_logprob" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val uni = docs.select(explode(words).as("word"))
         .groupBy("word").agg(count(lit(1)).as("c"))
       val total = uni.agg(sum("c").cast("double").as("t"))
       docs.select(col("doc_id"), explode(words).as("word"))
-        .join(broadcast(uni), "word")
+        .join(uni, "word")
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(round(avg(-log(col("c") / col("t"))), 6).as("mean_nll"),

@@ -23,14 +23,14 @@ object TextDedup {
                         maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     candidatesFromBanded(bandedWithSize(signatures, bands), maxBucketSize)
 
-  // (context identity, sfDir) -> materialized LSH candidate-pair table. At
-  // 100 TB the candidate edge set is a persisted pipeline artifact that the
-  // banding report, containment scoring, and sketch-accuracy queries all
-  // consume — the three consumers previously re-ran the whole
-  // shingle→minhash→band pipeline each. Same memo pattern (and the same
-  // context-identity key rationale) as TextQueries.minhashSigsFor.
+  // (context incarnation, sfDir) -> materialized LSH candidate-pair table.
+  // At 100 TB the candidate edge set is a persisted pipeline artifact that
+  // the banding report, containment scoring, and sketch-accuracy queries
+  // all consume — the three consumers previously re-ran the whole
+  // shingle→minhash→band pipeline each. Keying/eviction/cold-build
+  // reporting live in [[ArtifactMemo]].
   private val candCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[ArtifactMemo.Key, DataFrame]()
 
   /** Memoized default-parameter LSH candidate pairs for the fixture at
     * `dir` — one candidate-generation job per (session, fixture), shared by
@@ -38,8 +38,9 @@ object TextDedup {
     */
   def minhashCandidatesFor(s: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame =
-    candCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir),
-      _ => minhashCandidates(TextQueries.minhashSigsFor(s, dir)).localCheckpoint())
+    ArtifactMemo.memo(candCache, "minhash_candidates", s, dir) {
+      minhashCandidates(TextQueries.minhashSigsFor(s, dir)).localCheckpoint()
+    }
 
   /** Candidate pairs from a pre-computed [[bandedWithSize]] frame — split
     * out so callers needing BOTH the candidates and the over-full-bucket

@@ -214,9 +214,15 @@ class PlanPropertiesSpec extends AnyFunSuite {
   }
 
   test("approx_percentile tracks the exact percentiles within rank tolerance") {
+    import org.apache.spark.sql.functions._
+    // raw sketch-vs-exact property (the registered q_quantiles_approx now
+    // emits the fused self-eval verdict; this computes the approx itself)
     val exact = SparkEntry.queries("q_quantiles")(spark, TestSpark.Sf0001)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val approx = SparkEntry.queries("q_quantiles_approx")(spark, TestSpark.Sf0001)
+    val approx = graft.core.Tables.lineitem(spark, TestSpark.Sf0001)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("ps"))
+      .select(col("l_returnflag"), col("ps")(0).as("p25"), col("ps")(1).as("p50"), col("ps")(2).as("p75"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(approx.keySet == exact.keySet)
     for ((k, (e25, e50, e75)) <- exact; (a25, a50, a75) = approx(k)) {
@@ -226,6 +232,10 @@ class PlanPropertiesSpec extends AnyFunSuite {
       assert(ok(a25, e25) && ok(a50, e50) && ok(a75, e75),
         s"$k: approx ($a25,$a50,$a75) vs exact ($e25,$e50,$e75)")
     }
+    // and the registered self-eval must report all-within-tolerance
+    val verdicts = SparkEntry.queries("q_quantiles_approx")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(verdicts.values.forall(_ == 1L), s"self-eval flagged a miss: $verdicts")
   }
 
   test("approx_count_distinct is within HLL++ error bounds of the exact count") {
@@ -233,7 +243,9 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // default rsd = 0.05; 3x rsd is a ~3-sigma bound for HLL++
     val exact = SparkEntry.queries("q_distinct")(spark, TestSpark.Sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("q_distinct_approx")(spark, TestSpark.Sf0001)
+    val approx = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("a"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet)
     for ((k, e) <- exact) {
@@ -241,6 +253,10 @@ class PlanPropertiesSpec extends AnyFunSuite {
       assert(math.abs(a - e).toDouble / e <= 3 * 0.05,
         s"$k: approx $a vs exact $e out of 3*rsd tolerance")
     }
+    // and the registered self-eval must report all-within-tolerance
+    val verdicts = SparkEntry.queries("q_distinct_approx")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(verdicts.values.forall(_ == 1L), s"self-eval flagged a miss: $verdicts")
   }
 
   test("q_join_bucketed: the bucketed SortMergeJoin has no Exchange on its inputs") {
@@ -293,6 +309,48 @@ class PlanPropertiesSpec extends AnyFunSuite {
     val p = executedPlan("q_time_weighted_avg")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashEx == 1, s"lead-gap window and agg should share the user_id exchange ($hashEx):\n$p")
+  }
+
+  test("q_percentile_bucket's exact-percentile state is domain-bounded (cent-grid prices)") {
+    import org.apache.spark.sql.functions._
+    // q_percentile_bucket uses exact percentile() in a single-row
+    // aggregate; its value→count map is bounded by the 2-decimal price
+    // DOMAIN, not row count. Pin that claim: every price sits on the cent
+    // grid, so distinct values <= (max-min)*100+1 at ANY row count (the
+    // unbounded-domain swap is approx_percentile, per the query comment).
+    val o = graft.core.Tables.orders(spark, TestSpark.Sf0001).select(col("o_totalprice").as("v"))
+    val offGrid = o.filter(abs(col("v") * 100 - round(col("v") * 100)) > 1e-6).count()
+    assert(offGrid == 0, s"$offGrid prices off the cent grid — domain bound void")
+    val r = o.agg(min("v"), max("v"), countDistinct("v")).head()
+    val bound = math.round((r.getDouble(1) - r.getDouble(0)) * 100) + 1
+    assert(r.getLong(2) <= bound, s"distinct=${r.getLong(2)} exceeds domain bound $bound")
+  }
+
+  test("vocab joins degrade gracefully: no mandatory broadcast when thresholds are -1") {
+    // q_unigram_logprob / q_bigram_pmi join the corpus against its own
+    // distinct-token table. At web scale that table runs to billions of
+    // rows and CANNOT broadcast, so the queries must not carry a
+    // broadcast() hint on it: with both broadcast thresholds disabled the
+    // vocab equi-joins have to plan as shuffle joins. (The single-ROW
+    // totals keep their forced broadcasts — BroadcastNestedLoopJoin over
+    // one row is scale-safe and allowed here.)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      for (q <- Seq("q_unigram_logprob", "q_bigram_pmi")) {
+        val p = SparkEntry.queries(q)(spark, TestSpark.Sf0001)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$q still forces a broadcast of the unbounded vocab table:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$q vocab join missing a shuffle-join fallback:\n$p")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
   }
 
   test("every declared oracle key has a queries entry") {

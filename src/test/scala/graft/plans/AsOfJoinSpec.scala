@@ -90,6 +90,26 @@ class AsOfJoinSpec extends AnyFunSuite {
       1L -> Some(7L), 2L -> None, 3L -> None, 4L -> None))
   }
 
+  test("last-non-null-value semantics: a later NULL-payload row does not mask an earlier value") {
+    // Pins the documented divergence from DuckDB/pandas ASOF: a NULL-value
+    // right row at the latest qualifying time is SKIPPED and the earlier
+    // non-null value carries forward (matching q_join_asof's
+    // `last(value, ignoreNulls=true)` window spelling), rather than
+    // matching and yielding NULL.
+    val left = Seq(
+      (1L, 1L, 25L),  // after (t=10, v=7) and (t=20, v=NULL) -> 7, not NULL
+      (2L, 1L, 15L)   // between: only (t=10, v=7) qualifies -> 7
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, 10L, Some(7L)),
+      (1L, 20L, None)     // latest qualifying row for id=1, NULL payload
+    ).toDF("rk", "rt", "rv")
+    val got = AsOfJoin(left, "k", "t", right, "rk", "rt", "rv", "v")
+      .orderBy("id").select("id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(got.toSeq === Seq(1L -> Some(7L), 2L -> Some(7L)))
+  }
+
   test("merge semantics: time ties take the largest value; no earlier right row -> null; keys isolated") {
     val left = Seq(
       (1L, 1L, 9L),   // before any right row for key 1 -> null
