@@ -230,9 +230,16 @@ object SimilarityQueries {
     // this is how an index build is accepted or rejected, and it costs
     // nothing beyond the candidate queries themselves.
     "q_ann_recall" -> { (s, dir) =>
-      val exact = queries("q_topk_similar")(s, dir).select(col("vec_id"))
+      // the exact top-10 ids are collected ONCE (10 longs) and inlined as
+      // a literal IN-filter into each approximate branch — Spark would
+      // otherwise recompute the exact pipeline per union branch (3 extra
+      // corpus scans for three 10-row joins). Ground truth is tiny by
+      // construction (k rows), so driver-side is the right side of the
+      // collect rule here, same as initCentroidsFor.
+      val exactIds = queries("q_topk_similar")(s, dir)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
       def recallOf(method: String, approx: DataFrame): DataFrame =
-        exact.join(approx.select(col("vec_id")), "vec_id")
+        approx.select(col("vec_id")).filter(col("vec_id").isin(exactIds: _*))
           .agg(count(lit(1)).as("n_common"))
           .select(lit(method).as("method"), lit(10L).as("k"), col("n_common"),
             round(col("n_common") / lit(10.0), 2).as("recall_at_10"))
