@@ -57,9 +57,12 @@ object StatsQueries {
     // priority. The raw join reduces to a 5x5 contingency table in one
     // map-side-combinable aggregation; marginals and the statistic are
     // window sums over those 25 rows (driver-scale frame regardless of N).
+    // The customer join carries NO broadcast hint: customer scales with
+    // the corpus (a TPC-H-shaped customer at 100 TB is billions of rows)
+    // — AQE broadcasts at fixture scale, shuffle-joins on the key beyond.
     "q_chi_square" -> { (s, dir) =>
       val ct = Tables.orders(s, dir)
-        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
+        .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
         .agg(count(lit(1)).cast("double").as("obs"))

@@ -87,14 +87,16 @@ object EventQueries {
     },
     // Stream-static join: the event stream enriched against the (static)
     // customer dim inside a real readStream run, aggregated per nation in
-    // Complete mode. At 100 TB the static side is a broadcast per
-    // micro-batch — no stream-side shuffle for the join itself.
+    // Complete mode. NO broadcast hint on the static side: a customer dim
+    // scales with the corpus, so the planner must stay free to pick a
+    // stream-side shuffle join when the dim outgrows the threshold —
+    // Spark still broadcasts per micro-batch at fixture scale.
     "q_stream_join" -> { (s, dir) =>
       val ss = Streams.streamingSession(s)
       val ev = Streams.readEvents(ss, dir)
       val cust = Tables.customer(ss, dir)
         .select(col("c_custkey"), col("c_nationkey"))
-      val joined = ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      val joined = ev.join(cust, ev("user_id") === cust("c_custkey"))
         .groupBy(col("c_nationkey").cast("long").as("nationkey"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       Streams.runToBatch(s, joined,

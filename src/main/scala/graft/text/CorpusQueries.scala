@@ -182,11 +182,13 @@ object CorpusQueries {
     },
 
     // NS: per-document top TF-IDF term — the keyword-extraction shape of a
-    // corpus indexer. tf shuffles (doc, word) pairs, df shuffles words, the
-    // vocabulary joins back broadcast (a post-min-df vocab fits memory at
-    // any corpus scale), and the per-doc argmax is one window pass ranked
-    // on (rounded tfidf desc, word) so ties break identically across
-    // engines.
+    // corpus indexer. tf shuffles (doc, word) pairs, df shuffles words.
+    // The df join carries NO broadcast hint (same rationale as
+    // q_unigram_logprob): the un-floored distinct-token table grows with
+    // the corpus and cannot broadcast at web scale — AQE broadcasts at
+    // fixture scale, shuffle-joins on the word key beyond. The per-doc
+    // argmax is one window pass ranked on (rounded tfidf desc, word) so
+    // ties break identically across engines.
     "q_tfidf_top" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
@@ -194,7 +196,7 @@ object CorpusQueries {
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       val df = docs.select(col("doc_id"), explode(array_distinct(words)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(df), "word")
+      val scored = tf.join(df, "word")
         .crossJoin(broadcast(total))
         .select(col("doc_id"), col("word"),
           round(col("tf") * log(col("n_docs") / col("df").cast("double")), 6).as("tfidf"))

@@ -327,19 +327,20 @@ class PlanPropertiesSpec extends AnyFunSuite {
   }
 
   test("vocab joins degrade gracefully: no mandatory broadcast when thresholds are -1") {
-    // q_unigram_logprob / q_bigram_pmi join the corpus against its own
-    // distinct-token table. At web scale that table runs to billions of
-    // rows and CANNOT broadcast, so the queries must not carry a
-    // broadcast() hint on it: with both broadcast thresholds disabled the
-    // vocab equi-joins have to plan as shuffle joins. (The single-ROW
-    // totals keep their forced broadcasts — BroadcastNestedLoopJoin over
-    // one row is scale-safe and allowed here.)
+    // q_unigram_logprob / q_bigram_pmi / q_tfidf_top join the corpus
+    // against its own distinct-token table; q_chi_square joins against
+    // customer (which scales with the corpus). At web scale those sides
+    // run to billions of rows and CANNOT broadcast, so the queries must
+    // not carry a broadcast() hint on them: with both broadcast
+    // thresholds disabled the equi-joins have to plan as shuffle joins.
+    // (Single-ROW totals keep their forced broadcasts —
+    // BroadcastNestedLoopJoin over one row is scale-safe and allowed.)
     val conf = spark.conf
     val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
     try {
       saved.foreach { case (k, _) => conf.set(k, "-1") }
-      for (q <- Seq("q_unigram_logprob", "q_bigram_pmi")) {
+      for (q <- Seq("q_unigram_logprob", "q_bigram_pmi", "q_tfidf_top", "q_chi_square")) {
         val p = SparkEntry.queries(q)(spark, TestSpark.Sf0001)
           .queryExecution.executedPlan.toString
         assert(!p.contains("BroadcastHashJoin"),
