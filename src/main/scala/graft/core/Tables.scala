@@ -39,10 +39,20 @@ object Tables {
     * truncates ns->us identically.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.get(NanosAsLongConf._1, "false") == "true",
-      s"session must set ${NanosAsLongConf._1}=true at construction (see Tables.NanosAsLongConf)")
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      // legacy fixture: TIMESTAMP(NANOS) read as a nanosecond long (needs
+      // NanosAsLongConf at session construction or the read itself throws
+      // [PARQUET_TYPE_ILLEGAL]); truncate ns -> us in INTEGER arithmetic
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // current fixture (driver regen 2026-08-13): native TIMESTAMP(MICROS)
+      // arrives as TIMESTAMP_NTZ; cast to session-tz timestamp (sessions
+      // are pinned UTC, so the instant is unchanged and downstream sees the
+      // exact same micros the legacy path produced)
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Embeddings with `embedding` cast float->double once at load: all vector

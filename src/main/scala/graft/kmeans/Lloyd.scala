@@ -122,6 +122,23 @@ object Lloyd {
     points.agg(sum(minD)).head().getDouble(0)
   }
 
+  // (sfDir, k, maxIter, eps, useAgg, grid) -> full-loop result. With
+  // `grid` set the loop is deterministic down to the bit (every round's
+  // centroids are exact decimals), so the memo is pure — it lets every
+  // registered query that needs the CONVERGED centroids (q_kmeans_full,
+  // the MLlib self-eval's SSE floor) pay the iteration once per fixture,
+  // the same economics as initCache. Values are K driver-side vectors,
+  // not context-bound distributed state, so no context key is needed.
+  private val runCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Double, Boolean, Option[Int]), (Seq[Centroid], Int)]()
+
+  /** Memoized [[run]] over the fixture at `sfDir`. */
+  def runFor(spark: org.apache.spark.sql.SparkSession, sfDir: String, k: Int,
+             maxIter: Int = 10, eps: Double = 1e-6, useAgg: Boolean = true,
+             grid: Option[Int] = None): (Seq[Centroid], Int) =
+    runCache.computeIfAbsent((sfDir, k, maxIter, eps, useAgg, grid),
+      _ => run(graft.core.Tables.points(spark, sfDir), k, maxIter, eps, useAgg, grid))
+
   /** Replica of Spark SQL `round(x, scale)` for driver-side snapping:
     * BigDecimal.valueOf (shortest decimal expansion) + HALF_UP, with -0.0
     * normalized — bit-identical to the oracle's `round(m, scale) + 0.0`.

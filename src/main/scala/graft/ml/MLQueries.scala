@@ -66,7 +66,7 @@ object MLQueries {
     // the flagship query gets a real hash check, not rows>0
     // (reference semantics: master.py:95-151).
     "q_kmeans_full" -> { (s, dir) =>
-      val (cents, iters) = Lloyd.run(Tables.points(s, dir), KmeansQueries.K,
+      val (cents, iters) = Lloyd.runFor(s, dir, KmeansQueries.K,
         maxIter = 10, eps = 1e-6, useAgg = true, grid = Some(7))
       val s2 = s
       import s2.implicits._
@@ -75,21 +75,36 @@ object MLQueries {
       }).toDF("cid", "pos", "m", "n_iters").orderBy("cid", "pos")
     },
     // MLlib K-Means over the same vectors (north-star approach line:
-    // "MLlib K-Means clustering over RDD/DataFrame"): fixed seed, k=5.
-    // Cluster ids are arbitrary -> emit only the sorted cluster sizes and
-    // the training cost (rows-only check; SSE-vs-Lloyd asserted in tests).
+    // "MLlib K-Means clustering over RDD/DataFrame"): fixed seed, k=5,
+    // registered as a fused self-eval (the q_distinct_approx pattern —
+    // cluster ids and kmeans|| init are engine-private, so the MODEL can't
+    // hash-match a SQL oracle, but its acceptance claims can): emits the
+    // SQL-exact frame (k, n_points) plus two verdicts the oracle pins to
+    // literal 1 — the partition check (cluster sizes are a partition of
+    // the input: sum == n, all nonempty) and the quality check (seeded
+    // MLlib training cost within 1.2x of the deterministic Lloyd loop's
+    // converged SSE — the MllibCrossCheckSpec band, now driver-enforced).
+    // A seed/init/convergence regression in either path goes hash-red.
     "q_kmeans_mllib" -> { (s, dir) =>
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val data = Tables.embeddings(s, dir)
-        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val pts = Tables.points(s, dir)
+      val data = pts.select(array_to_vector(col("coordinates")).as("features"))
       val model = new KMeans().setK(KmeansQueries.K).setSeed(42L)
         .setMaxIter(10).setTol(1e-6).fit(data)
-      val sizes = model.summary.clusterSizes.sorted.reverse
+      val sizes = model.summary.clusterSizes
+      val mllibSse = model.summary.trainingCost
+      // converged deterministic-Lloyd SSE (memoized: q_kmeans_full's loop)
+      val (cents, _) = Lloyd.runFor(s, dir, KmeansQueries.K,
+        maxIter = 10, eps = 1e-6, useAgg = true, grid = Some(7))
+      val lloydSse = Lloyd.sse(pts, cents)
+      val n = pts.count()
       val s2 = s
       import s2.implicits._
-      sizes.zipWithIndex.map { case (n, i) => (i.toLong, n.toLong) }
-        .toSeq.toDF("rank", "cluster_size").orderBy("rank")
+      Seq((KmeansQueries.K.toLong, n,
+        if (sizes.sum == n && sizes.forall(_ > 0)) 1L else 0L,
+        if (mllibSse > 0 && mllibSse <= 1.2 * lloydSse) 1L else 0L))
+        .toDF("k", "n_points", "sizes_ok", "sse_ok")
     },
 
     // NS: the hashing trick — 16-dim signed hashed bag-of-words per doc
@@ -111,50 +126,66 @@ object MLQueries {
     }
   )
 
+  /** Recursive-CTE replay of the full Lloyd loop (Lloyd.run with grid=7):
+    * the working table `it` holds one iteration's centroids; each recursive
+    * step re-assigns all points against them (same (d2, cid) tie-break as
+    * the prelude), takes per-dim means rounded to the same 1e-7 grid the
+    * Spark loop snaps to, and stops on convergence (all moved < eps AND no
+    * cluster vanished — master.py:149-151 semantics) or at 10 iterations.
+    * Shared by q_kmeans_full (emits the final centroids) and q_semdedup
+    * (clusters by them).
+    */
+  val lloydRecursiveCte: String =
+    s"""WITH RECURSIVE
+       |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+       |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, c
+       |         FROM (SELECT vec_id, c FROM pts ORDER BY vec_id LIMIT ${KmeansQueries.K}) t),
+       |it AS (
+       |  SELECT 0 AS iter, FALSE AS stop, cid, c FROM init
+       |  UNION ALL
+       |  SELECT nxt.iter, nxt.stop, nxt.cid, nxt.c FROM (
+       |    WITH prev AS (SELECT iter, stop, cid, c FROM it WHERE NOT stop),
+       |    asg AS (SELECT vec_id, cid FROM (
+       |        SELECT p.vec_id, pr.cid,
+       |               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |                 list_sum(list_transform(list_zip(p.c, pr.c),
+       |                   z -> (z[1]-z[2])*(z[1]-z[2]))), pr.cid) AS rn
+       |        FROM pts p CROSS JOIN prev pr) r WHERE rn = 1),
+       |    means AS (SELECT a.cid, CAST(u.i AS INT) AS i, round(avg(p.c[u.i]), 7) + 0.0 AS m
+       |              FROM asg a JOIN pts p USING (vec_id),
+       |                   UNNEST(generate_series(1, len(p.c))) AS u(i)
+       |              GROUP BY a.cid, u.i),
+       |    newc AS (SELECT cid, list(m ORDER BY i) AS c FROM means GROUP BY cid),
+       |    conv AS (SELECT coalesce(
+       |               (SELECT count(*) FROM newc) = (SELECT count(*) FROM prev)
+       |               AND bool_and(sqrt(list_sum(list_transform(list_zip(n.c, pr.c),
+       |                     z -> (z[1]-z[2])*(z[1]-z[2])))) < 1e-6), FALSE) AS ok
+       |             FROM newc n JOIN prev pr USING (cid)),
+       |    meta AS (SELECT max(iter) + 1 AS iter FROM prev)
+       |    SELECT meta.iter AS iter, (conv.ok OR meta.iter >= 10) AS stop, newc.cid, newc.c
+       |    FROM newc CROSS JOIN conv CROSS JOIN meta
+       |  ) nxt
+       |),
+       |fin AS (SELECT cid, c FROM it WHERE iter = (SELECT max(iter) FROM it))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    // Recursive-CTE replay of the full Lloyd loop (Lloyd.run with
-    // grid=7): the working table holds one iteration's centroids; each
-    // recursive step re-assigns all points against them (same (d2, cid)
-    // tie-break as the prelude), takes per-dim means rounded to the same
-    // 1e-7 grid the Spark loop snaps to, and stops on convergence
-    // (all moved < eps AND no cluster vanished — master.py:149-151
-    // semantics) or at 10 iterations. n_iters = iterations executed.
+    // Final-centroid emit over the shared recursive replay (comment on
+    // [[lloydRecursiveCte]]).
     "q_kmeans_full" ->
-      s"""WITH RECURSIVE
-         |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
-         |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, c
-         |         FROM (SELECT vec_id, c FROM pts ORDER BY vec_id LIMIT ${KmeansQueries.K}) t),
-         |it AS (
-         |  SELECT 0 AS iter, FALSE AS stop, cid, c FROM init
-         |  UNION ALL
-         |  SELECT nxt.iter, nxt.stop, nxt.cid, nxt.c FROM (
-         |    WITH prev AS (SELECT iter, stop, cid, c FROM it WHERE NOT stop),
-         |    asg AS (SELECT vec_id, cid FROM (
-         |        SELECT p.vec_id, pr.cid,
-         |               row_number() OVER (PARTITION BY p.vec_id ORDER BY
-         |                 list_sum(list_transform(list_zip(p.c, pr.c),
-         |                   z -> (z[1]-z[2])*(z[1]-z[2]))), pr.cid) AS rn
-         |        FROM pts p CROSS JOIN prev pr) r WHERE rn = 1),
-         |    means AS (SELECT a.cid, CAST(u.i AS INT) AS i, round(avg(p.c[u.i]), 7) + 0.0 AS m
-         |              FROM asg a JOIN pts p USING (vec_id),
-         |                   UNNEST(generate_series(1, len(p.c))) AS u(i)
-         |              GROUP BY a.cid, u.i),
-         |    newc AS (SELECT cid, list(m ORDER BY i) AS c FROM means GROUP BY cid),
-         |    conv AS (SELECT coalesce(
-         |               (SELECT count(*) FROM newc) = (SELECT count(*) FROM prev)
-         |               AND bool_and(sqrt(list_sum(list_transform(list_zip(n.c, pr.c),
-         |                     z -> (z[1]-z[2])*(z[1]-z[2])))) < 1e-6), FALSE) AS ok
-         |             FROM newc n JOIN prev pr USING (cid)),
-         |    meta AS (SELECT max(iter) + 1 AS iter FROM prev)
-         |    SELECT meta.iter AS iter, (conv.ok OR meta.iter >= 10) AS stop, newc.cid, newc.c
-         |    FROM newc CROSS JOIN conv CROSS JOIN meta
-         |  ) nxt
-         |)
+      s"""$lloydRecursiveCte
          |SELECT cid, CAST(u.i - 1 AS INT) AS pos, c[u.i] + 0.0 AS m,
          |       CAST((SELECT max(iter) FROM it) AS BIGINT) AS n_iters
-         |FROM it, UNNEST(generate_series(1, len(c))) AS u(i)
-         |WHERE iter = (SELECT max(iter) FROM it)
+         |FROM fin, UNNEST(generate_series(1, len(c))) AS u(i)
          |ORDER BY cid, pos""".stripMargin,
+    // Self-eval oracle (q_distinct_approx pattern): n_points is SQL-exact;
+    // the partition and SSE-band verdicts are pinned to literal 1, so a
+    // drifting MLlib fit or a broken Lloyd loop goes hash-red.
+    "q_kmeans_mllib" ->
+      s"""SELECT CAST(${KmeansQueries.K} AS BIGINT) AS k,
+         |       count(*) AS n_points,
+         |       CAST(1 AS BIGINT) AS sizes_ok,
+         |       CAST(1 AS BIGINT) AS sse_ok
+         |FROM embeddings""".stripMargin,
     // cogroup == full outer join of the two per-key aggregates (absent
     // side contributes (0, 0.0))
     "q_cogroup" ->

@@ -73,6 +73,27 @@ object ScalarQueries {
           levenshtein(substring(col("text"), 1, 16), lit("data processing ")).cast("long").as("dist"))
         .orderBy("doc_id")
     },
+    // NS: fuzzy (edit-distance) similarity JOIN — the entity-resolution
+    // operator: rows collapse to the DISTINCT value domain FIRST (the
+    // vocab-first trick: 2000 part rows -> 64 names; at 100 TB the pair
+    // stage runs over the value vocabulary, never the row count), blocked
+    // by the name's last word so no all-pairs product exists, then exact
+    // Levenshtein <= 3 inside each block. Row weights (n_a, n_b) ride
+    // along so a merge step knows how many rows each cluster represents.
+    "q_fuzzy_join" -> { (s, dir) =>
+      val names = Tables.part(s, dir)
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n"))
+        .withColumn("noun", element_at(split(col("name"), " "), -1))
+      val a = names.select(col("noun"), col("name").as("name_a"), col("n").as("n_a"))
+      val b = names.select(col("noun"), col("name").as("name_b"), col("n").as("n_b"))
+      a.join(b, Seq("noun"))
+        .filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+          col("n_a"), col("n_b"))
+        .filter(col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    },
     // NS date/time scalars over orders.
     "q_date_funcs" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -141,6 +162,15 @@ object ScalarQueries {
       """SELECT doc_id,
         |       CAST(levenshtein(substr(text, 1, 16), 'data processing ') AS BIGINT) AS dist
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH names AS (SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1),
+        |k AS (SELECT name, n, string_split(name, ' ')[-1] AS noun FROM names)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |       a.n AS n_a, b.n AS n_b
+        |FROM k a JOIN k b ON a.noun = b.noun AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_string_funcs" ->
       """SELECT doc_id,
         |       CAST(length(text) AS BIGINT) AS n_chars,

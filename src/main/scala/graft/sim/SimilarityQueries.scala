@@ -34,6 +34,9 @@ object SimilarityQueries {
     */
   val RefineCap = 64
 
+  /** SemDeDup duplicate threshold: same cosine bar as [[queries q_dedup_embed]]. */
+  val SemTau = 0.5
+
   /** Sign-bucket id over planes [lo, hi): bit (j-lo) = [dot(v, plane_j) > 0]. */
   def lshBucket(v: Column, lo: Int = 0, hi: Int = NPlanes): Column =
     (lo until hi).map { j =>
@@ -249,6 +252,42 @@ object SimilarityQueries {
         .orderBy("method")
     },
 
+    // NS: SemDeDup — semantic dedup over the CONVERGED clustering (the
+    // cluster-then-pairwise recipe of Abbas et al. 2023): K-Means partitions
+    // the embedding space, and near-duplicate search runs ONLY within each
+    // cluster, so the quadratic term is bounded by the cluster population,
+    // never the corpus (at 100 TB, K scales with N to hold n/K constant and
+    // clusters are one partition-local self-join each — no global all-pairs
+    // product ever exists). Centroids come from the memoized grid-snapped
+    // Lloyd loop (the q_kmeans_full artifact, paid once per fixture), so
+    // the oracle replays the clustering with the same recursive CTE.
+    // Policy: a member is a duplicate if a SMALLER-id member of its cluster
+    // is within cosine >= SemTau (keep-first, the deterministic greedy).
+    // Output = per-cluster census: size, duplicates to drop, max pair cos.
+    "q_semdedup" -> { (s, dir) =>
+      val cents = graft.kmeans.Lloyd.runFor(s, dir, graft.kmeans.KmeansQueries.K,
+        maxIter = 10, eps = 1e-6, useAgg = true, grid = Some(7))._1
+      val emb = Tables.points(s, dir)
+        .withColumn("cid", graft.kmeans.Lloyd.assignCol(cents, col("coordinates")))
+        .select(col("vec_id"), col("cid"),
+          Vec.scale(col("coordinates"),
+            lit(1.0) / greatest(Vec.norm(col("coordinates")), lit(1e-12))).as("e"))
+      val a = emb.select(col("cid"), col("vec_id").as("id_a"), col("e").as("e_a"))
+      val b = emb.select(col("cid"), col("vec_id").as("id_b"), col("e").as("e_b"))
+      val pairs = a.join(b, Seq("cid"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("cid"), col("id_b"),
+          round(Vec.dot(col("e_a"), col("e_b")), 9).as("cos"))
+      val pairStats = pairs.groupBy("cid").agg(
+        max("cos").as("max_cos"),
+        countDistinct(when(col("cos") >= lit(SemTau), col("id_b"))).as("n_dup"))
+      emb.groupBy("cid").agg(count(lit(1)).as("n"))
+        .join(pairStats, Seq("cid"), "left")
+        .select(col("cid"), col("n"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          coalesce(col("max_cos"), lit(0.0)).as("max_cos"))
+        .orderBy("cid")
+    },
     // NS: nearest-centroid classifier eval (Rocchio / prototype network):
     // train = per-label mean embedding, predict = argmin squared distance,
     // output = confusion matrix. Two narrow shuffles total at any corpus
@@ -413,6 +452,32 @@ object SimilarityQueries {
            |FROM keyed a JOIN keyed b ON a.b8 = b.b8 AND a.ext = b.ext AND a.vec_id < b.vec_id
            |WHERE round(list_dot_product(a.e, b.e), 9) >= 0.5
            |ORDER BY id_a, id_b""".stripMargin,
+      // SemDeDup replay: converged centroids from the shared recursive
+      // Lloyd CTE, final assignment with the (d2, cid) tie-break, the same
+      // normalize spelling as q_dedup_embed, within-cluster pairs only
+      "q_semdedup" ->
+        s"""${graft.ml.MLQueries.lloydRecursiveCte},
+           |fasg AS (SELECT vec_id, cid FROM (
+           |    SELECT p.vec_id, f.cid,
+           |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+           |             list_sum(list_transform(list_zip(p.c, f.c),
+           |               z -> (z[1]-z[2])*(z[1]-z[2]))), f.cid) AS rn
+           |    FROM pts p CROSS JOIN fin f) r WHERE rn = 1),
+           |nrm AS (SELECT a.vec_id, a.cid,
+           |               list_transform(p.c, x -> x * (1.0 / greatest(sqrt(list_dot_product(p.c, p.c)), 1e-12))) AS e
+           |        FROM fasg a JOIN pts p USING (vec_id)),
+           |pairs AS (SELECT x.cid, y.vec_id AS id_b,
+           |                 round(list_dot_product(x.e, y.e), 9) AS cos
+           |          FROM nrm x JOIN nrm y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+           |ps AS (SELECT cid, max(cos) AS max_cos,
+           |              count(DISTINCT CASE WHEN cos >= $SemTau THEN id_b END) AS n_dup
+           |       FROM pairs GROUP BY cid),
+           |cen AS (SELECT cid, count(*) AS n FROM fasg GROUP BY cid)
+           |SELECT cen.cid, cen.n,
+           |       CAST(coalesce(ps.n_dup, 0) AS BIGINT) AS n_dup,
+           |       coalesce(ps.max_cos, 0.0) + 0.0 AS max_cos
+           |FROM cen LEFT JOIN ps USING (cid)
+           |ORDER BY cen.cid""".stripMargin,
       // same rounded-mean prototypes; argmin replayed as the row_number
       // pattern with (d, c_label) tie order == Spark's min(struct)
       "q_centroid_classify" ->

@@ -26,18 +26,22 @@ object Streams {
     * multi-file 100 TB directory.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    // nanosAsLong must come from session construction (Tables.NanosAsLongConf)
-    // — a loader mutating shared conf would change later reads' semantics.
-    require(spark.conf.get(graft.core.Tables.NanosAsLongConf._1, "false") == "true",
-      s"session must set ${graft.core.Tables.NanosAsLongConf._1}=true at construction")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file streams want a directory: stream the sf dir, globbed to events
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same ts-type dispatch as the batch loader (Tables.events): legacy
+    // nanos-long fixtures truncate in integer arithmetic, native
+    // TIMESTAMP(MICROS) fixtures cast NTZ -> UTC-session timestamp
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1-hour counts with a 1-hour watermark: late events beyond the

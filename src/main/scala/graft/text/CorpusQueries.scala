@@ -291,6 +291,39 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // NS: bigram LM scoring — the CCNet-style perplexity filter one order
+    // up from q_unigram_logprob: add-alpha-smoothed p(w2|w1) from corpus
+    // bigram/unigram counts, per-doc mean -ln p over adjacent pairs.
+    // Bigram FORMATION is per-row array arithmetic (zero shuffle — same
+    // spelling as q_bigram_pmi); the count tables join back WITHOUT
+    // broadcast hints (both are vocabulary-sized and unbounded at web
+    // scale — the r5-verdict lesson); only the single-row vocab size is
+    // force-broadcast. avg is rounded at 6 after the aggregate, the
+    // established mean-of-floats discipline.
+    "q_bigram_logprob" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), words.as("ws"))
+      val bigrams = when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val uni = docs.select(explode(col("ws")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vsize = uni.agg(count(lit(1)).cast("double").as("v"))
+      val bg = docs.select(explode(bigrams).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      docs.select(col("doc_id"), explode(bigrams).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .join(bg, Seq("w1", "w2"))
+        .join(uni, Seq("w1"))
+        .crossJoin(broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(round(avg(-log((col("c12") + lit(0.5)) / (col("c1") + lit(0.5) * col("v")))), 6)
+          .as("mean_nll"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    },
+
     // NS: BPE pair counting — the tokenizer-TRAINING inner loop (which
     // adjacent symbol pair merges next): adjacent char pairs weighted by
     // word frequency. The corpus collapses to the vocabulary FIRST (one
@@ -497,6 +530,23 @@ object CorpusQueries {
           |        JOIN uni u2 ON u2.word = bg.w2
           |        CROSS JOIN tw CROSS JOIN tb
           |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+      // bigram LM replay: same bigram formation, same add-0.5 smoothing;
+      // joins mirror the Spark inner joins (every doc bigram has counts)
+      "q_bigram_logprob" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |uni AS (SELECT word AS w1, count(*) AS c1
+          |        FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+          |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+          |bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+          |               i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b FROM w),
+          |db AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgl),
+          |bg AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2)
+          |SELECT db.doc_id,
+          |       round(avg(-ln((bg.c12 + 0.5) / (uni.c1 + 0.5 * v.v))), 6) AS mean_nll,
+          |       count(*) AS n_bigrams
+          |FROM db JOIN bg USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+          |GROUP BY db.doc_id
+          |ORDER BY db.doc_id""".stripMargin,
       "q_corpus_pipeline" ->
         """WITH n AS (SELECT doc_id, source,
           |                  trim(regexp_replace(regexp_replace(lower(text),

@@ -1,0 +1,63 @@
+package graft.sim
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.core.{Tables, Vec}
+import graft.kmeans.{KmeansQueries, Lloyd}
+
+/** SemDeDup (cluster-bounded semantic dedup): the per-cluster census must be
+  * a partition of the corpus, and the greedy keep-first duplicate count must
+  * agree with an independent exists-smaller-neighbor recomputation.
+  */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cluster census is a partition of the corpus; n_dup bounded by n-1") {
+    val got = SimilarityQueries.queries("q_semdedup")(spark, TestSpark.Sf0001).collect()
+    assert(got.length == KmeansQueries.K)
+    val nTotal = Tables.embeddings(spark, TestSpark.Sf0001).count()
+    assert(got.map(_.getLong(1)).sum == nTotal)
+    got.foreach { r =>
+      val (n, nDup) = (r.getLong(1), r.getLong(2))
+      assert(nDup >= 0 && nDup <= math.max(0L, n - 1),
+        s"cid ${r.getInt(0)}: n_dup $nDup out of range for cluster size $n")
+    }
+  }
+
+  test("n_dup matches an independent exists-smaller-neighbor recomputation") {
+    val got = SimilarityQueries.queries("q_semdedup")(spark, TestSpark.Sf0001)
+      .select(col("cid"), col("n_dup")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // independent spelling: mark each vector whose cluster holds a
+    // smaller-id vector within SemTau, then count marks per cluster
+    val cents = Lloyd.runFor(spark, TestSpark.Sf0001, KmeansQueries.K,
+      maxIter = 10, eps = 1e-6, useAgg = true, grid = Some(7))._1
+    val emb = Tables.points(spark, TestSpark.Sf0001)
+      .withColumn("cid", Lloyd.assignCol(cents, col("coordinates")))
+      .select(col("vec_id"), col("cid"),
+        Vec.scale(col("coordinates"),
+          lit(1.0) / greatest(Vec.norm(col("coordinates")), lit(1e-12))).as("e"))
+    val x = emb.select(col("cid"), col("vec_id").as("ida"), col("e").as("ea"))
+    val y = emb.select(col("cid"), col("vec_id").as("idb"), col("e").as("eb"))
+    val expected = x.join(y, Seq("cid"))
+      .filter(col("ida") < col("idb") &&
+        round(Vec.dot(col("ea"), col("eb")), 9) >= SimilarityQueries.SemTau)
+      .select(col("cid"), col("idb")).distinct()
+      .groupBy("cid").agg(count(lit(1)).as("n_dup")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    (1 to KmeansQueries.K).foreach { cid =>
+      assert(got.getOrElse(cid, 0L) == expected.getOrElse(cid, 0L),
+        s"cid $cid: query ${got.get(cid)} vs recomputation ${expected.get(cid)}")
+    }
+  }
+
+  test("q_kmeans_mllib self-eval verdicts hold (sizes partition + SSE band)") {
+    val r = graft.ml.MLQueries.queries("q_kmeans_mllib")(spark, TestSpark.Sf0001).head()
+    assert(r.getLong(r.fieldIndex("sizes_ok")) == 1L, "cluster sizes are not a partition")
+    assert(r.getLong(r.fieldIndex("sse_ok")) == 1L, "MLlib SSE outside the 1.2x Lloyd band")
+  }
+}
