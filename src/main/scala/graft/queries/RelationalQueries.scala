@@ -85,6 +85,31 @@ object RelationalQueries {
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")
     },
+    // NS: free-rider pipeline telemetry via `Dataset.observe` — named
+    // aggregate metrics collected DURING a pass (here a noop-sink write of
+    // the scan), zero extra jobs and zero extra shuffles: the metrics are
+    // accumulator-style partial aggregates merged on the driver. At 100 TB
+    // this is how row counts / checksums / quality tallies piggyback on an
+    // ingest or rewrite pass instead of costing a second full read. The
+    // metrics used are order-insensitive exact values (count; sum of
+    // integral-valued quantities — exact in double; max), so the one-row
+    // emit hash-matches a direct SQL aggregate.
+    "q_observe_metrics" -> { (s, dir) =>
+      val obs = org.apache.spark.sql.Observation()
+      Tables.lineitem(s, dir)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum("l_quantity").as("sum_qty"),
+          max("l_extendedprice").as("max_price"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      val s2 = s
+      import s2.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[Double],
+        m("max_price").asInstanceOf[Double]))
+        .toDF("n_rows", "sum_qty", "max_price")
+    },
 
     // ---- §2.2 projections / filters ---------------------------------------
 
@@ -800,6 +825,12 @@ object RelationalQueries {
     "q_scan_events" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // observe() metrics == the direct aggregates (all order-insensitive)
+    "q_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
     "q_project_parse" ->
       """WITH lines AS (
         |  SELECT vec_id,

@@ -212,6 +212,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // NS: n-gram novelty / boilerplate ratio — the share of a doc's 3-gram
+    // shingles that appear in at least one OTHER doc (headers, footers,
+    // templated text score high; novel prose scores low — the filter signal
+    // between exact dedup and near-dup). Rides the memoized shingle-set
+    // artifact; the shingle document-frequency table is vocabulary-sized
+    // and unbounded at web scale, so the join back is hint-free (AQE
+    // broadcasts at fixture scale, shuffles at corpus scale). Docs under 3
+    // words have no shingles and drop out on both engines.
+    "q_ngram_novelty" -> { (s, dir) =>
+      val docSh = shingleSetsFor(s, dir).select(col("doc_id"), explode(col("sh")).as("sh"))
+      // sh is per-doc distinct, so count(*) per shingle == document frequency
+      val df = docSh.groupBy("sh").agg(count(lit(1)).as("n_docs"))
+      docSh.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          round(col("n_shared") / col("n_shingles"), 6).as("boilerplate_ratio"))
+        .orderBy("doc_id")
+    },
+
     // ---- dedup family ------------------------------------------------------
 
     // Exact dedup: hash-groupBy on content, canonical = min doc_id. At scale
@@ -562,6 +583,19 @@ object TextQueries {
           |       list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
           |                   (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
           |FROM t ORDER BY doc_id""".stripMargin,
+      "q_ngram_novelty" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+          |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+          |e AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
+          |df AS (SELECT sh, count(*) AS n_docs FROM e GROUP BY sh)
+          |SELECT e.doc_id, count(*) AS n_shingles,
+          |       CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+          |       round(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+          |         AS boilerplate_ratio
+          |FROM e JOIN df USING (sh)
+          |GROUP BY e.doc_id
+          |ORDER BY e.doc_id""".stripMargin,
       "q_dedup_exact" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
           |FROM documents GROUP BY content_hash ORDER BY canonical_id""".stripMargin,
