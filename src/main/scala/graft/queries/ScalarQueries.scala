@@ -94,6 +94,35 @@ object ScalarQueries {
         .filter(col("dist") <= 3)
         .orderBy("name_a", "name_b")
     },
+    // NS: entity resolution end-to-end — the q_fuzzy_join edge set fed
+    // through the SAME connected-components machinery the text dedup
+    // pipeline uses (TextDedup.connectedComponents: min-label propagation
+    // with pointer jumping), then every name mapped to its cluster's
+    // canonical spelling (the name holding the component's min part key).
+    // Composition story: candidate generation (blocked fuzzy join over the
+    // distinct-value domain) and canonicalization (CC + representative
+    // pick) are the same two phases at any key type — shingle sketches or
+    // string names — so the 100 TB scale analysis of the dedup pipeline
+    // carries over unchanged.
+    "q_fuzzy_cluster" -> { (s, dir) =>
+      val names = Tables.part(s, dir)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n"), min("p_partkey").as("nid"))
+        .withColumn("noun", element_at(split(col("name"), " "), -1))
+      val a = names.select(col("noun"), col("name").as("name_a"), col("nid").as("na"))
+      val b = names.select(col("noun"), col("name").as("name_b"), col("nid").as("nb"))
+      val edges = a.join(b, Seq("noun"))
+        .filter(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 3)
+        .select(col("na").as("doc_a"), col("nb").as("doc_b"))
+      val labels = graft.text.TextDedup.connectedComponents(
+        names.select(col("nid").as("doc_id")), edges)
+      val canon = names.select(col("nid").as("component"), col("name").as("canonical"))
+      names.join(labels, names("nid") === labels("doc_id"))
+        .join(canon, "component")
+        .select(col("name"), col("canonical"), col("n"))
+        .orderBy("name")
+    },
     // NS date/time scalars over orders.
     "q_date_funcs" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -162,6 +191,26 @@ object ScalarQueries {
       """SELECT doc_id,
         |       CAST(levenshtein(substr(text, 1, 16), 'data processing ') AS BIGINT) AS dist
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same blocked edges -> recursive min-reachable fixpoint (the
+    // q_dedup_components oracle pattern) -> canonical = component-min name
+    "q_fuzzy_cluster" ->
+      """WITH RECURSIVE
+        |names AS (SELECT p_name AS name, count(*) AS n, min(p_partkey) AS nid
+        |          FROM part GROUP BY 1),
+        |k AS (SELECT name, n, nid, string_split(name, ' ')[-1] AS noun FROM names),
+        |e0 AS (SELECT a.nid AS a, b.nid AS b
+        |       FROM k a JOIN k b ON a.noun = b.noun AND a.name < b.name
+        |       WHERE levenshtein(a.name, b.name) <= 3),
+        |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        |reach(v, u) AS (
+        |  SELECT nid, nid FROM names
+        |  UNION
+        |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+        |),
+        |lab AS (SELECT v AS nid, min(u) AS component FROM reach GROUP BY v)
+        |SELECT k.name, c.name AS canonical, k.n
+        |FROM k JOIN lab ON k.nid = lab.nid JOIN k c ON c.nid = lab.component
+        |ORDER BY k.name""".stripMargin,
     "q_fuzzy_join" ->
       """WITH names AS (SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1),
         |k AS (SELECT name, n, string_split(name, ' ')[-1] AS noun FROM names)

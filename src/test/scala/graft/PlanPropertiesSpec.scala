@@ -340,7 +340,8 @@ class PlanPropertiesSpec extends AnyFunSuite {
       "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
     try {
       saved.foreach { case (k, _) => conf.set(k, "-1") }
-      for (q <- Seq("q_unigram_logprob", "q_bigram_pmi", "q_tfidf_top", "q_chi_square")) {
+      for (q <- Seq("q_unigram_logprob", "q_bigram_pmi", "q_tfidf_top", "q_chi_square",
+        "q_bigram_logprob", "q_ngram_novelty")) {
         val p = SparkEntry.queries(q)(spark, TestSpark.Sf0001)
           .queryExecution.executedPlan.toString
         assert(!p.contains("BroadcastHashJoin"),
