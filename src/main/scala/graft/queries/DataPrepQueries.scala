@@ -215,6 +215,29 @@ object DataPrepQueries {
         .orderBy("source")
     },
 
+    // NS: data-mix PLANNING — the step BEFORE q_mix_report's mixer: given
+    // a token budget (half the corpus here) and equal target shares per
+    // source, compute each source's sampling rate and planned
+    // contribution. Everything reduces to per-source token totals first
+    // (vocabulary-of-sources-sized — tiny at any corpus), so the plan is
+    // one narrow tokenize + one small agg; budget arithmetic is integer
+    // division end-to-end (engine-version-proof), only the emitted rate is
+    // a (rounded) float.
+    "q_mix_plan" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      val totals = toks.agg(sum("n_tokens").as("t"), count(lit(1)).as("n_sources"))
+      toks.crossJoin(broadcast(totals))
+        .withColumn("target_tokens", expr("t DIV 2 DIV n_sources"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("target_tokens"),
+          round(least(lit(1.0), col("target_tokens").cast("double") / col("n_tokens")), 6)
+            .as("rate"),
+          least(col("n_tokens"), col("target_tokens")).as("planned_tokens"))
+        .orderBy("source")
+    },
+
     // NS: winsorization — per-group outlier capping at the p05/p95
     // percentiles, the numeric-repair pass feature pipelines run before
     // normalization. The per-group thresholds are a tiny aggregate joined
@@ -475,6 +498,19 @@ object DataPrepQueries {
         |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
         |         CAST(ck_min AS DOUBLE), CAST(ck_max AS DOUBLE) FROM s)
         |ORDER BY col_name""".stripMargin,
+    // same integer budget arithmetic; the only float is the rounded rate
+    "q_mix_plan" ->
+      """WITH toks AS (SELECT source, count(*) AS n_docs,
+        |                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |              FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS n_sources FROM toks)
+        |SELECT source, n_docs, n_tokens,
+        |       CAST((tot.t // 2) // tot.n_sources AS BIGINT) AS target_tokens,
+        |       round(least(1.0,
+        |             CAST((tot.t // 2) // tot.n_sources AS DOUBLE) / n_tokens), 6) AS rate,
+        |       least(n_tokens, CAST((tot.t // 2) // tot.n_sources AS BIGINT)) AS planned_tokens
+        |FROM toks CROSS JOIN tot
+        |ORDER BY source""".stripMargin,
     "q_mix_report" ->
       """WITH d AS (SELECT source,
         |                  20 + (('0x' || substr(md5(source), 1, 8))::BIGINT % 61) AS rate,

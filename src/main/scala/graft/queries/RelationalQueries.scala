@@ -321,6 +321,29 @@ object RelationalQueries {
           col("o_totalprice"))
         .orderBy("o_orderkey")
     },
+    // NS: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    // match EACH OTHER instead of vanishing — the join semantics for
+    // "unknown" dimension keys that plain equality silently drops. The
+    // spelling is reduce-before-join: both sides collapse to their key
+    // census FIRST (bounded by the key domain), so the join multiplies
+    // counts instead of materializing the pair product (which would be
+    // ~75M rows at sf0.1 for the raw-rows spelling). NULL still
+    // hash-partitions (it's a normal grouping value under <=>), so the
+    // plan stays a standard equi-join at any scale.
+    "q_join_nullsafe" -> { (s, dir) =>
+      val lk = when(pmod(col("o_custkey"), lit(10)) === 0, lit(null))
+        .otherwise(pmod(col("o_custkey"), lit(10))).cast("long")
+      val rk = when(pmod(col("c_custkey"), lit(10)) === 0, lit(null))
+        .otherwise(pmod(col("c_custkey"), lit(10))).cast("long")
+      val l = Tables.orders(s, dir).select(lk.as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_l"))
+      val r = Tables.customer(s, dir).select(rk.as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_r"))
+      l.join(r, l("k") <=> r("k"))
+        .select(l("k").as("k"), col("n_l"), col("n_r"),
+          (col("n_l") * col("n_r")).as("n_pairs"))
+        .orderBy(asc_nulls_first("k"))
+    },
     // NS: explicit broadcast of the small dims (the reference broadcasts
     // centroids inside every RPC request — master.py:182-186; here the dim
     // tables ride to every executor once).
@@ -908,6 +931,16 @@ object RelationalQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // IS NOT DISTINCT FROM == Spark's <=>; NULLS FIRST matches Spark's
+    // asc_nulls_first default
+    "q_join_nullsafe" ->
+      """WITH l AS (SELECT nullif(o_custkey % 10, 0) AS k, CAST(count(*) AS BIGINT) AS n_l
+        |           FROM orders GROUP BY 1),
+        |r AS (SELECT nullif(c_custkey % 10, 0) AS k, CAST(count(*) AS BIGINT) AS n_r
+        |      FROM customer GROUP BY 1)
+        |SELECT l.k, l.n_l, r.n_r, l.n_l * r.n_r AS n_pairs
+        |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        |ORDER BY l.k NULLS FIRST""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
