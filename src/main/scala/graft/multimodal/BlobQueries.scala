@@ -108,6 +108,9 @@ object BlobQueries {
     }
   }
 
+  /** Target shard size for [[queries q_blob_shard]] (bytes). */
+  val ShardBytes = 65536L
+
   /** A perceptual-hash-style signature: bit b = [mean of block b > global
     * mean] over 8 equal byte blocks — the aHash construction a real image
     * dedup runs on decoded pixels, applied to the payload bytes here
@@ -175,6 +178,28 @@ object BlobQueries {
         .select(col("doc_id") +: tapCols :+ round(col("mean_v"), 6).as("mean_v"): _*)
         .orderBy("doc_id")
     },
+    // NS: size-balanced shard packing — the WebDataset/tar-shard layout
+    // step of a multimodal corpus: blobs pack greedily into ~ShardBytes
+    // shards by a running byte sum in deterministic doc order, so any
+    // engine can recompute shard membership from (kind, doc_id, n_bytes)
+    // alone. The window partitions by `kind` — the shard SCOPE key — and
+    // at 100 TB the scope is (kind, source-shard), so no global sort ever
+    // exists: each scope packs its own rows and the result feeds a
+    // partitionBy write. Output is the shard manifest (the index file a
+    // streaming dataloader reads).
+    "q_blob_shard" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("kind").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      blobs(s, dir).toDF()
+        .select(col("doc_id"), col("kind"), col("n_bytes"))
+        .withColumn("cum_before", coalesce(sum("n_bytes").over(w), lit(0L)))
+        .withColumn("shard_id", expr(s"cum_before DIV $ShardBytes"))
+        .groupBy("kind", "shard_id")
+        .agg(count(lit(1)).as("n_blobs"), sum("n_bytes").as("shard_bytes"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("kind", "shard_id")
+    },
     // NS: perceptual-hash dedup buckets — aHash signatures through the
     // per-partition batch map, grouped: one shuffle of (sig, doc_id) pairs
     // (8 bytes/doc, never payloads), the media-dedup analog of the text
@@ -234,6 +259,20 @@ object BlobQueries {
          |             i -> ord(substr(text, CAST(i AS INT), 1)))), 6) AS mean_v
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // same running-sum frame, same integer shard arithmetic
+    "q_blob_shard" ->
+      s"""WITH b AS (SELECT doc_id, 'text/plain' AS kind,
+         |                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |           FROM documents),
+         |c AS (SELECT doc_id, kind, n_bytes,
+         |             coalesce(sum(n_bytes) OVER (PARTITION BY kind ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |      FROM b)
+         |SELECT kind, CAST(cum_before // $ShardBytes AS BIGINT) AS shard_id,
+         |       CAST(count(*) AS BIGINT) AS n_blobs,
+         |       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY kind, shard_id""".stripMargin,
     // same block boundaries (integer //), same exact-integer block sums,
     // same double divisions — bit-identical signatures
     "q_blob_phash" ->
