@@ -701,6 +701,60 @@ object RelationalQueries {
               |ORDER BY revenue DESC, o_orderdate, l_orderkey
               |LIMIT 10""".stripMargin)
     },
+    // NS: TPC-H Q5 shape (local-supplier revenue by nation): the 6-table
+    // snowflake join — lineitem x orders x customer x supplier filtered to
+    // customer and supplier in the SAME nation, nation x region pruning the
+    // fact scan to one region. Catalyst broadcasts every dim (region/
+    // nation/supplier/customer are all dimension-sized), so the fact table
+    // is scanned once with no fact-side shuffle before the K-group
+    // aggregate; revenue rounds at 4 — the discount product's true decimal
+    // grid, boundary-free (the q_sql_tpch_q3 argument: exact multiples of
+    // 1e-4 sit 5e-5 from every round-half boundary, four orders above
+    // float-sum drift).
+    "q_sql_tpch_q5" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      Tables.region(s, dir).createOrReplaceTempView("region_v")
+      s.sql("""SELECT n_name,
+              |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              |FROM customer_v c
+              |JOIN orders_v o   ON c.c_custkey = o.o_custkey
+              |JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+              |JOIN supplier_v s ON l.l_suppkey = s.s_suppkey
+              |                 AND c.c_nationkey = s.s_nationkey
+              |JOIN nation_v n   ON c.c_nationkey = n.n_nationkey
+              |JOIN region_v r   ON n.n_regionkey = r.r_regionkey
+              |WHERE r.r_name = 'ASIA'
+              |  AND o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+              |  AND o.o_orderdate <  timestamp '1998-01-01 00:00:00'
+              |GROUP BY n_name
+              |ORDER BY revenue DESC, n_name""".stripMargin)
+    },
+    // NS: TPC-H Q18 shape (large-volume orders): group-having semi-filter —
+    // the inner aggregate finds orders whose total quantity clears the
+    // threshold (integral sums, exact in double), the outer 3-table join
+    // re-aggregates only those. Catalyst plans the IN as a semi join on
+    // orderkey; at 100 TB the inner aggregate is the fact table's only
+    // full-scan shuffle and the survivors are a sliver.
+    "q_sql_tpch_q18" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+              |       sum(l_quantity) AS total_qty
+              |FROM customer_v c
+              |JOIN orders_v o   ON c.c_custkey = o.o_custkey
+              |JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+              |WHERE o.o_orderkey IN (
+              |  SELECT l_orderkey FROM lineitem_v
+              |  GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+              |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+              |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+              |LIMIT 20""".stripMargin)
+    },
     // NS: full cube over region x nation (rollup's sibling; all 4 grouping
     // sets), subtotals labeled via coalesce like q_rollup.
     "q_cube" -> { (s, dir) =>
@@ -1062,6 +1116,33 @@ object RelationalQueries {
         |SELECT o_orderstatus, CAST(sum(cents) AS BIGINT) AS total_cents,
         |       count(*) AS n_orders, min(cents) AS min_cents, max(cents) AS max_cents
         |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_sql_tpch_q5" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer c
+        |JOIN orders o   ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |               AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_sql_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       sum(l_quantity) AS total_qty
+        |FROM customer c
+        |JOIN orders o   ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 20""".stripMargin,
     "q_sql_tpch_q3" ->
       """SELECT l_orderkey,
         |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
