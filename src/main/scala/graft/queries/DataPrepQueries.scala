@@ -215,6 +215,42 @@ object DataPrepQueries {
         .orderBy("source")
     },
 
+    // NS: equi-width histogram in integer cents — the distribution-profile
+    // view next to q_percentile_bucket's quantile cut: 10 fixed-width bins
+    // between global min and max, all arithmetic in integer minor units
+    // (the q_decimal_exact lesson: integer division is bit-identical on
+    // every engine version; no width_bucket float-edge ambiguity). One
+    // two-value aggregate broadcast back, one narrow map, one 10-group agg.
+    "q_histogram" -> { (s, dir) =>
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val b = Tables.orders(s, dir).select(cents.as("c"))
+        .agg(min("c").as("lo"), max("c").as("hi"))
+      Tables.orders(s, dir).select(cents.as("c")).crossJoin(broadcast(b))
+        .withColumn("bucket", expr("((c - lo) * 10) DIV (hi - lo + 1)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          (min("c").cast("double") / 100).as("bin_lo"),
+          (max("c").cast("double") / 100).as("bin_hi"))
+        .orderBy("bucket")
+    },
+
+    // NS: sequence-completeness audit (gap detection without a global
+    // sort): event ids bucket into fixed-width blocks — embarrassingly
+    // parallel, no window — and each block reports present-vs-span, so a
+    // dropped id localizes to its block. The gaps-and-islands window
+    // spelling needs a total order (one partition at any scale); the block
+    // census is one hash aggregate and finds the same missing counts.
+    "q_sequence_gaps" -> { (s, dir) =>
+      Tables.events(s, dir).select(col("event_id"))
+        .withColumn("blk", expr("event_id DIV 1000"))
+        .groupBy("blk")
+        .agg(count(lit(1)).as("n_present"),
+          min("event_id").as("first_id"), max("event_id").as("last_id"))
+        .withColumn("n_missing",
+          col("last_id") - col("first_id") + 1 - col("n_present"))
+        .orderBy("blk")
+    },
+
     // NS: data-mix PLANNING — the step BEFORE q_mix_report's mixer: given
     // a token budget (half the corpus here) and equal target shares per
     // source, compute each source's sampling rate and planned
@@ -498,6 +534,24 @@ object DataPrepQueries {
         |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
         |         CAST(ck_min AS DOUBLE), CAST(ck_max AS DOUBLE) FROM s)
         |ORDER BY col_name""".stripMargin,
+    // same integer-cents arithmetic, same DIV bucketing
+    "q_histogram" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |b AS (SELECT min(c) AS lo, max(c) AS hi FROM c)
+        |SELECT ((c - lo) * 10) // (hi - lo + 1) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(c) AS DOUBLE) / 100 AS bin_lo,
+        |       CAST(max(c) AS DOUBLE) / 100 AS bin_hi
+        |FROM c CROSS JOIN b
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // same block census (integer DIV blocks, no window)
+    "q_sequence_gaps" ->
+      """SELECT event_id // 1000 AS blk,
+        |       CAST(count(*) AS BIGINT) AS n_present,
+        |       min(event_id) AS first_id, max(event_id) AS last_id,
+        |       max(event_id) - min(event_id) + 1 - count(*) AS n_missing
+        |FROM events
+        |GROUP BY 1 ORDER BY blk""".stripMargin,
     // same integer budget arithmetic; the only float is the rounded rate
     "q_mix_plan" ->
       """WITH toks AS (SELECT source, count(*) AS n_docs,
