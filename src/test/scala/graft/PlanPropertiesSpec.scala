@@ -44,6 +44,18 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
   }
 
+  test("q_sql_tpch_q5 snowflake: every dim joins broadcast, fact never shuffled pre-agg") {
+    val p = executedPlan("q_sql_tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact-side shuffle join in the snowflake — dims should broadcast:\n$p")
+  }
+
+  test("q_sql_tpch_q18 plans the HAVING subquery as a semi join") {
+    val p = executedPlan("q_sql_tpch_q18")
+    assert(p.contains("LeftSemi"), s"IN-subquery not planned as semi join:\n$p")
+  }
+
   test("q_bpe_pairs collapses to vocab before the pair explode; top-k never global-sorts") {
     val p = executedPlan("q_bpe_pairs")
     assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
