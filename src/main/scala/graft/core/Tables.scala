@@ -39,8 +39,33 @@ object Tables {
     * truncates ns->us identically.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = table(spark, sfDir, "events")
-    raw.schema("ts").dataType match {
+    val raw = eventsRead(spark, sfDir)
+    normalizeEventTs(raw, raw.schema("ts").dataType)
+  }
+
+  /** Raw events read with the nanos-fixture failure made self-explanatory:
+    * a TIMESTAMP(NANOS) fixture read in a session missing [[NanosAsLongConf]]
+    * dies inside Spark's schema inference with a bare [PARQUET_TYPE_ILLEGAL]
+    * — rethrown here naming the conf to set.
+    */
+  private[graft] def eventsRead(spark: SparkSession, sfDir: String): DataFrame =
+    try table(spark, sfDir, "events")
+    catch {
+      case e: Throwable if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") =>
+        throw new IllegalStateException(
+          s"events.parquet under $sfDir uses TIMESTAMP(NANOS) and this session lacks " +
+            s"${NanosAsLongConf._1}=${NanosAsLongConf._2} (Tables.NanosAsLongConf) — set it at " +
+            "session construction to read the nanos fixture as a long", e)
+    }
+
+  /** Dispatch on the fixture's on-disk ts type — EXPLICIT arms only, so a
+    * regen to any unexpected type (e.g. STRING, MILLIS-as-int) fails loudly
+    * here instead of silently casting (the events fixture has regenerated
+    * mid-round twice; see FixtureContractSpec).
+    */
+  private[graft] def normalizeEventTs(raw: DataFrame,
+                                      tsType: org.apache.spark.sql.types.DataType): DataFrame =
+    tsType match {
       // legacy fixture: TIMESTAMP(NANOS) read as a nanosecond long (needs
       // NanosAsLongConf at session construction or the read itself throws
       // [PARQUET_TYPE_ILLEGAL]); truncate ns -> us in INTEGER arithmetic
@@ -50,10 +75,16 @@ object Tables {
       // arrives as TIMESTAMP_NTZ; cast to session-tz timestamp (sessions
       // are pinned UTC, so the instant is unchanged and downstream sees the
       // exact same micros the legacy path produced)
-      case _ =>
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unexpected type $other: known fixture encodings are " +
+            "TIMESTAMP(MICROS) (TIMESTAMP_NTZ/TIMESTAMP) and legacy TIMESTAMP(NANOS) " +
+            s"read as LONG via ${NanosAsLongConf._1} — a fixture regen changed the unit; " +
+            "extend Tables.normalizeEventTs AND FixtureContractSpec deliberately")
     }
-  }
 
   /** Embeddings with `embedding` cast float->double once at load: all vector
     * math is double (reference computes in Python floats = IEEE double —

@@ -180,6 +180,12 @@ object MLQueries {
     // Self-eval oracle (q_distinct_approx pattern): n_points is SQL-exact;
     // the partition and SSE-band verdicts are pinned to literal 1, so a
     // drifting MLlib fit or a broken Lloyd loop goes hash-red.
+    // Known flake surface (accepted): sse_ok depends on the seeded MLlib
+    // kmeans|| training cost, which varies with input partitioning/core
+    // count — covered at CPUS=1/7/32 locally, and MLlib's cost normally
+    // sits WELL inside the 1.2x Lloyd band. If a driver-env flake ever
+    // appears here, demote the SSE band to the toleranced ScalaTest
+    // assertion (SemDedupSpec) and keep only sizes_ok pinned.
     "q_kmeans_mllib" ->
       s"""SELECT CAST(${KmeansQueries.K} AS BIGINT) AS k,
          |       count(*) AS n_points,

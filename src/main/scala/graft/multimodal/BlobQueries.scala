@@ -111,6 +111,40 @@ object BlobQueries {
   /** Target shard size for [[queries q_blob_shard]] (bytes). */
   val ShardBytes = 65536L
 
+  /** Packing-scope width for [[queries q_blob_shard]]: blobs pack within
+    * (kind, doc_id DIV PackGroupDocs), never within a whole `kind` — `kind`
+    * has a handful of values, so a kind-scoped window would sort an entire
+    * modality's corpus in ONE task at 100 TB (a global sort in disguise).
+    * The group key is pure integer arithmetic on doc_id, so the manifest
+    * stays recomputable from (kind, doc_id, n_bytes) alone. Cost of the
+    * scoping: each group's last shard may run under-full — a bounded
+    * padding loss (< ShardBytes per group), not a correctness change.
+    */
+  val PackGroupDocs = 256L
+
+  /** Size-balanced shard manifest over (doc_id, kind, n_bytes) rows:
+    * greedy running-byte-sum packing in deterministic doc order within each
+    * (kind, pack_group) scope. Shard ids are local to their scope; the
+    * manifest carries both keys, so a streaming dataloader addresses a
+    * shard as (kind, pack_group, shard_id).
+    */
+  def shardManifest(blobMeta: DataFrame,
+                    groupDocs: Long = PackGroupDocs,
+                    shardBytes: Long = ShardBytes): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("kind", "pack_group").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    blobMeta
+      .select(col("doc_id"), col("kind"), col("n_bytes"))
+      .withColumn("pack_group", expr(s"doc_id DIV $groupDocs"))
+      .withColumn("cum_before", coalesce(sum("n_bytes").over(w), lit(0L)))
+      .withColumn("shard_id", expr(s"cum_before DIV $shardBytes"))
+      .groupBy("kind", "pack_group", "shard_id")
+      .agg(count(lit(1)).as("n_blobs"), sum("n_bytes").as("shard_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("kind", "pack_group", "shard_id")
+  }
+
   /** A perceptual-hash-style signature: bit b = [mean of block b > global
     * mean] over 8 equal byte blocks — the aHash construction a real image
     * dedup runs on decoded pixels, applied to the payload bytes here
@@ -182,24 +216,12 @@ object BlobQueries {
     // step of a multimodal corpus: blobs pack greedily into ~ShardBytes
     // shards by a running byte sum in deterministic doc order, so any
     // engine can recompute shard membership from (kind, doc_id, n_bytes)
-    // alone. The window partitions by `kind` — the shard SCOPE key — and
-    // at 100 TB the scope is (kind, source-shard), so no global sort ever
-    // exists: each scope packs its own rows and the result feeds a
-    // partitionBy write. Output is the shard manifest (the index file a
-    // streaming dataloader reads).
-    "q_blob_shard" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("kind").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      blobs(s, dir).toDF()
-        .select(col("doc_id"), col("kind"), col("n_bytes"))
-        .withColumn("cum_before", coalesce(sum("n_bytes").over(w), lit(0L)))
-        .withColumn("shard_id", expr(s"cum_before DIV $ShardBytes"))
-        .groupBy("kind", "shard_id")
-        .agg(count(lit(1)).as("n_blobs"), sum("n_bytes").as("shard_bytes"),
-          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-        .orderBy("kind", "shard_id")
-    },
+    // alone. The window scope is (kind, doc_id DIV PackGroupDocs) — see
+    // [[PackGroupDocs]]: no single window partition ever holds a whole
+    // modality, so the pack is embarrassingly parallel at any corpus size
+    // and the result feeds a partitionBy write. Output is the shard
+    // manifest (the index file a streaming dataloader reads).
+    "q_blob_shard" -> { (s, dir) => shardManifest(blobs(s, dir).toDF()) },
     // NS: perceptual-hash dedup buckets — aHash signatures through the
     // per-partition batch map, grouped: one shuffle of (sig, doc_id) pairs
     // (8 bytes/doc, never payloads), the media-dedup analog of the text
@@ -259,20 +281,21 @@ object BlobQueries {
          |             i -> ord(substr(text, CAST(i AS INT), 1)))), 6) AS mean_v
          |FROM documents ORDER BY doc_id""".stripMargin
     },
-    // same running-sum frame, same integer shard arithmetic
+    // same running-sum frame, same integer shard AND pack-group arithmetic
     "q_blob_shard" ->
       s"""WITH b AS (SELECT doc_id, 'text/plain' AS kind,
+         |                  CAST(doc_id // $PackGroupDocs AS BIGINT) AS pack_group,
          |                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          |           FROM documents),
-         |c AS (SELECT doc_id, kind, n_bytes,
-         |             coalesce(sum(n_bytes) OVER (PARTITION BY kind ORDER BY doc_id
+         |c AS (SELECT doc_id, kind, pack_group, n_bytes,
+         |             coalesce(sum(n_bytes) OVER (PARTITION BY kind, pack_group ORDER BY doc_id
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |      FROM b)
-         |SELECT kind, CAST(cum_before // $ShardBytes AS BIGINT) AS shard_id,
+         |SELECT kind, pack_group, CAST(cum_before // $ShardBytes AS BIGINT) AS shard_id,
          |       CAST(count(*) AS BIGINT) AS n_blobs,
          |       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM c GROUP BY 1, 2 ORDER BY kind, shard_id""".stripMargin,
+         |FROM c GROUP BY 1, 2, 3 ORDER BY kind, pack_group, shard_id""".stripMargin,
     // same block boundaries (integer //), same exact-integer block sums,
     // same double divisions — bit-identical signatures
     "q_blob_phash" ->

@@ -239,7 +239,12 @@ object DataPrepQueries {
     // parallel, no window — and each block reports present-vs-span, so a
     // dropped id localizes to its block. The gaps-and-islands window
     // spelling needs a total order (one partition at any scale); the block
-    // census is one hash aggregate and finds the same missing counts.
+    // census is one hash aggregate. Known blindness, by design: n_missing
+    // counts only ids inside each block's OBSERVED [min, max] span — ids
+    // missing at a block's edges, or whole missing blocks, are invisible
+    // (a lag(last_id)-over-blocks cross-block check would close that at
+    // the cost of a tiny ordered pass over block rows). NOT equivalent to
+    // the total-order gaps-and-islands audit.
     "q_sequence_gaps" -> { (s, dir) =>
       Tables.events(s, dir).select(col("event_id"))
         .withColumn("blk", expr("event_id DIV 1000"))
@@ -354,7 +359,8 @@ object DataPrepQueries {
     // QuantileDiscretizer shape as a query: exact quartile boundaries from
     // one single-row aggregate (Spark's exact percentile keeps a
     // value→count map — bounded by the 2-decimal price DOMAIN, not row
-    // count; swap in approx_percentile for unbounded domains), broadcast
+    // count; q_percentile_bucket_approx below IS the unbounded-domain
+    // scale path, registered and gated, not a comment), broadcast
     // to a per-row bucket assignment, then per-bucket stats. Two narrow
     // passes + one K-group shuffle at any scale.
     "q_percentile_bucket" -> { (s, dir) =>
@@ -370,6 +376,32 @@ object DataPrepQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), round(min("v"), 2).as("lo"),
           round(max("v"), 2).as("hi"), round(avg("v"), 4).as("mean"))
+        .orderBy("bucket")
+    },
+
+    // NS: the 100 TB spelling of q_percentile_bucket — approx_percentile
+    // boundaries (GK sketch, accuracy 10000 -> rank error 1e-4·N, constant
+    // memory in the VALUE domain, unlike exact percentile's value→count
+    // map). Sketch boundaries can't hash-match a non-sketch oracle, so
+    // this is the q_distinct_approx self-eval shape: bucket by the approx
+    // boundaries, emit the exact total and a within-2%-of-N/4 share
+    // verdict per bucket, and the oracle pins the verdict to literal 1 —
+    // a sketch drifting out of band goes hash-red at the driver. The raw
+    // approx-vs-exact boundary property stays in ScalaTest.
+    "q_percentile_bucket_approx" -> { (s, dir) =>
+      val b = Tables.orders(s, dir)
+        .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)").as("qs"),
+          count(lit(1)).as("n_total"))
+      Tables.orders(s, dir).crossJoin(broadcast(b))
+        .select(col("n_total"),
+          when(col("o_totalprice") < col("qs")(0), 0L)
+            .when(col("o_totalprice") < col("qs")(1), 1L)
+            .when(col("o_totalprice") < col("qs")(2), 2L).otherwise(3L).as("bucket"))
+        .groupBy("bucket")
+        .agg(max("n_total").as("n_total"), count(lit(1)).as("n"))
+        .select(col("bucket"), col("n_total"),
+          when(abs(col("n") - col("n_total") / lit(4.0)) <= lit(0.02) * col("n_total"), 1L)
+            .otherwise(0L).as("share_ok"))
         .orderBy("bucket")
     },
 
@@ -630,6 +662,13 @@ object DataPrepQueries {
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
         |       round(min(v), 2) AS lo, round(max(v), 2) AS hi, round(avg(v), 4) AS mean
         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // self-eval: the sketch-bucketed shares must each sit within 2% of
+    // N/4 — the oracle pins the verdict, not the sketch boundaries
+    "q_percentile_bucket_approx" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders)
+        |SELECT unnest(range(0, 4)) AS bucket, n_total,
+        |       CAST(1 AS BIGINT) AS share_ok
+        |FROM n ORDER BY bucket""".stripMargin,
     "q_minmax_scale" ->
       """WITH env AS (SELECT c_nationkey, min(c_acctbal) AS lo, max(c_acctbal) AS hi
         |             FROM customer GROUP BY 1)

@@ -37,6 +37,65 @@ object SimilarityQueries {
   /** SemDeDup duplicate threshold: same cosine bar as [[queries q_dedup_embed]]. */
   val SemTau = 0.5
 
+  /** Cluster-population guard for SemDeDup's within-cluster pairwise
+    * product (the TextDedup.DefaultMaxBucketSize counterpart): clusters
+    * above this population are deterministically sub-chunked before the
+    * self-join, so ONE near-duplicate-heavy mega-cluster — precisely what
+    * dedup targets at 100 TB — cannot make the (cid) self-join quadratic
+    * on a hot key. Pairs across chunks of an over-cap cluster are skipped:
+    * a bounded, observable recall sacrifice (the census reports n_chunks
+    * per cluster) instead of an unbounded shuffle explosion.
+    */
+  val SemClusterCap = 1000
+
+  /** Per-cluster SemDeDup census over (vec_id, cid, e) rows with the
+    * population guard applied. Chunk id = vec_id mod ceil(n/cap) — pure
+    * integer arithmetic, so the DuckDB oracle replays it bit-for-bit (ids
+    * are non-negative, so % == pmod on both engines). Clusters at or under
+    * `cap` get n_chunks = 1 and are computed exactly. The census join back
+    * onto rows is HINT-FREE: the number of clusters scales with corpus
+    * size (K grows to hold n/K constant), so it is not broadcast-safe.
+    */
+  def semDedupCensus(emb: DataFrame, cap: Int = SemClusterCap): DataFrame = {
+    val census = emb.groupBy("cid").agg(count(lit(1)).as("n"))
+      .withColumn("n_chunks", expr(s"(n + ${cap - 1}) DIV $cap"))
+    val keyed = emb.join(census.select("cid", "n_chunks"), Seq("cid"))
+      .withColumn("chunk", pmod(col("vec_id"), col("n_chunks")))
+    val a = keyed.select(col("cid"), col("chunk"), col("vec_id").as("id_a"), col("e").as("e_a"))
+    val b = keyed.select(col("cid"), col("chunk"), col("vec_id").as("id_b"), col("e").as("e_b"))
+    val pairs = a.join(b, Seq("cid", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cid"), col("id_b"),
+        round(Vec.dot(col("e_a"), col("e_b")), 9).as("cos"))
+    val pairStats = pairs.groupBy("cid").agg(
+      max("cos").as("max_cos"),
+      countDistinct(when(col("cos") >= lit(SemTau), col("id_b"))).as("n_dup"))
+    census.join(pairStats, Seq("cid"), "left")
+      .select(col("cid"), col("n"), col("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"))
+      .orderBy("cid")
+  }
+
+  // (context incarnation, "sfDir#method") -> 10-row candidate list,
+  // localCheckpoint'ed. One cache for all four methods: ArtifactMemo keys
+  // by (ctx, dir), so the method is folded into the dir key.
+  private val annCandCache =
+    new java.util.concurrent.ConcurrentHashMap[graft.text.ArtifactMemo.Key, DataFrame]()
+
+  /** Memoized ANN candidate list for the fixture at `dir`: `method` is one
+    * of exact/ivf/lsh/pq. The underlying pipelines stay registered (and
+    * individually benched) as q_topk_similar / q_ann_*; this memo is how
+    * the recall EVAL reads them — one index build per (session, fixture,
+    * method), the in-session stand-in for a persisted index artifact.
+    */
+  def annCandidates(s: SparkSession, dir: String, method: String): DataFrame = {
+    val key = if (method == "exact") "q_topk_similar" else s"q_ann_$method"
+    graft.text.ArtifactMemo.memo(annCandCache, s"ann_$method", s, s"$dir#$method") {
+      queries(key)(s, dir).localCheckpoint()
+    }
+  }
+
   /** Sign-bucket id over planes [lo, hi): bit (j-lo) = [dot(v, plane_j) > 0]. */
   def lshBucket(v: Column, lo: Int = 0, hi: Int = NPlanes): Column =
     (lo until hi).map { j =>
@@ -231,7 +290,12 @@ object SimilarityQueries {
     // top-10. The eval is three 10-row joins over results the engine
     // already computes; at 100 TB
     // this is how an index build is accepted or rejected, and it costs
-    // nothing beyond the candidate queries themselves.
+    // nothing beyond the candidate queries themselves. The four candidate
+    // lists route through ArtifactMemo ([[annCandidates]]) — at 100 TB they
+    // are persisted index-build outputs the eval merely READS, so the
+    // benched cost of this key is the eval itself, with the one-time index
+    // builds itemized on the memo's cold-build line like every other
+    // artifact.
     "q_ann_recall" -> { (s, dir) =>
       // the exact top-10 ids are collected ONCE (10 longs) and inlined as
       // a literal IN-filter into each approximate branch — Spark would
@@ -239,16 +303,16 @@ object SimilarityQueries {
       // corpus scans for three 10-row joins). Ground truth is tiny by
       // construction (k rows), so driver-side is the right side of the
       // collect rule here, same as initCentroidsFor.
-      val exactIds = queries("q_topk_similar")(s, dir)
+      val exactIds = annCandidates(s, dir, "exact")
         .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
       def recallOf(method: String, approx: DataFrame): DataFrame =
         approx.select(col("vec_id")).filter(col("vec_id").isin(exactIds: _*))
           .agg(count(lit(1)).as("n_common"))
           .select(lit(method).as("method"), lit(10L).as("k"), col("n_common"),
             round(col("n_common") / lit(10.0), 2).as("recall_at_10"))
-      recallOf("ivf", queries("q_ann_ivf")(s, dir))
-        .unionByName(recallOf("lsh", queries("q_ann_lsh")(s, dir)))
-        .unionByName(recallOf("pq", queries("q_ann_pq")(s, dir)))
+      recallOf("ivf", annCandidates(s, dir, "ivf"))
+        .unionByName(recallOf("lsh", annCandidates(s, dir, "lsh")))
+        .unionByName(recallOf("pq", annCandidates(s, dir, "pq")))
         .orderBy("method")
     },
 
@@ -256,14 +320,20 @@ object SimilarityQueries {
     // cluster-then-pairwise recipe of Abbas et al. 2023): K-Means partitions
     // the embedding space, and near-duplicate search runs ONLY within each
     // cluster, so the quadratic term is bounded by the cluster population,
-    // never the corpus (at 100 TB, K scales with N to hold n/K constant and
-    // clusters are one partition-local self-join each — no global all-pairs
-    // product ever exists). Centroids come from the memoized grid-snapped
-    // Lloyd loop (the q_kmeans_full artifact, paid once per fixture), so
-    // the oracle replays the clustering with the same recursive CTE.
-    // Policy: a member is a duplicate if a SMALLER-id member of its cluster
-    // is within cosine >= SemTau (keep-first, the deterministic greedy).
-    // Output = per-cluster census: size, duplicates to drop, max pair cos.
+    // never the corpus. The population bound is ENFORCED in code, not
+    // policy: [[semDedupCensus]] sub-chunks any cluster above
+    // [[SemClusterCap]] before the self-join (a near-duplicate-heavy corpus
+    // produces mega-clusters — exactly what dedup targets — and one hot cid
+    // would otherwise go quadratic), and the census reports n_chunks so a
+    // capped cluster is observable. Centroids come from the memoized
+    // grid-snapped Lloyd loop (the q_kmeans_full artifact, paid once per
+    // fixture), so the oracle replays the clustering with the same
+    // recursive CTE. Policy: a member is a duplicate if ANY smaller-id
+    // member of its (cluster, chunk) is within cosine >= SemTau —
+    // exists-smaller-neighbor semantics, NOT true keep-first greedy (which
+    // would compare only against the kept set; this over-drops transitive
+    // chains, deterministically on both engines).
+    // Output = per-cluster census: size, chunk count, drops, max pair cos.
     "q_semdedup" -> { (s, dir) =>
       val cents = graft.kmeans.Lloyd.runFor(s, dir, graft.kmeans.KmeansQueries.K,
         maxIter = 10, eps = 1e-6, useAgg = true, grid = Some(7))._1
@@ -272,21 +342,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cid"),
           Vec.scale(col("coordinates"),
             lit(1.0) / greatest(Vec.norm(col("coordinates")), lit(1e-12))).as("e"))
-      val a = emb.select(col("cid"), col("vec_id").as("id_a"), col("e").as("e_a"))
-      val b = emb.select(col("cid"), col("vec_id").as("id_b"), col("e").as("e_b"))
-      val pairs = a.join(b, Seq("cid"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("cid"), col("id_b"),
-          round(Vec.dot(col("e_a"), col("e_b")), 9).as("cos"))
-      val pairStats = pairs.groupBy("cid").agg(
-        max("cos").as("max_cos"),
-        countDistinct(when(col("cos") >= lit(SemTau), col("id_b"))).as("n_dup"))
-      emb.groupBy("cid").agg(count(lit(1)).as("n"))
-        .join(pairStats, Seq("cid"), "left")
-        .select(col("cid"), col("n"),
-          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-          coalesce(col("max_cos"), lit(0.0)).as("max_cos"))
-        .orderBy("cid")
+      semDedupCensus(emb)
     },
     // NS: nearest-centroid classifier eval (Rocchio / prototype network):
     // train = per-label mean embedding, predict = argmin squared distance,
@@ -454,7 +510,9 @@ object SimilarityQueries {
            |ORDER BY id_a, id_b""".stripMargin,
       // SemDeDup replay: converged centroids from the shared recursive
       // Lloyd CTE, final assignment with the (d2, cid) tie-break, the same
-      // normalize spelling as q_dedup_embed, within-cluster pairs only
+      // normalize spelling as q_dedup_embed, within-(cluster, chunk) pairs
+      // only — the chunk arithmetic (ceil-div via integer //, vec_id % on
+      // non-negative ids) replays semDedupCensus exactly
       "q_semdedup" ->
         s"""${graft.ml.MLQueries.lloydRecursiveCte},
            |fasg AS (SELECT vec_id, cid FROM (
@@ -463,17 +521,20 @@ object SimilarityQueries {
            |             list_sum(list_transform(list_zip(p.c, f.c),
            |               z -> (z[1]-z[2])*(z[1]-z[2]))), f.cid) AS rn
            |    FROM pts p CROSS JOIN fin f) r WHERE rn = 1),
-           |nrm AS (SELECT a.vec_id, a.cid,
+           |cen AS (SELECT cid, count(*) AS n,
+           |               CAST((count(*) + ${SemClusterCap - 1}) // $SemClusterCap AS BIGINT) AS n_chunks
+           |        FROM fasg GROUP BY cid),
+           |nrm AS (SELECT a.vec_id, a.cid, a.vec_id % c2.n_chunks AS chunk,
            |               list_transform(p.c, x -> x * (1.0 / greatest(sqrt(list_dot_product(p.c, p.c)), 1e-12))) AS e
-           |        FROM fasg a JOIN pts p USING (vec_id)),
+           |        FROM fasg a JOIN pts p USING (vec_id) JOIN cen c2 USING (cid)),
            |pairs AS (SELECT x.cid, y.vec_id AS id_b,
            |                 round(list_dot_product(x.e, y.e), 9) AS cos
-           |          FROM nrm x JOIN nrm y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+           |          FROM nrm x JOIN nrm y
+           |            ON x.cid = y.cid AND x.chunk = y.chunk AND x.vec_id < y.vec_id),
            |ps AS (SELECT cid, max(cos) AS max_cos,
            |              count(DISTINCT CASE WHEN cos >= $SemTau THEN id_b END) AS n_dup
-           |       FROM pairs GROUP BY cid),
-           |cen AS (SELECT cid, count(*) AS n FROM fasg GROUP BY cid)
-           |SELECT cen.cid, cen.n,
+           |       FROM pairs GROUP BY cid)
+           |SELECT cen.cid, cen.n, cen.n_chunks,
            |       CAST(coalesce(ps.n_dup, 0) AS BIGINT) AS n_dup,
            |       coalesce(ps.max_cos, 0.0) + 0.0 AS max_cos
            |FROM cen LEFT JOIN ps USING (cid)

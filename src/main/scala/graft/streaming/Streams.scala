@@ -26,22 +26,20 @@ object Streams {
     * multi-file 100 TB directory.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // schema via the batch loader's guarded read: a nanos fixture in a
+    // conf-less session fails with the message naming NanosAsLongConf,
+    // not a bare [PARQUET_TYPE_ILLEGAL]
+    val schema = graft.core.Tables.eventsRead(spark, sfDir).schema
     // file streams want a directory: stream the sf dir, globbed to events
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    // same ts-type dispatch as the batch loader (Tables.events): legacy
-    // nanos-long fixtures truncate in integer arithmetic, native
-    // TIMESTAMP(MICROS) fixtures cast NTZ -> UTC-session timestamp
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
+    // same ts-type dispatch as the batch loader — SHARED arm list
+    // (Tables.normalizeEventTs), so an unexpected regen'd ts type fails
+    // loudly in one place for batch and stream alike
+    graft.core.Tables.normalizeEventTs(raw, schema("ts").dataType)
   }
 
   /** Tumbling 1-hour counts with a 1-hour watermark: late events beyond the

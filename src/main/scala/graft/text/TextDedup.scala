@@ -139,7 +139,16 @@ object TextDedup {
     * Lloyd-loop discipline, Lloyd.scala).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, maxIter)._1
+
+  /** [[connectedComponents]] plus its observability: (labels, rounds run,
+    * reached fixpoint). The round count is how the O(log diameter)
+    * pointer-jumping claim is ASSERTED (TextDedupSpec plants a long chain
+    * and a star and pins the round budget) rather than trusted.
+    */
+  def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
+                                    maxIter: Int = 50): (DataFrame, Int, Boolean) = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -207,7 +216,7 @@ object TextDedup {
       // upper bound on components, but it is NOT the answer — say so loudly
       // instead of claiming convergence.
       System.err.println(s"[TextDedup] WARNING: connectedComponents stopped at maxIter=$maxIter WITHOUT reaching the fixpoint — labels may be unconverged")
-    labels
+    (labels, i, converged)
   }
 
   /** End-to-end near-dup dedup decision: minhash-LSH candidates verified by

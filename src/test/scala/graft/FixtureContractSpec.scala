@@ -41,6 +41,27 @@ class FixtureContractSpec extends AnyFunSuite {
       s"Tables.events ts contract changed: $t")
   }
 
+  test("events.ts ON-DISK unit is TIMESTAMP(MICROS) as TIMESTAMP_NTZ (regen #2 was NANOS→MICROS; consumers: Tables.normalizeEventTs arms, Streams.readEvents, DuckDB oracle CAST)") {
+    // the RAW parquet type, before loader normalization: the known fixture
+    // encodings are exactly the normalizeEventTs arms — native MICROS
+    // (TIMESTAMP_NTZ; current, since the 2026-08-13 regen) or legacy NANOS
+    // surfaced as LongType under NanosAsLongConf. Any third type means
+    // regen #3 changed the unit: extend Tables.normalizeEventTs AND this
+    // pin deliberately — do not let `case _` silently cast.
+    val raw = Tables.eventsRead(spark, dir).schema("ts").dataType
+    assert(raw == org.apache.spark.sql.types.TimestampNTZType ||
+        raw == org.apache.spark.sql.types.LongType,
+      s"events.ts on-disk type is $raw — a fixture regen changed the timestamp unit " +
+        "(known: TIMESTAMP_NTZ = native MICROS, LongType = legacy NANOS via nanosAsLong)")
+    // and the micro precision survives the loader: a NANOS fixture value
+    // truncates to whole micros, a MICROS fixture is already whole micros —
+    // either way unix_micros round-trips the loaded ts exactly
+    val e = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"))
+      .filter(col("us").isNull).count()
+    assert(e == 0, "loaded ts does not round-trip through unix_micros")
+  }
+
   test("embeddings are fixed-width 64-dim vectors (consumers: PQ subspaces, hyperplane LSH, Lloyd)") {
     val dims = Tables.embeddings(spark, dir)
       .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))

