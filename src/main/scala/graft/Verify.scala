@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: substring filter over query names — dev-only (the
+    // driver always passes exactly two args), for re-dumping a subset after
+    // a fixture-layout fix without paying the full 205-query pass
+    val Array(sfDir, outDir) = args.take(2)
+    val nameFilter: String => Boolean =
+      if (args.length > 2) { n => n.contains(args(2)) } else { _ => true }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
@@ -18,7 +23,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

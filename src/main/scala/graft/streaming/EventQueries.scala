@@ -104,20 +104,25 @@ object EventQueries {
         .orderBy("nationkey")
     },
     // True stream-stream interval join: click->purchase attribution within
-    // a 1-hour window, run as TWO real file streams with per-side
-    // watermarks. The equality key (user_id) partitions join state; the
-    // time-interval condition + watermarks bound how long each side's rows
-    // are retained — the state-cleanup contract that makes this run forever
-    // on an unbounded 100 TB/day stream. Inner join in Append mode emits
-    // each match exactly once; on a drained finite stream that equals the
-    // batch interval join (the oracle).
+    // a 1-hour window — a self-join of ONE file stream (both sides derive
+    // from the same readEvents source; Spark still materializes two join
+    // sides with their own state + watermarks, but the source listing/admin
+    // is paid once — measured 0.6-0.9 s off the floor vs two readEvents).
+    // The equality key (user_id) partitions join state; the time-interval
+    // condition + per-side watermarks bound how long each side's rows are
+    // retained — the state-cleanup contract that makes this run forever on
+    // an unbounded 100 TB/day stream. Inner join in Append mode emits each
+    // match exactly once; on a drained finite stream that equals the batch
+    // interval join (the oracle). Drained via Trigger.AvailableNow (same
+    // result on a finite source, one fewer empty finalization batch).
     "q_stream_stream_join" -> { (s, dir) =>
       val ss = Streams.streamingSession(s)
-      val clicks = Streams.readEvents(ss, dir)
+      val ev = Streams.readEvents(ss, dir)
+      val clicks = ev
         .filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
         .withWatermark("click_ts", "1 hour")
-      val purchases = Streams.readEvents(ss, dir)
+      val purchases = ev
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
@@ -126,7 +131,7 @@ object EventQueries {
           col("p_ts") >= col("click_ts") &&
           col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
       Streams.runToBatch(ss, joined,
-          org.apache.spark.sql.streaming.OutputMode.Append())
+          org.apache.spark.sql.streaming.OutputMode.Append(), availableNow = true)
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
         .orderBy("user_id", "click_id", "purchase_id")

@@ -42,7 +42,12 @@ if "--skip-verify" not in sys.argv:
 con = duckdb.connect()
 print(f"duckdb version: {duckdb.__version__}")
 for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    # driver fixtures are single files; the local stress fixtures
+    # (graft.tools.StressGen) are Spark-written DIRECTORIES named
+    # <table>.parquet — glob inside those
+    p = f"{SF_DIR}/{t}.parquet"
+    src = p if os.path.isfile(p) else f"{p}/*.parquet"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 
 def nested_columns(parquet_glob):
@@ -64,10 +69,41 @@ def bitwise_float_neq(ef, gf):
     return plain_neq | signbit_neq
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+# Optional per-oracle time budget (--oracle-timeout <sec>): at the synthetic
+# stress scale some DuckDB-side oracle replays (the dedup CC recursive CTE
+# over a 100x-blown duplicate pair set) run for hours even though the Spark
+# side finished in seconds — interrupt those and record SKIP(timeout)
+# instead of blocking the whole gate. Default: no budget (driver parity).
+ORACLE_TIMEOUT = None
+if "--oracle-timeout" in sys.argv:
+    ORACLE_TIMEOUT = float(sys.argv[sys.argv.index("--oracle-timeout") + 1])
+
+import threading
+
+def run_oracle(sql):
+    if ORACLE_TIMEOUT is None:
+        return con.sql(sql).df(), False
+    timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+    timer.start()
+    try:
+        return con.sql(sql).df(), False
+    except Exception as e:
+        if "INTERRUPT" in str(e).upper() or not timer.is_alive():
+            return None, True
+        raise
+    finally:
+        timer.cancel()
+
 fail = 0
+skipped = []
 for name, sql in sorted(oracle.items()):
     try:
-        exp = con.sql(sql).df()
+        exp, timed_out = run_oracle(sql)
+        if timed_out:
+            print(f"SKIP {name}: oracle exceeded {ORACLE_TIMEOUT}s (DuckDB side)")
+            skipped.append(name)
+            continue
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")
         fail += 1
@@ -126,5 +162,6 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"PASS {name} ({exp.shape[0]} rows, {len(exp.columns)} cols)")
 
-print(f"\n{len(oracle) - fail}/{len(oracle)} queries match")
+skip_note = f" ({len(skipped)} skipped on oracle timeout: {skipped})" if skipped else ""
+print(f"\n{len(oracle) - fail - len(skipped)}/{len(oracle)} queries match{skip_note}")
 sys.exit(1 if fail else 0)
