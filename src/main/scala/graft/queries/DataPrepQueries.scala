@@ -128,10 +128,16 @@ object DataPrepQueries {
     // float drift (~1e-4 on 1e9-scale sums) is far from the half-cent
     // boundary — while 6-decimal rounding would sit inside the drift.
     "q_incremental_agg" -> { (s, dir) =>
+      // partials sum in integer cents (o_totalprice is a 2-decimal domain):
+      // the base+delta partial-merge order differs from the oracle's single
+      // pass, so a float revenue sum drifts across engines and a 2-dec
+      // round lands on a boundary once revenue reaches 1e11 (caught by the
+      // synthetic-sf1 stress gate); integer partials merge exactly.
       val orders = Tables.orders(s, dir)
       def part(pred: org.apache.spark.sql.Column) = orders.filter(pred)
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sp"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sp"))
       val base = part(pmod(col("o_orderkey"), lit(7)) =!= 0)
         .select(col("o_orderstatus"), col("n").as("bn"), col("sp").as("bs"))
       val delta = part(pmod(col("o_orderkey"), lit(7)) === 0)
@@ -139,7 +145,8 @@ object DataPrepQueries {
       base.join(delta, Seq("o_orderstatus"), "full_outer")
         .select(col("o_orderstatus"),
           (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
-          round(coalesce(col("bs"), lit(0.0)) + coalesce(col("ds"), lit(0.0)), 2).as("revenue"))
+          ((coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+            .cast("double") / 100).as("revenue"))
         .orderBy("o_orderstatus")
     },
 
@@ -521,9 +528,10 @@ object DataPrepQueries {
         |       round(o_totalprice / nullif(o_orderkey % 3, 0), 6) AS safe_ratio
         |FROM r ORDER BY o_orderkey""".stripMargin,
     // the direct recompute — checking the incremental path against it
+    // same integer-cents arithmetic; one deterministic division at the end
     "q_incremental_agg" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS revenue
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2 AS revenue
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_group_sample" ->
       """SELECT source,

@@ -250,16 +250,22 @@ object RelationalQueries {
       // a real key (a fixed additive offset would, once keys pass it)
       val added = Tables.orders(s, dir).filter(col("o_orderkey") % 11 === 0)
         .select((-col("o_orderkey")).as("k"), col("o_totalprice").as("p1"))
+      // deltas sum as integer ten-thousandths (the p*1.05 branch has a
+      // 4-decimal true grid; round(p*1e4) recovers the exact integer from
+      // the same double on both engines) — a float delta sum drifts across
+      // engines once it reaches 1e10 and a 4-dec round lands on a boundary
+      // (caught by the synthetic-sf1 stress gate); integer sums cannot.
       base.join(next.unionByName(added), Seq("k"), "full_outer")
         .select(col("k"),
           when(col("p0").isNull, "added")
             .when(col("p1").isNull, "removed")
             .when(col("p0") =!= col("p1"), "changed")
             .otherwise("unchanged").as("change_type"),
-          coalesce(col("p1"), lit(0.0)) - coalesce(col("p0"), lit(0.0)))
-        .toDF("k", "change_type", "delta")
+          (coalesce(expr("CAST(round(p1 * 10000) AS BIGINT)"), lit(0L)) -
+            coalesce(expr("CAST(round(p0 * 10000) AS BIGINT)"), lit(0L))).as("delta_e4"))
         .groupBy("change_type")
-        .agg(count(lit(1)).as("n"), round(sum("delta"), 4).as("sum_delta"))
+        .agg(count(lit(1)).as("n"),
+          (sum("delta_e4").cast("double") / 1e4).as("sum_delta"))
         .orderBy("change_type")
     },
     // NS: raw text-lines source/sink round trip — the entry format of an
@@ -498,13 +504,23 @@ object RelationalQueries {
           min("cents").as("min_cents"), max("cents").as("max_cents"))
         .orderBy("o_orderstatus")
     },
+    // price sums go through integer minor units (cents / 1e-4 units for
+    // the discount product's 4-dec grid): a fact-wide float sum reaches
+    // ~4e10 per group at 10x scale, where cross-engine partial-order drift
+    // (~ulp*sqrt(n)) rivals the round-half margin — the boundary class the
+    // synthetic-sf1 stress gate caught on q_incremental_agg. Integer sums
+    // are order-free; the one final division is deterministic. avgs stay
+    // float: avg = sum/n keeps relative drift ~1e-15, six orders inside
+    // the 6-dec grid at any scale.
     "q_agg_stats" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"), // integral values: exact in double
-          round(sum("l_extendedprice"), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          (sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("double") / 1e2).as("sum_base"),
+          (sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"))
+            .cast("double") / 1e4).as("sum_disc_price"),
           round(avg("l_quantity"), 6).as("avg_qty"),
           round(avg("l_discount"), 6).as("avg_disc"),
           min("l_quantity").as("min_qty"),
@@ -666,10 +682,12 @@ object RelationalQueries {
     // the DataFrame form: pushdown, partial+final agg, one shuffle.
     "q_sql_tpch" -> { (s, dir) =>
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      // integer minor-unit sums (the q_agg_stats rationale): fact-wide
+      // float price sums drift past the round-half margin at 10x scale
       s.sql("""SELECT l_returnflag, l_linestatus,
               |       round(sum(l_quantity), 2) AS sum_qty,
-              |       round(sum(l_extendedprice), 2) AS sum_base_price,
-              |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 1e2 AS sum_base_price,
+              |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS sum_disc_price,
               |       round(avg(l_quantity), 6) AS avg_qty,
               |       round(avg(l_discount), 6) AS avg_disc,
               |       count(*) AS count_order
@@ -707,10 +725,11 @@ object RelationalQueries {
     // fact scan to one region. Catalyst broadcasts every dim (region/
     // nation/supplier/customer are all dimension-sized), so the fact table
     // is scanned once with no fact-side shuffle before the K-group
-    // aggregate; revenue rounds at 4 — the discount product's true decimal
-    // grid, boundary-free (the q_sql_tpch_q3 argument: exact multiples of
-    // 1e-4 sit 5e-5 from every round-half boundary, four orders above
-    // float-sum drift).
+    // aggregate; revenue sums as integer 1e-4 units (the discount
+    // product's true decimal grid) — a per-nation sum crosses 1e10 at 10x
+    // scale, where float partial-order drift rivals even the 5e-5
+    // round-half margin; integer sums are order-free, and revenue DESC
+    // ordering stays deterministic because the values are exact.
     "q_sql_tpch_q5" -> { (s, dir) =>
       Tables.customer(s, dir).createOrReplaceTempView("customer_v")
       Tables.orders(s, dir).createOrReplaceTempView("orders_v")
@@ -719,7 +738,7 @@ object RelationalQueries {
       Tables.nation(s, dir).createOrReplaceTempView("nation_v")
       Tables.region(s, dir).createOrReplaceTempView("region_v")
       s.sql("""SELECT n_name,
-              |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue
               |FROM customer_v c
               |JOIN orders_v o   ON c.c_custkey = o.o_custkey
               |JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
@@ -851,10 +870,17 @@ object RelationalQueries {
     // first-class query: identical results to the plain groupBy — which is
     // exactly what the oracle checks — while a hot key (one event_type
     // dominating a 100 TB stream) spreads over 16 sub-keys in stage 1.
+    // value is quantized to integer micros BEFORE the two-stage sum: the
+    // salted partial order differs from any single-pass order, so a float
+    // sum drifts across engines in last ulps and a 6-dec round lands ON a
+    // boundary once sums grow (caught by the synthetic-sf1 stress gate);
+    // integer sums are order-free and bit-exact at every scale.
     "q_salted_agg" -> { (s, dir) =>
-      graft.core.Skew.saltedStats(Tables.events(s, dir), "event_type", "value", col("user_id"))
+      val ev = Tables.events(s, dir)
+        .withColumn("value_e6", expr("CAST(round(value * 1000000) AS BIGINT)"))
+      graft.core.Skew.saltedStats(ev, "event_type", "value_e6", col("user_id"))
         .select(col("event_type"), col("n"),
-          round(col("sum_value"), 6).as("sum_value"))
+          (col("sum_value_e6").cast("double") / 1e6).as("sum_value"))
         .orderBy("event_type")
     },
     // NS: skew-salted join (core.Skew.saltedJoin) as a first-class query —
@@ -957,7 +983,8 @@ object RelationalQueries {
         |SELECT CASE WHEN p0 IS NULL THEN 'added' WHEN p1 IS NULL THEN 'removed'
         |            WHEN p0 <> p1 THEN 'changed' ELSE 'unchanged' END AS change_type,
         |       count(*) AS n,
-        |       round(sum(coalesce(p1, 0.0) - coalesce(p0, 0.0)), 4) + 0.0 AS sum_delta
+        |       CAST(sum(coalesce(CAST(round(p1 * 10000) AS BIGINT), 0) -
+        |                coalesce(CAST(round(p0 * 10000) AS BIGINT), 0)) AS BIGINT) / 1e4 AS sum_delta
         |FROM j GROUP BY 1 ORDER BY change_type""".stripMargin,
     // round trips must be lossless: the oracle aggregates the ORIGINAL
     // parquet, the query aggregates the text/ORC/JSON copy
@@ -1057,8 +1084,8 @@ object RelationalQueries {
     "q_agg_stats" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 1e2 AS sum_base,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS sum_disc_price,
         |       round(avg(l_quantity), 6) AS avg_qty,
         |       round(avg(l_discount), 6) AS avg_disc,
         |       min(l_quantity) AS min_qty,
@@ -1102,8 +1129,8 @@ object RelationalQueries {
     "q_sql_tpch" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 1e2 AS sum_base_price,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS sum_disc_price,
         |       round(avg(l_quantity), 6) AS avg_qty,
         |       round(avg(l_discount), 6) AS avg_disc,
         |       count(*) AS count_order
@@ -1118,7 +1145,7 @@ object RelationalQueries {
         |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_sql_tpch_q5" ->
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue
         |FROM customer c
         |JOIN orders o   ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1200,8 +1227,11 @@ object RelationalQueries {
         |       CAST(1 AS BIGINT) AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // plain aggregate: the salted two-stage MUST be indistinguishable
+    // same micros quantization: sum(BIGINT) is exact, the single final
+    // division is one deterministic IEEE op on both engines
     "q_salted_agg" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) / 1e6 AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_zorder_layout" -> {
       val zExpr = (0 until 8).map(i =>

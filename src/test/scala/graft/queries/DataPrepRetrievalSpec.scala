@@ -111,9 +111,14 @@ class DataPrepRetrievalSpec extends AnyFunSuite {
   test("q_incremental_agg: incremental merge equals direct recompute") {
     val inc = SparkEntry.queries("q_incremental_agg")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // same integer-cents arithmetic as the query: exact partial merge is
+    // the point, so the recompute must be exact too (a float recompute
+    // differs in the last ulp by sum order, which is the bug class the
+    // cents spelling removes)
     val full = graft.core.Tables.orders(spark, dir)
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("s"))
+      .agg(count(lit(1)).as("n"),
+        (sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).cast("double") / 100).as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
     assert(inc.toSeq == full.toSeq, "IVM must be indistinguishable from recompute")
   }
