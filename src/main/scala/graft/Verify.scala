@@ -5,12 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: substring filter over query names — dev-only (the
-    // driver always passes exactly two args), for re-dumping a subset after
-    // a fixture-layout fix without paying the full 205-query pass
+    // optional 3rd arg: comma-separated substring filters over query names
+    // — dev-only (the driver always passes exactly two args), for
+    // re-dumping a subset without paying the full surface pass
     val Array(sfDir, outDir) = args.take(2)
     val nameFilter: String => Boolean =
-      if (args.length > 2) { n => n.contains(args(2)) } else { _ => true }
+      if (args.length > 2) {
+        val subs = args(2).split(",").toSeq
+        n => subs.exists(n.contains)
+      } else { _ => true }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)

@@ -286,6 +286,69 @@ object DataPrepQueries {
         .orderBy("source")
     },
 
+    // NS: epoch allocation under a token budget — EXACT integer
+    // water-filling: every source may contribute up to cap = 4 epochs of
+    // its tokens; the budget (2 mean epochs of the corpus) is spent by
+    // fully funding the smallest caps and level-clamping the rest at the
+    // water line, remainder distributed by (cap, source) order — the
+    // multi-epoch mix planner (how many times each source repeats in the
+    // training run). The corpus reduces to per-source token totals FIRST,
+    // so the fill runs over a sources-sized frame: the only window is over
+    // that tiny frame (bounded domain), never the corpus. i* is the
+    // largest ascending-cap prefix where `cap_i*(k-i) + cum_i <= B` (full
+    // funding stays affordable if everyone later gets >= cap_i); above it
+    // alloc = B-cum* DIV m (+1 for the first R%m sources). All integer,
+    // sum(alloc) == B exactly.
+    "q_epoch_plan" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy("cap", "source")
+      val caps = Tables.documents(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("n_tokens"))
+        .withColumn("cap", col("n_tokens") * 4L)
+      val idx = caps
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("cap").over(w))
+      val tot = idx.agg((sum("n_tokens") * 2L).as("budget"), count(lit(1)).as("k"))
+      val flag = idx.crossJoin(broadcast(tot))
+      val star = flag
+        .filter(col("cap") * (col("k") - col("i")) + col("cum") <= col("budget"))
+        .agg(coalesce(max("i"), lit(0L)).as("istar"),
+          coalesce(max("cum"), lit(0L)).as("cumstar"))
+      flag.crossJoin(broadcast(star))
+        .withColumn("m", col("k") - col("istar"))
+        .withColumn("rem", col("budget") - col("cumstar"))
+        .withColumn("alloc", when(col("i") <= col("istar"), col("cap"))
+          .otherwise(expr("rem DIV m") +
+            when(col("i") - col("istar") <= expr("rem % m"), 1L).otherwise(0L)))
+        .select(col("source"), col("n_tokens"), col("cap"), col("alloc"),
+          expr("alloc * 100 DIV n_tokens").as("epochs_x100"))
+        .orderBy("source")
+    },
+
+    // NS: range-partitioner boundary planning — equi-depth split points
+    // for a 8-way repartitionByRange/Z-order file layout computed from a
+    // bounded-domain value census instead of Spark's RangePartitioner
+    // SAMPLING (sampling is nondeterministic and re-shuffles on retry; the
+    // census is exact, reproducible, and one hash aggregate at any scale).
+    // Prices collapse to $10k buckets (bounded: ~60 distinct at any corpus
+    // size since the price domain is bounded), the cumsum window runs over
+    // that tiny histogram, and boundary k = min bucket with cum*8 >= k*n.
+    "q_range_boundaries" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      val hist = Tables.orders(s, dir)
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 1000000").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+      val tot = hist.agg(sum("cnt").as("n"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("cum"), col("n"),
+          explode(sequence(lit(1L), lit(7L))).as("split_no"))
+        .filter(col("cum") * 8 >= col("split_no") * col("n"))
+        .groupBy("split_no")
+        .agg(min("bucket").as("boundary_bucket"))
+        .orderBy("split_no")
+    },
+
     // NS: winsorization — per-group outlier capping at the p05/p95
     // percentiles, the numeric-repair pass feature pipelines run before
     // normalization. The per-group thresholds are a tiny aggregate joined
@@ -605,6 +668,48 @@ object DataPrepQueries {
         |       least(n_tokens, CAST((tot.t // 2) // tot.n_sources AS BIGINT)) AS planned_tokens
         |FROM toks CROSS JOIN tot
         |ORDER BY source""".stripMargin,
+    // identical integer water-filling replay: same ascending (cap, source)
+    // order, same prefix condition, same DIV/mod remainder distribution
+    "q_epoch_plan" ->
+      """WITH caps AS (SELECT source,
+        |                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |                     CAST(sum(len(string_split(text, ' '))) * 4 AS BIGINT) AS cap
+        |              FROM documents GROUP BY source),
+        |idx AS (SELECT source, n_tokens, cap,
+        |               CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+        |               CAST(sum(cap) OVER (ORDER BY cap, source
+        |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |        FROM caps),
+        |tot AS (SELECT CAST(sum(n_tokens) * 2 AS BIGINT) AS budget,
+        |               CAST(count(*) AS BIGINT) AS k FROM caps),
+        |star AS (SELECT coalesce(max(i), 0) AS istar, coalesce(max(cum), 0) AS cumstar
+        |         FROM idx CROSS JOIN tot
+        |         WHERE cap * (k - i) + cum <= budget)
+        |SELECT source, n_tokens, cap,
+        |       CASE WHEN i <= istar THEN cap
+        |            ELSE (budget - cumstar) // (k - istar) +
+        |                 CASE WHEN i - istar <= (budget - cumstar) % (k - istar)
+        |                      THEN 1 ELSE 0 END
+        |       END AS alloc,
+        |       CAST(CASE WHEN i <= istar THEN cap
+        |            ELSE (budget - cumstar) // (k - istar) +
+        |                 CASE WHEN i - istar <= (budget - cumstar) % (k - istar)
+        |                      THEN 1 ELSE 0 END
+        |       END * 100 // n_tokens AS BIGINT) AS epochs_x100
+        |FROM idx CROSS JOIN tot CROSS JOIN star
+        |ORDER BY source""".stripMargin,
+    "q_range_boundaries" ->
+      """WITH h AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS bucket,
+        |                  count(*) AS cnt
+        |           FROM orders GROUP BY 1),
+        |c AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        |s AS (SELECT CAST(k AS BIGINT) AS split_no FROM range(1, 8) t(k))
+        |SELECT split_no, min(bucket) AS boundary_bucket
+        |FROM c CROSS JOIN tot CROSS JOIN s
+        |WHERE cum * 8 >= split_no * n
+        |GROUP BY split_no ORDER BY split_no""".stripMargin,
     "q_mix_report" ->
       """WITH d AS (SELECT source,
         |                  20 + (('0x' || substr(md5(source), 1, 8))::BIGINT % 61) AS rate,

@@ -188,6 +188,32 @@ object QualityQueries {
               |  AND NOT EXISTS (SELECT 1 FROM orders_v
               |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
               |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    },
+
+    // NS: dataset card — the per-source summary a 100 TB snapshot PUBLISHES
+    // alongside itself (docs, token volume, language spread, exact-dup
+    // surplus, mean length): one narrow per-row projection (token count,
+    // text md5) reduced by two source-keyed aggregates joined hint-free
+    // (source cardinality is corpus-defined, not bounded by contract).
+    // The dup surplus reuses the exact-dedup census spelling: redundant
+    // copies = group size minus one survivor per distinct text, summed —
+    // all integers, no float anywhere.
+    "q_dataset_card" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          md5(col("text")).as("h"))
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        countDistinct("lang").as("n_langs"),
+        sum("n_chars").as("sum_chars"))
+      val dup = docs.groupBy("source", "h").agg(count(lit(1)).as("cnt"))
+        .groupBy("source").agg((sum("cnt") - count(lit(1))).as("n_dup_surplus"))
+      base.join(dup, "source")
+        .select(col("source"), col("n_docs"), col("total_tokens"), col("n_langs"),
+          col("n_dup_surplus"), expr("sum_chars DIV n_docs").as("mean_chars"))
+        .orderBy("source")
     }
   )
 
@@ -274,7 +300,24 @@ object QualityQueries {
           |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
           |  AND NOT EXISTS (SELECT 1 FROM orders
           |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-          |GROUP BY n_name ORDER BY n_name""".stripMargin
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      "q_dataset_card" ->
+        """WITH d AS (SELECT doc_id, source, lang, n_chars,
+          |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |                  md5(text) AS h
+          |           FROM documents),
+          |base AS (SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+          |                count(DISTINCT lang) AS n_langs, sum(n_chars) AS sum_chars
+          |         FROM d GROUP BY 1),
+          |dup AS (SELECT source, CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_surplus
+          |        FROM (SELECT source, h, count(*) AS cnt FROM d GROUP BY 1, 2)
+          |        GROUP BY 1)
+          |SELECT b.source, CAST(n_docs AS BIGINT) AS n_docs,
+          |       CAST(total_tokens AS BIGINT) AS total_tokens,
+          |       CAST(n_langs AS BIGINT) AS n_langs, n_dup_surplus,
+          |       CAST(sum_chars // n_docs AS BIGINT) AS mean_chars
+          |FROM base b JOIN dup USING (source)
+          |ORDER BY source""".stripMargin
     )
   }
 }

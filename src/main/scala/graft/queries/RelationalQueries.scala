@@ -774,6 +774,66 @@ object RelationalQueries {
               |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
               |LIMIT 20""".stripMargin)
     },
+    // NS: TPC-H Q7 shape (volume shipping): the DISJUNCTIVE dim predicate —
+    // the nation-pair filter (A->B OR B->A) references BOTH nation copies,
+    // so it cannot push below either dim join; Catalyst keeps all four dims
+    // (supplier, customer, nation x2) broadcast and evaluates the OR as a
+    // post-join filter, the fact again scanned once shuffle-free below the
+    // final K-group aggregate. Revenue sums in exact 1e-4 integer units
+    // (the Q5 rationale: per-group sums cross 1e10 at 10x where float
+    // partial-order drift rivals the round-half margin).
+    "q_sql_tpch_q7" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""SELECT supp_nation, cust_nation, l_year,
+              |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue
+              |FROM (
+              |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+              |         l_extendedprice, l_discount
+              |  FROM supplier_v s
+              |  JOIN lineitem_v l ON s.s_suppkey = l.l_suppkey
+              |  JOIN orders_v o   ON o.o_orderkey = l.l_orderkey
+              |  JOIN customer_v c ON c.c_custkey = o.o_custkey
+              |  JOIN nation_v n1  ON s.s_nationkey = n1.n_nationkey
+              |  JOIN nation_v n2  ON c.c_nationkey = n2.n_nationkey
+              |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+              |) shipping
+              |GROUP BY supp_nation, cust_nation, l_year
+              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    },
+    // NS: join-key skew census — the diagnostic a 100 TB pipeline runs
+    // BEFORE choosing plain vs salted vs broadcast join: the full key
+    // frequency table collapses to a (frequency -> key count) histogram
+    // (first shuffle reduces the fact to ~|keys| rows; the histogram is
+    // then distinct-frequency-sized, i.e. at most a few thousand rows for
+    // any real distribution, the same bounded-domain argument as
+    // q_percentile_bucket), and the census reads off max/p99 frequency,
+    // the hottest key's row share, and a max/avg skew ratio — all exact
+    // integer arithmetic, so the salting decision is reproducible. The
+    // only window runs over the tiny histogram, never the key table.
+    "q_skew_census" -> { (s, dir) =>
+      val hist = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("f"))
+        .groupBy("f").agg(count(lit(1)).as("nk"))
+      val tot = hist.agg(
+        sum("nk").as("n_keys"),
+        sum(col("f") * col("nk")).as("n_rows"),
+        max("f").as("max_f"))
+      val cum = hist.withColumn("cum",
+        sum("nk").over(org.apache.spark.sql.expressions.Window.orderBy("f")))
+      val p99 = cum.crossJoin(broadcast(tot.select(col("n_keys").as("nk_tot"))))
+        .filter(col("cum") * 100 >= col("nk_tot") * 99)
+        .agg(min("f").as("p99_f"))
+      tot.crossJoin(broadcast(p99))
+        .select(col("n_rows"), col("n_keys"), col("max_f"), col("p99_f"),
+          expr("max_f * 1000000 DIV n_rows").as("top_share_ppm"),
+          expr("max_f * 100 * n_keys DIV n_rows").as("skew_x100"))
+    },
     // NS: full cube over region x nation (rollup's sibling; all 4 grouping
     // sets), subtotals labeled via coalesce like q_rollup.
     "q_cube" -> { (s, dir) =>
@@ -1170,6 +1230,36 @@ object RelationalQueries {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 20""".stripMargin,
+    "q_sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |         l_extendedprice, l_discount
+        |  FROM supplier s
+        |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_skew_census" ->
+      """WITH freq AS (SELECT o_custkey, count(*) AS f FROM orders GROUP BY 1),
+        |hist AS (SELECT f, count(*) AS nk FROM freq GROUP BY 1),
+        |tot AS (SELECT sum(nk) AS n_keys, sum(f * nk) AS n_rows, max(f) AS max_f FROM hist),
+        |cum AS (SELECT f, sum(nk) OVER (ORDER BY f) AS cum FROM hist),
+        |p99 AS (SELECT min(f) AS p99_f FROM cum CROSS JOIN tot
+        |        WHERE cum * 100 >= n_keys * 99)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+        |       max_f, p99_f,
+        |       CAST(max_f * 1000000 // n_rows AS BIGINT) AS top_share_ppm,
+        |       CAST(max_f * 100 * n_keys // n_rows AS BIGINT) AS skew_x100
+        |FROM tot CROSS JOIN p99""".stripMargin,
     "q_sql_tpch_q3" ->
       """SELECT l_orderkey,
         |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

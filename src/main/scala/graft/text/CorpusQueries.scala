@@ -129,6 +129,104 @@ object CorpusQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // NS: LSH band/row tuning — the S-curve P(candidate | j) = 1-(1-j^r)^b
+    // evaluated at every b*r=K config over the OBSERVED candidate-pair
+    // jaccards, so the banding choice at 100 TB (where re-running dedup per
+    // config is unaffordable) is made from expected candidate volume and
+    // hi/lo-similarity firing rates measured on real data, not the
+    // textbook curve alone. Reuses the memoized signature/candidate
+    // artifacts; the config fan-out is a 4-element per-row explode, and
+    // the aggregate is K-group. (Sampling caveat: pairs are the DEFAULT
+    // config's candidates, so low-j firing rates are conditional on that
+    // recall floor — the standard index-tuning telescope, stated in the
+    // column name `fire_lo_given_cand`.)
+    "q_lsh_tuning" -> { (s, dir) =>
+      val pairs = TextDedup.minhashCandidatesFor(s, dir)
+      val docs = TextQueries.shingleSetsFor(s, dir).select("doc_id", "sh")
+      val jac = pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6).as("j"))
+      val configs = Seq((32, 1), (16, 2), (8, 4), (4, 8))
+      val cfg = explode(array(configs.map { case (b, r) =>
+        struct(lit(b.toLong).as("b"), lit(r.toLong).as("r"))
+      }: _*)).as("cfg")
+      jac.select(col("j"), cfg)
+        .select(col("cfg.b").as("b"), col("cfg.r").as("r"),
+          (lit(1.0) - pow(lit(1.0) - pow(col("j"), col("r").cast("double")),
+            col("b").cast("double"))).as("p"),
+          col("j"))
+        .groupBy("b", "r")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum("p"), 4).as("exp_candidates"),
+          coalesce(round(avg(when(col("j") >= 0.5, col("p"))), 6), lit(-1.0)).as("fire_hi"),
+          coalesce(round(avg(when(col("j") < 0.5, col("p"))), 6), lit(-1.0)).as("fire_lo_given_cand"))
+        .orderBy("r")
+    },
+
+    // NS: near-duplicate rate per source — the dashboard number a curation
+    // run publishes (share of docs with a >= 0.8-jaccard neighbor): high-
+    // similarity candidate pairs (memoized LSH candidates + exact residual,
+    // never all-pairs) explode to member ids, dedupe, join back to sources,
+    // and a left join keeps zero-dup sources in the report. Rate is integer
+    // ppm — engine-version-proof.
+    "q_dup_rate" -> { (s, dir) =>
+      val pairs = TextDedup.minhashCandidatesFor(s, dir)
+      val docs = TextQueries.shingleSetsFor(s, dir).select("doc_id", "sh")
+      val hi = pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .filter(round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6) >= 0.8)
+      val dupIds = hi.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      val bySrc = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(dupIds, "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_neardup"))
+      Tables.documents(s, dir).groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(bySrc, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+        .withColumn("dup_ppm", expr("n_neardup * 1000000 DIV n_docs"))
+        .orderBy("source")
+    },
+
+    // NS: perplexity gating — the CCNet-style quality filter as a per-
+    // source census: per-doc unigram mean NLL (the q_unigram_logprob
+    // score) quantized to integer micro-nats, per-source mean from EXACT
+    // integer sums, and the keep rule `nll <= source mean` (the right-tail
+    // cut — NLL is right-skewed, so the mean sits above the median and the
+    // gate keeps the clean majority while dropping the improbable tail)
+    // decided by integer compare against the floor-DIV mean — no float
+    // boundary can flip a doc across engines. The vocab join is hint-free
+    // (unbounded at web scale; AQE broadcasts at fixture scale), only the
+    // 1-row total broadcasts, and the gate itself is two shuffles: word
+    // key, then source key. int64 bound: sum_u caps sources at ~9e11 docs
+    // (1e7 micro-nats each) — 5 decades above a 100 TB corpus.
+    "q_perplexity_gate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val uni = docs.select(explode(words).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val total = uni.agg(sum("c").cast("double").as("t"))
+      // localCheckpoint: the per-doc frame (corpus explode + vocab join)
+      // feeds BOTH the source stats and the keep count — cut once, reuse
+      val perDoc = docs.select(col("doc_id"), col("source"), explode(words).as("word"))
+        .join(uni, "word")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(round(avg(-log(col("c") / col("t"))) * 1e6).cast("long").as("nll_u"))
+        .localCheckpoint()
+      val bySrc = perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nll_u").as("sum_u"))
+        .withColumn("thr_u", expr("sum_u DIV n_docs"))
+      perDoc.join(bySrc, "source")
+        .groupBy("source")
+        .agg(max("n_docs").as("n_docs"),
+          sum(when(col("nll_u") <= col("thr_u"), 1L).otherwise(0L)).as("n_kept"),
+          max(expr("sum_u DIV n_docs")).as("mean_nll_micro"))
+        .orderBy("source")
+    },
+
     // NS: containment dedup (asymmetric Jaccard) — |A∩B|/|A| finds
     // documents CONTAINED in others (quotes, boilerplate-wrapped copies,
     // excerpts) that resemblance misses: a 50-shingle doc embedded in a
@@ -439,6 +537,102 @@ object CorpusQueries {
            |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
            |FROM est e JOIN ds a ON a.doc_id = e.doc_a JOIN ds b ON b.doc_id = e.doc_b
            |ORDER BY doc_a, doc_b""".stripMargin,
+      // same candidate prelude as q_minhash_est; the S-curve math is then
+      // pure scalar arithmetic over (jaccard, config) rows
+      "q_lsh_tuning" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |shl AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+           |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+           |sigs AS (
+           |$sigSelects
+           |),
+           |banded AS (
+           |  SELECT doc_id, j % 4 AS band,
+           |         md5(array_to_string(list_transform(list(minhash ORDER BY j),
+           |             x -> CAST(x AS VARCHAR)), ',')) AS band_key
+           |  FROM sigs GROUP BY doc_id, band
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= ${TextDedup.DefaultMaxBucketSize}
+           |),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+           |jac AS (
+           |  SELECT round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |               CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS j
+           |  FROM pairs p JOIN ds a ON a.doc_id = p.doc_a JOIN ds b ON b.doc_id = p.doc_b
+           |),
+           |cfg AS (SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r
+           |        FROM (VALUES (32, 1), (16, 2), (8, 4), (4, 8)) AS t(b, r)),
+           |scored AS (SELECT b, r, j, 1 - pow(1 - pow(j, r), b) AS p
+           |           FROM jac CROSS JOIN cfg)
+           |SELECT b, r, count(*) AS n_pairs,
+           |       round(sum(p), 4) AS exp_candidates,
+           |       coalesce(round(avg(p) FILTER (WHERE j >= 0.5), 6), -1.0) AS fire_hi,
+           |       coalesce(round(avg(p) FILTER (WHERE j < 0.5), 6), -1.0) AS fire_lo_given_cand
+           |FROM scored GROUP BY b, r ORDER BY r""".stripMargin,
+      // same candidate prelude; members of >= 0.8 pairs union + distinct,
+      // then two source-keyed counts
+      "q_dup_rate" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |shl AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+           |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+           |sigs AS (
+           |$sigSelects
+           |),
+           |banded AS (
+           |  SELECT doc_id, j % 4 AS band,
+           |         md5(array_to_string(list_transform(list(minhash ORDER BY j),
+           |             x -> CAST(x AS VARCHAR)), ',')) AS band_key
+           |  FROM sigs GROUP BY doc_id, band
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= ${TextDedup.DefaultMaxBucketSize}
+           |),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+           |hi AS (
+           |  SELECT p.doc_a, p.doc_b
+           |  FROM pairs p JOIN ds a ON a.doc_id = p.doc_a JOIN ds b ON b.doc_id = p.doc_b
+           |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.8
+           |),
+           |ids AS (SELECT DISTINCT doc_id FROM
+           |        (SELECT doc_a AS doc_id FROM hi UNION ALL SELECT doc_b FROM hi)),
+           |nd AS (SELECT source, count(*) AS n_neardup
+           |       FROM documents JOIN ids USING (doc_id) GROUP BY 1)
+           |SELECT d.source, count(*) AS n_docs,
+           |       CAST(coalesce(max(nd.n_neardup), 0) AS BIGINT) AS n_neardup,
+           |       CAST(coalesce(max(nd.n_neardup), 0) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+           |FROM documents d LEFT JOIN nd ON d.source = nd.source
+           |GROUP BY d.source
+           |ORDER BY d.source""".stripMargin,
+      // integer micro-nat replay of the gate: identical quantization,
+      // identical floor-DIV threshold, so the keep set is bit-equal
+      "q_perplexity_gate" ->
+        """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+          |uni AS (SELECT word, count(*) AS c
+          |        FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+          |tw AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+          |dw AS (SELECT doc_id, source, unnest(ws) AS word FROM w),
+          |pd AS (SELECT doc_id, source,
+          |              CAST(round(avg(-ln(c / t)) * 1e6) AS BIGINT) AS nll_u
+          |       FROM dw JOIN uni USING (word) CROSS JOIN tw
+          |       GROUP BY doc_id, source),
+          |srcs AS (SELECT source, count(*) AS n_docs, CAST(sum(nll_u) AS BIGINT) AS sum_u
+          |         FROM pd GROUP BY 1),
+          |thr AS (SELECT source, n_docs, sum_u,
+          |               CAST(sum_u // n_docs AS BIGINT) AS thr_u FROM srcs)
+          |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+          |       CAST(sum(CASE WHEN nll_u <= thr_u THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |       CAST(max(sum_u // n_docs) AS BIGINT) AS mean_nll_micro
+          |FROM pd JOIN thr USING (source)
+          |GROUP BY source
+          |ORDER BY source""".stripMargin,
       // same candidate prelude as q_minhash_est; exact set math adds the
       // two directed containments beside the resemblance
       "q_dedup_containment" ->

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Semantic invariants of the round-7 scale-diagnostics operators
+  * (q_skew_census, q_lsh_tuning, q_perplexity_gate, q_dataset_card,
+  * q_sql_tpch_q7) — properties the DuckDB hash gate cannot express.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, TestSpark.Sf0001).collect()
+
+  test("q_skew_census: internal consistency of the census row") {
+    val r = run("q_skew_census").head
+    val nRows = r.getAs[Long]("n_rows")
+    val nKeys = r.getAs[Long]("n_keys")
+    val maxF = r.getAs[Long]("max_f")
+    val p99 = r.getAs[Long]("p99_f")
+    assert(nKeys > 0 && nRows >= nKeys)
+    // p99 of the frequency distribution can never exceed the max
+    assert(p99 >= 1 && p99 <= maxF)
+    // top_share_ppm and skew_x100 replay exactly from the parts
+    assert(r.getAs[Long]("top_share_ppm") === maxF * 1000000L / nRows)
+    assert(r.getAs[Long]("skew_x100") === maxF * 100L * nKeys / nRows)
+    // orders per customer in the fixture is benign — the census must SAY so
+    // (skew ratio well under the >= 10x salting rule of thumb)
+    assert(r.getAs[Long]("skew_x100") < 1000L,
+      s"fixture o_custkey reads as skewed: ${r}")
+  }
+
+  test("q_skew_census agrees with a direct max-frequency probe") {
+    import org.apache.spark.sql.functions._
+    val direct = graft.core.Tables.orders(spark, TestSpark.Sf0001)
+      .groupBy("o_custkey").count().agg(max("count")).head().getLong(0)
+    assert(run("q_skew_census").head.getAs[Long]("max_f") === direct)
+  }
+
+  test("q_lsh_tuning: S-curve monotonicity across configs") {
+    val rows = run("q_lsh_tuning").map(r =>
+      (r.getAs[Long]("r"), r.getAs[Long]("n_pairs"), r.getAs[Double]("exp_candidates"),
+        r.getAs[Double]("fire_hi"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    // all configs see the same observed pair set
+    assert(rows.map(_._2).distinct.length === 1)
+    val nPairs = rows.head._2.toDouble
+    rows.foreach { case (_, _, exp, hi) =>
+      assert(exp >= 0.0 && exp <= nPairs + 1e-6)
+      assert(hi == -1.0 || (hi >= 0.0 && hi <= 1.0))
+    }
+    // more rows per band (bigger r) = a sharper, LESS permissive curve:
+    // expected candidate volume must be non-increasing in r at fixed K=b*r
+    val exps = rows.map(_._3).toSeq
+    assert(exps.zip(exps.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"expected candidates not monotone in r: $exps")
+    // (32,1) fires on ANY matching row: every pair with j>0 is near-certain,
+    // so its expected volume must dominate the production (4,8) config
+    assert(exps.head >= exps.last)
+  }
+
+  test("q_perplexity_gate: kept counts are sane and the rule binds") {
+    val rows = run("q_perplexity_gate")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val kept = r.getAs[Long]("n_kept")
+      assert(n > 0 && kept >= 0 && kept <= n)
+      assert(r.getAs[Long]("mean_nll_micro") > 0)
+    }
+    // across the corpus the 1.25x-mean rule must keep a majority but not
+    // everything (NLL distributions have a right tail by construction)
+    val tot = rows.map(_.getAs[Long]("n_docs")).sum
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    assert(kept * 2 > tot, s"gate kept a minority: $kept/$tot")
+    assert(kept < tot, s"gate kept everything: $kept/$tot — rule never binds")
+  }
+
+  test("q_dataset_card: totals reconcile with the documents table") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+    val rows = run("q_dataset_card")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val directTokens = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum === directTokens)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_surplus") >= 0)
+      assert(r.getAs[Long]("n_langs") >= 1)
+      assert(r.getAs[Long]("mean_chars") > 0)
+    }
+  }
+
+  test("q_epoch_plan: water-filling invariants — budget exhausted exactly, caps respected") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_epoch_plan")
+    val totTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = totTokens * 2
+    rows.foreach { r =>
+      val cap = r.getAs[Long]("cap")
+      val alloc = r.getAs[Long]("alloc")
+      assert(cap === r.getAs[Long]("n_tokens") * 4)
+      assert(alloc >= 0 && alloc <= cap, s"alloc $alloc outside [0, $cap]")
+    }
+    // the defining property: the budget is spent to the last token
+    assert(rows.map(_.getAs[Long]("alloc")).sum === budget)
+    // level-clamped sources all sit within 1 token of each other
+    val clamped = rows.filter(r => r.getAs[Long]("alloc") < r.getAs[Long]("cap"))
+      .map(_.getAs[Long]("alloc"))
+    if (clamped.length > 1)
+      assert(clamped.max - clamped.min <= 1,
+        s"water line not level: ${clamped.min}..${clamped.max}")
+  }
+
+  test("q_range_boundaries: 7 non-decreasing equi-depth split points") {
+    val rows = run("q_range_boundaries").sortBy(_.getAs[Long]("split_no"))
+    assert(rows.map(_.getAs[Long]("split_no")).toSeq === (1L to 7L))
+    val bs = rows.map(_.getAs[Long]("boundary_bucket")).toSeq
+    assert(bs.zip(bs.tail).forall { case (a, b) => a <= b }, s"not monotone: $bs")
+  }
+
+  test("q_dup_rate: counts bounded and every source reported") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_dup_rate")
+    val nSources = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .select(countDistinct("source")).head().getLong(0)
+    assert(rows.length.toLong === nSources)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val d = r.getAs[Long]("n_neardup")
+      assert(d >= 0 && d <= n)
+      assert(r.getAs[Long]("dup_ppm") === d * 1000000L / n)
+    }
+  }
+
+  test("q_sql_tpch_q7: group keys are only the two cross-nation pairs") {
+    // sf0.001 may legitimately produce zero cross-pair rows; assert the
+    // SHAPE contract on whatever rows exist (sf0.01+ has both directions)
+    run("q_sql_tpch_q7").foreach { r =>
+      val s = r.getAs[String]("supp_nation")
+      val c = r.getAs[String]("cust_nation")
+      assert(Set(s, c) === Set("NATION_1", "NATION_2") || (s != c),
+        s"unexpected pair $s -> $c")
+      assert(Seq("NATION_1", "NATION_2").contains(s) && s != c)
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+  }
+}

@@ -95,9 +95,18 @@ def run_oracle(sql):
     finally:
         timer.cancel()
 
+# Optional dev filter (--only <substr>[,<substr>...]): check only matching
+# query names — pairs with Verify's name-filter arg for fast iteration on
+# new keys without re-running the whole surface.
+ONLY = None
+if "--only" in sys.argv:
+    ONLY = sys.argv[sys.argv.index("--only") + 1].split(",")
+
 fail = 0
 skipped = []
 for name, sql in sorted(oracle.items()):
+    if ONLY is not None and not any(s in name for s in ONLY):
+        continue
     try:
         exp, timed_out = run_oracle(sql)
         if timed_out:
