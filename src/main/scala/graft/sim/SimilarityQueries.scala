@@ -105,6 +105,27 @@ object SimilarityQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // NS: embedding-quality census — the audit an ANN/semantic-dedup index
+    // build gates on BEFORE spending a cluster pass: per label-group
+    // vector counts, zero-vector count (cosine poison: they normalize to
+    // NaN), dimensionality constancy (min==max dims or the index build is
+    // garbage), and the norm envelope. One narrow per-row norm + K-group
+    // agg — a map-side-combined single shuffle at any scale.
+    "q_embed_census" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          size(col("embedding")).cast("long").as("dims"),
+          Vec.norm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("nrm") < 1e-12, 1L).otherwise(0L)).as("n_zero"),
+          min("dims").as("min_dims"), max("dims").as("max_dims"),
+          round(min("nrm"), 6).as("min_norm"),
+          round(max("nrm"), 6).as("max_norm"),
+          round(avg("nrm"), 6).as("mean_norm"))
+        .orderBy("label")
+    },
+
     // Exact cosine top-10 to the probe vector (vec_id 0): orderBy+limit
     // compiles to per-partition top-k + a 10-row driver merge.
     "q_topk_similar" -> { (s, dir) =>
@@ -443,6 +464,20 @@ object SimilarityQueries {
         |FROM est ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
     Map(
       "q_topk_similar" -> topkSql,
+      // same DOUBLE[] cast + dot-product fold the topk oracle validates
+      "q_embed_census" ->
+        """WITH t AS (SELECT CAST(label AS BIGINT) AS label,
+          |                  CAST(len(embedding) AS BIGINT) AS dims,
+          |                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+          |                                        CAST(embedding AS DOUBLE[]))) AS nrm
+          |           FROM embeddings)
+          |SELECT label, count(*) AS n_vecs,
+          |       CAST(sum(CASE WHEN nrm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+          |       min(dims) AS min_dims, max(dims) AS max_dims,
+          |       round(min(nrm), 6) AS min_norm,
+          |       round(max(nrm), 6) AS max_norm,
+          |       round(avg(nrm), 6) AS mean_norm
+          |FROM t GROUP BY label ORDER BY label""".stripMargin,
       "q_ann_lsh" -> annLshSql,
       // recall@10 of each approximate path vs the exact top-10 — the four
       // candidate pipelines verbatim as nested-WITH subqueries

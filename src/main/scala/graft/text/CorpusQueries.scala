@@ -165,6 +165,42 @@ object CorpusQueries {
         .orderBy("r")
     },
 
+    // NS: vocabulary coverage — min distinct tokens covering {50,90,99}%
+    // of corpus token mass (the Zipf head/tail question behind tokenizer
+    // vocab sizing and OOV budgets). The corpus collapses to word counts,
+    // the counts collapse AGAIN to a (count -> n_words) histogram (distinct
+    // frequency values — bounded-domain, the q_skew_census argument), and
+    // the only window walks that tiny histogram in descending-count order.
+    // The within-class residual is exact ceil-division: vocab_needed =
+    // prev_words + ceil((target - prev_mass)/c). All integers.
+    "q_vocab_coverage" -> { (s, dir) =>
+      val wd = org.apache.spark.sql.expressions.Window.orderBy(col("c").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val uni = Tables.documents(s, dir)
+        .select(explode(words).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val hist = uni.groupBy("c").agg(count(lit(1)).as("nw"))
+      val cum = hist
+        .withColumn("cum_mass", sum(col("c") * col("nw")).over(wd))
+        .withColumn("cum_words", sum("nw").over(wd))
+        .withColumn("prev_mass", col("cum_mass") - col("c") * col("nw"))
+        .withColumn("prev_words", col("cum_words") - col("nw"))
+      val tot = hist.agg(sum(col("c") * col("nw")).as("total"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("c"), col("prev_mass"), col("prev_words"), col("cum_mass"),
+          col("total"), explode(array(lit(50L), lit(90L), lit(99L))).as("pct"))
+        .withColumn("target", expr("(pct * total + 99) DIV 100"))
+        .filter(col("cum_mass") >= col("target"))
+        .groupBy("pct")
+        // cum_mass is strictly increasing, so min(struct) picks the first
+        // crossing class; the struct never reaches the output schema
+        .agg(min(struct(col("cum_mass"), col("prev_words"), col("prev_mass"), col("c"))).as("s"),
+          max("target").as("target_mass"), max("total").as("total_tokens"))
+        .select(col("pct"), col("total_tokens"), col("target_mass"),
+          expr("s.prev_words + (target_mass - s.prev_mass + s.c - 1) DIV s.c").as("vocab_needed"))
+        .orderBy("pct")
+    },
+
     // NS: near-duplicate rate per source — the dashboard number a curation
     // run publishes (share of docs with a >= 0.8-jaccard neighbor): high-
     // similarity candidate pairs (memoized LSH candidates + exact residual,
@@ -573,6 +609,31 @@ object CorpusQueries {
            |       coalesce(round(avg(p) FILTER (WHERE j >= 0.5), 6), -1.0) AS fire_hi,
            |       coalesce(round(avg(p) FILTER (WHERE j < 0.5), 6), -1.0) AS fire_lo_given_cand
            |FROM scored GROUP BY b, r ORDER BY r""".stripMargin,
+      // descending-count histogram walk + exact ceil-division residual
+      "q_vocab_coverage" ->
+        """WITH uni AS (SELECT word, count(*) AS c
+          |             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |             GROUP BY 1),
+          |hist AS (SELECT c, count(*) AS nw FROM uni GROUP BY 1),
+          |cum AS (SELECT c, nw,
+          |               CAST(sum(c * nw) OVER (ORDER BY c DESC
+          |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass,
+          |               CAST(sum(nw) OVER (ORDER BY c DESC
+          |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_words
+          |        FROM hist),
+          |tot AS (SELECT CAST(sum(c * nw) AS BIGINT) AS total FROM hist),
+          |q AS (SELECT pct, total AS total_tokens,
+          |             (pct * total + 99) // 100 AS target_mass,
+          |             cum_mass, cum_words - nw AS prev_words,
+          |             cum_mass - c * nw AS prev_mass, c,
+          |             row_number() OVER (PARTITION BY pct ORDER BY cum_mass) AS rn
+          |      FROM cum CROSS JOIN tot
+          |      CROSS JOIN (SELECT CAST(p AS BIGINT) AS pct
+          |                  FROM (VALUES (50), (90), (99)) t(p))
+          |      WHERE cum_mass >= (pct * total + 99) // 100)
+          |SELECT pct, total_tokens, CAST(target_mass AS BIGINT) AS target_mass,
+          |       CAST(prev_words + (target_mass - prev_mass + c - 1) // c AS BIGINT) AS vocab_needed
+          |FROM q WHERE rn = 1 ORDER BY pct""".stripMargin,
       // same candidate prelude; members of >= 0.8 pairs union + distinct,
       // then two source-keyed counts
       "q_dup_rate" ->

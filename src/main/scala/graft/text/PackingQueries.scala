@@ -33,6 +33,10 @@ object PackingQueries {
   /** Words of each document encoded (prefix truncation). */
   val EncodeLen = 12
 
+  /** RAG chunker window / stride (tokens); overlap = ChunkWin - ChunkStride. */
+  val ChunkWin = 128
+  val ChunkStride = 96
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // NS: sequence packing — lay documents out contiguously per source
@@ -51,6 +55,25 @@ object PackingQueries {
           expr(s"tok_offset div $PackBudget").as("first_bin"),
           expr(s"(tok_offset + n_tokens - 1) div $PackBudget").as("last_bin"))
         .orderBy("source", "doc_id")
+    },
+
+    // NS: RAG-style sliding-window chunker layout — fixed ChunkWin-token
+    // windows at ChunkStride (overlap = ChunkWin-ChunkStride) per document:
+    // the retrieval-index chunking stage. Pure per-row integer arithmetic
+    // (n_chunks = 1 + ceil(max(len-W,0)/S) via DIV), zero shuffle before
+    // the ordered emit — at 100 TB this fuses into the document scan. The
+    // report carries chunk counts + the exact last-window start so the
+    // chunk table is re-derivable without storing chunk text.
+    "q_chunk_plan" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("n_chunks",
+          lit(1L) + expr(s"(greatest(n_tokens - $ChunkWin, 0) + $ChunkStride - 1) DIV $ChunkStride"))
+        .withColumn("last_start", (col("n_chunks") - 1) * ChunkStride)
+        .withColumn("overlap_tokens",
+          greatest((col("n_chunks") - 1) * (ChunkWin - ChunkStride), lit(0L)))
+        .orderBy("doc_id")
     },
 
     // NS: vocabulary id-encoding — build the frequency-ranked vocabulary
@@ -98,6 +121,17 @@ object PackingQueries {
          |       tok_offset // $PackBudget AS first_bin,
          |       (tok_offset + n_tokens - 1) // $PackBudget AS last_bin
          |FROM o ORDER BY source, doc_id""".stripMargin,
+    "q_chunk_plan" ->
+      s"""WITH d AS (SELECT doc_id,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |             1 + (greatest(n_tokens - $ChunkWin, 0) + $ChunkStride - 1) // $ChunkStride AS n_chunks
+         |      FROM d)
+         |SELECT doc_id, n_tokens, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |       CAST((n_chunks - 1) * $ChunkStride AS BIGINT) AS last_start,
+         |       CAST(greatest((n_chunks - 1) * ${ChunkWin - ChunkStride}, 0) AS BIGINT) AS overlap_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q_vocab_encode" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |vc AS (SELECT word, count(*) AS c

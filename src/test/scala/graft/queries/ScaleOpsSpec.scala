@@ -134,6 +134,54 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_chunk_plan: chunk arithmetic covers every token exactly once per window") {
+    run("q_chunk_plan").foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val k = r.getAs[Long]("n_chunks")
+      val last = r.getAs[Long]("last_start")
+      assert(k >= 1)
+      assert(last === (k - 1) * 96)
+      // the last window must reach the end of the doc...
+      assert(last + 128 >= n, s"doc tail uncovered: n=$n k=$k")
+      // ...and a shorter plan must NOT suffice (minimality)
+      if (k > 1) assert((k - 2) * 96 + 128 < n, s"overchunked: n=$n k=$k")
+      assert(r.getAs[Long]("overlap_tokens") === (k - 1) * 32)
+    }
+  }
+
+  test("q_embed_census: fixture embeddings are 64-d, nonzero, norm-envelope-consistent") {
+    val rows = run("q_embed_census")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_dims") === 64L && r.getAs[Long]("max_dims") === 64L)
+      assert(r.getAs[Long]("n_zero") === 0L)
+      val (lo, hi, mean) = (r.getAs[Double]("min_norm"),
+        r.getAs[Double]("max_norm"), r.getAs[Double]("mean_norm"))
+      assert(lo > 0 && lo <= mean && mean <= hi)
+    }
+  }
+
+  test("q_vocab_coverage: monotone thresholds and exact-mass feasibility") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_vocab_coverage").sortBy(_.getAs[Long]("pct"))
+    assert(rows.map(_.getAs[Long]("pct")).toSeq === Seq(50L, 90L, 99L))
+    val needs = rows.map(_.getAs[Long]("vocab_needed")).toSeq
+    assert(needs.zip(needs.tail).forall { case (a, b) => a <= b }, s"not monotone: $needs")
+    // replay: taking the vocab_needed most-frequent words must reach the
+    // target mass, and one fewer must not (exact minimality)
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+    val counts = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect().map(_.getLong(1)).sortBy(-_)
+    val total = counts.sum
+    rows.foreach { r =>
+      val need = r.getAs[Long]("vocab_needed").toInt
+      val target = (r.getAs[Long]("pct") * total + 99) / 100
+      assert(r.getAs[Long]("target_mass") === target)
+      assert(counts.take(need).sum >= target)
+      if (need > 0) assert(counts.take(need - 1).sum < target)
+    }
+  }
+
   test("q_sql_tpch_q7: group keys are only the two cross-nation pairs") {
     // sf0.001 may legitimately produce zero cross-pair rows; assert the
     // SHAPE contract on whatever rows exist (sf0.01+ has both directions)
