@@ -190,6 +190,34 @@ object QualityQueries {
               |GROUP BY n_name ORDER BY n_name""".stripMargin)
     },
 
+    // NS: train/val distribution drift — exact total-variation distance
+    // between the two splits' unigram distributions, the monitor that
+    // catches a broken split hash or a skewed shard assignment before
+    // training does. The cross-multiplied numerator sum |c_t*Nv - c_v*Nt|
+    // is EXACT integer arithmetic (the only float op is one final IEEE
+    // division of exact integers, deterministic on both engines); splits
+    // come from the same md5 hash as q_stratified_split, so drift here
+    // indicts the data, never RNG. int64 bound: c*N products cap splits at
+    // ~3e9 tokens apiece — beyond that the numerator needs a decimal
+    // widening, noted here rather than silently wrong.
+    "q_token_drift" -> { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .withColumn("h", h100("split:", col("doc_id")))
+        .filter(col("h") < 90)
+        .select((col("h") < 80).cast("long").as("is_train"),
+          explode(split(col("text"), " ")).as("word"))
+      val wc = t.groupBy("word").agg(
+        sum(col("is_train")).as("c_t"),
+        sum(lit(1L) - col("is_train")).as("c_v"))
+      val tot = wc.agg(sum("c_t").as("nt"), sum("c_v").as("nv"))
+      wc.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_words"),
+          max("nt").as("n_train_tokens"), max("nv").as("n_val_tokens"),
+          sum(abs(col("c_t") * col("nv") - col("c_v") * col("nt"))).as("tv_num"))
+        .withColumn("tv", round(col("tv_num").cast("double") /
+          (col("n_train_tokens").cast("double") * col("n_val_tokens").cast("double") * 2.0), 9))
+    },
+
     // NS: dataset card — the per-source summary a 100 TB snapshot PUBLISHES
     // alongside itself (docs, token volume, language spread, exact-dup
     // surplus, mean length): one narrow per-row projection (token count,
@@ -301,6 +329,23 @@ object QualityQueries {
           |  AND NOT EXISTS (SELECT 1 FROM orders
           |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
           |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      "q_token_drift" ->
+        """WITH d AS (SELECT doc_id, text,
+          |                  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+          |           FROM documents),
+          |t AS (SELECT CASE WHEN h < 80 THEN 1 ELSE 0 END AS is_train,
+          |             unnest(string_split(text, ' ')) AS word
+          |      FROM d WHERE h < 90),
+          |wc AS (SELECT word, CAST(sum(is_train) AS BIGINT) AS c_t,
+          |              CAST(sum(1 - is_train) AS BIGINT) AS c_v
+          |       FROM t GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS nt, CAST(sum(c_v) AS BIGINT) AS nv FROM wc)
+          |SELECT count(*) AS n_words,
+          |       max(nt) AS n_train_tokens, max(nv) AS n_val_tokens,
+          |       CAST(sum(abs(c_t * nv - c_v * nt)) AS BIGINT) AS tv_num,
+          |       round(CAST(sum(abs(c_t * nv - c_v * nt)) AS DOUBLE) /
+          |             (CAST(max(nt) AS DOUBLE) * max(nv) * 2.0), 9) AS tv
+          |FROM wc CROSS JOIN tot""".stripMargin,
       "q_dataset_card" ->
         """WITH d AS (SELECT doc_id, source, lang, n_chars,
           |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -126,6 +126,27 @@ object SimilarityQueries {
         .orderBy("label")
     },
 
+    // NS: IVF cell-balance census — the index-health check that decides
+    // whether an IVF layout is usable (one hot cell = every probe touching
+    // it scans a constant fraction of the corpus, i.e. no speedup): per-
+    // cell populations from the SAME deterministic assignment the q_ann_ivf
+    // path queries, plus exact integer share/imbalance read-offs. One
+    // zero-shuffle assignment pass + K-group agg.
+    "q_ivf_balance" -> { (s, dir) =>
+      val pts = Tables.points(s, dir)
+      val cents = graft.kmeans.Lloyd.initCentroidsFor(s, dir, graft.kmeans.KmeansQueries.K)
+      val cells = graft.kmeans.Lloyd.assign(pts, cents)
+        .groupBy(col("cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val tot = cells.agg(sum("n_vecs").as("n"), max("n_vecs").as("max_n"),
+        count(lit(1)).as("k"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_vecs"),
+          expr("n_vecs * 1000000 DIV n").as("share_ppm"),
+          expr("max_n * k * 100 DIV n").as("imbalance_x100"))
+        .orderBy("cid")
+    },
+
     // Exact cosine top-10 to the probe vector (vec_id 0): orderBy+limit
     // compiles to per-partition top-k + a 10-row driver merge.
     "q_topk_similar" -> { (s, dir) =>
@@ -464,6 +485,18 @@ object SimilarityQueries {
         |FROM est ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
     Map(
       "q_topk_similar" -> topkSql,
+      // rides the kmeans assignment prelude (same init cells as q_ann_ivf)
+      "q_ivf_balance" ->
+        s"""${graft.kmeans.KmeansQueries.preludeForOracle},
+           |cells AS (SELECT CAST(cid AS BIGINT) AS cid, count(*) AS n_vecs
+           |          FROM assign GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n,
+           |               CAST(max(n_vecs) AS BIGINT) AS max_n,
+           |               CAST(count(*) AS BIGINT) AS k FROM cells)
+           |SELECT cid, CAST(n_vecs AS BIGINT) AS n_vecs,
+           |       CAST(n_vecs * 1000000 // n AS BIGINT) AS share_ppm,
+           |       CAST(max_n * k * 100 // n AS BIGINT) AS imbalance_x100
+           |FROM cells CROSS JOIN tot ORDER BY cid""".stripMargin,
       // same DOUBLE[] cast + dot-product fold the topk oracle validates
       "q_embed_census" ->
         """WITH t AS (SELECT CAST(label AS BIGINT) AS label,

@@ -182,6 +182,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ivf_balance: cells partition the corpus; shares and imbalance replay exactly") {
+    val rows = run("q_ivf_balance")
+    assert(rows.length === graft.kmeans.KmeansQueries.K)
+    val n = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(n === graft.core.Tables.points(spark, TestSpark.Sf0001).count())
+    val maxN = rows.map(_.getAs[Long]("n_vecs")).max
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_ppm") === r.getAs[Long]("n_vecs") * 1000000L / n)
+      assert(r.getAs[Long]("imbalance_x100") === maxN * rows.length * 100L / n)
+    }
+  }
+
+  test("q_token_drift: tv in [0,1], tv_num parity bound, splits nonempty") {
+    val r = run("q_token_drift").head
+    val (nt, nv) = (r.getAs[Long]("n_train_tokens"), r.getAs[Long]("n_val_tokens"))
+    val num = r.getAs[Long]("tv_num")
+    assert(nt > 0 && nv > 0)
+    // TV numerator is bounded by 2*Nt*Nv (disjoint supports) and the
+    // final division must land in [0,1]
+    assert(num >= 0 && num <= 2L * nt * nv)
+    val tv = r.getAs[Double]("tv")
+    assert(tv >= 0.0 && tv <= 1.0)
+    // the two splits draw from one generator distribution: drift is small
+    assert(tv < 0.2, s"suspicious drift $tv between hash splits")
+  }
+
   test("q_sql_tpch_q7: group keys are only the two cross-nation pairs") {
     // sf0.001 may legitimately produce zero cross-pair rows; assert the
     // SHAPE contract on whatever rows exist (sf0.01+ has both directions)
