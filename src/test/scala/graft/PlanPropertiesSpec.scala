@@ -56,6 +56,33 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"IN-subquery not planned as semi join:\n$p")
   }
 
+  test("q_sql_tpch_q7: disjunctive nation-pair predicate keeps dims broadcast") {
+    val p = executedPlan("q_sql_tpch_q7")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact-side shuffle join — the OR predicate must not demote dims:\n$p")
+  }
+
+  test("q_skew_census scans only the key column; windows run post-aggregation") {
+    val p = executedPlan("q_skew_census")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"),
+      s"key census reads more than the join key:\n$p")
+    // the double collapse must be in the plan: a hash exchange on the
+    // frequency value (the tiny histogram key) proves the window's input
+    // is the histogram, not the key table
+    assert(p.contains("hashpartitioning(f"),
+      s"no frequency-histogram collapse before the window:\n$p")
+    assert(p.contains("Window"), s"cumulative census window missing:\n$p")
+  }
+
+  test("q_token_drift: word-key aggregate is map-side combined") {
+    val p = executedPlan("q_token_drift")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"missing partial aggregation stages:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"drift monitor reads more than (doc_id, text):\n$p")
+  }
+
   test("q_bpe_pairs collapses to vocab before the pair explode; top-k never global-sorts") {
     val p = executedPlan("q_bpe_pairs")
     assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
