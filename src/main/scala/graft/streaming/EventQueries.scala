@@ -27,6 +27,39 @@ object EventQueries {
         .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("w_start", "event_type")
     },
+    // NS: streaming distribution-drift monitor — per 1-hour window, the
+    // total-variation distance of the event-type mix vs the PREVIOUS
+    // observed window: the alert that catches an upstream producer change
+    // (one type silently vanishing, a new type flooding) within one window
+    // of it happening. Batch-equivalent form of the windowed-agg +
+    // small-state comparison a `foreachBatch` monitor runs; the windowed
+    // counts are ONE shuffle, and every later op (grid completion against
+    // the bounded type set, per-type lag, per-window TV fold) runs over
+    // window-summary rows — thousands per year, never events. Exact
+    // integer TV numerator (the q_token_drift spelling): the only float is
+    // one final division of exact ints.
+    "q_stream_drift" -> { (s, dir) =>
+      val wc = Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val grid = wc.select("w_start").distinct()
+        .crossJoin(wc.select("event_type").distinct())
+        .join(wc, Seq("w_start", "event_type"), "left_outer")
+        .select(col("w_start"), col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      val tot = grid.groupBy("w_start").agg(sum("c").as("n"))
+      val lagW = Window.partitionBy("event_type").orderBy("w_start")
+      grid.join(tot, "w_start")
+        .withColumn("c_prev", lag("c", 1).over(lagW))
+        .withColumn("n_prev", lag("n", 1).over(lagW))
+        .filter(col("n_prev").isNotNull)
+        .groupBy("w_start")
+        .agg(max("n").as("n"), max("n_prev").as("n_prev"),
+          sum(abs(col("c") * col("n_prev") - col("c_prev") * col("n"))).as("tv_num"))
+        .withColumn("tv", round(col("tv_num").cast("double") /
+          (col("n").cast("double") * col("n_prev").cast("double") * 2.0), 9))
+        .orderBy("w_start")
+    },
     // 1-hour window sliding every 15 minutes: each event lands in 4 windows.
     "q_stream_sliding" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -213,6 +246,27 @@ object EventQueries {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |       count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    // same grid completion + per-type lag + exact integer TV fold
+    "q_stream_drift" ->
+      """WITH wc AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        |                   event_type, count(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |grid AS (SELECT w.w_start, t.event_type,
+        |                CAST(coalesce(wc.c, 0) AS BIGINT) AS c
+        |         FROM (SELECT DISTINCT w_start FROM wc) w
+        |         CROSS JOIN (SELECT DISTINCT event_type FROM wc) t
+        |         LEFT JOIN wc ON wc.w_start = w.w_start AND wc.event_type = t.event_type),
+        |tot AS (SELECT w_start, CAST(sum(c) AS BIGINT) AS n FROM grid GROUP BY 1),
+        |lg AS (SELECT g.w_start, g.event_type, g.c, tot.n,
+        |              lag(g.c) OVER (PARTITION BY g.event_type ORDER BY g.w_start) AS c_prev,
+        |              lag(tot.n) OVER (PARTITION BY g.event_type ORDER BY g.w_start) AS n_prev
+        |       FROM grid g JOIN tot USING (w_start))
+        |SELECT w_start, max(n) AS n, max(n_prev) AS n_prev,
+        |       CAST(sum(abs(c * n_prev - c_prev * n)) AS BIGINT) AS tv_num,
+        |       round(CAST(sum(abs(c * n_prev - c_prev * n)) AS DOUBLE) /
+        |             (CAST(max(n) AS DOUBLE) * max(n_prev) * 2.0), 9) AS tv
+        |FROM lg WHERE n_prev IS NOT NULL
+        |GROUP BY w_start ORDER BY w_start""".stripMargin,
     "q_stream_sliding" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
         |x AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS w_start

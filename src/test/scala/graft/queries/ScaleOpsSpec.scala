@@ -208,6 +208,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(tv < 0.2, s"suspicious drift $tv between hash splits")
   }
 
+  test("q_stream_drift: every observed window after the first reports bounded drift") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_stream_drift")
+    val nWindows = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(rows.length.toLong === nWindows - 1, s"${rows.length} vs $nWindows windows")
+    rows.foreach { r =>
+      val (n, np, num) = (r.getAs[Long]("n"), r.getAs[Long]("n_prev"), r.getAs[Long]("tv_num"))
+      assert(n > 0 && np > 0)
+      assert(num >= 0 && num <= 2L * n * np)
+      val tv = r.getAs[Double]("tv")
+      assert(tv >= 0.0 && tv <= 1.0)
+    }
+  }
+
   test("q_sql_tpch_q7: group keys are only the two cross-nation pairs") {
     // sf0.001 may legitimately produce zero cross-pair rows; assert the
     // SHAPE contract on whatever rows exist (sf0.01+ has both directions)
