@@ -165,6 +165,38 @@ object CorpusQueries {
         .orderBy("r")
     },
 
+    // NS: incremental-ingest dedup — the DAILY shape of near-dup removal:
+    // a new batch (hash-split 20% of docs, deterministic) is deduped
+    // AGAINST the standing corpus, never corpus-vs-corpus. Candidates come
+    // from the same memoized LSH banding (at 100 TB the standing side's
+    // signatures are a persisted index; only the batch re-signs), filtered
+    // to cross (old, new) pairs with exact jaccard >= 0.8; each flagged
+    // new doc reports its match count and the smallest matching standing
+    // doc (the dedup survivor it would collapse into).
+    "q_dedup_incremental" -> { (s, dir) =>
+      val isNew = pmod(TextQueries.h32(concat(lit("inc:"), col("doc_id").cast("string"))),
+        lit(100L)) >= 80
+      val tagged = Tables.documents(s, dir).select(col("doc_id"), isNew.as("is_new"))
+      val pairs = TextDedup.minhashCandidatesFor(s, dir)
+      val docs = TextQueries.shingleSetsFor(s, dir).select("doc_id", "sh")
+      val hi = pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .filter(round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6) >= 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val t = tagged
+      val cross = hi
+        .join(t.select(col("doc_id").as("doc_a"), col("is_new").as("new_a")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("is_new").as("new_b")), "doc_b")
+        .filter(col("new_a") =!= col("new_b"))
+        .select(when(col("new_a"), col("doc_a")).otherwise(col("doc_b")).as("new_doc"),
+          when(col("new_a"), col("doc_b")).otherwise(col("doc_a")).as("old_doc"))
+      cross.groupBy("new_doc")
+        .agg(count(lit(1)).as("n_old_matches"), min("old_doc").as("dup_of"))
+        .orderBy("new_doc")
+    },
+
     // NS: vocabulary coverage — min distinct tokens covering {50,90,99}%
     // of corpus token mass (the Zipf head/tail question behind tokenizer
     // vocab sizing and OOV budgets). The corpus collapses to word counts,
@@ -609,6 +641,45 @@ object CorpusQueries {
            |       coalesce(round(avg(p) FILTER (WHERE j >= 0.5), 6), -1.0) AS fire_hi,
            |       coalesce(round(avg(p) FILTER (WHERE j < 0.5), 6), -1.0) AS fire_lo_given_cand
            |FROM scored GROUP BY b, r ORDER BY r""".stripMargin,
+      // candidate prelude + the same deterministic 20% hash split; the
+      // cross filter keeps only (standing, batch) pairs
+      "q_dedup_incremental" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |shl AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+           |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+           |sigs AS (
+           |$sigSelects
+           |),
+           |banded AS (
+           |  SELECT doc_id, j % 4 AS band,
+           |         md5(array_to_string(list_transform(list(minhash ORDER BY j),
+           |             x -> CAST(x AS VARCHAR)), ',')) AS band_key
+           |  FROM sigs GROUP BY doc_id, band
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= ${TextDedup.DefaultMaxBucketSize}
+           |),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl),
+           |hi AS (
+           |  SELECT p.doc_a, p.doc_b
+           |  FROM pairs p JOIN ds a ON a.doc_id = p.doc_a JOIN ds b ON b.doc_id = p.doc_b
+           |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |              CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.8
+           |),
+           |tag AS (SELECT doc_id,
+           |               (('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) >= 80 AS is_new
+           |        FROM documents),
+           |cx AS (
+           |  SELECT CASE WHEN ta.is_new THEN h.doc_a ELSE h.doc_b END AS new_doc,
+           |         CASE WHEN ta.is_new THEN h.doc_b ELSE h.doc_a END AS old_doc
+           |  FROM hi h JOIN tag ta ON ta.doc_id = h.doc_a
+           |            JOIN tag tb ON tb.doc_id = h.doc_b
+           |  WHERE ta.is_new <> tb.is_new)
+           |SELECT new_doc, count(*) AS n_old_matches, min(old_doc) AS dup_of
+           |FROM cx GROUP BY new_doc ORDER BY new_doc""".stripMargin,
       // descending-count histogram walk + exact ceil-division residual
       "q_vocab_coverage" ->
         """WITH uni AS (SELECT word, count(*) AS c

@@ -223,6 +223,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_incremental: flagged docs are batch-side and survivors are standing-side") {
+    import org.apache.spark.sql.functions._
+    def isNew(id: Long): Boolean = {
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"inc:$id").take(8), 16)
+      h % 100 >= 80
+    }
+    val rows = run("q_dedup_incremental")
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("new_doc")
+      val of = r.getAs[Long]("dup_of")
+      assert(isNew(nd), s"flagged doc $nd is not in the new batch")
+      assert(!isNew(of), s"survivor $of is not in the standing corpus")
+      assert(r.getAs[Long]("n_old_matches") >= 1)
+    }
+    // the fixture embeds exact duplicate texts, so the cross split must
+    // flag at least one batch doc
+    assert(rows.nonEmpty, "no incremental dups found — split or filter broken")
+  }
+
   test("q_sql_tpch_q7: group keys are only the two cross-nation pairs") {
     // sf0.001 may legitimately produce zero cross-pair rows; assert the
     // SHAPE contract on whatever rows exist (sf0.01+ has both directions)
