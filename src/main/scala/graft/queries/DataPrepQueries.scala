@@ -529,6 +529,29 @@ object DataPrepQueries {
           when(col("grp_n") >= k, col("value_bin")).as("value_bin"),
           (col("grp_n") < k).as("suppressed"))
         .orderBy("event_id")
+    },
+
+    // NS: l-diversity census — k-anonymity's companion audit: a
+    // quasi-identifier group is safe only if its SENSITIVE attribute is
+    // diverse (k=100 identical rows all sharing one diagnosis still leak).
+    // Per (status, order-year) quasi-group, count distinct priorities,
+    // then collapse to the (l -> n_groups) histogram + the failing-group
+    // census (l < 3). Two hash aggregates — the group table, then the
+    // diversity histogram (bounded by the sensitive domain), nothing
+    // row-scale after the first shuffle.
+    "q_ldiversity" -> { (s, dir) =>
+      val grp = Tables.orders(s, dir)
+        .select(col("o_orderstatus"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_orderpriority"))
+        .groupBy("o_orderstatus", "o_year")
+        .agg(countDistinct("o_orderpriority").as("l"), count(lit(1)).as("n_rows"))
+      val tot = grp.agg(min("l").as("min_l"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_groups_below_3"))
+      grp.groupBy("l")
+        .agg(count(lit(1)).as("n_groups"), sum("n_rows").as("n_rows"))
+        .crossJoin(broadcast(tot))
+        .orderBy("l")
     }
   )
 
@@ -804,6 +827,20 @@ object DataPrepQueries {
         |SELECT event_id, event_type, day,
         |       CASE WHEN grp_n >= 5 THEN value_bin END AS value_bin,
         |       grp_n < 5 AS suppressed
-        |FROM n ORDER BY event_id""".stripMargin
+        |FROM n ORDER BY event_id""".stripMargin,
+    "q_ldiversity" ->
+      """WITH grp AS (SELECT o_orderstatus,
+        |                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |                    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l,
+        |                    count(*) AS n_rows
+        |             FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT min(l) AS min_l,
+        |               CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_3
+        |        FROM grp)
+        |SELECT l, count(*) AS n_groups, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |       min_l, n_groups_below_3
+        |FROM grp CROSS JOIN tot
+        |GROUP BY l, min_l, n_groups_below_3
+        |ORDER BY l""".stripMargin
   )
 }

@@ -106,6 +106,27 @@ object GraphQueries {
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
           round(col("n_triangles").cast("double") /
             greatest(col("n_wedges"), lit(1L)).cast("double"), 6).as("closure"))
+    },
+
+    // NS: degree-distribution census over the near-dup graph — the graph
+    // health read a dedup run publishes (a power-law tail of hub docs =
+    // template families; max degree bounds the worst CC/triangle task).
+    // Same bounded-histogram double collapse as q_skew_census: edges →
+    // per-node degree (first shuffle) → (degree → n_nodes) histogram
+    // (distinct degrees, bounded) → exact integer census columns.
+    "q_degree_census" -> { (s, dir) =>
+      val edges = TextQueries.simhashPairsFor(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val deg = edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val tot = deg.agg(count(lit(1)).as("n_nodes"), max("d").as("max_d"),
+        sum("d").as("sum_d"))
+      deg.groupBy("d").agg(count(lit(1)).as("n_nodes_at_d"))
+        .crossJoin(broadcast(tot))
+        .select(col("d"), col("n_nodes_at_d"), col("n_nodes"), col("max_d"),
+          expr("sum_d DIV 2").as("n_edges"))
+        .orderBy("d")
     }
   )
 
@@ -155,7 +176,24 @@ object GraphQueries {
            |       (SELECT count(*) FROM wedges) AS n_wedges,
            |       (SELECT count(*) FROM tri) AS n_triangles,
            |       round(CAST((SELECT count(*) FROM tri) AS DOUBLE) /
-           |             CAST(greatest((SELECT count(*) FROM wedges), 1) AS DOUBLE), 6) AS closure""".stripMargin
+           |             CAST(greatest((SELECT count(*) FROM wedges), 1) AS DOUBLE), 6) AS closure""".stripMargin,
+      // same simhash edge prelude; histogram + exact integer census
+      "q_degree_census" ->
+        s"""WITH ${TextQueries.simhashFrameCte},
+           |edges AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |          FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |deg AS (SELECT v, count(*) AS d FROM
+           |          (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+           |        GROUP BY v),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           |               CAST(max(d) AS BIGINT) AS max_d,
+           |               CAST(sum(d) AS BIGINT) AS sum_d FROM deg)
+           |SELECT CAST(d AS BIGINT) AS d, count(*) AS n_nodes_at_d,
+           |       n_nodes, max_d, CAST(sum_d // 2 AS BIGINT) AS n_edges
+           |FROM deg CROSS JOIN tot
+           |GROUP BY d, n_nodes, max_d, sum_d
+           |ORDER BY d""".stripMargin
     )
   }
 }

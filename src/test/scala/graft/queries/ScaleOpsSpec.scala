@@ -243,6 +243,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty, "no incremental dups found — split or filter broken")
   }
 
+  test("q_degree_census: handshake identity and histogram totals reconcile") {
+    val rows = run("q_degree_census")
+    val nNodes = rows.head.getAs[Long]("n_nodes")
+    val nEdges = rows.head.getAs[Long]("n_edges")
+    val maxD = rows.head.getAs[Long]("max_d")
+    // histogram masses sum back to the totals (the double-collapse contract)
+    assert(rows.map(_.getAs[Long]("n_nodes_at_d")).sum === nNodes)
+    assert(rows.map(r => r.getAs[Long]("d") * r.getAs[Long]("n_nodes_at_d")).sum
+      === 2 * nEdges, "handshake lemma violated")
+    assert(rows.map(_.getAs[Long]("d")).max === maxD)
+  }
+
+  test("q_ldiversity: histogram reconciles and the verdict columns are consistent") {
+    val rows = run("q_ldiversity")
+    val minL = rows.head.getAs[Long]("min_l")
+    assert(rows.map(_.getAs[Long]("l")).min === minL)
+    val below = rows.filter(_.getAs[Long]("l") < 3).map(_.getAs[Long]("n_groups")).sum
+    assert(below === rows.head.getAs[Long]("n_groups_below_3"))
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ===
+      graft.core.Tables.orders(spark, TestSpark.Sf0001).count())
+  }
+
   test("q_sql_tpch_q7: group keys are only the two cross-nation pairs") {
     // sf0.001 may legitimately produce zero cross-pair rows; assert the
     // SHAPE contract on whatever rows exist (sf0.01+ has both directions)
