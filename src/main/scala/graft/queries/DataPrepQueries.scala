@@ -48,6 +48,35 @@ object DataPrepQueries {
         .orderBy("o_orderkey")
     },
 
+    // NS: changelog compaction (Kafka log-compaction / CDC snapshot build):
+    // the events table read as an upsert/delete log keyed by user (op
+    // derived deterministically — every 10th event_id is a tombstone),
+    // collapsed to last-writer-wins state in ONE max(struct) aggregate.
+    // (ts, event_id) is a unique total order, so the lexicographic struct
+    // max IS the last writer, carrying its op and value along — no window
+    // over the log: partial maxes combine map-side and the shuffle moves
+    // one struct per (key, partition), the property that compacts a 100 TB
+    // day of changelog in a single pass. (The struct buffer makes Spark
+    // plan SortAggregate rather than HashAggregate — still partial+final;
+    // the per-partition group-key sort costs CPU, not an extra exchange —
+    // plan-pinned in PlanPropertiesSpec.) q_merge_upsert applies a change
+    // SET to a base table; this collapses the log itself into that set.
+    "q_cdc_compact" -> { (s, dir) =>
+      val log = Tables.events(s, dir).select(
+        col("user_id"), col("ts"), col("event_id"),
+        when(pmod(col("event_id"), lit(10)) === 0, "D").otherwise("U").as("op"),
+        col("value"))
+      log.groupBy("user_id")
+        .agg(count(lit(1)).as("n_ops"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_tombstones"),
+          max(struct(col("ts"), col("event_id"), col("op"), col("value"))).as("last"))
+        .select(col("user_id"), col("n_ops"), col("n_tombstones"),
+          col("last.op").as("last_op"),
+          (col("last.op") === "U").cast("long").as("alive"),
+          when(col("last.op") === "U", round(col("last.value"), 4)).as("last_value"))
+        .orderBy("user_id")
+    },
+
     // NS: forward fill — carry the last non-null observation forward per
     // user (the standard time-series gap repair before feature extraction).
     // Nulls are injected deterministically (every 5th event id) so both
@@ -574,6 +603,23 @@ object DataPrepQueries {
         |SELECT o_orderkey, price, status, action
         |FROM m WHERE action <> 'keep' OR o_orderkey % 100 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // the oracle replays last-writer-wins as a rn=1 window (the oracle need
+    // not be scale-shaped); same (ts DESC, event_id DESC) total order
+    "q_cdc_compact" ->
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |                  CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op, value,
+        |                  row_number() OVER (PARTITION BY user_id
+        |                                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |           FROM events),
+        |agg AS (SELECT user_id, count(*) AS n_ops,
+        |               CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones
+        |        FROM o GROUP BY 1),
+        |last AS (SELECT user_id, op AS last_op, value FROM o WHERE rn = 1)
+        |SELECT a.user_id, a.n_ops, a.n_tombstones, l.last_op,
+        |       CAST(l.last_op = 'U' AS BIGINT) AS alive,
+        |       CASE WHEN l.last_op = 'U' THEN round(l.value, 4) END AS last_value
+        |FROM agg a JOIN last l USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_forward_fill" ->
       """WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |                  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v

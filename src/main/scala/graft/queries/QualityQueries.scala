@@ -218,6 +218,41 @@ object QualityQueries {
           (col("n_train_tokens").cast("double") * col("n_val_tokens").cast("double") * 2.0), 9))
     },
 
+    // NS: Jensen-Shannon drift — q_token_drift's TV distance weights every
+    // token linearly; JSD is the log-scaled companion most drift monitors
+    // actually alert on (bounded [0, ln 2], symmetric, defined when either
+    // side has zero counts — exactly the new-token case that breaks raw
+    // KL). Same split hash and word-keyed count shuffle as q_token_drift;
+    // per-word terms 0.5·p·ln(p/m) + 0.5·q·ln(q/m) (m = the mixture) are
+    // IEEE doubles on both engines, summed once and rounded to 9 dp — the
+    // ~1e-13 engine/sum-order wobble over a vocab-sized sum sits five
+    // decades under the rounding quantum (the q_token_drift discipline);
+    // every other column is exact integer. The vocab-sized term frame is
+    // the ONLY thing after the word shuffle — nothing row-scale survives.
+    "q_jsd_drift" -> { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .withColumn("h", h100("split:", col("doc_id")))
+        .filter(col("h") < 90)
+        .select((col("h") < 80).cast("long").as("is_train"),
+          explode(split(col("text"), " ")).as("word"))
+      val wc = t.groupBy("word").agg(
+        sum(col("is_train")).as("c_t"),
+        sum(lit(1L) - col("is_train")).as("c_v"))
+      val tot = wc.agg(sum("c_t").as("nt"), sum("c_v").as("nv"))
+      val p = col("c_t").cast("double") / col("nt").cast("double")
+      val q = col("c_v").cast("double") / col("nv").cast("double")
+      val m = (p + q) / lit(2.0)
+      val term =
+        when(col("c_t") > 0, p * log(p / m) / 2).otherwise(lit(0.0)) +
+          when(col("c_v") > 0, q * log(q / m) / 2).otherwise(lit(0.0))
+      wc.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_words"),
+          max("nt").as("n_train_tokens"), max("nv").as("n_val_tokens"),
+          sum(when(col("c_v") === 0, 1L).otherwise(0L)).as("n_train_only"),
+          sum(when(col("c_t") === 0, 1L).otherwise(0L)).as("n_val_only"),
+          round(sum(term), 9).as("jsd"))
+    },
+
     // NS: dataset card — the per-source summary a 100 TB snapshot PUBLISHES
     // alongside itself (docs, token volume, language spread, exact-dup
     // surplus, mean length): one narrow per-row projection (token count,
@@ -346,6 +381,29 @@ object QualityQueries {
           |       round(CAST(sum(abs(c_t * nv - c_v * nt)) AS DOUBLE) /
           |             (CAST(max(nt) AS DOUBLE) * max(nv) * 2.0), 9) AS tv
           |FROM wc CROSS JOIN tot""".stripMargin,
+      "q_jsd_drift" ->
+        """WITH d AS (SELECT doc_id, text,
+          |                  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+          |           FROM documents),
+          |t AS (SELECT CASE WHEN h < 80 THEN 1 ELSE 0 END AS is_train,
+          |             unnest(string_split(text, ' ')) AS word
+          |      FROM d WHERE h < 90),
+          |wc AS (SELECT word, CAST(sum(is_train) AS BIGINT) AS c_t,
+          |              CAST(sum(1 - is_train) AS BIGINT) AS c_v
+          |       FROM t GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS nt, CAST(sum(c_v) AS BIGINT) AS nv FROM wc),
+          |terms AS (SELECT c_t, c_v,
+          |                 CAST(c_t AS DOUBLE) / nt AS p,
+          |                 CAST(c_v AS DOUBLE) / nv AS q,
+          |                 nt, nv
+          |          FROM wc CROSS JOIN tot)
+          |SELECT count(*) AS n_words,
+          |       max(nt) AS n_train_tokens, max(nv) AS n_val_tokens,
+          |       CAST(sum(CASE WHEN c_v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train_only,
+          |       CAST(sum(CASE WHEN c_t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_val_only,
+          |       round(sum(CASE WHEN c_t > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END +
+          |                 CASE WHEN c_v > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0 END), 9) AS jsd
+          |FROM terms""".stripMargin,
       "q_dataset_card" ->
         """WITH d AS (SELECT doc_id, source, lang, n_chars,
           |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

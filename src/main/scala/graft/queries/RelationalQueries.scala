@@ -16,6 +16,15 @@ import graft.core.{Ordinals, Tables}
   */
 object RelationalQueries {
 
+  /** q_shuffle_forecast: reducer count of the forecast shuffle (matches the
+    * session's `spark.sql.shuffle.partitions`=32 so the forecast prices the
+    * plan Spark would actually run) and the estimated serialized row width
+    * used to turn row counts into task bytes (a fixed planning constant —
+    * production would read avg row size from file statistics).
+    */
+  val ShuffleForecastReducers = 32
+  val ShuffleForecastRowBytes = 64L
+
   /** Content fingerprint of fixture files (path+size+mtime of every file
     * under the given roots), used to key derived managed tables (the
     * bucketed-join copies) so a fixture rewrite at the same path can never
@@ -834,6 +843,37 @@ object RelationalQueries {
           expr("max_f * 1000000 DIV n_rows").as("top_share_ppm"),
           expr("max_f * 100 * n_keys DIV n_rows").as("skew_x100"))
     },
+    // NS: shuffle-reducer forecast — q_skew_census answers "is one KEY too
+    // hot"; this answers the next plan-review question at 100 TB: "does any
+    // REDUCER overflow". After hash-partitioning a shuffle into N tasks,
+    // many distinct keys collide into each reducer, so a task can blow the
+    // 2 GB partition/fetch ceiling with NO hot key at all — the failure AQE
+    // cannot repair, because coalescing only merges small partitions and
+    // skew-split only triggers on single-key skew. Forecast it from the key
+    // census alone: key -> row count (the only row-scale shuffle; in
+    // production this census comes from the upstream write's statistics,
+    // the arithmetic is identical), reducer = stable 32-bit hash mod N
+    // (md5-derived, replayed bit-equal by the oracle), then an N-row
+    // per-reducer census of keys / rows / estimated bytes vs the ceiling,
+    // with the load share vs perfect balance as exact integer x100.
+    "q_shuffle_forecast" -> { (s, dir) =>
+      val n = ShuffleForecastReducers
+      val keyRows = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("f"))
+      val red = keyRows
+        .groupBy(pmod(conv(substring(md5(concat(lit("red:"),
+          col("l_orderkey").cast("string"))), 1, 8), 16, 10).cast("long"), lit(n))
+          .as("reducer"))
+        .agg(count(lit(1)).as("n_keys"), sum("f").as("n_rows"))
+      val tot = red.agg(sum("n_rows").as("total_rows"))
+      red.crossJoin(broadcast(tot))
+        .select(col("reducer"), col("n_keys"), col("n_rows"),
+          (col("n_rows") * lit(ShuffleForecastRowBytes)).as("est_bytes"),
+          (col("n_rows") * lit(ShuffleForecastRowBytes) > lit(2147483647L))
+            .cast("long").as("over_2gb"),
+          expr(s"n_rows * $n * 100 DIV total_rows").as("load_x100"))
+        .orderBy("reducer")
+    },
     // NS: full cube over region x nation (rollup's sibling; all 4 grouping
     // sets), subtotals labeled via coalesce like q_rollup.
     "q_cube" -> { (s, dir) =>
@@ -1260,6 +1300,20 @@ object RelationalQueries {
         |       CAST(max_f * 1000000 // n_rows AS BIGINT) AS top_share_ppm,
         |       CAST(max_f * 100 * n_keys // n_rows AS BIGINT) AS skew_x100
         |FROM tot CROSS JOIN p99""".stripMargin,
+    "q_shuffle_forecast" ->
+      s"""WITH f AS (SELECT l_orderkey, count(*) AS f FROM lineitem GROUP BY 1),
+         |r AS (SELECT ('0x' || substr(md5('red:' || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+         |             % $ShuffleForecastReducers AS reducer, f
+         |      FROM f),
+         |c AS (SELECT reducer, count(*) AS n_keys, CAST(sum(f) AS BIGINT) AS n_rows
+         |      FROM r GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows FROM c)
+         |SELECT reducer, n_keys, n_rows,
+         |       CAST(n_rows * $ShuffleForecastRowBytes AS BIGINT) AS est_bytes,
+         |       CAST(n_rows * $ShuffleForecastRowBytes > 2147483647 AS BIGINT) AS over_2gb,
+         |       CAST(n_rows * $ShuffleForecastReducers * 100 // total_rows AS BIGINT) AS load_x100
+         |FROM c CROSS JOIN tot
+         |ORDER BY reducer""".stripMargin,
     "q_sql_tpch_q3" ->
       """SELECT l_orderkey,
         |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

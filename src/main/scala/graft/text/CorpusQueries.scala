@@ -25,6 +25,16 @@ object CorpusQueries {
     */
   val EvalDocs = 20
 
+  /** q_dedup_eval: exact-Jaccard bar a pair must clear to count as a true
+    * near-duplicate. 0.8 is the standard near-dup dedup bar, and it sits
+    * ABOVE the b=4, r=4 S-curve midpoint ((1/4)^(1/4) ≈ 0.707): fire
+    * probability at j=0.8 is 1-(1-0.8^4)^4 ≈ 0.88 and rises to 1 at j=1,
+    * so a LOW recall at this bar indicts the index, not the curve. (At
+    * j=0.5 the same curve fires at only ~0.23 — a bar down there would
+    * measure the S-curve's designed softness, not index health.)
+    */
+  val DedupEvalTau = 0.8
+
   /** Chunk width (in words) for sub-document dedup. */
   val ChunkWords = 10
 
@@ -319,6 +329,58 @@ object CorpusQueries {
           round(col("n_common") / col("n_b"), 6).as("containment_b_in_a"),
           round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // NS: dedup-index quality eval — the audit that says whether the LSH
+    // banding (the scale path) can be TRUSTED to stand in for exact n-gram
+    // Jaccard, the truth no 100 TB corpus can afford all-pairs. Ground
+    // truth is POOLED (the TREC-pooling spelling — the standard eval when
+    // exhaustive truth is infeasible): the union of both tractable
+    // candidate generators (the (n_words, first_word)-blocked exact path
+    // and the LSH banding path) is scored with exact shingle Jaccard, and
+    // pairs clearing DedupEvalTau form the truth set. recall then
+    // penalizes banding for every true pair the INDEPENDENT blocked
+    // generator found that the bands missed (the two generators have
+    // disjoint blind spots: blocking cannot see cross-length pairs,
+    // banding misses low-j pairs probabilistically); precision = fraction
+    // of surfaced candidates that are true. Both sides ride the memoized
+    // artifacts (shingle sets, candidate pairs); after the pool-scoring
+    // join everything is four counts crossed into one row — exact
+    // integers plus two single-division ratios.
+    "q_dedup_eval" -> { (s, dir) =>
+      val sets = TextQueries.shingleSetsFor(s, dir)
+      val census = sets.groupBy("n_words", "first_word").agg(count(lit(1)).as("n_blk"))
+      val blocked = sets.join(census, Seq("n_words", "first_word"))
+        .filter(col("n_blk") <= TextQueries.NgramBlockCap)
+      val bp = blocked.select(col("doc_id").as("doc_a"), col("n_words"), col("first_word"))
+        .join(blocked.select(col("doc_id").as("doc_b"), col("n_words"), col("first_word")),
+          Seq("n_words", "first_word"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+      val cand = TextDedup.minhashCandidatesFor(s, dir)
+      val pool = bp.union(cand).distinct()
+      val shs = sets.select(col("doc_id"), col("sh")).filter(size(col("sh")) > 0)
+      val jac = round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6)
+      // truth is pair-pool-sized (tiny next to the corpus at any scale);
+      // at 100 TB it would persist as an eval artifact — here the three
+      // count consumers just recompute the cheap scoring join
+      val truth = pool
+        .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .filter(jac >= DedupEvalTau)
+        .select("doc_a", "doc_b")
+      val hits = truth.join(cand, Seq("doc_a", "doc_b"))
+      val btr = truth.join(bp, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .crossJoin(btr.agg(count(lit(1)).as("n_blocked_truth")))
+        .select(col("n_truth"), col("n_cand"), col("n_hits"), col("n_blocked_truth"),
+          round(col("n_hits").cast("double") /
+            greatest(col("n_truth"), lit(1L)).cast("double"), 6).as("recall"),
+          round(col("n_hits").cast("double") /
+            greatest(col("n_cand"), lit(1L)).cast("double"), 6).as("precision"))
     },
 
     // NS: CROSS-SOURCE near-dup audit — the inter-dataset contamination
@@ -823,6 +885,54 @@ object CorpusQueries {
            |JOIN documents db ON db.doc_id = p.doc_b
            |WHERE da.source <> db.source
            |ORDER BY doc_a, doc_b""".stripMargin,
+      // same candidate prelude + the q_dedup_ngram blocked prelude; pooled
+      // truth scored once, then four counts over the pool joins
+      "q_dedup_eval" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |shl AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+           |               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sh FROM w),
+           |sigs AS (
+           |$sigSelects
+           |),
+           |banded AS (
+           |  SELECT doc_id, j % 4 AS band,
+           |         md5(array_to_string(list_transform(list(minhash ORDER BY j),
+           |             x -> CAST(x AS VARCHAR)), ',')) AS band_key
+           |  FROM sigs GROUP BY doc_id, band
+           |  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= ${TextDedup.DefaultMaxBucketSize}
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+           |),
+           |d0 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, ws[1] AS first_word
+           |       FROM w),
+           |d AS (SELECT * FROM d0
+           |      QUALIFY count(*) OVER (PARTITION BY n_words, first_word) <= ${TextQueries.NgramBlockCap}),
+           |bp AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM d a JOIN d b ON a.n_words = b.n_words AND a.first_word = b.first_word
+           |                    AND a.doc_id < b.doc_id
+           |),
+           |pool AS (SELECT doc_a, doc_b FROM bp UNION SELECT doc_a, doc_b FROM cand),
+           |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM shl WHERE len(list_distinct(sh)) > 0),
+           |truth AS (SELECT p.doc_a, p.doc_b
+           |          FROM pool p JOIN ds a ON a.doc_id = p.doc_a JOIN ds b ON b.doc_id = p.doc_b
+           |          WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= $DedupEvalTau),
+           |hits AS (SELECT t.doc_a FROM truth t JOIN cand c
+           |         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+           |btr AS (SELECT t.doc_a FROM truth t JOIN bp p
+           |        ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+           |n AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+           |             (SELECT count(*) FROM cand) AS n_cand,
+           |             (SELECT count(*) FROM hits) AS n_hits,
+           |             (SELECT count(*) FROM btr) AS n_blocked_truth)
+           |SELECT n_truth, n_cand, n_hits, n_blocked_truth,
+           |       round(CAST(n_hits AS DOUBLE) / greatest(n_truth, 1), 6) AS recall,
+           |       round(CAST(n_hits AS DOUBLE) / greatest(n_cand, 1), 6) AS precision
+           |FROM n""".stripMargin,
       "q_tfidf_top" ->
         """WITH total AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
           |tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

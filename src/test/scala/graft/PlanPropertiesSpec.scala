@@ -398,4 +398,34 @@ class PlanPropertiesSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("q_cdc_compact: one map-side-combined aggregate, no window, one shuffle") {
+    val p = executedPlan("q_cdc_compact")
+    assert(!p.contains("Window"), s"last-writer pick fell back to a window:\n$p")
+    // max(struct) carries a struct buffer, so Spark plans SortAggregate
+    // (HashAggregate needs fixed-width mutable buffers) — the property that
+    // matters at scale is the PARTIAL stage before the exchange: the
+    // shuffle moves one combined struct per (key, partition), never the log
+    assert(p.contains("partial_max(struct"),
+      s"struct-max aggregate not map-side combined:\n$p")
+    // exactly one hash shuffle (the group key); the only other exchange is
+    // the output ORDER BY's range partition
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one hash shuffle:\n$p")
+  }
+
+  test("q_shuffle_forecast scans only the key column and combines map-side") {
+    val p = executedPlan("q_shuffle_forecast")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"forecast reads more than the shuffle key:\n$p")
+    assert(p.contains("partial_count"), s"key census not map-side combined:\n$p")
+  }
+
+  test("q_jsd_drift prunes the scan to (doc_id, text) and combines map-side") {
+    val p = executedPlan("q_jsd_drift")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"drift monitor reads more than (doc_id, text):\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"missing partial aggregation stages:\n$p")
+  }
 }
