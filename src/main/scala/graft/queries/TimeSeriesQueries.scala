@@ -241,6 +241,47 @@ object TimeSeriesQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), round(sum("dv"), 6).as("decayed_sum"))
         .orderBy("user_id")
+    },
+
+    // NS: event-time disorder census — the diagnostic that TUNES a
+    // streaming watermark instead of guessing it: how far behind the
+    // per-key running max event time do events actually arrive? The p99
+    // disorder IS the watermark delay that loses <1% of events; guessing
+    // low drops data, guessing high bloats state. The fixture stream is
+    // perfectly ordered, so arrival is simulated by a deterministic md5
+    // permutation within 8-id ingest blocks (the q_forward_fill
+    // injected-fault precedent — both engines replay the same reordering).
+    // Dataflow: one user_id shuffle for the running-max window, then the
+    // row-scale disorder column collapses to a (disorder-minute -> count)
+    // histogram — bounded by the disorder span in minutes, never by rows —
+    // and the percentile read runs over that tiny histogram (the
+    // q_skew_census double collapse); every output is an exact integer.
+    "q_disorder_census" -> { (s, dir) =>
+      val arr = (expr("event_id DIV 8") * 8 +
+        pmod(conv(substring(md5(concat(lit("arr:"), col("event_id").cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(8))).as("arr")
+      val w = Window.partitionBy("user_id").orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), arr)
+        .withColumn("run_max", max("us").over(w))
+        .select((col("run_max") - col("us")).as("dis_us"))
+      val hist = d.groupBy(expr("dis_us DIV 60000000").as("dis_m"),
+          (col("dis_us") > 0).cast("long").as("is_late"))
+        .agg(count(lit(1)).as("n"))
+      val tot = hist.agg(sum("n").as("n_events"),
+        sum(col("is_late") * col("n")).as("n_late"),
+        max("dis_m").as("max_m"))
+      val cum = hist.groupBy("dis_m").agg(sum("n").as("n"))
+        .withColumn("cum", sum("n").over(Window.orderBy("dis_m")))
+      val px = cum.crossJoin(broadcast(tot.select(col("n_events").as("ne"))))
+        .agg(min(when(col("cum") * 100 >= col("ne") * 50, col("dis_m"))).as("p50_m"),
+          min(when(col("cum") * 100 >= col("ne") * 95, col("dis_m"))).as("p95_m"),
+          min(when(col("cum") * 100 >= col("ne") * 99, col("dis_m"))).as("p99_m"))
+      tot.crossJoin(broadcast(px))
+        .select(col("n_events"), col("n_late"),
+          expr("n_late * 1000000 DIV n_events").as("late_ppm"),
+          col("p50_m"), col("p95_m"), col("p99_m"), col("max_m"))
     }
   )
 
@@ -362,6 +403,32 @@ object TimeSeriesQueries {
         |SELECT user_id, count(*) AS n,
         |       round(sum(value * exp((-0.6931471805599453 / 24.0) *
         |             CAST(t_max - tus AS DOUBLE) / 3600000000.0)), 6) AS decayed_sum
-        |FROM e CROSS JOIN m GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM e CROSS JOIN m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_disorder_census" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |                  event_id // 8 * 8 +
+        |                  (('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 8) AS arr,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM events),
+        |r AS (SELECT us, max(us) OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+        |      FROM e),
+        |d AS (SELECT run_max - us AS dis_us FROM r),
+        |hist AS (SELECT CAST(dis_us // 60000000 AS BIGINT) AS dis_m,
+        |                CAST(dis_us > 0 AS BIGINT) AS is_late, count(*) AS n
+        |         FROM d GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_events,
+        |               CAST(sum(is_late * n) AS BIGINT) AS n_late,
+        |               max(dis_m) AS max_m FROM hist),
+        |h2 AS (SELECT dis_m, sum(n) AS n FROM hist GROUP BY 1),
+        |cum AS (SELECT dis_m, sum(n) OVER (ORDER BY dis_m) AS cum FROM h2),
+        |px AS (SELECT min(CASE WHEN cum * 100 >= n_events * 50 THEN dis_m END) AS p50_m,
+        |              min(CASE WHEN cum * 100 >= n_events * 95 THEN dis_m END) AS p95_m,
+        |              min(CASE WHEN cum * 100 >= n_events * 99 THEN dis_m END) AS p99_m
+        |       FROM cum CROSS JOIN tot)
+        |SELECT n_events, n_late,
+        |       CAST(n_late * 1000000 // n_events AS BIGINT) AS late_ppm,
+        |       p50_m, p95_m, p99_m, max_m
+        |FROM tot CROSS JOIN px""".stripMargin
   )
 }

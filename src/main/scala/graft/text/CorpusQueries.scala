@@ -383,6 +383,54 @@ object CorpusQueries {
             greatest(col("n_cand"), lit(1L)).cast("double"), 6).as("precision"))
     },
 
+    // NS: mergeable-sketch union — the ALGEBRAIC property that makes
+    // sketches the right tool at 100 TB, demonstrated end-to-end: a
+    // source's MinHash signature is the element-wise MIN over its docs'
+    // signatures (min is associative + idempotent, so shard-local partial
+    // signatures min-merge into the corpus signature with no recompute —
+    // daily shards sketch independently, the merge is 16 longs per shard),
+    // and signature agreement between two sources estimates the Jaccard of
+    // their full shingle VOCABULARIES. The estimate is cross-checked
+    // against the exact source-pair Jaccard computed from the distinct
+    // (source, shingle) table — vocabulary-sized after its dedup, the same
+    // bound as every df table here. Source cardinality is corpus-defined:
+    // the pair join is hint-free (AQE broadcasts at fixture scale).
+    "q_sketch_merge" -> { (s, dir) =>
+      import TextQueries.{MinhashK, P, mhA, mhB}
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextQueries.shingles3(split(col("text"), " "))).as("shingle"))
+      val sigAggs = (0 until MinhashK).map(j =>
+        min((col("h") * mhA(j) + mhB(j)) % P).as(s"sig$j"))
+      val srcSig = sh.withColumn("h", TextQueries.h32(col("shingle")))
+        .groupBy("source").agg(sigAggs.head, sigAggs.tail: _*)
+      val a = srcSig.columns.foldLeft(srcSig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+      val b = srcSig.columns.foldLeft(srcSig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+      val nAgree = (0 until MinhashK).map(j =>
+        when(col(s"a_sig$j") === col(s"b_sig$j"), 1L).otherwise(0L)).reduce(_ + _)
+      val pairs = a.join(b, col("a_source") < col("b_source"))
+        .select(col("a_source").as("source_a"), col("b_source").as("source_b"),
+          nAgree.as("n_agree"))
+      val ss = sh.distinct()
+      val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val common = ss.select(col("source").as("source_a"), col("shingle"))
+        .join(ss.select(col("source").as("source_b"), col("shingle")), "shingle")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a")), "source_a")
+        .join(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b")), "source_b")
+        .join(common, Seq("source_a", "source_b"), "left_outer")
+        .select(col("source_a"), col("source_b"), col("n_agree"),
+          round(col("n_agree").cast("double") / MinhashK, 6).as("est_jaccard"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))).as("n_union"),
+          round(coalesce(col("n_common"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+
     // NS: CROSS-SOURCE near-dup audit — the inter-dataset contamination
     // report: LSH candidate pairs whose endpoints come from DIFFERENT
     // sources, verified by exact shingle Jaccard. The reason to run dedup
@@ -597,6 +645,10 @@ object CorpusQueries {
     val sigSelects = (0 until MinhashK).map { j =>
       s"SELECT doc_id, CAST($j AS BIGINT) AS j, list_min(list_transform(sh, x -> ((('0x' || substr(md5(x), 1, 8))::BIGINT) * ${mhA(j)} + ${mhB(j)}) % $P)) AS minhash FROM shl"
     }.mkString("\nUNION ALL\n")
+    val srcSigAggCols = (0 until MinhashK)
+      .map(j => s"min((h * ${mhA(j)} + ${mhB(j)}) % $P) AS sig$j").mkString(", ")
+    val srcSigAgreeSum = (0 until MinhashK)
+      .map(j => s"(CASE WHEN a.sig$j = b.sig$j THEN 1 ELSE 0 END)").mkString(" + ")
 
     Map(
       "q_pii_redact" ->
@@ -933,6 +985,35 @@ object CorpusQueries {
            |       round(CAST(n_hits AS DOUBLE) / greatest(n_truth, 1), 6) AS recall,
            |       round(CAST(n_hits AS DOUBLE) / greatest(n_cand, 1), 6) AS precision
            |FROM n""".stripMargin,
+      // per-source signatures = min-merge over all shingle hashes (min is
+      // duplicate-blind, so the per-source min over raw shingles equals
+      // the minhash of the source's distinct vocabulary)
+      "q_sketch_merge" ->
+        s"""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+           |sh AS (SELECT source, unnest(list_transform(range(1, len(ws) - 1),
+           |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+           |       FROM w),
+           |h AS (SELECT source, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+           |sig AS (SELECT source, $srcSigAggCols FROM h GROUP BY source),
+           |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+           |                 CAST($srcSigAgreeSum AS BIGINT) AS n_agree
+           |          FROM sig a JOIN sig b ON a.source < b.source),
+           |ss AS (SELECT DISTINCT source, shingle FROM sh),
+           |sizes AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+           |common AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+           |           FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+           |           GROUP BY 1, 2)
+           |SELECT p.source_a, p.source_b, p.n_agree,
+           |       round(CAST(p.n_agree AS DOUBLE) / ${TextQueries.MinhashK}, 6) AS est_jaccard,
+           |       CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+           |       CAST(sa.n_sh + sb.n_sh - coalesce(c.n_common, 0) AS BIGINT) AS n_union,
+           |       round(CAST(coalesce(c.n_common, 0) AS DOUBLE) /
+           |             (sa.n_sh + sb.n_sh - coalesce(c.n_common, 0)), 6) AS jaccard
+           |FROM pairs p
+           |JOIN sizes sa ON sa.source = p.source_a
+           |JOIN sizes sb ON sb.source = p.source_b
+           |LEFT JOIN common c ON c.source_a = p.source_a AND c.source_b = p.source_b
+           |ORDER BY 1, 2""".stripMargin,
       "q_tfidf_top" ->
         """WITH total AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
           |tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -360,4 +360,68 @@ class ScaleOpsSpec extends AnyFunSuite {
     // fixture regen means truth pairs the bands MISSED; investigate)
     assert(r.getAs[Double]("recall") === 1.0)
   }
+
+  test("q_disorder_census: totals reconcile and percentiles are ordered") {
+    val r = run("q_disorder_census").head
+    val ev = graft.core.Tables.events(spark, TestSpark.Sf0001)
+    assert(r.getAs[Long]("n_events") === ev.count())
+    val (nE, nL) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_late"))
+    assert(nL > 0, "vacuous census: the simulated arrival produced no late events")
+    assert(nL < nE / 2, "simulated disorder should be the minority case")
+    assert(r.getAs[Long]("late_ppm") === nL * 1000000L / nE)
+    val (p50, p95, p99, mx) = (r.getAs[Long]("p50_m"), r.getAs[Long]("p95_m"),
+      r.getAs[Long]("p99_m"), r.getAs[Long]("max_m"))
+    assert(p50 <= p95 && p95 <= p99 && p99 <= mx)
+    // most events arrive in order, so the median disorder must be zero
+    assert(p50 === 0L)
+  }
+
+  test("minhash signatures MERGE: half-corpus sketches min-combine to the full sketch") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextQueries
+    import TextQueries.{MinhashK, P}
+    // the algebraic property q_sketch_merge rides: per-source signatures
+    // computed on ANY partition of the rows min-merge into the signature
+    // of the union — verified by splitting docs on doc_id parity.
+    // (hash params replicate TextQueries.mhA/mhB: a=2j+1, b=12345j+7)
+    val sh = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("source"), col("doc_id"),
+        explode(TextQueries.shingles3(split(col("text"), " "))).as("shingle"))
+      .withColumn("h", TextQueries.h32(col("shingle")))
+    def sig(df: org.apache.spark.sql.DataFrame) = {
+      val aggs = (0 until MinhashK).map(j =>
+        min((col("h") * (2L * j + 1) + (12345L * j + 7)) % P).as(s"sig$j"))
+      df.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    }
+    val full = sig(sh).collect()
+      .map(r => r.getString(0) -> (1 to MinhashK).map(r.getLong)).toMap
+    val even = sig(sh.filter(pmod(col("doc_id"), lit(2)) === 0)).collect()
+      .map(r => r.getString(0) -> (1 to MinhashK).map(r.getLong)).toMap
+    val odd = sig(sh.filter(pmod(col("doc_id"), lit(2)) === 1)).collect()
+      .map(r => r.getString(0) -> (1 to MinhashK).map(r.getLong)).toMap
+    assert(full.nonEmpty)
+    full.foreach { case (src, fs) =>
+      val merged = (0 until MinhashK).map { j =>
+        val e = even.get(src).map(_(j)).getOrElse(Long.MaxValue)
+        val o = odd.get(src).map(_(j)).getOrElse(Long.MaxValue)
+        math.min(e, o)
+      }
+      assert(merged === fs, s"min-merge broke for source $src")
+    }
+  }
+
+  test("q_sketch_merge: all source pairs present; estimate and exact replay") {
+    val rows = run("q_sketch_merge")
+    val srcs = rows.flatMap(r => Seq(r.getAs[String]("source_a"), r.getAs[String]("source_b"))).distinct
+    assert(rows.length === srcs.length * (srcs.length - 1) / 2,
+      s"expected all C(${srcs.length},2) pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val agree = r.getAs[Long]("n_agree")
+      assert(agree >= 0 && agree <= 16)
+      assert(math.abs(r.getAs[Double]("est_jaccard") - agree / 16.0) < 1e-6)
+      val (c, u) = (r.getAs[Long]("n_common"), r.getAs[Long]("n_union"))
+      assert(c >= 0 && u >= c && u > 0)
+      assert(math.abs(r.getAs[Double]("jaccard") - c.toDouble / u) < 1e-6)
+    }
+  }
 }
