@@ -12,6 +12,54 @@ object MLQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // NS: top principal component of the embedding table by POWER ITERATION
+    // expressed as pure dataflow — the anisotropy/collapse monitor an
+    // embedding pipeline publishes (a dominant component swallowing most
+    // variance = collapsed representations; its loadings say which dims).
+    // Two unrolled iterations on the CENTERED second-moment matrix, working
+    // entirely in long form (vec_id, pos, value): each iteration is one
+    // pos-join + vec_id-aggregate (the dot products) and one vec_id-join +
+    // pos-aggregate (the matrix-vector product) — at any scale the only
+    // row-scale shuffles are on those two keys, and the d-sized vector
+    // frames ride along broadcast-free (d is bounded). Cross-engine float
+    // discipline = the Lloyd grid snap: every stage output (mean, dots,
+    // normalized vector) is rounded to the 1e-7 grid BEFORE the next stage
+    // consumes it, so both engines feed bit-identical inputs forward and
+    // sum-order wobble (~1e-12 over row-scale sums) can never compound
+    // across iterations. lambda = |C·v| of the last iterate (variance
+    // units, pre-normalization norm).
+    "q_pca_power" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val xl = emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      val nv = emb.agg(count(lit(1)).cast("double").as("nv"),
+        count(lit(1)).as("n_vecs"))
+      val mu = xl.groupBy("pos").agg(round(avg("x"), 7).as("mu"))
+      val xc = xl.join(mu, "pos")
+        .select(col("vec_id"), col("pos"), (col("x") - col("mu")).as("xc"))
+      // one power step: v -> C v / |C v|, inputs and outputs grid-snapped
+      def step(v: DataFrame): DataFrame = {
+        val dot = xc.join(v, "pos")
+          .groupBy("vec_id").agg(round(sum(col("xc") * col("v")), 7).as("dot"))
+        val w = xc.join(dot, "vec_id")
+          .crossJoin(broadcast(nv.select("nv")))
+          .groupBy("pos").agg(sum(col("xc") * col("dot") / col("nv")).as("w"))
+        val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        w.crossJoin(broadcast(nrm))
+          .select(col("pos"), round(col("w") / col("nrm"), 7).as("v"), col("nrm"))
+      }
+      // v0 = 1/sqrt(d) in every coordinate (d=64 -> 0.125), the standard
+      // deterministic start (fails only if exactly orthogonal to e1)
+      val v0 = mu.select(col("pos"), lit(0.125).as("v"))
+      val v1 = step(v0).select("pos", "v")
+      val v2 = step(v1)
+      v2.join(mu, "pos")
+        .crossJoin(broadcast(nv.select("n_vecs")))
+        .select(col("pos"), col("mu"), round(col("v"), 6).as("loading"),
+          round(col("nrm"), 6).as("lambda"), col("n_vecs"))
+        .orderBy("pos")
+    },
+
     // The VecMeanAgg Aggregator (§2.10) against the same oracle as the
     // posexplode mean: per-label vector means, exploded back to scalars.
     // Proves the distributive (sum, count) buffer — the 100 TB path that
@@ -213,6 +261,29 @@ object MLQueries {
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+    // identical grid-snapped power steps in long form; every rounded stage
+    // matches the Spark side exactly, so drift cannot compound
+    "q_pca_power" ->
+      """WITH x AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS pos,
+        |                  CAST(embedding AS DOUBLE[])[u.i] AS x
+        |           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |nv AS (SELECT CAST(count(*) AS DOUBLE) AS nv, count(*) AS n_vecs FROM embeddings),
+        |mu AS (SELECT pos, round(avg(x), 7) + 0.0 AS mu FROM x GROUP BY 1),
+        |xc AS (SELECT vec_id, x.pos, x.x - mu.mu AS xc FROM x JOIN mu ON x.pos = mu.pos),
+        |d1 AS (SELECT vec_id, round(sum(xc * 0.125), 7) AS dot FROM xc GROUP BY 1),
+        |w1 AS (SELECT pos, sum(xc * dot / nv) AS w
+        |       FROM xc JOIN d1 USING (vec_id) CROSS JOIN nv GROUP BY pos),
+        |n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+        |v1 AS (SELECT pos, round(w / nrm, 7) AS v FROM w1 CROSS JOIN n1),
+        |d2 AS (SELECT vec_id, round(sum(xc * v), 7) AS dot
+        |       FROM xc JOIN v1 ON xc.pos = v1.pos GROUP BY vec_id),
+        |w2 AS (SELECT xc.pos, sum(xc * dot / nv) AS w
+        |       FROM xc JOIN d2 USING (vec_id) CROSS JOIN nv GROUP BY xc.pos),
+        |n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2)
+        |SELECT w2.pos, mu.mu, round(round(w / nrm, 7), 6) + 0.0 AS loading,
+        |       round(nrm, 6) + 0.0 AS lambda, n_vecs
+        |FROM w2 JOIN mu ON w2.pos = mu.pos CROSS JOIN n2 CROSS JOIN nv
+        |ORDER BY w2.pos""".stripMargin,
     "q_udtf_tokens" ->
       """SELECT doc_id, u.word, count(*) AS n
         |FROM documents, UNNEST(string_split(text, ' ')) AS u(word)

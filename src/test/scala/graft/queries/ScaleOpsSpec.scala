@@ -410,6 +410,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pca_power: unit loadings, positive variance, lambda under the trace") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_pca_power").sortBy(_.getAs[Int]("pos"))
+    assert(rows.length === 64)
+    val l2 = rows.map(r => math.pow(r.getAs[Double]("loading"), 2)).sum
+    // normalized on the 1e-7 grid: unit up to 64x the rounding quantum
+    assert(math.abs(l2 - 1.0) < 1e-4, s"loadings not unit norm: $l2")
+    val lambda = rows.head.getAs[Double]("lambda")
+    assert(lambda > 0.0)
+    // top eigenvalue of the centered covariance can never exceed its trace
+    val xl = graft.core.Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val trace = xl.groupBy("pos").agg(var_pop(col("x")).as("v"))
+      .agg(sum("v")).head().getDouble(0)
+    assert(lambda <= trace * (1 + 1e-6), s"lambda=$lambda above trace=$trace")
+    // per-dim means in the output replay the direct aggregate
+    val direct = xl.groupBy("pos").agg(round(avg("x"), 7).as("m"))
+      .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Double]("m")).toMap
+    rows.foreach(r => assert(r.getAs[Double]("mu") === direct(r.getAs[Int]("pos"))))
+  }
+
   test("q_sketch_merge: all source pairs present; estimate and exact replay") {
     val rows = run("q_sketch_merge")
     val srcs = rows.flatMap(r => Seq(r.getAs[String]("source_a"), r.getAs[String]("source_b"))).distinct
