@@ -60,6 +60,37 @@ object MLQueries {
         .orderBy("pos")
     },
 
+    // NS: per-dimension mutual information with the label — the supervised
+    // feature-relevance census (which embedding dims carry label signal;
+    // the ranking that drives feature selection / probe design). Each dim
+    // is sign-quantized against its grid-snapped mean, then MI(bit; label)
+    // is computed per dim from EXACT integer cell counts: the row-scale
+    // work is one (pos, bit, label) aggregate whose output is bounded by
+    // d x 2 x |labels| cells — after that everything (marginals, the <=
+    // 2|L|-term log sum) runs on the tiny cell table, so the float
+    // arithmetic never sees a row-scale sum (deterministic modulo ln ulp,
+    // absorbed by the 9 dp round).
+    "q_mutual_info" -> { (s, dir) =>
+      val xl = Tables.embeddings(s, dir).select(
+        col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      val mu = xl.groupBy("pos").agg(round(avg("x"), 7).as("mu"))
+      val bits = xl.join(mu, "pos")
+        .select(col("label"), col("pos"), (col("x") > col("mu")).cast("long").as("b"))
+      val cells = bits.groupBy("pos", "b", "label").agg(count(lit(1)).as("n_bl"))
+      val margB = cells.groupBy("pos", "b").agg(sum("n_bl").as("n_b"))
+      val margL = cells.groupBy("pos", "label").agg(sum("n_bl").as("n_l"))
+      val tot = Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))
+      val term = col("n_bl").cast("double") / col("n").cast("double") *
+        log(col("n_bl").cast("double") * col("n").cast("double") /
+          (col("n_b").cast("double") * col("n_l").cast("double")))
+      cells.join(margB, Seq("pos", "b")).join(margL, Seq("pos", "label"))
+        .crossJoin(broadcast(tot))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n_cells"), round(sum(term), 9).as("mi_nats"))
+        .orderBy("pos")
+    },
+
     // The VecMeanAgg Aggregator (§2.10) against the same oracle as the
     // posexplode mean: per-label vector means, exploded back to scalars.
     // Proves the distributive (sum, count) buffer — the 100 TB path that
@@ -261,6 +292,23 @@ object MLQueries {
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+    // exact integer cells; the log sum runs over <= 2|L| tiny terms
+    "q_mutual_info" ->
+      """WITH x AS (SELECT CAST(label AS BIGINT) AS label, CAST(u.i - 1 AS INT) AS pos,
+        |                  CAST(embedding AS DOUBLE[])[u.i] AS x
+        |           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |mu AS (SELECT pos, round(avg(x), 7) + 0.0 AS mu FROM x GROUP BY 1),
+        |b AS (SELECT label, x.pos, CAST(x.x > mu.mu AS BIGINT) AS b
+        |      FROM x JOIN mu ON x.pos = mu.pos),
+        |cells AS (SELECT pos, b, label, count(*) AS n_bl FROM b GROUP BY 1, 2, 3),
+        |mb AS (SELECT pos, b, CAST(sum(n_bl) AS BIGINT) AS n_b FROM cells GROUP BY 1, 2),
+        |ml AS (SELECT pos, label, CAST(sum(n_bl) AS BIGINT) AS n_l FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+        |SELECT pos, count(*) AS n_cells,
+        |       round(sum(CAST(n_bl AS DOUBLE) / n *
+        |                 ln(CAST(n_bl AS DOUBLE) * n / (CAST(n_b AS DOUBLE) * n_l))), 9) AS mi_nats
+        |FROM cells JOIN mb USING (pos, b) JOIN ml USING (pos, label) CROSS JOIN tot
+        |GROUP BY pos ORDER BY pos""".stripMargin,
     // identical grid-snapped power steps in long form; every rounded stage
     // matches the Spark side exactly, so drift cannot compound
     "q_pca_power" ->

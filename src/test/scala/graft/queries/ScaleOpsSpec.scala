@@ -431,6 +431,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("mu") === direct(r.getAs[Int]("pos"))))
   }
 
+  test("q_mutual_info: nonnegative, bounded by ln 2, cells reconcile") {
+    val rows = run("q_mutual_info")
+    assert(rows.length === 64)
+    val n = graft.core.Tables.embeddings(spark, TestSpark.Sf0001).count()
+    rows.foreach { r =>
+      val mi = r.getAs[Double]("mi_nats")
+      // MI >= 0 up to the 9 dp rounding; <= H(bit) <= ln 2
+      assert(mi >= -1e-9 && mi <= math.log(2.0) + 1e-9, s"mi out of range: $r")
+      // 2 bits x 10 labels, no empty label class in the fixture
+      assert(r.getAs[Long]("n_cells") >= 10 && r.getAs[Long]("n_cells") <= 20)
+    }
+    // a mean-split bit cannot be constant, so SOME dependence must register
+    assert(rows.map(_.getAs[Double]("mi_nats")).max > 0.0)
+  }
+
   test("q_sketch_merge: all source pairs present; estimate and exact replay") {
     val rows = run("q_sketch_merge")
     val srcs = rows.flatMap(r => Seq(r.getAs[String]("source_a"), r.getAs[String]("source_b"))).distinct
