@@ -397,9 +397,13 @@ object CorpusQueries {
     // the pair join is hint-free (AQE broadcasts at fixture scale).
     "q_sketch_merge" -> { (s, dir) =>
       import TextQueries.{MinhashK, P, mhA, mhB}
-      val sh = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(TextQueries.shingles3(split(col("text"), " "))).as("shingle"))
+      // ride the memoized per-doc distinct shingle-set artifact instead of
+      // re-shingling the corpus (min is duplicate-blind, so per-doc distinct
+      // inputs produce the identical signature); source arrives via a
+      // doc-count-sized key join
+      val sh = TextQueries.shingleSetsFor(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+        .select(col("source"), explode(col("sh")).as("shingle"))
       val sigAggs = (0 until MinhashK).map(j =>
         min((col("h") * mhA(j) + mhB(j)) % P).as(s"sig$j"))
       val srcSig = sh.withColumn("h", TextQueries.h32(col("shingle")))
