@@ -10,6 +10,43 @@ import graft.kmeans.{KmeansQueries, Lloyd, VecMeanAgg}
   */
 object MLQueries {
 
+  // (context incarnation, sfDir) -> 64-row (pos, mu, v, nrm) top-component
+  // frame. At 100 TB the fitted component is a persisted model artifact
+  // that every whitening/monitoring consumer reads — the memo is that
+  // store's in-session stand-in (the dedup-artifact story, ArtifactMemo).
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[graft.text.ArtifactMemo.Key, DataFrame]()
+
+  /** Memoized grid-snapped top principal component of the embedding table:
+    * two unrolled power steps on the centered covariance, every stage
+    * rounded to the 1e-7 grid (see q_pca_power's comment). Returns
+    * (pos, mu, v, nrm) — the snapped mean, unit component, and |C·v| of
+    * the last iterate. Shared by q_pca_power and q_embed_whiten.
+    */
+  def pcaTopFor(s: SparkSession, dir: String): DataFrame =
+    graft.text.ArtifactMemo.memo(pcaCache, "pca_top", s, dir) {
+      val emb = Tables.embeddings(s, dir)
+      val xl = emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      val nv = emb.agg(count(lit(1)).cast("double").as("nv"))
+      val mu = xl.groupBy("pos").agg(round(avg("x"), 7).as("mu"))
+      val xc = xl.join(mu, "pos")
+        .select(col("vec_id"), col("pos"), (col("x") - col("mu")).as("xc"))
+      def step(v: DataFrame): DataFrame = {
+        val dot = xc.join(v, "pos")
+          .groupBy("vec_id").agg(round(sum(col("xc") * col("v")), 7).as("dot"))
+        val w = xc.join(dot, "vec_id")
+          .crossJoin(broadcast(nv))
+          .groupBy("pos").agg(sum(col("xc") * col("dot") / col("nv")).as("w"))
+        val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        w.crossJoin(broadcast(nrm))
+          .select(col("pos"), round(col("w") / col("nrm"), 7).as("v"), col("nrm"))
+      }
+      val v0 = mu.select(col("pos"), lit(0.125).as("v"))
+      val v2 = step(step(v0).select("pos", "v"))
+      v2.join(mu, "pos").select("pos", "mu", "v", "nrm").localCheckpoint()
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // NS: top principal component of the embedding table by POWER ITERATION
@@ -29,35 +66,43 @@ object MLQueries {
     // across iterations. lambda = |C·v| of the last iterate (variance
     // units, pre-normalization norm).
     "q_pca_power" -> { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      val xl = emb.select(col("vec_id"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-      val nv = emb.agg(count(lit(1)).cast("double").as("nv"),
-        count(lit(1)).as("n_vecs"))
-      val mu = xl.groupBy("pos").agg(round(avg("x"), 7).as("mu"))
-      val xc = xl.join(mu, "pos")
-        .select(col("vec_id"), col("pos"), (col("x") - col("mu")).as("xc"))
-      // one power step: v -> C v / |C v|, inputs and outputs grid-snapped
-      def step(v: DataFrame): DataFrame = {
-        val dot = xc.join(v, "pos")
-          .groupBy("vec_id").agg(round(sum(col("xc") * col("v")), 7).as("dot"))
-        val w = xc.join(dot, "vec_id")
-          .crossJoin(broadcast(nv.select("nv")))
-          .groupBy("pos").agg(sum(col("xc") * col("dot") / col("nv")).as("w"))
-        val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-        w.crossJoin(broadcast(nrm))
-          .select(col("pos"), round(col("w") / col("nrm"), 7).as("v"), col("nrm"))
-      }
-      // v0 = 1/sqrt(d) in every coordinate (d=64 -> 0.125), the standard
-      // deterministic start (fails only if exactly orthogonal to e1)
-      val v0 = mu.select(col("pos"), lit(0.125).as("v"))
-      val v1 = step(v0).select("pos", "v")
-      val v2 = step(v1)
-      v2.join(mu, "pos")
-        .crossJoin(broadcast(nv.select("n_vecs")))
+      val nvecs = Tables.embeddings(s, dir).agg(count(lit(1)).as("n_vecs"))
+      pcaTopFor(s, dir).crossJoin(broadcast(nvecs))
         .select(col("pos"), col("mu"), round(col("v"), 6).as("loading"),
           round(col("nrm"), 6).as("lambda"), col("n_vecs"))
         .orderBy("pos")
+    },
+
+    // NS: all-but-the-top whitening census (the ABTT postprocess): remove
+    // the mean and the top component's projection from every embedding and
+    // report the variance ledger — total, along-top, residual — plus the
+    // top component's variance share. Rides the memoized pca_top artifact
+    // (at 100 TB the fitted component is a persisted model artifact; the
+    // whitening pass is one scan + a d-row join). ss_top and ss_resid are
+    // computed INDEPENDENTLY (not derived), so the Pythagoras identity
+    // ss_total ≈ ss_top + ss_resid is a live cross-check, spec-pinned.
+    "q_embed_whiten" -> { (s, dir) =>
+      val top = pcaTopFor(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val nv = emb.agg(count(lit(1)).cast("double").as("nv"),
+        count(lit(1)).as("n_vecs"))
+      val xc = emb.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .join(top.select("pos", "mu", "v"), "pos")
+        .select(col("vec_id"), (col("x") - col("mu")).as("xc"), col("v"))
+      val proj = xc.groupBy("vec_id")
+        .agg(round(sum(col("xc") * col("v")), 7).as("proj"))
+      val ssTotal = xc.agg(sum(col("xc") * col("xc")).as("ss_total"))
+      val ssTop = proj.agg(sum(col("proj") * col("proj")).as("ss_top"))
+      val r = col("xc") - col("proj") * col("v")
+      val ssResid = xc.join(proj, "vec_id").agg(sum(r * r).as("ss_resid"))
+      nv.crossJoin(broadcast(ssTotal)).crossJoin(broadcast(ssTop))
+        .crossJoin(broadcast(ssResid))
+        .select(col("n_vecs"),
+          round(col("ss_total") / col("nv"), 6).as("var_total"),
+          round(col("ss_top") / col("nv"), 6).as("var_top"),
+          round(col("ss_resid") / col("nv"), 6).as("var_resid"),
+          round(col("ss_top") / col("ss_total") * 1e6).cast("long").as("top_share_ppm"))
     },
 
     // NS: per-dimension mutual information with the label — the supervised
@@ -247,6 +292,28 @@ object MLQueries {
        |),
        |fin AS (SELECT cid, c FROM it WHERE iter = (SELECT max(iter) FROM it))""".stripMargin
 
+  /** Shared DuckDB prelude replaying [[pcaTopFor]]'s grid-snapped power
+    * steps; ends with v2(pos, v) + n2(nrm) + mu/xc/nv in scope.
+    */
+  private val pcaPreludeSql: String =
+    """WITH x AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS pos,
+      |                  CAST(embedding AS DOUBLE[])[u.i] AS x
+      |           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+      |nv AS (SELECT CAST(count(*) AS DOUBLE) AS nv, count(*) AS n_vecs FROM embeddings),
+      |mu AS (SELECT pos, round(avg(x), 7) + 0.0 AS mu FROM x GROUP BY 1),
+      |xc AS (SELECT vec_id, x.pos, x.x - mu.mu AS xc FROM x JOIN mu ON x.pos = mu.pos),
+      |d1 AS (SELECT vec_id, round(sum(xc * 0.125), 7) AS dot FROM xc GROUP BY 1),
+      |w1 AS (SELECT pos, sum(xc * dot / nv) AS w
+      |       FROM xc JOIN d1 USING (vec_id) CROSS JOIN nv GROUP BY pos),
+      |n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+      |v1 AS (SELECT pos, round(w / nrm, 7) AS v FROM w1 CROSS JOIN n1),
+      |d2 AS (SELECT vec_id, round(sum(xc * v), 7) AS dot
+      |       FROM xc JOIN v1 ON xc.pos = v1.pos GROUP BY vec_id),
+      |w2 AS (SELECT xc.pos, sum(xc * dot / nv) AS w
+      |       FROM xc JOIN d2 USING (vec_id) CROSS JOIN nv GROUP BY xc.pos),
+      |n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
+      |v2 AS (SELECT pos, round(w / nrm, 7) AS v FROM w2 CROSS JOIN n2)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // Final-centroid emit over the shared recursive replay (comment on
     // [[lloydRecursiveCte]]).
@@ -312,26 +379,26 @@ object MLQueries {
     // identical grid-snapped power steps in long form; every rounded stage
     // matches the Spark side exactly, so drift cannot compound
     "q_pca_power" ->
-      """WITH x AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS pos,
-        |                  CAST(embedding AS DOUBLE[])[u.i] AS x
-        |           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
-        |nv AS (SELECT CAST(count(*) AS DOUBLE) AS nv, count(*) AS n_vecs FROM embeddings),
-        |mu AS (SELECT pos, round(avg(x), 7) + 0.0 AS mu FROM x GROUP BY 1),
-        |xc AS (SELECT vec_id, x.pos, x.x - mu.mu AS xc FROM x JOIN mu ON x.pos = mu.pos),
-        |d1 AS (SELECT vec_id, round(sum(xc * 0.125), 7) AS dot FROM xc GROUP BY 1),
-        |w1 AS (SELECT pos, sum(xc * dot / nv) AS w
-        |       FROM xc JOIN d1 USING (vec_id) CROSS JOIN nv GROUP BY pos),
-        |n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
-        |v1 AS (SELECT pos, round(w / nrm, 7) AS v FROM w1 CROSS JOIN n1),
-        |d2 AS (SELECT vec_id, round(sum(xc * v), 7) AS dot
-        |       FROM xc JOIN v1 ON xc.pos = v1.pos GROUP BY vec_id),
-        |w2 AS (SELECT xc.pos, sum(xc * dot / nv) AS w
-        |       FROM xc JOIN d2 USING (vec_id) CROSS JOIN nv GROUP BY xc.pos),
-        |n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2)
-        |SELECT w2.pos, mu.mu, round(round(w / nrm, 7), 6) + 0.0 AS loading,
+      s"""$pcaPreludeSql
+        |SELECT v2.pos, mu.mu, round(v, 6) + 0.0 AS loading,
         |       round(nrm, 6) + 0.0 AS lambda, n_vecs
-        |FROM w2 JOIN mu ON w2.pos = mu.pos CROSS JOIN n2 CROSS JOIN nv
-        |ORDER BY w2.pos""".stripMargin,
+        |FROM v2 JOIN mu ON v2.pos = mu.pos CROSS JOIN n2 CROSS JOIN nv
+        |ORDER BY v2.pos""".stripMargin,
+    // same prelude; the whitening pass is one more snapped projection
+    "q_embed_whiten" ->
+      s"""$pcaPreludeSql,
+        |xcv AS (SELECT xc.vec_id, xc.xc, v2.v FROM xc JOIN v2 ON xc.pos = v2.pos),
+        |proj AS (SELECT vec_id, round(sum(xc * v), 7) AS proj FROM xcv GROUP BY 1),
+        |st AS (SELECT sum(xc * xc) AS ss_total FROM xcv),
+        |sp AS (SELECT sum(proj * proj) AS ss_top FROM proj),
+        |sr AS (SELECT sum((xc - proj * v) * (xc - proj * v)) AS ss_resid
+        |       FROM xcv JOIN proj USING (vec_id))
+        |SELECT n_vecs,
+        |       round(ss_total / nv, 6) + 0.0 AS var_total,
+        |       round(ss_top / nv, 6) + 0.0 AS var_top,
+        |       round(ss_resid / nv, 6) + 0.0 AS var_resid,
+        |       CAST(round(ss_top / ss_total * 1e6) AS BIGINT) AS top_share_ppm
+        |FROM nv CROSS JOIN st CROSS JOIN sp CROSS JOIN sr""".stripMargin,
     "q_udtf_tokens" ->
       """SELECT doc_id, u.word, count(*) AS n
         |FROM documents, UNNEST(string_split(text, ' ')) AS u(word)

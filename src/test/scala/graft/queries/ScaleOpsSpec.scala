@@ -431,6 +431,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("mu") === direct(r.getAs[Int]("pos"))))
   }
 
+  test("q_embed_whiten: Pythagoras ledger and share replay") {
+    val r = run("q_embed_whiten").head
+    val (vt, vp, vr) = (r.getAs[Double]("var_total"), r.getAs[Double]("var_top"),
+      r.getAs[Double]("var_resid"))
+    assert(vt > 0 && vp > 0 && vr > 0)
+    // ss_top and ss_resid are computed independently; for a unit component
+    // they must tile the total variance (up to snap rounding)
+    assert(math.abs(vt - (vp + vr)) < 1e-3, s"Pythagoras broke: $vt vs ${vp + vr}")
+    assert(math.abs(r.getAs[Long]("top_share_ppm") - vp / vt * 1e6) < 500,
+      s"share out of band: ${r.getAs[Long]("top_share_ppm")} vs ${vp / vt * 1e6}")
+    // power-iteration monotonicity: var_top = R(v2) (the Rayleigh quotient
+    // of the returned iterate) must dominate lambda = |C v1| (the previous
+    // step's amplification) — m3/m2 >= sqrt(m2) via Cauchy-Schwarz on the
+    // moment sequence; equality only at convergence. Both sandwich the
+    // true top eigenvalue from below.
+    val lambda = run("q_pca_power").head.getAs[Double]("lambda")
+    assert(vp >= lambda * (1 - 1e-3),
+      s"Rayleigh of the iterate ($vp) fell below |C v1| ($lambda)")
+    assert(vp <= vt, "top-component variance cannot exceed the total")
+  }
+
   test("q_mutual_info: nonnegative, bounded by ln 2, cells reconcile") {
     val rows = run("q_mutual_info")
     assert(rows.length === 64)
