@@ -67,8 +67,12 @@ object MLQueries {
     // units, pre-normalization norm).
     "q_pca_power" -> { (s, dir) =>
       val nvecs = Tables.embeddings(s, dir).agg(count(lit(1)).as("n_vecs"))
+      // v is already on the 1e-7 grid: re-rounding to 6 dp would create
+      // exact-half ties where the two engines' round modes diverge, so the
+      // snapped loading is emitted verbatim (lambda is a RAW double -> one
+      // 6 dp round is boundary-safe)
       pcaTopFor(s, dir).crossJoin(broadcast(nvecs))
-        .select(col("pos"), col("mu"), round(col("v"), 6).as("loading"),
+        .select(col("pos"), col("mu"), col("v").as("loading"),
           round(col("nrm"), 6).as("lambda"), col("n_vecs"))
         .orderBy("pos")
     },
@@ -103,6 +107,53 @@ object MLQueries {
           round(col("ss_top") / col("nv"), 6).as("var_top"),
           round(col("ss_resid") / col("nv"), 6).as("var_resid"),
           round(col("ss_top") / col("ss_total") * 1e6).cast("long").as("top_share_ppm"))
+    },
+
+    // NS: farthest-point sampling (k-center greedy) — the diversity
+    // coreset selector modern data-pruning pipelines run over embeddings
+    // (pick the point farthest from everything chosen so far; after k
+    // picks the max remaining distance IS the k-center coverage radius,
+    // reported alongside). Five picks unrolled as pure dataflow: per pick
+    // one pos-join + vec-aggregate (distances to the new center, snapped
+    // to the 1e-7 grid so the cross-engine argmax can only tie on
+    // EQUAL-after-snap distances, which the (d2 desc, vec_id asc) order
+    // then breaks identically — exact duplicates land here by design) and
+    // one least() combine into the running min-distance frame. The chosen
+    // set is k rows; the only row-scale state is the (vec_id, d2) frame —
+    // the same shape a 1000-executor k-center run keeps partitioned.
+    "q_coreset_fps" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val xl = emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      def coordsOf(pid: DataFrame): DataFrame =
+        xl.join(broadcast(pid), xl("vec_id") === pid("pid"))
+          .select(col("pos"), col("x").as("c"))
+      def d2To(cv: DataFrame): DataFrame =
+        xl.join(cv, "pos").groupBy("vec_id")
+          .agg(round(sum((col("x") - col("c")) * (col("x") - col("c"))), 7).as("d2"))
+      val seed = emb.agg(min("vec_id").as("pid"))
+      var mind = d2To(coordsOf(seed))
+      var picks = seed.select(lit(0L).as("rank"), col("pid").as("vec_id"),
+        lit(null).cast("double").as("picked_d2"))
+      for (r <- 1 to 4) {
+        val pick = mind
+          .agg(max(struct(col("d2"), (-col("vec_id")).as("nid"))).as("m"))
+          .select((-col("m.nid")).as("pid"), col("m.d2").as("picked_d2"))
+        picks = picks.union(pick.select(lit(r.toLong).as("rank"),
+          col("pid").as("vec_id"), col("picked_d2")))
+        val dNew = d2To(coordsOf(pick.select("pid")))
+          .withColumnRenamed("d2", "d2_new")
+        mind = mind.join(dNew, "vec_id")
+          .select(col("vec_id"), least(col("d2"), col("d2_new")).as("d2"))
+      }
+      // NOTE: picked_d2/coverage are ALREADY on the 1e-7 grid — a second
+      // round to 6 dp would hit exact-half ties where Spark (HALF_UP on
+      // decimal digits) and DuckDB (float-representation based) disagree,
+      // so snapped values are emitted verbatim
+      val cov = mind.agg(max("d2").as("coverage_d2"))
+      picks.crossJoin(broadcast(cov))
+        .select(col("rank"), col("vec_id"), col("picked_d2"), col("coverage_d2"))
+        .orderBy("rank")
     },
 
     // NS: per-dimension mutual information with the label — the supervised
@@ -359,6 +410,45 @@ object MLQueries {
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+    // unrolled greedy replay: per pick, ORDER BY (d2 DESC, vec_id) LIMIT 1
+    // is the same argmax + tie-break as the Spark struct max
+    "q_coreset_fps" ->
+      """WITH x AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS pos,
+        |                  CAST(embedding AS DOUBLE[])[u.i] AS x
+        |           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |s0 AS (SELECT min(vec_id) AS pid FROM embeddings),
+        |c0 AS (SELECT pos, x.x AS c FROM x JOIN s0 ON x.vec_id = s0.pid),
+        |m0 AS (SELECT vec_id, round(sum((x - c) * (x - c)), 7) AS d2
+        |       FROM x JOIN c0 USING (pos) GROUP BY 1),
+        |p1 AS (SELECT vec_id AS pid, d2 FROM m0 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+        |c1 AS (SELECT pos, x.x AS c FROM x JOIN p1 ON x.vec_id = p1.pid),
+        |d1 AS (SELECT vec_id, round(sum((x - c) * (x - c)), 7) AS d2
+        |       FROM x JOIN c1 USING (pos) GROUP BY 1),
+        |m1 AS (SELECT m0.vec_id, least(m0.d2, d1.d2) AS d2 FROM m0 JOIN d1 USING (vec_id)),
+        |p2 AS (SELECT vec_id AS pid, d2 FROM m1 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+        |c2 AS (SELECT pos, x.x AS c FROM x JOIN p2 ON x.vec_id = p2.pid),
+        |d2t AS (SELECT vec_id, round(sum((x - c) * (x - c)), 7) AS d2
+        |        FROM x JOIN c2 USING (pos) GROUP BY 1),
+        |m2 AS (SELECT m1.vec_id, least(m1.d2, d2t.d2) AS d2 FROM m1 JOIN d2t USING (vec_id)),
+        |p3 AS (SELECT vec_id AS pid, d2 FROM m2 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+        |c3 AS (SELECT pos, x.x AS c FROM x JOIN p3 ON x.vec_id = p3.pid),
+        |d3 AS (SELECT vec_id, round(sum((x - c) * (x - c)), 7) AS d2
+        |       FROM x JOIN c3 USING (pos) GROUP BY 1),
+        |m3 AS (SELECT m2.vec_id, least(m2.d2, d3.d2) AS d2 FROM m2 JOIN d3 USING (vec_id)),
+        |p4 AS (SELECT vec_id AS pid, d2 FROM m3 ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+        |c4 AS (SELECT pos, x.x AS c FROM x JOIN p4 ON x.vec_id = p4.pid),
+        |d4 AS (SELECT vec_id, round(sum((x - c) * (x - c)), 7) AS d2
+        |       FROM x JOIN c4 USING (pos) GROUP BY 1),
+        |m4 AS (SELECT m3.vec_id, least(m3.d2, d4.d2) AS d2 FROM m3 JOIN d4 USING (vec_id)),
+        |cov AS (SELECT max(d2) AS coverage_d2 FROM m4),
+        |picks AS (
+        |  SELECT CAST(0 AS BIGINT) AS rank, pid AS vec_id, CAST(NULL AS DOUBLE) AS picked_d2 FROM s0
+        |  UNION ALL SELECT 1, pid, d2 FROM p1
+        |  UNION ALL SELECT 2, pid, d2 FROM p2
+        |  UNION ALL SELECT 3, pid, d2 FROM p3
+        |  UNION ALL SELECT 4, pid, d2 FROM p4)
+        |SELECT rank, vec_id, picked_d2 + 0.0 AS picked_d2, coverage_d2
+        |FROM picks CROSS JOIN cov ORDER BY rank""".stripMargin,
     // exact integer cells; the log sum runs over <= 2|L| tiny terms
     "q_mutual_info" ->
       """WITH x AS (SELECT CAST(label AS BIGINT) AS label, CAST(u.i - 1 AS INT) AS pos,
@@ -380,7 +470,7 @@ object MLQueries {
     // matches the Spark side exactly, so drift cannot compound
     "q_pca_power" ->
       s"""$pcaPreludeSql
-        |SELECT v2.pos, mu.mu, round(v, 6) + 0.0 AS loading,
+        |SELECT v2.pos, mu.mu, v + 0.0 AS loading,
         |       round(nrm, 6) + 0.0 AS lambda, n_vecs
         |FROM v2 JOIN mu ON v2.pos = mu.pos CROSS JOIN n2 CROSS JOIN nv
         |ORDER BY v2.pos""".stripMargin,

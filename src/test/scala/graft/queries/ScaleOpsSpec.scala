@@ -431,6 +431,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("mu") === direct(r.getAs[Int]("pos"))))
   }
 
+  test("q_coreset_fps: greedy monotonicity and coverage containment") {
+    val rows = run("q_coreset_fps").sortBy(_.getAs[Long]("rank"))
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === 5, "re-picked a center")
+    assert(rows.head.getAs[AnyRef]("picked_d2") == null, "seed has no pick distance")
+    val ds = rows.tail.map(_.getAs[Double]("picked_d2"))
+    assert(ds.forall(_ > 0))
+    // farthest-point greedy: each successive max-min distance can only shrink
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b },
+      s"pick distances not non-increasing: ${ds.toSeq}")
+    // after the 5th center joins, no point can sit farther than the 5th pick did
+    val cov = rows.head.getAs[Double]("coverage_d2")
+    assert(cov > 0 && cov <= ds.last + 1e-9,
+      s"coverage $cov exceeds the last pick distance ${ds.last}")
+  }
+
   test("q_embed_whiten: Pythagoras ledger and share replay") {
     val r = run("q_embed_whiten").head
     val (vt, vp, vr) = (r.getAs[Double]("var_total"), r.getAs[Double]("var_top"),
