@@ -874,6 +874,106 @@ object RelationalQueries {
           expr(s"n_rows * $n * 100 DIV total_rows").as("load_x100"))
         .orderBy("reducer")
     },
+    // NS: TPC-H Q13 shape (customer order-count distribution) spelled
+    // reduce-before-join: orders aggregate to one (custkey, c_count) row
+    // per customer FIRST (one high-card shuffle with map-side combine),
+    // and only that reduced frame left-joins customer — the join carries
+    // one row per customer, never one per order, so the second aggregate
+    // (the distribution histogram) is distinct-count-sized. The naive
+    // join-then-count spelling shuffles the full order table against
+    // customer; this one never does. Ordering is total because c_count is
+    // unique per histogram row.
+    "q_sql_tpch_q13" -> { (s, dir) =>
+      val oc = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cc"))
+      Tables.customer(s, dir)
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("cc"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    // NS: recursive CTE through the SQL front door (Spark 4's native WITH
+    // RECURSIVE / UnionLoop): a 90-day calendar spine generated by bounded
+    // integer recursion, left-joined to the per-day order census so silent
+    // zero-activity days become explicit rows — the gap-filling primitive
+    // resampling and SLA monitors need, in pure ANSI SQL identical on both
+    // engines. Scale shape: the recursion only ever touches the
+    // spine (bounded by the day count, ~36k rows for a century — driver
+    // trivia), while the fact table aggregates ONCE into a day-keyed
+    // census that joins the spine; row-scale data never enters the loop.
+    "q_sql_recursive" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""WITH RECURSIVE spine(n) AS (
+              |  SELECT 0 AS n
+              |  UNION ALL
+              |  SELECT n + 1 FROM spine WHERE n < 89
+              |),
+              |daily AS (
+              |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+              |  FROM orders_v
+              |  WHERE o_orderdate >= timestamp '1996-01-01 00:00:00'
+              |    AND o_orderdate <  timestamp '1996-03-31 00:00:00'
+              |  GROUP BY 1)
+              |SELECT date_add(DATE '1996-01-01', n) AS day,
+              |       coalesce(n_orders, 0) AS n_orders
+              |FROM spine LEFT JOIN daily ON date_add(DATE '1996-01-01', n) = d
+              |ORDER BY day""".stripMargin)
+    },
+    // NS: zone-map prune forecast — the data-skipping dry run a 100 TB
+    // lake runs before committing to a layout: per storage block
+    // (l_orderkey DIV 512 — a file/row-group stand-in recomputable by any
+    // engine) collect the min/max envelope of the predicate column plus
+    // the true selected-row count, then collapse the block frame to a
+    // one-row census: blocks pruned vs scanned, rows the zone maps force
+    // reading vs rows actually wanted, and the waste ratio. All exact
+    // integers off ONE partial+final aggregate over the fact — the block
+    // frame is |keys|/512-sized, the census is what layout tools (Z-order
+    // vs natural, q_zorder_layout's sibling) compare numerically.
+    "q_zonemap_prune" -> { (s, dir) =>
+      val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
+      val sel = col("l_shipdate") >= lo && col("l_shipdate") < hi
+      val blocks = Tables.lineitem(s, dir)
+        .groupBy(expr("l_orderkey DIV 512").as("blk"))
+        .agg(count(lit(1)).as("n"),
+          min("l_shipdate").as("b_lo"), max("l_shipdate").as("b_hi"),
+          sum(sel.cast("long")).as("n_sel"))
+      val scanned = (col("b_hi") >= lo && col("b_lo") < hi).cast("long")
+      blocks
+        .agg(count(lit(1)).as("n_blocks"), sum("n").as("n_rows"),
+          sum(scanned).as("n_scanned_blocks"),
+          sum(scanned * col("n")).as("scanned_rows"),
+          sum("n_sel").as("selected_rows"))
+        .select(col("n_blocks"), col("n_rows"), col("n_scanned_blocks"),
+          col("scanned_rows"), col("selected_rows"),
+          expr("scanned_rows * 1000000 DIV n_rows").as("scan_ppm"),
+          expr("scanned_rows * 100 DIV greatest(selected_rows, 1)").as("waste_x100"))
+    },
+    // NS: RLE run census — the storage-encoding forecast for a sorted
+    // layout, computed WITHOUT any sort: in a layout ordered by
+    // (returnflag, linestatus, ship day), the run count of each sort-key
+    // PREFIX equals its distinct-combination count (sorted layouts make
+    // equal prefixes contiguous), so one reduce to the (flag, status, day)
+    // frame (bounded: |flags| x |status| x |days|, a few thousand rows)
+    // answers what a dictionary/RLE parquet writer will achieve —
+    // rows-per-run per column, exact integers. This is the aggregate-only
+    // spelling of "how compressible is this column order"; the naive
+    // spelling (global sort + lag-compare) is a full-table range exchange.
+    "q_rle_census" -> { (s, dir) =>
+      val g = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("k1"), col("l_linestatus").as("k2"),
+          to_date(col("l_shipdate")).as("k3"))
+        .agg(count(lit(1)).as("n"))
+      g.agg(sum("n").as("n_rows"),
+          countDistinct(col("k1")).as("runs_flag"),
+          countDistinct(col("k1"), col("k2")).as("runs_status"),
+          count(lit(1)).as("runs_day"))
+        .select(col("n_rows"), col("runs_flag"), col("runs_status"), col("runs_day"),
+          expr("n_rows DIV runs_flag").as("rpr_flag"),
+          expr("n_rows DIV runs_status").as("rpr_status"),
+          expr("n_rows DIV runs_day").as("rpr_day"))
+    },
     // NS: full cube over region x nation (rollup's sibling; all 4 grouping
     // sets), subtotals labeled via coalesce like q_rollup.
     "q_cube" -> { (s, dir) =>
@@ -1288,6 +1388,63 @@ object RelationalQueries {
         |) shipping
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_sql_tpch_q13" ->
+      """WITH oc AS (SELECT o_custkey, count(*) AS cc FROM orders
+        |            WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(cc, 0) AS c_count, count(*) AS custdist
+        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_sql_recursive" ->
+      """WITH RECURSIVE spine(n) AS (
+        |  SELECT 0 AS n
+        |  UNION ALL
+        |  SELECT n + 1 FROM spine WHERE n < 89
+        |),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1996-03-31 00:00:00'
+        |  GROUP BY 1)
+        |SELECT DATE '1996-01-01' + n AS day,
+        |       coalesce(n_orders, 0) AS n_orders
+        |FROM spine LEFT JOIN daily ON DATE '1996-01-01' + n = d
+        |ORDER BY day""".stripMargin,
+    "q_zonemap_prune" ->
+      """WITH blocks AS (
+        |  SELECT l_orderkey // 512 AS blk, count(*) AS n,
+        |         min(l_shipdate) AS b_lo, max(l_shipdate) AS b_hi,
+        |         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |                        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+        |  FROM lineitem GROUP BY 1),
+        |census AS (
+        |  SELECT count(*) AS n_blocks, CAST(sum(n) AS BIGINT) AS n_rows,
+        |         CAST(sum(CASE WHEN b_hi >= TIMESTAMP '1997-01-01 00:00:00'
+        |                        AND b_lo <  TIMESTAMP '1997-04-01 00:00:00'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned_blocks,
+        |         CAST(sum(CASE WHEN b_hi >= TIMESTAMP '1997-01-01 00:00:00'
+        |                        AND b_lo <  TIMESTAMP '1997-04-01 00:00:00'
+        |                       THEN n ELSE 0 END) AS BIGINT) AS scanned_rows,
+        |         CAST(sum(n_sel) AS BIGINT) AS selected_rows
+        |  FROM blocks)
+        |SELECT n_blocks, n_rows, n_scanned_blocks, scanned_rows, selected_rows,
+        |       CAST(scanned_rows * 1000000 // n_rows AS BIGINT) AS scan_ppm,
+        |       CAST(scanned_rows * 100 // greatest(selected_rows, 1) AS BIGINT) AS waste_x100
+        |FROM census""".stripMargin,
+    "q_rle_census" ->
+      """WITH g AS (SELECT l_returnflag AS k1, l_linestatus AS k2,
+        |                  CAST(l_shipdate AS DATE) AS k3, count(*) AS n
+        |           FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |       count(DISTINCT k1) AS runs_flag,
+        |       count(DISTINCT (k1, k2)) AS runs_status,
+        |       count(*) AS runs_day,
+        |       CAST(sum(n) // count(DISTINCT k1) AS BIGINT) AS rpr_flag,
+        |       CAST(sum(n) // count(DISTINCT (k1, k2)) AS BIGINT) AS rpr_status,
+        |       CAST(sum(n) // count(*) AS BIGINT) AS rpr_day
+        |FROM g""".stripMargin,
     "q_skew_census" ->
       """WITH freq AS (SELECT o_custkey, count(*) AS f FROM orders GROUP BY 1),
         |hist AS (SELECT f, count(*) AS nk FROM freq GROUP BY 1),

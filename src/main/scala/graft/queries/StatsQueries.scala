@@ -155,6 +155,113 @@ object StatsQueries {
         .filter(col("prevmax").isNull || col("qty") > col("prevmax"))
         .select("price", "qty")
         .orderBy("price")
+    },
+
+    // NS: Poisson bootstrap of the mean — the resampling scheme that works
+    // at 100 TB (Chamandy et al., "Estimating Uncertainty for Massive Data
+    // Streams"): classic bootstrap needs N draws WITH replacement per
+    // replicate (a global operation); the Poisson approximation gives each
+    // row an independent Poisson(1) weight per replicate, so the resample
+    // is one embarrassingly-parallel pass. Weights come from an md5-derived
+    // 32-bit uniform compared against FLOOR(CDF·2^32) integer thresholds —
+    // pure integer arithmetic, so the resample is bit-equal on any engine,
+    // any partitioning, any retry. The B-fold row expansion collapses
+    // map-side (partial agg) to B rows per partition; the only shuffle
+    // carries B=16 rows. Replicate means are exact-integer divisions;
+    // the spread across the 16-row frame is the only float fold (rounded
+    // well above the 16-term sum-order wobble).
+    "q_poisson_bootstrap" -> { (s, dir) =>
+      val B = 16
+      // floor(2^32 * P(Poisson(1) <= k)) for k = 0..6; weight caps at 7.
+      val thr = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+        4279248373L, 4292415291L, 4294609777L)
+      val rows = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+      val u = conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
+        lit(":"), col("o_orderkey").cast("string"))), 1, 8), 16, 10).cast("long")
+      // build CASE WHEN u<t0 THEN 0 WHEN u<t1 THEN 1 ... ELSE 7 — fold from
+      // the LARGEST threshold inward so the smallest lands outermost
+      val w = thr.zipWithIndex.reverse.foldLeft(lit(7): org.apache.spark.sql.Column) {
+        case (acc, (t, k)) => when(u < lit(t), lit(k)).otherwise(acc)
+      }
+      val reps = rows
+        .select(col("b"), (col("cents") * w.cast("long")).as("wc"), w.cast("long").as("w"))
+        .groupBy("b")
+        .agg(sum("wc").as("swc"), sum("w").as("sw"))
+        .select(col("b"), (col("swc").cast("double") / col("sw").cast("double")).as("mb"))
+      val point = Tables.orders(s, dir)
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sc"))
+      reps.crossJoin(broadcast(point))
+        .agg(max("n").as("n_rows"),
+          round(max(col("sc").cast("double") / col("n").cast("double")), 6).as("point_mean_cents"),
+          count(lit(1)).as("n_replicates"),
+          round(sqrt(
+            (sum(col("mb") * col("mb")) - sum("mb") * sum("mb") / count(lit(1)))
+              / (count(lit(1)) - 1)), 4).as("boot_se_cents"))
+    },
+
+    // NS: Tukey-fence outlier census per group — the robust outlier gate
+    // (quartiles ± 1.5·IQR) in EXACT arithmetic: prices become integer
+    // cents, so type-7 quartiles land on the exact k/4 binary grid, the
+    // 1.5·IQR fences on k/8 — bit-equal doubles on both engines, making
+    // the fence comparisons deterministic (no last-ulp boundary row can
+    // flip). Same domain-bound note as q_quantiles: exact percentile keeps
+    // a value→count map per group (the 2-decimal price grid bounds it);
+    // unbounded domains take the approx_percentile path. Fence counts ride
+    // a broadcast of the K-row fence frame back onto the fact — one scan,
+    // one K-group aggregate each side.
+    "q_tukey_fences" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val f = li.groupBy("l_returnflag")
+        .agg(expr("percentile(cents, 0.25)").as("q1"),
+          expr("percentile(cents, 0.75)").as("q3"))
+        .select(col("l_returnflag"), col("q1"), col("q3"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      li.join(broadcast(f), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          max("q1").as("q1_cents"), max("q3").as("q3_cents"),
+          sum((col("cents") < col("lo")).cast("long")).as("n_below"),
+          sum((col("cents") > col("hi")).cast("long")).as("n_above"))
+        .select(col("l_returnflag"), col("n"), col("q1_cents"), col("q3_cents"),
+          col("n_below"), col("n_above"),
+          expr("(n_below + n_above) * 1000000 DIV n").as("out_ppm"))
+        .orderBy("l_returnflag")
+    },
+
+    // NS: Gini concentration of token volume across sources — the
+    // corpus-balance statistic a mix planner alerts on (a 100 TB crawl
+    // where 3 sources hold 90% of tokens trains a biased model). The
+    // corpus reduces to one row per source (one shuffle, map-side
+    // combined); the rank window runs over that registry-sized frame
+    // (thousands of sources at most — the q_skew_census bound argument),
+    // never over documents. Gini via the rank identity
+    // G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) in EXACT integer arithmetic —
+    // ties in x are order-invariant under the (x, source) rank, so the
+    // statistic is reproducible to the bit; one final division.
+    "q_gini_concentration" -> { (s, dir) =>
+      val src = Tables.documents(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+        .groupBy("source").agg(sum("t").as("x"))
+      val ranked = src.withColumn("i",
+        row_number().over(Window.orderBy("x", "source")))
+      ranked.agg(count(lit(1)).as("n_sources"),
+          sum("x").as("total_tokens"),
+          max("x").as("max_tokens"),
+          sum(col("i") * col("x")).as("ix"))
+        .select(col("n_sources"), col("total_tokens"), col("max_tokens"),
+          expr("max_tokens * 1000000 DIV total_tokens").as("top_share_ppm"),
+          round((lit(2.0) * col("ix").cast("double")
+            - (col("n_sources") + 1).cast("double") * col("total_tokens").cast("double"))
+            / (col("n_sources").cast("double") * col("total_tokens").cast("double")), 9)
+            .as("gini"))
     }
   )
 
@@ -210,6 +317,64 @@ object StatsQueries {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
         |      FROM g)
         |SELECT price, qty FROM w WHERE prevmax IS NULL OR qty > prevmax
-        |ORDER BY price""".stripMargin
+        |ORDER BY price""".stripMargin,
+    "q_poisson_bootstrap" ->
+      """WITH rows_ AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, b
+        |  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs),
+        |wtd AS (
+        |  SELECT b, cents,
+        |         CASE
+        |           WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+        |           WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+        |           WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+        |           WHEN u < 4294609777 THEN 6 ELSE 7 END AS w
+        |  FROM (SELECT b, cents,
+        |               ('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':' ||
+        |                 CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS u
+        |        FROM rows_)),
+        |reps AS (
+        |  SELECT b, CAST(sum(cents * w) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS mb
+        |  FROM wtd GROUP BY 1),
+        |point AS (SELECT count(*) AS n,
+        |                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sc
+        |          FROM orders)
+        |SELECT max(n) AS n_rows,
+        |       round(max(CAST(sc AS DOUBLE) / n), 6) AS point_mean_cents,
+        |       count(*) AS n_replicates,
+        |       round(sqrt((sum(mb * mb) - sum(mb) * sum(mb) / count(*))
+        |             / (count(*) - 1)), 4) AS boot_se_cents
+        |FROM reps CROSS JOIN point""".stripMargin,
+    "q_tukey_fences" ->
+      """WITH li AS (SELECT l_returnflag,
+        |                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |            FROM lineitem),
+        |f AS (SELECT l_returnflag,
+        |             quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.75) AS q3
+        |      FROM li GROUP BY 1),
+        |j AS (SELECT li.l_returnflag, cents, q1, q3,
+        |             q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+        |      FROM li JOIN f USING (l_returnflag))
+        |SELECT l_returnflag, count(*) AS n,
+        |       max(q1) AS q1_cents, max(q3) AS q3_cents,
+        |       CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |       CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |       CAST((sum(CASE WHEN cents < lo THEN 1 ELSE 0 END)
+        |           + sum(CASE WHEN cents > hi THEN 1 ELSE 0 END)) * 1000000 // count(*) AS BIGINT) AS out_ppm
+        |FROM j GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q_gini_concentration" ->
+      """WITH src AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x
+        |             FROM documents GROUP BY 1),
+        |r AS (SELECT source, x,
+        |             CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i
+        |      FROM src),
+        |a AS (SELECT count(*) AS n_sources, CAST(sum(x) AS BIGINT) AS total_tokens,
+        |             max(x) AS max_tokens, CAST(sum(i * x) AS BIGINT) AS ix
+        |      FROM r)
+        |SELECT n_sources, total_tokens, max_tokens,
+        |       CAST(max_tokens * 1000000 // total_tokens AS BIGINT) AS top_share_ppm,
+        |       round((2.0 * ix - (n_sources + 1) * CAST(total_tokens AS DOUBLE))
+        |             / (CAST(n_sources AS DOUBLE) * total_tokens), 9) AS gini
+        |FROM a""".stripMargin
   )
 }
