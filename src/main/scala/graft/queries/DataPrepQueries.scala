@@ -315,6 +315,32 @@ object DataPrepQueries {
         .orderBy("source")
     },
 
+    // NS: temperature-scaled multilingual sampling (the mT5/XLM-R mix
+    // rule): sampling share q_l ∝ p_l^α with α=0.3 upweights low-resource
+    // languages (a 1000x token gap becomes ~8x in sampling odds) — the
+    // standard fix for English swamping a multilingual run. The corpus
+    // reduces to per-language token totals first (language-registry-sized
+    // frame, tens of rows at any corpus size); raw shares stay exact
+    // integer ppm; the only floats are the α-powers folded over that tiny
+    // frame, rounded at 9 (five decades above pow()'s last-ulp libm
+    // wobble). Boost = sampled-vs-natural odds ratio per language.
+    "q_temperature_mix" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      val tot = toks.agg(sum("n_tokens").as("t"))
+      val pa = toks.crossJoin(broadcast(tot))
+        .withColumn("p", col("n_tokens").cast("double") / col("t").cast("double"))
+        .withColumn("pa", pow(col("p"), lit(0.3)))
+      val z = pa.agg(sum("pa").as("z"))
+      pa.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000 DIV t").as("p_ppm"),
+          round(col("pa") / col("z"), 9).as("q_share"),
+          round(col("pa") / col("z") / col("p"), 6).as("boost"))
+        .orderBy("lang")
+    },
+
     // NS: epoch allocation under a token budget — EXACT integer
     // water-filling: every source may contribute up to cap = 4 epochs of
     // its tokens; the budget (2 mean epochs of the corpus) is spent by
@@ -737,6 +763,23 @@ object DataPrepQueries {
         |       least(n_tokens, CAST((tot.t // 2) // tot.n_sources AS BIGINT)) AS planned_tokens
         |FROM toks CROSS JOIN tot
         |ORDER BY source""".stripMargin,
+    // same per-language reduce; identical pow/normalize expression order
+    "q_temperature_mix" ->
+      """WITH toks AS (SELECT lang, count(*) AS n_docs,
+        |                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |              FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM toks),
+        |pa AS (SELECT lang, n_docs, n_tokens, t,
+        |              CAST(n_tokens AS DOUBLE) / t AS p,
+        |              pow(CAST(n_tokens AS DOUBLE) / t, 0.3) AS pa
+        |       FROM toks CROSS JOIN tot),
+        |z AS (SELECT sum(pa) AS z FROM pa)
+        |SELECT lang, n_docs, n_tokens,
+        |       CAST(n_tokens * 1000000 // t AS BIGINT) AS p_ppm,
+        |       round(pa / z, 9) AS q_share,
+        |       round(pa / z / p, 6) AS boost
+        |FROM pa CROSS JOIN z
+        |ORDER BY lang""".stripMargin,
     // identical integer water-filling replay: same ascending (cap, source)
     // order, same prefix condition, same DIV/mod remainder distribution
     "q_epoch_plan" ->

@@ -253,6 +253,34 @@ object QualityQueries {
           round(sum(term), 9).as("jsd"))
     },
 
+    // NS: PSI drift — the Population Stability Index, the industry-standard
+    // binned drift score (credit-risk monitoring lineage; alert folklore:
+    // >0.1 investigate, >0.25 act) beside q_token_drift's TV and
+    // q_jsd_drift's JSD: doc-length distributions of the train vs val
+    // split over FIXED integer bins (n_chars DIV 50, capped at 15 — the
+    // bounded-domain histogram discipline), add-1 smoothed so empty bins
+    // stay finite. Counts are exact integers off one bounded-bin
+    // aggregate; the Σ(p−q)·ln(p/q) fold runs over ≤16 bins and rounds at
+    // 9, and the alert verdict compares the ROUNDED psi so both engines
+    // decide from the identical value.
+    "q_psi_drift" -> { (s, dir) =>
+      val binned = Tables.documents(s, dir)
+        .withColumn("h", h100("split:", col("doc_id")))
+        .filter(col("h") < 90)
+        .select((col("h") < 80).cast("long").as("is_train"),
+          least(expr("n_chars DIV 50"), lit(15L)).as("bin"))
+      val bc = binned.groupBy("bin").agg(
+        sum("is_train").as("c_t"), sum(lit(1L) - col("is_train")).as("c_v"))
+      val tot = bc.agg(sum("c_t").as("nt"), sum("c_v").as("nv"),
+        count(lit(1)).as("nb"))
+      val p = (col("c_t") + 1).cast("double") / (col("nt") + col("nb")).cast("double")
+      val q = (col("c_v") + 1).cast("double") / (col("nv") + col("nb")).cast("double")
+      bc.crossJoin(broadcast(tot))
+        .agg(max("nb").as("n_bins"), max("nt").as("n_train"), max("nv").as("n_val"),
+          round(sum((p - q) * log(p / q)), 9).as("psi"))
+        .withColumn("alert", (col("psi") > 0.1).cast("long"))
+    },
+
     // NS: dataset card — the per-source summary a 100 TB snapshot PUBLISHES
     // alongside itself (docs, token volume, language spread, exact-dup
     // surplus, mean length): one narrow per-row projection (token count,
@@ -381,6 +409,25 @@ object QualityQueries {
           |       round(CAST(sum(abs(c_t * nv - c_v * nt)) AS DOUBLE) /
           |             (CAST(max(nt) AS DOUBLE) * max(nv) * 2.0), 9) AS tv
           |FROM wc CROSS JOIN tot""".stripMargin,
+      "q_psi_drift" ->
+        """WITH d AS (SELECT doc_id, n_chars,
+          |                  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+          |           FROM documents),
+          |b AS (SELECT CASE WHEN h < 80 THEN 1 ELSE 0 END AS is_train,
+          |             least(n_chars // 50, 15) AS bin
+          |      FROM d WHERE h < 90),
+          |bc AS (SELECT bin, CAST(sum(is_train) AS BIGINT) AS c_t,
+          |              CAST(sum(1 - is_train) AS BIGINT) AS c_v
+          |       FROM b GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS nt, CAST(sum(c_v) AS BIGINT) AS nv,
+          |               count(*) AS nb FROM bc),
+          |a AS (SELECT max(nb) AS n_bins, max(nt) AS n_train, max(nv) AS n_val,
+          |             round(sum(((c_t + 1)::DOUBLE / (nt + nb) - (c_v + 1)::DOUBLE / (nv + nb))
+          |               * ln(((c_t + 1)::DOUBLE / (nt + nb)) / ((c_v + 1)::DOUBLE / (nv + nb)))), 9) AS psi
+          |      FROM bc CROSS JOIN tot)
+          |SELECT n_bins, n_train, n_val, psi,
+          |       CAST(psi > 0.1 AS BIGINT) AS alert
+          |FROM a""".stripMargin,
       "q_jsd_drift" ->
         """WITH d AS (SELECT doc_id, text,
           |                  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h

@@ -604,6 +604,50 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // NS: interpolated Kneser–Ney bigram smoothing — THE n-gram LM
+    // estimator (Chen & Goodman 1999), add-α's stronger sibling:
+    // P(w2|w1) = (c−D)/c(w1) + D·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(··)
+    // with absolute discount D=0.75; the continuation probability counts
+    // CONTEXTS a word follows, not tokens (why "Francisco" scores low
+    // despite high frequency). Everything derives from ONE bigram count
+    // frame (three small re-aggregations of it: per-w1 totals+fanout,
+    // per-w2 continuation fanin, the 1-row type total — only that single
+    // row broadcasts; the vocab-sized joins are hint-free, the r5 lesson).
+    // The corpus-level cross-entropy sums per-TYPE integer micro-nats
+    // (round(c·nll·1e6) — the q_perplexity_gate discipline), so the
+    // row-scale fold is exact-integer and partition-order-free; int64
+    // bound: ~8e6 micro-nats/token caps the corpus at ~1e12 tokens before
+    // the sum needs decimal widening. All observed bigrams have c ≥ 1 > D,
+    // so max(c−D, 0) is just c−D.
+    "q_kneser_ney" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), words.as("ws"))
+      val bigrams = when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      // localCheckpoint: the bigram count frame feeds THREE derived
+      // aggregates plus the scoring join — cut lineage once, reuse
+      val bg = docs.select(explode(bigrams).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val ctx = bg.groupBy("w1").agg(sum("c").as("ctot"), count(lit(1)).as("nfollow"))
+      val cont = bg.groupBy("w2").agg(count(lit(1)).as("ncont"))
+      val btot = bg.agg(count(lit(1)).cast("double").as("bt"))
+      val pkn = (col("c") - lit(0.75)) / col("ctot") +
+        lit(0.75) * col("nfollow") / col("ctot") * (col("ncont") / col("bt"))
+      bg.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(btot))
+        .select(col("c"),
+          round(col("c") * -log(pkn) * 1e6).cast("long").as("t_u"))
+        .agg(sum("c").as("n_bigram_tokens"),
+          count(lit(1)).as("n_bigram_types"),
+          sum("t_u").as("sum_u"))
+        .select(col("n_bigram_tokens"), col("n_bigram_types"),
+          expr("sum_u DIV n_bigram_tokens").as("mean_nll_micro"),
+          round(exp(col("sum_u").cast("double") / 1e6 /
+            col("n_bigram_tokens").cast("double")), 6).as("ppl"))
+    },
+
     // NS: BPE pair counting — the tokenizer-TRAINING inner loop (which
     // adjacent symbol pair merges next): adjacent char pairs weighted by
     // word frequency. The corpus collapses to the vocabulary FIRST (one
@@ -1068,6 +1112,26 @@ object CorpusQueries {
           |FROM db JOIN bg USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
           |GROUP BY db.doc_id
           |ORDER BY db.doc_id""".stripMargin,
+      "q_kneser_ney" ->
+        """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+          |bgl AS (SELECT unnest(list_transform(range(1, len(ws)),
+          |               i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b FROM w),
+          |bg AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c FROM bgl GROUP BY 1, 2),
+          |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ctot, count(*) AS nfollow
+          |        FROM bg GROUP BY 1),
+          |cont AS (SELECT w2, count(*) AS ncont FROM bg GROUP BY 1),
+          |btot AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM bg),
+          |terms AS (SELECT c,
+          |                 CAST(round(c * -ln((c - 0.75) / ctot
+          |                   + 0.75 * nfollow / ctot * (ncont / bt)) * 1e6) AS BIGINT) AS t_u
+          |          FROM bg JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN btot),
+          |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_bigram_tokens,
+          |             count(*) AS n_bigram_types,
+          |             CAST(sum(t_u) AS BIGINT) AS sum_u FROM terms)
+          |SELECT n_bigram_tokens, n_bigram_types,
+          |       CAST(sum_u // n_bigram_tokens AS BIGINT) AS mean_nll_micro,
+          |       round(exp(CAST(sum_u AS DOUBLE) / 1e6 / n_bigram_tokens), 6) AS ppl
+          |FROM a""".stripMargin,
       "q_corpus_pipeline" ->
         """WITH n AS (SELECT doc_id, source,
           |                  trim(regexp_replace(regexp_replace(lower(text),
