@@ -428,4 +428,42 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 4,
       s"missing partial aggregation stages:\n$p")
   }
+
+  test("q_sql_tpch_q13 aggregates orders BELOW the customer join (reduce-before-join)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = SparkEntry.queries("q_sql_tpch_q13")(spark, TestSpark.Sf0001)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"no join in:\n$plan")
+    // the orders side must already be an aggregate when it reaches the join —
+    // the join carries one row per customer, never one per order
+    assert(joins.exists(j =>
+      j.left.collectFirst { case a: Aggregate => a }.isDefined ||
+        j.right.collectFirst { case a: Aggregate => a }.isDefined),
+      s"orders not reduced below the join:\n$plan")
+  }
+
+  test("q_zonemap_prune scans only (l_orderkey, l_shipdate) and combines map-side") {
+    val p = executedPlan("q_zonemap_prune")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"),
+      s"zone-map census reads more than key + predicate column:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"block census not map-side combined:\n$p")
+  }
+
+  test("q_rle_census scans only the three layout keys and combines map-side") {
+    val p = executedPlan("q_rle_census")
+    assert(p.contains(
+      "ReadSchema: struct<l_returnflag:string,l_linestatus:string,l_shipdate:timestamp"),
+      s"run census reads more than the sort-key prefix columns:\n$p")
+    assert(p.contains("partial_count"), s"prefix reduce not map-side combined:\n$p")
+  }
+
+  test("q_poisson_bootstrap combines replicate partials map-side (only B rows shuffle)") {
+    val p = executedPlan("q_poisson_bootstrap")
+    assert(p.contains("partial_sum"),
+      s"B-fold expansion reaches the shuffle uncombined:\n$p")
+    // the resample never sorts or windows anything
+    assert(!p.contains("Window"), s"unexpected window in the resample:\n$p")
+  }
 }
