@@ -191,6 +191,44 @@ object MLQueries {
     // posexplode mean: per-label vector means, exploded back to scalars.
     // Proves the distributive (sum, count) buffer — the 100 TB path that
     // shuffles K buffers instead of N·D rows — computes the identical result.
+    // NS: Mahalanobis outlier census over the embedding table (diagonal
+    // covariance) — the multivariate companion of q_anomaly_zscore and the
+    // standard embedding-space junk detector (d² ~ χ²_d for well-behaved
+    // representations; a fat right tail = corrupt/degenerate vectors). The
+    // per-dim model (snapped mean + variance, the pca-prelude grid
+    // discipline: round 7 so cross-engine agg wobble sits decades under
+    // the quantum) is a d-row frame COLLECTED to the driver — the Lloyd
+    // K-row precedent, d=64 — and scored as literal arrays in one
+    // zero-shuffle narrow pass over the vectors; per-vector d² rounds at 6
+    // (64-term fold, wobble ~1e-13) so the χ²_{0.99,64}=93.2169 threshold
+    // compare is decided on identical values. Output is the one-row
+    // census: count, outliers, ppm, max/mean d².
+    "q_mahalanobis" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val xl = emb.select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      val stats = xl.groupBy("pos")
+        .agg(round(avg("x"), 7).as("mu"), round(avg(col("x") * col("x")), 7).as("m2"))
+        .select(col("pos"), col("mu"),
+          greatest(round(col("m2") - col("mu") * col("mu"), 7), lit(1e-7)).as("s2"))
+      val st = stats.orderBy("pos").collect()
+      val terms = st.map { r =>
+        val i = r.getAs[Int]("pos")
+        val diff = element_at(col("embedding"), i + 1).cast("double") -
+          lit(r.getAs[Double]("mu"))
+        diff * diff / lit(r.getAs[Double]("s2"))
+      }
+      val d2 = round(terms.reduce(_ + _), 6)
+      emb.select(d2.as("d2"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum((col("d2") > lit(93.21685966023841)).cast("long")).as("n_outliers"),
+          round(max("d2"), 6).as("max_d2"),
+          round(avg("d2"), 4).as("mean_d2"))
+        .select(col("n_vectors"), col("n_outliers"),
+          expr("n_outliers * 1000000 DIV n_vectors").as("outlier_ppm"),
+          col("max_d2"), col("mean_d2"))
+    },
+
     "q_udaf_vecmean" -> { (s, dir) =>
       Tables.embeddings(s, dir)
         .groupBy(col("label").cast("long").as("label"))
@@ -404,6 +442,25 @@ object MLQueries {
         |FROM o FULL OUTER JOIN e ON o.k = e.k
         |ORDER BY k""".stripMargin,
     // Same oracle as q_centroid_mean, with BIGINT label to match the cast.
+    // same snapped per-dim model; the per-vector sum groups by vec_id (the
+    // 64-term order differs from Spark's literal fold — wobble decades
+    // under the shared round-6 quantum)
+    "q_mahalanobis" ->
+      """WITH x AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS pos,
+        |                  CAST(embedding AS DOUBLE[])[u.i] AS x
+        |           FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |st AS (SELECT pos, round(avg(x), 7) + 0.0 AS mu, round(avg(x * x), 7) + 0.0 AS m2
+        |       FROM x GROUP BY 1),
+        |s2 AS (SELECT pos, mu, greatest(round(m2 - mu * mu, 7), 1e-7) AS s2 FROM st),
+        |d2 AS (SELECT vec_id, round(sum((x - mu) * (x - mu) / s2), 6) AS d2
+        |       FROM x JOIN s2 USING (pos) GROUP BY 1)
+        |SELECT count(*) AS n_vectors,
+        |       CAST(sum(CASE WHEN d2 > 93.21685966023841 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       CAST(sum(CASE WHEN d2 > 93.21685966023841 THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS outlier_ppm,
+        |       round(max(d2), 6) AS max_d2,
+        |       round(avg(d2), 4) AS mean_d2
+        |FROM d2""".stripMargin,
     "q_udaf_vecmean" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(u.i - 1 AS INT) AS pos,
         |       round(avg(CAST(embedding AS DOUBLE[])[u.i]), 7) + 0.0 AS m

@@ -101,6 +101,65 @@ object SketchQueries {
         .filter(col("cnt") * lit(30L) > col("n_total"))
         .select(col("word"), col("cnt"), col("n_total"))
         .orderBy("word")
+    },
+
+    // NS: Flajolet–Martin / PCSA distinct-count sketch, built as pure
+    // dataflow with DETERMINISTIC registers (md5-derived) so both engines
+    // reconstruct identical sketch state — unlike approx_count_distinct's
+    // opaque HLL buffer, every bit here is queryable and oracle-checkable.
+    // 64 registers; a word's low 6 hash bits pick the register, the lowest
+    // set bit of the remaining 54 ORs into that register's bitmap. The
+    // sketch insert is bit_or — associative, commutative, IDEMPOTENT — so
+    // (a) duplicates need no pre-distinct (the input never shuffles
+    // de-duplicated), (b) per-source sketches MERGE into the corpus sketch
+    // by another bit_or (the '__ALL__' row below is literally that merge —
+    // shard-local sketches at 100 TB combine with no recompute, the
+    // q_sketch_merge property for cardinality). R_j (lowest unset bit) is
+    // recovered in pure integer arithmetic — bit_count(((b+1) & ~b) - 1) —
+    // and the PCSA estimate m/φ·2^(ΣR/m) is the only float, from exact
+    // ints. The exact countDistinct alongside is the eval baseline (the
+    // expensive path the sketch replaces), joined hint-free.
+    "q_fm_sketch" -> { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .select(col("source"),
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("v"))
+      val regs = words
+        .select(col("source"), pmod(col("v"), lit(64L)).as("j"),
+          expr("(v DIV 64) & -(v DIV 64)").as("lsb"))
+        .groupBy("source", "j").agg(expr("bit_or(lsb)").as("b"))
+      val merged = regs.groupBy("j").agg(expr("bit_or(b)").as("b"))
+        .withColumn("source", lit("__ALL__"))
+      val allRegs = regs.select("source", "j", "b")
+        .unionByName(merged.select("source", "j", "b"))
+      val sums = allRegs
+        .select(col("source"),
+          expr("CAST(bit_count(((b + 1) & ~b) - 1) AS BIGINT)").as("r"))
+        .groupBy("source").agg(sum("r").as("sum_r"), count(lit(1)).as("n_regs"))
+      // small-range correction (the HLL playbook): below ~2.5m cardinality
+      // most registers are empty and the PCSA mean-R estimate collapses, so
+      // LINEAR COUNTING on the empty-register count V takes over —
+      // est = m·ln(m/V). The branch decides on (integer V, the PCSA raw
+      // value, literal 160.0) — all deterministic on both engines.
+      val raw = lit(64.0) / lit(0.77351) *
+        pow(lit(2.0), col("sum_r").cast("double") / lit(64.0))
+      val vEmpty = lit(64L) - col("n_regs")
+      val est = when(vEmpty > 0 && raw < 160.0,
+        lit(64.0) * log(lit(64.0) / vEmpty.cast("double"))).otherwise(raw)
+      val exactSrc = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source").agg(countDistinct("w").as("n_words"))
+      val exactAll = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct("w").as("n_words"))
+        .withColumn("source", lit("__ALL__"))
+      val exact = exactSrc.unionByName(exactAll.select("source", "n_words"))
+      sums.join(exact, "source")
+        .select(col("source"), col("n_words"), vEmpty.as("v_empty"),
+          when(vEmpty > 0 && raw < 160.0, lit("lc")).otherwise(lit("pcsa")).as("alg"),
+          round(est, 4).as("est"),
+          round(est / col("n_words").cast("double") * 100, 2).as("est_vs_exact_x100"))
+        .orderBy("source")
     }
   )
 
@@ -144,7 +203,44 @@ object SketchQueries {
           |FROM w CROSS JOIN t
           |GROUP BY word, t.n_total
           |HAVING count(*) * 30 > t.n_total
-          |ORDER BY word""".stripMargin
+          |ORDER BY word""".stripMargin,
+      // identical md5 register derivation + integer bit arithmetic; the
+      // merged '__ALL__' sketch replays the same per-source bit_or merge
+      "q_fm_sketch" ->
+        """WITH w AS (SELECT source,
+          |                  ('0x' || substr(md5(word), 1, 15))::BIGINT AS v
+          |           FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+          |                 FROM documents)),
+          |regs AS (SELECT source, v % 64 AS j,
+          |                bit_or((v // 64) & -(v // 64)) AS b
+          |         FROM w GROUP BY 1, 2),
+          |merged AS (SELECT '__ALL__' AS source, j, bit_or(b) AS b FROM regs GROUP BY 2),
+          |allregs AS (SELECT source, j, b FROM regs
+          |            UNION ALL SELECT source, j, b FROM merged),
+          |sums AS (SELECT source,
+          |                CAST(sum(bit_count(((b + 1) & ~b) - 1)) AS BIGINT) AS sum_r,
+          |                count(*) AS n_regs
+          |         FROM allregs GROUP BY 1),
+          |ex AS (SELECT source, count(DISTINCT word) AS n_words
+          |       FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+          |             FROM documents) GROUP BY 1
+          |       UNION ALL
+          |       SELECT '__ALL__' AS source, count(DISTINCT word) AS n_words
+          |       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)),
+          |e AS (SELECT source, n_words, 64 - n_regs AS v_empty,
+          |             64.0 / 0.77351 * pow(2.0, CAST(sum_r AS DOUBLE) / 64.0) AS raw
+          |      FROM sums JOIN ex USING (source)),
+          |est AS (SELECT source, n_words, v_empty,
+          |               CASE WHEN v_empty > 0 AND raw < 160.0 THEN 'lc' ELSE 'pcsa' END AS alg,
+          |               CASE WHEN v_empty > 0 AND raw < 160.0
+          |                    THEN 64.0 * ln(64.0 / CAST(v_empty AS DOUBLE))
+          |                    ELSE raw END AS est
+          |        FROM e)
+          |SELECT source, n_words, CAST(v_empty AS BIGINT) AS v_empty, alg,
+          |       round(est, 4) AS est,
+          |       round(est / CAST(n_words AS DOUBLE) * 100, 2) AS est_vs_exact_x100
+          |FROM est
+          |ORDER BY source""".stripMargin
     )
   }
 }

@@ -157,6 +157,38 @@ object StatsQueries {
         .orderBy("price")
     },
 
+    // NS: market-basket association mining (the Apriori/FP-growth first
+    // pass): co-occurring part pairs within an order with support and
+    // lift. The pair generation self-joins the DISTINCT (order, part)
+    // frame on the order key — the blowup is C(k,2) per basket where k is
+    // the BASKET size (≤7 lines in this schema), a per-group bound
+    // independent of corpus size, the same bounded-blowup argument as the
+    // interval-join bucketing; baskets never cross-join each other. Counts
+    // stay exact integers; lift·100 is exact integer cross-multiplication
+    // (n_ab·N·100 DIV n_a·n_b), so the ranking can never float-flip.
+    // Top-20 by (co-count, pair) ends in TakeOrdered, no global sort.
+    "q_market_basket" -> { (s, dir) =>
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = items.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+      val freq = items.groupBy("pk").agg(count(lit(1)).as("n_single"))
+      val pairs = items.select(col("ok"), col("pk").as("pa"))
+        .join(items.select(col("ok"), col("pk").as("pb")), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(freq.select(col("pk").as("pa"), col("n_single").as("n_a")), "pa")
+        .join(freq.select(col("pk").as("pb"), col("n_single").as("n_b")), "pb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("n_ab * 1000000 DIV n_orders").as("support_ppm"),
+          expr("n_ab * n_orders * 100 DIV (n_a * n_b)").as("lift_x100"))
+        .orderBy(col("n_ab").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+
     // NS: Poisson bootstrap of the mean — the resampling scheme that works
     // at 100 TB (Chamandy et al., "Estimating Uncertainty for Massive Data
     // Streams"): classic bootstrap needs N draws WITH replacement per
@@ -318,6 +350,22 @@ object StatsQueries {
         |      FROM g)
         |SELECT price, qty FROM w WHERE prevmax IS NULL OR qty > prevmax
         |ORDER BY price""".stripMargin,
+    "q_market_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |no AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+        |freq AS (SELECT pk, count(*) AS n_single FROM items GROUP BY 1),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_ab
+        |          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |          GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, n_ab, fa.n_single AS n_a, fb.n_single AS n_b,
+        |       CAST(n_ab * 1000000 // n_orders AS BIGINT) AS support_ppm,
+        |       CAST(n_ab * n_orders * 100 // (fa.n_single * fb.n_single) AS BIGINT) AS lift_x100
+        |FROM pairs
+        |JOIN freq fa ON fa.pk = pa
+        |JOIN freq fb ON fb.pk = pb
+        |CROSS JOIN no
+        |ORDER BY n_ab DESC, pa, pb
+        |LIMIT 20""".stripMargin,
     "q_poisson_bootstrap" ->
       """WITH rows_ AS (
         |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, b

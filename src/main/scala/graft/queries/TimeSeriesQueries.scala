@@ -27,6 +27,33 @@ object TimeSeriesQueries {
     // observation, hours with no events gap-filled by carrying the last
     // observation forward. Deterministic "last in hour" = max over
     // (ts, event_id, value) structs (the (ts, event_id) pair is unique).
+    // NS: sliding-window distinct users (DAU/WAU — the activity metric
+    // every product dashboard runs, and the classic hard case for OLAP
+    // because COUNT(DISTINCT) does not decompose over window frames). The
+    // scale spelling: dedupe to the (day, user) frame FIRST (one shuffle,
+    // idempotent re-aggregation), then each (day, user) row contributes
+    // itself to the 7 windows ending on day..day+6 via a bounded integer
+    // sequence explode — a fixed 7x blowup of the already-tiny daily-actives
+    // frame, never of raw events — and one countDistinct per window closes
+    // it. Day keys are integer offsets from a fixed origin (both engines
+    // share the exact date arithmetic); windows are labeled by their END
+    // day and inner-joined back to observed days so phantom future windows
+    // drop out.
+    "q_wau_sliding" -> { (s, dir) =>
+      val du = Tables.events(s, dir)
+        .select(datediff(to_date(col("ts")), lit("1995-01-01")).as("d"),
+          col("user_id"))
+        .distinct()
+      val dau = du.groupBy("d").agg(countDistinct("user_id").as("dau"))
+      val wau = du
+        .select(explode(sequence(col("d"), col("d") + 6)).as("wd"), col("user_id"))
+        .groupBy("wd").agg(countDistinct("user_id").as("wau7"))
+      dau.join(wau, col("d") === col("wd"))
+        .select(date_add(lit("1995-01-01"), col("d")).as("day"),
+          col("dau"), col("wau7"))
+        .orderBy("day")
+    },
+
     "q_resample_1h" -> { (s, dir) =>
       val e = Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
@@ -286,6 +313,15 @@ object TimeSeriesQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_wau_sliding" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) - DATE '1995-01-01' AS d, user_id
+        |            FROM events),
+        |dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+        |ex AS (SELECT unnest(generate_series(d, d + 6)) AS wd, user_id FROM du),
+        |wau AS (SELECT wd, count(DISTINCT user_id) AS wau7 FROM ex GROUP BY 1)
+        |SELECT DATE '1995-01-01' + CAST(d AS INTEGER) AS day, dau, wau7
+        |FROM dau JOIN wau ON d = wd
+        |ORDER BY day""".stripMargin,
     "q_resample_1h" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |h AS (SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
