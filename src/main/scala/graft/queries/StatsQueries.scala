@@ -157,6 +157,35 @@ object StatsQueries {
         .orderBy("price")
     },
 
+    // NS: Welch two-sample t-test (unequal variances) — the A/B-test
+    // decision statistic beside q_chi_square (categorical) and q_ks_test
+    // (distributional): does the purchase cohort's value differ from the
+    // click cohort's? One map-side-combinable aggregate reduces each arm
+    // to (n, Σx, Σx²); mean, variance, t, and the Welch–Satterthwaite dof
+    // all derive from those six numbers — no second pass, no window. The
+    // Σx folds are row-scale float sums (values are arbitrary doubles, no
+    // integer grid exists); t ~ O(1) while the fold wobble is ~1e-10, five
+    // decades under the round-4 quantum — the q_jsd_drift argument.
+    "q_ab_ttest" -> { (s, dir) =>
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value").as("s1"),
+          sum(col("value") * col("value")).as("s2"))
+      def side(t: String, c: String) = g.filter(col("event_type") === t)
+        .select(col("n").as(s"n_$c"), col("s1").as(s"s1_$c"), col("s2").as(s"s2_$c"))
+      val j = side("purchase", "a").crossJoin(side("click", "b"))
+      def mean(c: String) = col(s"s1_$c") / col(s"n_$c")
+      def vr(c: String) =
+        (col(s"s2_$c") - col(s"s1_$c") * col(s"s1_$c") / col(s"n_$c")) / (col(s"n_$c") - 1)
+      val sea = vr("a") / col("n_a"); val seb = vr("b") / col("n_b")
+      j.select(col("n_a"), col("n_b"),
+        round(mean("a"), 6).as("mean_a"), round(mean("b"), 6).as("mean_b"),
+        round((mean("a") - mean("b")) / sqrt(sea + seb), 4).as("t_stat"),
+        round((sea + seb) * (sea + seb) /
+          (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)), 2).as("dof"))
+    },
+
     // NS: market-basket association mining (the Apriori/FP-growth first
     // pass): co-occurring part pairs within an order with support and
     // lift. The pair generation self-joins the DISTINCT (order, part)
@@ -350,6 +379,24 @@ object StatsQueries {
         |      FROM g)
         |SELECT price, qty FROM w WHERE prevmax IS NULL OR qty > prevmax
         |ORDER BY price""".stripMargin,
+    "q_ab_ttest" ->
+      """WITH g AS (SELECT event_type, count(*) AS n, sum(value) AS s1,
+        |                  sum(value * value) AS s2
+        |           FROM events WHERE event_type IN ('purchase', 'click')
+        |           GROUP BY 1),
+        |a AS (SELECT n AS n_a, s1 AS s1_a, s2 AS s2_a FROM g WHERE event_type = 'purchase'),
+        |b AS (SELECT n AS n_b, s1 AS s1_b, s2 AS s2_b FROM g WHERE event_type = 'click'),
+        |c AS (SELECT n_a, n_b,
+        |             s1_a / n_a AS ma, s1_b / n_b AS mb,
+        |             ((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a AS sea,
+        |             ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b AS seb
+        |      FROM a CROSS JOIN b)
+        |SELECT n_a, n_b,
+        |       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |       round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
+        |       round((sea + seb) * (sea + seb) /
+        |             (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 2) AS dof
+        |FROM c""".stripMargin,
     "q_market_basket" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |no AS (SELECT count(DISTINCT ok) AS n_orders FROM items),

@@ -27,6 +27,34 @@ object TimeSeriesQueries {
     // observation, hours with no events gap-filled by carrying the last
     // observation forward. Deterministic "last in hour" = max over
     // (ts, event_id, value) structs (the (ts, event_id) pair is unique).
+    // NS: hour-of-week seasonality profile — the calendar census behind
+    // capacity planning and anomaly baselines ("is this load normal for a
+    // Tuesday 3pm?"): events collapse to the bounded (type, dow, hour)
+    // grid (|types|·7·24 rows — fixed-domain, corpus-size-free) in one
+    // map-side-combined aggregate, and the peak cell per type is read off
+    // with a rank window over that tiny grid. Day-of-week is integer
+    // arithmetic from a fixed pre-data Monday origin (engine dayofweek()
+    // conventions disagree — Spark counts Sunday=1, DuckDB Sunday=0 — so
+    // neither is used).
+    "q_seasonal_profile" -> { (s, dir) =>
+      val grid = Tables.events(s, dir)
+        .select(col("event_type"),
+          pmod(datediff(to_date(col("ts")), lit("1994-12-26")), lit(7)).as("dow"),
+          hour(col("ts")).as("hr"))
+        .groupBy("event_type", "dow", "hr").agg(count(lit(1)).as("n"))
+      val tot = grid.groupBy("event_type").agg(sum("n").as("n_total"))
+      val peak = grid.withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("n").desc, col("dow"), col("hr"))))
+        .filter(col("rk") === 1)
+      peak.join(tot, "event_type")
+        .select(col("event_type"), col("n_total"),
+          col("dow").cast("long").as("peak_dow"), col("hr").cast("long").as("peak_hr"),
+          col("n").as("peak_n"),
+          expr("n * 1000000 DIV n_total").as("peak_share_ppm"))
+        .orderBy("event_type")
+    },
+
     // NS: sliding-window distinct users (DAU/WAU — the activity metric
     // every product dashboard runs, and the classic hard case for OLAP
     // because COUNT(DISTINCT) does not decompose over window frames). The
@@ -313,6 +341,23 @@ object TimeSeriesQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_seasonal_profile" ->
+      """WITH grid AS (SELECT event_type,
+        |                     (CAST(ts AS DATE) - DATE '1994-12-26') % 7 AS dow,
+        |                     hour(ts) AS hr, count(*) AS n
+        |              FROM events GROUP BY 1, 2, 3),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total FROM grid GROUP BY 1),
+        |peak AS (SELECT event_type, dow, hr, n,
+        |                row_number() OVER (PARTITION BY event_type
+        |                                   ORDER BY n DESC, dow, hr) AS rk
+        |         FROM grid)
+        |SELECT p.event_type, t.n_total,
+        |       CAST(dow AS BIGINT) AS peak_dow, CAST(hr AS BIGINT) AS peak_hr,
+        |       n AS peak_n,
+        |       CAST(n * 1000000 // n_total AS BIGINT) AS peak_share_ppm
+        |FROM peak p JOIN tot t USING (event_type)
+        |WHERE rk = 1
+        |ORDER BY event_type""".stripMargin,
     "q_wau_sliding" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) - DATE '1995-01-01' AS d, user_id
         |            FROM events),

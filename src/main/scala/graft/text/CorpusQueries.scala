@@ -604,6 +604,42 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // NS: lexical-diversity census per source — the vocabulary-health
+    // panel a corpus snapshot publishes (template/spam sources show low
+    // diversity before any model sees them): type-token ratio, hapax
+    // share, Simpson repeat probability, Shannon entropy + effective
+    // vocabulary (perplexity of the unigram distribution). One word-key
+    // shuffle reduces the corpus to per-(source, word) counts; everything
+    // after runs on that vocabulary-sized frame. TTR/hapax/Simpson are
+    // EXACT integers (Simpson's numerator Σn(n−1) is an integer — int64
+    // bound: a single source caps at ~3e9 tokens of one repeated word
+    // before Σn² widens); entropy is the one float fold, rounded at 9
+    // over a vocab-sized sum (the q_jsd_drift argument).
+    "q_lexical_diversity" -> { (s, dir) =>
+      val wc = Tables.documents(s, dir)
+        .select(col("source"), explode(words).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("n"))
+      val bySrc = wc.groupBy("source").agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("n") * (col("n") - 1)).as("simpson_num"))
+      val h = wc.join(bySrc.select(col("source"), col("n_tokens").as("nt")), "source")
+        .groupBy("source")
+        .agg(round(sum(-(col("n").cast("double") / col("nt").cast("double")) *
+          log(col("n").cast("double") / col("nt").cast("double"))), 9).as("entropy"))
+      bySrc.join(h, "source")
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          expr("vocab * 1000000 DIV n_tokens").as("ttr_ppm"),
+          col("n_hapax"),
+          round(col("simpson_num").cast("double") /
+            (col("n_tokens").cast("double") * (col("n_tokens") - 1).cast("double")), 9)
+            .as("simpson"),
+          col("entropy"),
+          round(exp(col("entropy")), 2).as("eff_vocab"))
+        .orderBy("source")
+    },
+
     // NS: interpolated Kneser–Ney bigram smoothing — THE n-gram LM
     // estimator (Chen & Goodman 1999), add-α's stronger sibling:
     // P(w2|w1) = (c−D)/c(w1) + D·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(··)
@@ -1112,6 +1148,30 @@ object CorpusQueries {
           |FROM db JOIN bg USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
           |GROUP BY db.doc_id
           |ORDER BY db.doc_id""".stripMargin,
+      "q_lexical_diversity" ->
+        """WITH wc AS (SELECT source, word, count(*) AS n
+          |            FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+          |                  FROM documents)
+          |            GROUP BY 1, 2),
+          |bysrc AS (SELECT source,
+          |                 CAST(sum(n) AS BIGINT) AS n_tokens,
+          |                 count(*) AS vocab,
+          |                 CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+          |                 CAST(sum(n * (n - 1)) AS BIGINT) AS simpson_num
+          |          FROM wc GROUP BY 1),
+          |h AS (SELECT wc.source,
+          |             round(sum(-(CAST(n AS DOUBLE) / nt) * ln(CAST(n AS DOUBLE) / nt)), 9) AS entropy
+          |      FROM wc JOIN (SELECT source, n_tokens AS nt FROM bysrc) b USING (source)
+          |      GROUP BY 1)
+          |SELECT source, n_tokens, vocab,
+          |       CAST(vocab * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+          |       n_hapax,
+          |       round(CAST(simpson_num AS DOUBLE) /
+          |             (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 9) AS simpson,
+          |       entropy,
+          |       round(exp(entropy), 2) AS eff_vocab
+          |FROM bysrc JOIN h USING (source)
+          |ORDER BY source""".stripMargin,
       "q_kneser_ney" ->
         """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
           |bgl AS (SELECT unnest(list_transform(range(1, len(ws)),

@@ -92,6 +92,54 @@ object RetrievalQueries {
         .limit(20)
     },
 
+    // NS: nDCG@10 ranking eval — THE graded-relevance IR metric, closing
+    // the retrieval family's eval loop (q_bm25 ranks; this scores the
+    // ranking): relevance grade = number of distinct query terms a doc
+    // contains (0..3, exact integer — a deterministic stand-in for human
+    // labels), DCG folds (2^rel−1)/log2(rank+1) over the BM25 top-10,
+    // IDCG over the grade-ideal ordering, nDCG = DCG/IDCG. Ranks come
+    // from the ROUNDED bm25 score with a doc_id tie-break, so the ranking
+    // can never float-flip between engines; both top-10s are
+    // TakeOrdered-truncated before the ≤10-row rank window; the DCG sums
+    // run over 10 rows.
+    "q_ndcg_eval" -> { (s, dir) =>
+      val (tf, terms) = tfFrame(s, dir)
+      val n = terms.length
+      val stats = tf.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).cast("double").as("sum_dl") +:
+          (0 until n).map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df$i")): _*)
+      val avgdl = col("sum_dl") / col("n_docs")
+      def contrib(i: Int): Column = {
+        val idf = log(lit(1.0) + (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+        val tfi = col(s"tf$i").cast("double")
+        idf * (tfi * (K1 + 1.0)) / (tfi + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
+      }
+      val scored = tf.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (0 until n).map(i => (col(s"tf$i") > 0).cast("long")).reduce(_ + _).as("rel"),
+          (0 until n).map(i => col(s"tf$i")).reduce(_ + _).cast("long").as("n_hits"),
+          round((0 until n).map(contrib).reduce(_ + _), 6).as("bm25"))
+      def gain(relCol: Column, rankCol: Column): Column =
+        (pow(lit(2.0), relCol.cast("double")) - 1.0) / log2(rankCol.cast("double") + 1.0)
+      val top = scored.filter(col("n_hits") > 0)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .withColumn("r", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      val dcg = top.agg(count(lit(1)).as("n_ranked"),
+        sum(gain(col("rel"), col("r"))).as("dcg"))
+      val ideal = scored.filter(col("rel") > 0)
+        .orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("r", row_number()
+          .over(Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+        .agg(sum(gain(col("rel"), col("r"))).as("idcg"))
+      dcg.crossJoin(ideal)
+        .select(col("n_ranked"), round(col("dcg"), 6).as("dcg"),
+          round(col("idcg"), 6).as("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+    },
+
     // NS: reciprocal-rank fusion — merge a lexical top-50 (hit count over
     // the query terms; integer score, so ranking is exactly reproducible)
     // with an embedding top-50 (cosine to the probe vector, rounded to 9
@@ -188,6 +236,36 @@ object RetrievalQueries {
            |SELECT doc_id, n_hits, round(score, 6) AS bm25
            |FROM scored WHERE n_hits > 0
            |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+      "q_ndcg_eval" ->
+        s"""$prelude,
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |                 CAST(sum(len(ws)) AS DOUBLE) AS sum_dl
+           |          FROM w),
+           |df AS (SELECT word, CAST(count(*) FILTER (WHERE tf > 0) AS DOUBLE) AS df
+           |       FROM tf GROUP BY word),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |         CAST(count(*) FILTER (WHERE tf.tf > 0) AS BIGINT) AS rel,
+           |         CAST(sum(tf.tf) AS BIGINT) AS n_hits,
+           |         round(list_sum(list(
+           |           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+           |           (tf.tf * (${K1} + 1.0)) /
+           |           (tf.tf + ${K1} * (1.0 - ${B} + ${B} * tf.dl / (s.sum_dl / s.n_docs)))
+           |           ORDER BY tf.word)), 6) AS bm25
+           |  FROM tf JOIN df d USING (word) CROSS JOIN stats s
+           |  GROUP BY tf.doc_id),
+           |top AS (SELECT doc_id, rel,
+           |               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+           |        FROM scored WHERE n_hits > 0 QUALIFY r <= 10),
+           |dc AS (SELECT count(*) AS n_ranked,
+           |              sum((pow(2.0, rel) - 1.0) / log2(r + 1.0)) AS dcg FROM top),
+           |ideal AS (SELECT rel,
+           |                 CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS r
+           |          FROM scored WHERE rel > 0 QUALIFY r <= 10),
+           |ic AS (SELECT sum((pow(2.0, rel) - 1.0) / log2(r + 1.0)) AS idcg FROM ideal)
+           |SELECT n_ranked, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+           |       round(dcg / idcg, 6) AS ndcg
+           |FROM dc CROSS JOIN ic""".stripMargin,
       "q_rrf_fusion" ->
         s"""$prelude,
            |hits AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_hits
