@@ -34,6 +34,25 @@ object SketchQueries {
   private def h(tag: String, k: Column): Column =
     TextQueries.h32(concat(lit(tag), k.cast("string")))
 
+  /** FM/PCSA register machinery, shared by q_fm_sketch and the streaming
+    * windowed-distinct entry (streaming/EventQueries.q_stream_distinct).
+    * `FmRSql` recovers R_j (the lowest UNSET bit index) from a register
+    * bitmap column `b` in pure integer arithmetic; [[fmEstimate]] applies
+    * the PCSA formula with the HLL-style linear-counting small-range
+    * branch — every decision derives from deterministic integers, so both
+    * engines agree bitwise.
+    */
+  val FmRSql = "CAST(bit_count(((b + 1) & ~b) - 1) AS BIGINT)"
+
+  def fmRaw(sumR: Column): Column =
+    lit(64.0) / lit(0.77351) * pow(lit(2.0), sumR.cast("double") / lit(64.0))
+
+  def fmEstimate(sumR: Column, nRegs: Column): Column = {
+    val v = lit(64L) - nRegs
+    when(v > 0 && fmRaw(sumR) < 160.0,
+      lit(64.0) * log(lit(64.0) / v.cast("double"))).otherwise(fmRaw(sumR))
+  }
+
   private def word(k: Column): Column = pmod(h("bw:", k), lit(BloomWords.toLong))
 
   /** Two-bit mask from the in-scope `p1`/`p2` bit-position columns. */
@@ -133,19 +152,16 @@ object SketchQueries {
       val allRegs = regs.select("source", "j", "b")
         .unionByName(merged.select("source", "j", "b"))
       val sums = allRegs
-        .select(col("source"),
-          expr("CAST(bit_count(((b + 1) & ~b) - 1) AS BIGINT)").as("r"))
+        .select(col("source"), expr(FmRSql).as("r"))
         .groupBy("source").agg(sum("r").as("sum_r"), count(lit(1)).as("n_regs"))
       // small-range correction (the HLL playbook): below ~2.5m cardinality
       // most registers are empty and the PCSA mean-R estimate collapses, so
       // LINEAR COUNTING on the empty-register count V takes over —
       // est = m·ln(m/V). The branch decides on (integer V, the PCSA raw
       // value, literal 160.0) — all deterministic on both engines.
-      val raw = lit(64.0) / lit(0.77351) *
-        pow(lit(2.0), col("sum_r").cast("double") / lit(64.0))
+      val raw = fmRaw(col("sum_r"))
       val vEmpty = lit(64L) - col("n_regs")
-      val est = when(vEmpty > 0 && raw < 160.0,
-        lit(64.0) * log(lit(64.0) / vEmpty.cast("double"))).otherwise(raw)
+      val est = fmEstimate(col("sum_r"), col("n_regs"))
       val exactSrc = Tables.documents(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy("source").agg(countDistinct("w").as("n_words"))

@@ -60,6 +60,40 @@ object EventQueries {
           (col("n").cast("double") * col("n_prev").cast("double") * 2.0), 9))
         .orderBy("w_start")
     },
+    // NS: windowed distinct users with BOUNDED state — streaming
+    // COUNT(DISTINCT) is the canonical impossible streaming aggregate
+    // (exact distinct needs state proportional to cardinality; Spark
+    // rejects it in streaming mode). The FM register sketch
+    // (queries/SketchQueries.q_fm_sketch's machinery, shared) solves it:
+    // per window the state is 64 longs REGARDLESS of user count, and
+    // bit_or is exactly the mergeable aggregate the engine's partial
+    // aggregation / state-store merge needs — micro-batches combine
+    // losslessly (the mergeability SketchCensusOpsSpec proves). Registered
+    // in the batch-equivalent form (the q_stream_tumbling convention) with
+    // the exact countDistinct alongside as the baseline a streaming run
+    // cannot afford.
+    "q_stream_distinct" -> { (s, dir) =>
+      import graft.queries.SketchQueries
+      val base = Tables.events(s, dir)
+        .select(window(col("ts"), "1 hour").getField("start").as("w_start"),
+          col("user_id"))
+      val v = conv(substring(md5(concat(lit("sd:"), col("user_id").cast("string"))),
+        1, 15), 16, 10).cast("long")
+      val regs = base
+        .select(col("w_start"), v.as("v"))
+        .select(col("w_start"), pmod(col("v"), lit(64L)).as("j"),
+          expr("(v DIV 64) & -(v DIV 64)").as("lsb"))
+        .groupBy("w_start", "j").agg(expr("bit_or(lsb)").as("b"))
+      val sums = regs.select(col("w_start"), expr(SketchQueries.FmRSql).as("r"))
+        .groupBy("w_start").agg(sum("r").as("sum_r"), count(lit(1)).as("n_regs"))
+      val exact = base.distinct()
+        .groupBy("w_start").agg(count(lit(1)).as("n_exact"))
+      val est = SketchQueries.fmEstimate(col("sum_r"), col("n_regs"))
+      sums.join(exact, "w_start")
+        .select(col("w_start"), col("n_exact"), round(est, 4).as("est"),
+          round(est / col("n_exact").cast("double") * 100, 2).as("est_vs_exact_x100"))
+        .orderBy("w_start")
+    },
     // 1-hour window sliding every 15 minutes: each event lands in 4 windows.
     "q_stream_sliding" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -246,6 +280,31 @@ object EventQueries {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |       count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    // same md5 register derivation + LC/PCSA branch as q_fm_sketch
+    "q_stream_distinct" ->
+      """WITH b AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, user_id,
+        |                  ('0x' || substr(md5('sd:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS v
+        |           FROM events),
+        |regs AS (SELECT w_start, v % 64 AS j,
+        |                bit_or((v // 64) & -(v // 64)) AS b
+        |         FROM b GROUP BY 1, 2),
+        |sums AS (SELECT w_start,
+        |                CAST(sum(bit_count(((b + 1) & ~b) - 1)) AS BIGINT) AS sum_r,
+        |                count(*) AS n_regs
+        |         FROM regs GROUP BY 1),
+        |ex AS (SELECT w_start, count(DISTINCT user_id) AS n_exact FROM b GROUP BY 1),
+        |e AS (SELECT w_start, n_exact, 64 - n_regs AS ve,
+        |             64.0 / 0.77351 * pow(2.0, CAST(sum_r AS DOUBLE) / 64.0) AS raw
+        |      FROM sums JOIN ex USING (w_start)),
+        |est AS (SELECT w_start, n_exact,
+        |               CASE WHEN ve > 0 AND raw < 160.0
+        |                    THEN 64.0 * ln(64.0 / CAST(ve AS DOUBLE))
+        |                    ELSE raw END AS est
+        |        FROM e)
+        |SELECT w_start, n_exact, round(est, 4) AS est,
+        |       round(est / CAST(n_exact AS DOUBLE) * 100, 2) AS est_vs_exact_x100
+        |FROM est
+        |ORDER BY w_start""".stripMargin,
     // same grid completion + per-type lag + exact integer TV fold
     "q_stream_drift" ->
       """WITH wc AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
