@@ -140,6 +140,39 @@ object WindowSetQueries {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
     },
+    // NS: multi-touch attribution — q_funnel's marketing sibling: each
+    // purchase attributes to the LAST preceding click (last-touch) and to
+    // the EARLIEST click inside the trailing 1-hour window (first-touch-
+    // in-window), the two standard attribution models. Both lookups are
+    // conditional min/max over RANGE frames on epoch-micros in ONE
+    // user-partitioned window pass (set-semantics aggregates, so peer-row
+    // order can never matter — no last()/first() order sensitivity), and
+    // the purchase census plus the attribution-gap mean are exact-integer
+    // arithmetic off the flagged rows. One shuffle on user_id at any
+    // scale; per-user partitions bound the window state.
+    "q_attribution" -> { (s, dir) =>
+      val us = unix_micros(col("ts"))
+      val isClick = (col("event_type") === "click").cast("long")
+      val base = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"), us.as("us"),
+          when(isClick === 1L, us).as("click_us"))
+      val w = Window.partitionBy("user_id").orderBy("us")
+      val lastTouch = max("click_us")
+        .over(w.rangeBetween(Window.unboundedPreceding, -1))
+      val firstIn1h = min("click_us")
+        .over(w.rangeBetween(-3600000000L, -1))
+      base
+        .withColumn("last_click", lastTouch)
+        .withColumn("first_1h", firstIn1h)
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("last_click").isNotNull.cast("long")).as("last_touch_attributed"),
+          sum(col("first_1h").isNotNull.cast("long")).as("first_touch_1h_attributed"),
+          round(avg((col("us") - col("last_click")).cast("double") / 1e6), 6)
+            .as("avg_gap_s"))
+    },
+
     // NS: cohort retention — users bucketed by first-seen hour (their
     // cohort), counted as retained at each hour offset 0..3 if they have
     // any event in that hour. Two shuffles: per-user cohort (user keys),
@@ -269,6 +302,22 @@ object WindowSetQueries {
         |       min(epoch_us(ts)) AS sess_start_us,
         |       count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
+    "q_attribution" ->
+      """WITH base AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |                     CASE WHEN event_type = 'click'
+        |                          THEN epoch_us(CAST(ts AS TIMESTAMP)) END AS click_us
+        |              FROM events WHERE event_type IN ('click', 'purchase')),
+        |wnd AS (SELECT *,
+        |               max(click_us) OVER (PARTITION BY user_id ORDER BY us
+        |                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click,
+        |               min(click_us) OVER (PARTITION BY user_id ORDER BY us
+        |                 RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS first_1h
+        |        FROM base)
+        |SELECT count(*) AS n_purchases,
+        |       CAST(sum(CASE WHEN last_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_attributed,
+        |       CAST(sum(CASE WHEN first_1h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS first_touch_1h_attributed,
+        |       round(avg((us - last_click) / 1e6), 6) AS avg_gap_s
+        |FROM wnd WHERE event_type = 'purchase'""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |fc AS (SELECT user_id, min(ts) AS first_click FROM e

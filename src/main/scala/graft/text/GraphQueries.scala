@@ -66,6 +66,44 @@ object GraphQueries {
         .orderBy("word")
     },
 
+    // NS: bounded-hop BFS through the SQL front door — WITH RECURSIVE over
+    // a JOIN (q_sql_recursive's spine recursion generalized to graph
+    // traversal): hop-distance census of the ≤2-hop out-neighborhood of
+    // the highest-frequency word in the bigram graph, min-hop per node
+    // read off after the loop. The recursion is UNION ALL, so intermediate
+    // rows are PATHS, not nodes — bounded here by out-degree(seed)·avg-out
+    // (the literal hop cap is the guard, stated not assumed); an UNBOUNDED
+    // reachability/BFS at 100 TB is NOT this query — it is the
+    // checkpointed min-label fixpoint (TextDedup.connectedComponents),
+    // which dedupes per round. This entry pins the SQL surface: recursive
+    // self-reference through a join, cycle-safe via the hop bound.
+    "q_graph_bfs" -> { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val bigrams = when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      Tables.documents(s, dir)
+        .select(ws.as("ws")).select(explode(bigrams).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .createOrReplaceTempView("bfs_pairs_v")
+      s.sql("""WITH RECURSIVE
+              |edges AS (SELECT DISTINCT w1, w2 FROM bfs_pairs_v),
+              |seed AS (SELECT w1 AS word FROM (
+              |           SELECT w1, count(*) AS c FROM bfs_pairs_v GROUP BY w1
+              |         ) ORDER BY c DESC, w1 LIMIT 1),
+              |bfs(word, hop) AS (
+              |  SELECT word, 0 AS hop FROM seed
+              |  UNION ALL
+              |  SELECT e.w2, b.hop + 1
+              |  FROM bfs b JOIN edges e ON e.w1 = b.word
+              |  WHERE b.hop < 2
+              |),
+              |dist AS (SELECT word, min(hop) AS hop FROM bfs GROUP BY word)
+              |SELECT hop, count(*) AS n_nodes
+              |FROM dist GROUP BY hop ORDER BY hop""".stripMargin)
+    },
+
     // NS: triangle counting over the simhash near-dup graph — the density
     // diagnostic of a dedup edge set (many triangles = tight duplicate
     // clusters; closure near 0 = chains/noise). Uses the degree-ordering
@@ -140,6 +178,26 @@ object GraphQueries {
          |          FROM nodes n CROSS JOIN t LEFT JOIN $c ON $c.word = n.word)""".stripMargin
 
     Map(
+      "q_graph_bfs" ->
+        """WITH RECURSIVE
+          |w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+          |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+          |              i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b FROM w),
+          |pairs AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bg),
+          |edges AS (SELECT DISTINCT w1, w2 FROM pairs),
+          |seed AS (SELECT w1 AS word FROM (
+          |           SELECT w1, count(*) AS c FROM pairs GROUP BY w1
+          |         ) ORDER BY c DESC, w1 LIMIT 1),
+          |bfs(word, hop) AS (
+          |  SELECT word, 0 AS hop FROM seed
+          |  UNION ALL
+          |  SELECT e.w2, b.hop + 1
+          |  FROM bfs b JOIN edges e ON e.w1 = b.word
+          |  WHERE b.hop < 2
+          |),
+          |dist AS (SELECT word, min(hop) AS hop FROM bfs GROUP BY word)
+          |SELECT CAST(hop AS INT) AS hop, count(*) AS n_nodes
+          |FROM dist GROUP BY hop ORDER BY hop""".stripMargin,
       "q_pagerank" ->
         s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
            |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
