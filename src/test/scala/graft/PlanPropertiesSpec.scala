@@ -459,6 +459,20 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"prefix reduce not map-side combined:\n$p")
   }
 
+  test("q_attribution runs both attribution models on ONE user_id shuffle") {
+    val p = executedPlan("q_attribution")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user_id shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"attribution needs no join at all:\n$p")
+  }
+
+  test("q_stream_distinct combines register partials map-side (bit_or is the mergeable agg)") {
+    val p = executedPlan("q_stream_distinct")
+    assert(p.contains("partial_bit_or"),
+      s"register build not map-side combined — the streaming-state story breaks:\n$p")
+  }
+
   test("q_poisson_bootstrap combines replicate partials map-side (only B rows shuffle)") {
     val p = executedPlan("q_poisson_bootstrap")
     assert(p.contains("partial_sum"),
