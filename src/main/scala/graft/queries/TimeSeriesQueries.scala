@@ -27,6 +27,44 @@ object TimeSeriesQueries {
     // observation, hours with no events gap-filled by carrying the last
     // observation forward. Deterministic "last in hour" = max over
     // (ts, event_id, value) structs (the (ts, event_id) pair is unique).
+    // NS: seasonal-naive forecast BACKTEST — the eval loop q_seasonal_profile
+    // feeds (is the hour-of-week baseline actually predictive?): hold out
+    // the final 7 calendar days, predict each test (type, dow, hour) cell
+    // from the train period's per-observed-day mean for that cell, and
+    // score MAE — the backtesting discipline every forecast monitor needs.
+    // The time split derives from max(ts) (1-row broadcast, deterministic
+    // from data); both sides collapse to the bounded hour-of-week grid
+    // (the only row-scale shuffle), and EVERY verdict is exact integer
+    // arithmetic: predictions are x100 fixed-point via integer DIV
+    // (total·100 DIV days-observed), errors are |integer − integer|,
+    // MAE is one final integer division. Cold cells (no train history)
+    // are counted, not silently zero-filled away.
+    "q_backtest_naive" -> { (s, dir) =>
+      val origin = lit("1994-12-26")
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), origin).as("d"), hour(col("ts")).as("hr"))
+      val mx = e.agg(max("d").as("dmax"))
+      val withSplit = e.crossJoin(broadcast(mx))
+      val train = withSplit.filter(col("d") <= col("dmax") - 7)
+        .groupBy(col("event_type"), pmod(col("d"), lit(7)).as("dow"), col("hr"))
+        .agg(count(lit(1)).as("cnt"), countDistinct("d").as("n_days"))
+      val test = withSplit.filter(col("d") > col("dmax") - 7)
+        .groupBy(col("event_type"), pmod(col("d"), lit(7)).as("dow"), col("hr"))
+        .agg(count(lit(1)).as("cnt_test"))
+      test.join(train, Seq("event_type", "dow", "hr"), "left")
+        .select(col("event_type"), col("cnt_test"),
+          coalesce(expr("cnt * 100 DIV n_days"), lit(0L)).as("pred_x100"),
+          col("n_days").isNull.cast("long").as("cold"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_cells"),
+          sum("cold").as("n_cold_cells"),
+          sum("cnt_test").as("test_events"),
+          sum("pred_x100").as("pred_total_x100"),
+          expr("sum(abs(cnt_test * 100 - pred_x100)) DIV count(1)").as("mae_x100"))
+        .orderBy("event_type")
+    },
+
     // NS: hour-of-week seasonality profile — the calendar census behind
     // capacity planning and anomaly baselines ("is this load normal for a
     // Tuesday 3pm?"): events collapse to the bounded (type, dow, hour)
@@ -341,6 +379,30 @@ object TimeSeriesQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_backtest_naive" ->
+      """WITH e AS (SELECT event_type,
+        |                  CAST(ts AS DATE) - DATE '1994-12-26' AS d,
+        |                  hour(ts) AS hr
+        |           FROM events),
+        |mx AS (SELECT max(d) AS dmax FROM e),
+        |train AS (SELECT event_type, d % 7 AS dow, hr,
+        |                 count(*) AS cnt, count(DISTINCT d) AS n_days
+        |          FROM e CROSS JOIN mx WHERE d <= dmax - 7
+        |          GROUP BY 1, 2, 3),
+        |test AS (SELECT event_type, d % 7 AS dow, hr, count(*) AS cnt_test
+        |         FROM e CROSS JOIN mx WHERE d > dmax - 7
+        |         GROUP BY 1, 2, 3),
+        |cells AS (SELECT t.event_type, t.cnt_test,
+        |                 coalesce(tr.cnt * 100 // tr.n_days, 0) AS pred_x100,
+        |                 CASE WHEN tr.n_days IS NULL THEN 1 ELSE 0 END AS cold
+        |          FROM test t LEFT JOIN train tr
+        |            USING (event_type, dow, hr))
+        |SELECT event_type, count(*) AS n_cells,
+        |       CAST(sum(cold) AS BIGINT) AS n_cold_cells,
+        |       CAST(sum(cnt_test) AS BIGINT) AS test_events,
+        |       CAST(sum(pred_x100) AS BIGINT) AS pred_total_x100,
+        |       CAST(sum(abs(cnt_test * 100 - pred_x100)) // count(*) AS BIGINT) AS mae_x100
+        |FROM cells GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_seasonal_profile" ->
       """WITH grid AS (SELECT event_type,
         |                     (CAST(ts AS DATE) - DATE '1994-12-26') % 7 AS dow,
