@@ -315,6 +315,29 @@ object DataPrepQueries {
         .orderBy("source")
     },
 
+    // NS: smoothed target encoding — the high-cardinality categorical
+    // feature transform (per-customer final-status rate, shrunk toward
+    // the global prior with m=10 pseudo-observations so rare categories
+    // don't memorize their few labels — the leakage-control every
+    // target-encoded feature needs). One key-shuffle reduces orders to the
+    // per-category frame; the encoding is EXACT integer cross-
+    // multiplication, enc_ppm = (n_f·N + m·F)·1e6 DIV ((n+m)·N) — no float
+    // can flip a feature value between runs or engines. int64 bound:
+    // n_f·N·1e6 caps per-category mass × corpus at ~9e18 — a category with
+    // 4e2 events against a 1.5e10-row corpus sits at the edge; beyond
+    // that the numerator needs decimal widening (noted, not silent).
+    "q_target_encode" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), (col("o_orderstatus") === "F").cast("long").as("y"))
+      val cat = o.groupBy("o_custkey").agg(count(lit(1)).as("n"), sum("y").as("n_f"))
+      val tot = cat.agg(sum("n").as("nt"), sum("n_f").as("ft"))
+      cat.crossJoin(broadcast(tot))
+        .select(col("o_custkey"), col("n"), col("n_f"),
+          expr("n_f * 1000000 DIV n").as("raw_ppm"),
+          expr("(n_f * nt + 10 * ft) * 1000000 DIV ((n + 10) * nt)").as("enc_ppm"))
+        .orderBy("o_custkey")
+    },
+
     // NS: temperature-scaled multilingual sampling (the mT5/XLM-R mix
     // rule): sampling share q_l ∝ p_l^α with α=0.3 upweights low-resource
     // languages (a 1000x token gap becomes ~8x in sampling odds) — the
@@ -763,6 +786,19 @@ object DataPrepQueries {
         |       least(n_tokens, CAST((tot.t // 2) // tot.n_sources AS BIGINT)) AS planned_tokens
         |FROM toks CROSS JOIN tot
         |ORDER BY source""".stripMargin,
+    // same exact integer cross-multiplied shrinkage
+    "q_target_encode" ->
+      """WITH o AS (SELECT o_custkey,
+        |                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |           FROM orders),
+        |cat AS (SELECT o_custkey, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_f
+        |        FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_f) AS BIGINT) AS ft FROM cat)
+        |SELECT o_custkey, n, n_f,
+        |       CAST(n_f * 1000000 // n AS BIGINT) AS raw_ppm,
+        |       CAST((n_f * nt + 10 * ft) * 1000000 // ((n + 10) * nt) AS BIGINT) AS enc_ppm
+        |FROM cat CROSS JOIN tot
+        |ORDER BY o_custkey""".stripMargin,
     // same per-language reduce; identical pow/normalize expression order
     "q_temperature_mix" ->
       """WITH toks AS (SELECT lang, count(*) AS n_docs,

@@ -157,6 +157,71 @@ object StatsQueries {
         .orderBy("price")
     },
 
+    // NS: Weight-of-Evidence / Information Value — the credit-risk feature
+    // screen (q_psi_drift's target-conditioned sibling): does binned order
+    // price separate final-status orders from open ones? Fixed integer
+    // bins (cents DIV 2,000,000, capped — the bounded-histogram
+    // discipline), add-0.5 smoothed WoE per bin, IV = Σ(g%−b%)·WoE with
+    // the conventional reading (<0.02 useless, >0.3 strong). Counts are
+    // exact integers off one bounded-bin aggregate; WoE/IV are the only
+    // floats, folded over ≤16 bins and rounded at 6; the 1-row total
+    // broadcasts back so each bin row also carries the feature's IV.
+    "q_woe_iv" -> { (s, dir) =>
+      val bins = Tables.orders(s, dir)
+        .select(least(expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 2000000"),
+            lit(15L)).as("bin"),
+          (col("o_orderstatus") === "F").cast("long").as("bad"))
+        .groupBy("bin")
+        .agg(sum(lit(1L) - col("bad")).as("n_good"), sum("bad").as("n_bad"))
+      val tot = bins.agg(sum("n_good").as("gt"), sum("n_bad").as("bt"))
+      val withTot = bins.crossJoin(broadcast(tot))
+      val gs = (col("n_good") + 0.5) / (col("gt").cast("double") + 0.5)
+      val bs = (col("n_bad") + 0.5) / (col("bt").cast("double") + 0.5)
+      val woe = log(gs / bs)
+      val term = (gs - bs) * woe
+      val iv = withTot.agg(round(sum(term), 6).as("iv"))
+      withTot.crossJoin(broadcast(iv))
+        .select(col("bin"), col("n_good"), col("n_bad"),
+          round(woe, 6).as("woe"), round(term, 6).as("iv_term"), col("iv"))
+        .orderBy("bin")
+    },
+
+    // NS: gains table / decile lift — the campaign-targeting eval (does
+    // ranking orders by price concentrate the final-status responders in
+    // the top deciles?): decile boundaries are type-7 percentiles of
+    // integer cents FLOORED to the integer grid (one 1-row agg broadcast —
+    // the q_percentile_bucket pattern; flooring makes every boundary an
+    // exact integer, so the cents > boundary comparison is integer-vs-
+    // integer and can never ulp-flip), then per-decile response counts with
+    // cumulative gains and lift as exact integer cross-multiplication over
+    // the 10-row frame. Response mass and lift are the integer verdicts;
+    // nothing row-scale survives the decile aggregate.
+    "q_gains_table" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          (col("o_orderstatus") === "F").cast("long").as("resp"))
+      val cutCols = (1 to 9).map(k =>
+        expr(s"CAST(floor(percentile(cents, ${k / 10.0})) AS BIGINT)").as(s"c$k"))
+      val cuts = o.agg(cutCols.head, cutCols.tail: _*)
+      val bucket = (1 to 9).map(k => (col("cents") > col(s"c$k")).cast("long"))
+        .reduce(_ + _)
+      val dec = o.crossJoin(broadcast(cuts))
+        .select(bucket.as("decile"), col("resp"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("resp").as("n_resp"))
+      val tot = dec.agg(sum("n").as("nt"), sum("n_resp").as("rt"))
+      val w = Window.orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.crossJoin(broadcast(tot))
+        .withColumn("cum_resp", sum("n_resp").over(w))
+        .withColumn("cum_n", sum("n").over(w))
+        .select(col("decile"), col("n"), col("n_resp"),
+          expr("n_resp * 1000000 DIV n").as("resp_ppm"),
+          expr("cum_resp * 1000000 DIV rt").as("cum_gain_ppm"),
+          expr("cum_resp * nt * 100 DIV (cum_n * rt)").as("cum_lift_x100"))
+        .orderBy("decile")
+    },
+
     // NS: Welch two-sample t-test (unequal variances) — the A/B-test
     // decision statistic beside q_chi_square (categorical) and q_ks_test
     // (distributional): does the purchase cohort's value differ from the
@@ -385,6 +450,59 @@ object StatsQueries {
         |      FROM g)
         |SELECT price, qty FROM w WHERE prevmax IS NULL OR qty > prevmax
         |ORDER BY price""".stripMargin,
+    "q_woe_iv" ->
+      """WITH b AS (SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 2000000, 15) AS bin,
+        |                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+        |           FROM orders),
+        |bins AS (SELECT bin, CAST(sum(1 - bad) AS BIGINT) AS n_good,
+        |                CAST(sum(bad) AS BIGINT) AS n_bad
+        |         FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS gt,
+        |               CAST(sum(n_bad) AS BIGINT) AS bt FROM bins),
+        |t AS (SELECT bin, n_good, n_bad,
+        |             (n_good + 0.5) / (CAST(gt AS DOUBLE) + 0.5) AS gs,
+        |             (n_bad + 0.5) / (CAST(bt AS DOUBLE) + 0.5) AS bs
+        |      FROM bins CROSS JOIN tot),
+        |iv AS (SELECT round(sum((gs - bs) * ln(gs / bs)), 6) AS iv FROM t)
+        |SELECT bin, n_good, n_bad,
+        |       round(ln(gs / bs), 6) AS woe,
+        |       round((gs - bs) * ln(gs / bs), 6) AS iv_term,
+        |       iv
+        |FROM t CROSS JOIN iv
+        |ORDER BY bin""".stripMargin,
+    "q_gains_table" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS resp
+        |           FROM orders),
+        |cuts AS (SELECT CAST(floor(quantile_cont(cents, 0.1)) AS BIGINT) AS c1,
+        |                CAST(floor(quantile_cont(cents, 0.2)) AS BIGINT) AS c2,
+        |                CAST(floor(quantile_cont(cents, 0.3)) AS BIGINT) AS c3,
+        |                CAST(floor(quantile_cont(cents, 0.4)) AS BIGINT) AS c4,
+        |                CAST(floor(quantile_cont(cents, 0.5)) AS BIGINT) AS c5,
+        |                CAST(floor(quantile_cont(cents, 0.6)) AS BIGINT) AS c6,
+        |                CAST(floor(quantile_cont(cents, 0.7)) AS BIGINT) AS c7,
+        |                CAST(floor(quantile_cont(cents, 0.8)) AS BIGINT) AS c8,
+        |                CAST(floor(quantile_cont(cents, 0.9)) AS BIGINT) AS c9
+        |         FROM o),
+        |dec AS (SELECT CAST(cents > c1 AS INT) + CAST(cents > c2 AS INT) +
+        |               CAST(cents > c3 AS INT) + CAST(cents > c4 AS INT) +
+        |               CAST(cents > c5 AS INT) + CAST(cents > c6 AS INT) +
+        |               CAST(cents > c7 AS INT) + CAST(cents > c8 AS INT) +
+        |               CAST(cents > c9 AS INT) AS decile, resp
+        |        FROM o CROSS JOIN cuts),
+        |g AS (SELECT decile, count(*) AS n, CAST(sum(resp) AS BIGINT) AS n_resp
+        |      FROM dec GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_resp) AS BIGINT) AS rt FROM g),
+        |c AS (SELECT decile, n, n_resp, nt, rt,
+        |             CAST(sum(n_resp) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_resp,
+        |             CAST(sum(n) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_n
+        |      FROM g CROSS JOIN tot)
+        |SELECT CAST(decile AS BIGINT) AS decile, n, n_resp,
+        |       CAST(n_resp * 1000000 // n AS BIGINT) AS resp_ppm,
+        |       CAST(cum_resp * 1000000 // rt AS BIGINT) AS cum_gain_ppm,
+        |       CAST(cum_resp * nt * 100 // (cum_n * rt) AS BIGINT) AS cum_lift_x100
+        |FROM c
+        |ORDER BY decile""".stripMargin,
     "q_ab_ttest" ->
       """WITH g AS (SELECT event_type, count(*) AS n, sum(value) AS s1,
         |                  sum(value * value) AS s2
