@@ -315,6 +315,37 @@ object DataPrepQueries {
         .orderBy("source")
     },
 
+    // NS: robust-z outlier census (Iglewicz–Hoaglin modified z-score,
+    // 0.6745·|x−med|/MAD > 3.5) — q_anomaly_zscore's breakdown-resistant
+    // sibling: mean/stddev move with the outliers they hunt, median/MAD
+    // don't. All in EXACT arithmetic: integer cents put the type-7 median
+    // on the k/2 grid, doubled residuals return to integers, MAD lands on
+    // k/2 again, and the flag inequality cross-multiplies to
+    // r2·6745 > mad2·35000 — products of exact values well under 2^53, so
+    // the comparison can never ulp-flip. Two percentile aggregates + one
+    // broadcast-back counting pass (the q_median_mad shape with a verdict).
+    "q_anomaly_robust" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      val withR = li.join(broadcast(med), "l_returnflag")
+        .withColumn("r2", abs(col("cents") * 2 - col("med") * 2).cast("long"))
+      val mad = withR.groupBy("l_returnflag")
+        .agg(expr("percentile(r2, 0.5)").as("mad2"))
+      withR.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          max("med").as("med_cents"),
+          (max("mad2") / 2.0).as("mad_cents"),
+          sum((col("r2") * lit(6745.0) > col("mad2") * lit(35000.0)).cast("long"))
+            .as("n_outliers"))
+        .select(col("l_returnflag"), col("n"), col("med_cents"), col("mad_cents"),
+          col("n_outliers"), expr("n_outliers * 1000000 DIV n").as("out_ppm"))
+        .orderBy("l_returnflag")
+    },
+
     // NS: smoothed target encoding — the high-cardinality categorical
     // feature transform (per-customer final-status rate, shrunk toward
     // the global prior with m=10 pseudo-observations so rare categories
@@ -786,6 +817,24 @@ object DataPrepQueries {
         |       least(n_tokens, CAST((tot.t // 2) // tot.n_sources AS BIGINT)) AS planned_tokens
         |FROM toks CROSS JOIN tot
         |ORDER BY source""".stripMargin,
+    // same k/2-grid median/MAD + cross-multiplied flag inequality
+    "q_anomaly_robust" ->
+      """WITH li AS (SELECT l_returnflag,
+        |                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |            FROM lineitem),
+        |med AS (SELECT l_returnflag, quantile_cont(cents, 0.5) AS med FROM li GROUP BY 1),
+        |r AS (SELECT li.l_returnflag, cents, med,
+        |             CAST(abs(cents * 2 - med * 2) AS BIGINT) AS r2
+        |      FROM li JOIN med USING (l_returnflag)),
+        |mad AS (SELECT l_returnflag, quantile_cont(r2, 0.5) AS mad2 FROM r GROUP BY 1)
+        |SELECT r.l_returnflag, count(*) AS n,
+        |       max(med) AS med_cents,
+        |       max(mad2) / 2.0 AS mad_cents,
+        |       CAST(sum(CASE WHEN r2 * 6745.0 > mad2 * 35000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       CAST(sum(CASE WHEN r2 * 6745.0 > mad2 * 35000.0 THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS out_ppm
+        |FROM r JOIN mad USING (l_returnflag)
+        |GROUP BY 1 ORDER BY r.l_returnflag""".stripMargin,
     // same exact integer cross-multiplied shrinkage
     "q_target_encode" ->
       """WITH o AS (SELECT o_custkey,

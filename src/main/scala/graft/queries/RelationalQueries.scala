@@ -974,6 +974,32 @@ object RelationalQueries {
           expr("n_rows DIV runs_status").as("rpr_status"),
           expr("n_rows DIV runs_day").as("rpr_day"))
     },
+    // NS: self-join size forecast from a sample — the question every dedup
+    // / blocking / semdedup plan must answer BEFORE running: how many
+    // candidate pairs will this key produce? Exact answer needs the full
+    // key census; the sampling estimator gets it from a p=1/4 Bernoulli
+    // key-DOMAIN sample (md5-membership, deterministic): sampling KEYS
+    // (not rows) keeps each sampled key's full count intact, so
+    // Σ c(c−1) over sampled keys unbiasedly estimates p·Σ c(c−1) and the
+    // forecast is sampled·4 — EXACT integer arithmetic end to end, and
+    // the sample census is 4x cheaper than the full one at any scale.
+    // Both the estimate and the true pair mass (the validation this
+    // fixture can still afford) are emitted with the error ratio.
+    "q_selfjoin_forecast" -> { (s, dir) =>
+      val census = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val withS = census.withColumn("in_sample",
+        (pmod(graft.text.TextQueries.h32(
+          concat(lit("sjf:"), col("l_partkey").cast("string"))), lit(100L)) < 25)
+          .cast("long"))
+      withS.agg(count(lit(1)).as("n_keys"),
+          sum(col("c") * (col("c") - 1)).as("actual_pairs"),
+          sum(col("in_sample")).as("n_sampled_keys"),
+          sum(col("in_sample") * col("c") * (col("c") - 1)).as("sampled_pairs"))
+        .select(col("n_keys"), col("actual_pairs"), col("n_sampled_keys"),
+          (col("sampled_pairs") * 4).as("est_pairs"),
+          expr("sampled_pairs * 4 * 100 DIV greatest(actual_pairs, 1)").as("err_x100"))
+    },
     // NS: full cube over region x nation (rollup's sibling; all 4 grouping
     // sets), subtotals labeled via coalesce like q_rollup.
     "q_cube" -> { (s, dir) =>
@@ -1388,6 +1414,19 @@ object RelationalQueries {
         |) shipping
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_selfjoin_forecast" ->
+      """WITH census AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |s AS (SELECT c,
+        |             CASE WHEN ('0x' || substr(md5('sjf:' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+        |                       % 100 < 25 THEN 1 ELSE 0 END AS in_sample
+        |      FROM census)
+        |SELECT count(*) AS n_keys,
+        |       CAST(sum(c * (c - 1)) AS BIGINT) AS actual_pairs,
+        |       CAST(sum(in_sample) AS BIGINT) AS n_sampled_keys,
+        |       CAST(sum(in_sample * c * (c - 1)) * 4 AS BIGINT) AS est_pairs,
+        |       CAST(sum(in_sample * c * (c - 1)) * 4 * 100
+        |            // greatest(sum(c * (c - 1)), 1) AS BIGINT) AS err_x100
+        |FROM s""".stripMargin,
     "q_sql_tpch_q13" ->
       """WITH oc AS (SELECT o_custkey, count(*) AS cc FROM orders
         |            WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)

@@ -157,6 +157,70 @@ object StatsQueries {
         .orderBy("price")
     },
 
+    // NS: split-conformal prediction interval — the distribution-free
+    // uncertainty wrapper (Vovk; the calibration discipline modern ML eval
+    // runs): per event type, the q90 of CALIBRATION-set absolute
+    // residuals (vs the calibration mean, in integer cents) becomes the
+    // interval radius, and the TEST set reports empirical coverage — which
+    // conformal theory pins near 90% regardless of the value
+    // distribution. The cal/test split is the md5 hash (reproducible);
+    // the center is a floor-DIV integer mean, the q90 radius is FLOORED to
+    // the integer grid (the q_gains_table rule: every comparison is
+    // integer-vs-integer, no ulp flips), and coverage is exact ppm.
+    "q_conformal_interval" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"),
+          (pmod(graft.text.TextQueries.h32(
+            concat(lit("conf:"), col("event_id").cast("string"))), lit(100L)) < 50)
+            .cast("long").as("is_cal"))
+      val center = e.filter(col("is_cal") === 1L)
+        .groupBy("event_type")
+        .agg(expr("sum(vc) DIV count(1)").as("center"), count(lit(1)).as("n_cal"))
+      val withR = e.join(center, "event_type")
+        .withColumn("r", abs(col("vc") - col("center")))
+      val q90 = withR.filter(col("is_cal") === 1L)
+        .groupBy("event_type")
+        .agg(expr("CAST(floor(percentile(r, 0.9)) AS BIGINT)").as("q90_cents"))
+      withR.filter(col("is_cal") === 0L)
+        .join(q90, "event_type")
+        .groupBy("event_type")
+        .agg(max("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+          max("q90_cents").as("q90_cents"),
+          sum((col("r") <= col("q90_cents")).cast("long")).as("n_covered"))
+        .select(col("event_type"), col("n_cal"), col("n_test"), col("q90_cents"),
+          expr("n_covered * 1000000 DIV n_test").as("coverage_ppm"))
+        .orderBy("event_type")
+    },
+
+    // NS: Benford first-digit census — the forensic-accounting screen for
+    // fabricated numeric columns (organic multiplicative data follows
+    // P(d) = log10(1+1/d); uniform or hand-made values don't): exact
+    // integer digit counts off one bounded 9-row aggregate (leading digit
+    // via string head — no float log in the bucketing), expected shares as
+    // literal-derived ppm, and the mean absolute deviation statistic
+    // folded over 9 rows. A synthetic fixture will typically FAIL Benford
+    // — that is the point of a screen; the statistic is the output, not a
+    // pass/fail assumption.
+    "q_benford" -> { (s, dir) =>
+      val d = substring(expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1)
+        .cast("long")
+      val bins = Tables.orders(s, dir)
+        .select(d.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = bins.agg(sum("n").as("nt"))
+      val withTot = bins.crossJoin(broadcast(tot))
+      val obs = col("n").cast("double") / col("nt").cast("double")
+      val exp_ = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+      val mad = withTot.agg(round(avg(abs(obs - exp_)), 6).as("mad"))
+      withTot.crossJoin(broadcast(mad))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 DIV nt").as("obs_ppm"),
+          round(exp_ * 1e6).cast("long").as("exp_ppm"),
+          col("mad"))
+        .orderBy("digit")
+    },
+
     // NS: Weight-of-Evidence / Information Value — the credit-risk feature
     // screen (q_psi_drift's target-conditioned sibling): does binned order
     // price separate final-status orders from open ones? Fixed integer
@@ -450,6 +514,42 @@ object StatsQueries {
         |      FROM g)
         |SELECT price, qty FROM w WHERE prevmax IS NULL OR qty > prevmax
         |ORDER BY price""".stripMargin,
+    "q_conformal_interval" ->
+      """WITH e AS (SELECT event_type,
+        |                  CAST(round(value * 100) AS BIGINT) AS vc,
+        |                  CASE WHEN ('0x' || substr(md5('conf:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        |                            % 100 < 50 THEN 1 ELSE 0 END AS is_cal
+        |           FROM events),
+        |center AS (SELECT event_type, CAST(sum(vc) // count(*) AS BIGINT) AS center,
+        |                  count(*) AS n_cal
+        |           FROM e WHERE is_cal = 1 GROUP BY 1),
+        |r AS (SELECT e.event_type, e.is_cal, abs(e.vc - c.center) AS r, c.n_cal
+        |      FROM e JOIN center c USING (event_type)),
+        |q90 AS (SELECT event_type, CAST(floor(quantile_cont(r, 0.9)) AS BIGINT) AS q90_cents
+        |        FROM r WHERE is_cal = 1 GROUP BY 1)
+        |SELECT r.event_type, max(n_cal) AS n_cal, count(*) AS n_test,
+        |       max(q90_cents) AS q90_cents,
+        |       CAST(sum(CASE WHEN r <= q90_cents THEN 1 ELSE 0 END) * 1000000
+        |            // count(*) AS BIGINT) AS coverage_ppm
+        |FROM r JOIN q90 USING (event_type)
+        |WHERE is_cal = 0
+        |GROUP BY 1 ORDER BY r.event_type""".stripMargin,
+    "q_benford" ->
+      """WITH bins AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |                     count(*) AS n
+        |              FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM bins),
+        |t AS (SELECT digit, n, nt,
+        |             CAST(n AS DOUBLE) / nt AS obs,
+        |             log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_
+        |      FROM bins CROSS JOIN tot),
+        |m AS (SELECT round(avg(abs(obs - exp_)), 6) AS mad FROM t)
+        |SELECT digit, n,
+        |       CAST(n * 1000000 // nt AS BIGINT) AS obs_ppm,
+        |       CAST(round(exp_ * 1e6) AS BIGINT) AS exp_ppm,
+        |       mad
+        |FROM t CROSS JOIN m
+        |ORDER BY digit""".stripMargin,
     "q_woe_iv" ->
       """WITH b AS (SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 2000000, 15) AS bin,
         |                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
