@@ -123,8 +123,16 @@ object MLQueries {
     // the same shape a 1000-executor k-center run keeps partitioned.
     "q_coreset_fps" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      // localCheckpoint x2 (the Lloyd-loop discipline): xl feeds every
+      // round's distance pass (~9 references), and each round's `mind`
+      // is referenced twice (the argmax pick AND the next least() fold) —
+      // without the cuts the lazy plan re-evaluates the round r-1 subtree
+      // twice per level (~2^4 replay; measured 6.6 -> 2.2 s warm,
+      // 11.4 -> 2.7 s cold at sf0.1). Values are snapped BEFORE each cut, so
+      // materialization cannot move the hash.
       val xl = emb.select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .localCheckpoint()
       def coordsOf(pid: DataFrame): DataFrame =
         xl.join(broadcast(pid), xl("vec_id") === pid("pid"))
           .select(col("pos"), col("x").as("c"))
@@ -132,7 +140,7 @@ object MLQueries {
         xl.join(cv, "pos").groupBy("vec_id")
           .agg(round(sum((col("x") - col("c")) * (col("x") - col("c"))), 7).as("d2"))
       val seed = emb.agg(min("vec_id").as("pid"))
-      var mind = d2To(coordsOf(seed))
+      var mind = d2To(coordsOf(seed)).localCheckpoint()
       var picks = seed.select(lit(0L).as("rank"), col("pid").as("vec_id"),
         lit(null).cast("double").as("picked_d2"))
       for (r <- 1 to 4) {
@@ -145,6 +153,7 @@ object MLQueries {
           .withColumnRenamed("d2", "d2_new")
         mind = mind.join(dNew, "vec_id")
           .select(col("vec_id"), least(col("d2"), col("d2_new")).as("d2"))
+          .localCheckpoint()
       }
       // NOTE: picked_d2/coverage are ALREADY on the 1e-7 grid — a second
       // round to 6 dp would hit exact-half ties where Spark (HALF_UP on
