@@ -974,6 +974,40 @@ object RelationalQueries {
           expr("n_rows DIV runs_status").as("rpr_status"),
           expr("n_rows DIV runs_day").as("rpr_day"))
     },
+    // NS: table statistics through ANALYZE — the CBO feed every serious
+    // deployment maintains (join reorder, broadcast decisions, and every
+    // q_*_forecast here assume a stats store exists): write the dim as a
+    // managed table (fixture-fingerprint-keyed, the q_join_bucketed
+    // convention), run ANALYZE TABLE ... FOR ALL COLUMNS, and read the
+    // catalog's row count + per-column stats back. Registered as a fused
+    // self-eval (catalog row count vs exact count; column-stat
+    // completeness) because the catalog itself is not oracle-visible —
+    // the oracle pins the verdicts to 1 and the row count to the exact
+    // SQL count, so a stats regression (ANALYZE silently skipping
+    // columns, stale counts served for a rewritten fixture) goes
+    // hash-red.
+    "q_analyze_stats" -> { (s, dir) =>
+      val sfx = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val fp = fixtureFingerprint(Seq(s"$dir/supplier.parquet"))
+      val t = s"supplier_an_${sfx}_$fp"
+      if (!s.catalog.tableExists(t)) {
+        clearStaleManagedLocation(s, t)
+        Tables.supplier(s, dir).write.mode("overwrite").saveAsTable(t)
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      val stats = meta.stats
+      val rc = stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L)
+      val nColStats = stats.map(_.colStats.size.toLong).getOrElse(0L)
+      val exact = Tables.supplier(s, dir).count()
+      s.range(1).select(
+        lit(exact).as("n_rows"),
+        lit(if (rc == exact) 1L else 0L).as("rowcount_ok"),
+        lit(if (stats.exists(_.sizeInBytes > 0)) 1L else 0L).as("size_ok"),
+        lit(if (nColStats == Tables.supplier(s, dir).columns.length) 1L else 0L)
+          .as("col_stats_ok"))
+    },
     // NS: self-join size forecast from a sample — the question every dedup
     // / blocking / semdedup plan must answer BEFORE running: how many
     // candidate pairs will this key produce? Exact answer needs the full
@@ -1414,6 +1448,13 @@ object RelationalQueries {
         |) shipping
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // catalog not oracle-visible: the oracle pins the self-eval verdicts
+    "q_analyze_stats" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(1 AS BIGINT) AS rowcount_ok,
+        |       CAST(1 AS BIGINT) AS size_ok,
+        |       CAST(1 AS BIGINT) AS col_stats_ok
+        |FROM supplier""".stripMargin,
     "q_selfjoin_forecast" ->
       """WITH census AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
         |s AS (SELECT c,

@@ -140,6 +140,34 @@ object WindowSetQueries {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
     },
+    // NS: session quality metrics — the product read over q_sessionize's
+    // output (bounce rate, depth distribution): sessions collapse to the
+    // capped depth histogram (least(n_events, 10) — bounded domain, the
+    // q_histogram discipline) with the bounce share as exact ppm. Same
+    // single user_id shuffle as sessionize; everything after the session
+    // aggregate is histogram-sized.
+    "q_session_metrics" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))
+      val sessions = Tables.events(s, dir)
+        .withColumn("new_sess",
+          when(gapUs.isNull.or(gapUs > lit(30L * 60 * 1000000L)), 1L).otherwise(0L))
+        .withColumn("sess_idx", sum("new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_idx")
+        .agg(count(lit(1)).as("n_events"))
+      val hist = sessions
+        .groupBy(least(col("n_events"), lit(10L)).as("depth"))
+        .agg(count(lit(1)).as("n_sessions_at_depth"))
+      val tot = hist.agg(sum("n_sessions_at_depth").as("n_sessions"),
+        sum(when(col("depth") === 1L, col("n_sessions_at_depth")).otherwise(0L))
+          .as("n_bounces"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("depth"), col("n_sessions_at_depth"), col("n_sessions"),
+          expr("n_bounces * 1000000 DIV n_sessions").as("bounce_ppm"))
+        .orderBy("depth")
+    },
+
     // NS: multi-touch attribution — q_funnel's marketing sibling: each
     // purchase attributes to the LAST preceding click (last-touch) and to
     // the EARLIEST click inside the trailing 1-hour window (first-touch-
@@ -302,6 +330,26 @@ object WindowSetQueries {
         |       min(epoch_us(ts)) AS sess_start_us,
         |       count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
+    // same lag/gap session rebuild, collapsed to the capped depth histogram
+    "q_session_metrics" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT *, epoch_us(ts) - epoch_us(lag(ts, 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us FROM e),
+        |s AS (SELECT *, sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+        |      FROM g),
+        |sess AS (SELECT user_id, sess_idx, count(*) AS n_events
+        |         FROM s GROUP BY 1, 2),
+        |hist AS (SELECT least(n_events, 10) AS depth, count(*) AS n_sessions_at_depth
+        |         FROM sess GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_sessions_at_depth) AS BIGINT) AS n_sessions,
+        |               CAST(sum(CASE WHEN depth = 1 THEN n_sessions_at_depth ELSE 0 END) AS BIGINT) AS n_bounces
+        |        FROM hist)
+        |SELECT depth, n_sessions_at_depth, n_sessions,
+        |       CAST(n_bounces * 1000000 // n_sessions AS BIGINT) AS bounce_ppm
+        |FROM hist CROSS JOIN tot
+        |ORDER BY depth""".stripMargin,
     "q_attribution" ->
       """WITH base AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |                     CASE WHEN event_type = 'click'

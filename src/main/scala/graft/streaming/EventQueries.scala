@@ -94,6 +94,25 @@ object EventQueries {
           round(est / col("n_exact").cast("double") * 100, 2).as("est_vs_exact_x100"))
         .orderBy("w_start")
     },
+    // NS: windowed top-N — the "trending now" panel: per 1-hour window the
+    // top-3 event types by count. Batch-equivalent form (the
+    // q_stream_tumbling convention) of the foreachBatch ranking a live
+    // dashboard runs over its windowed-count state: the rank window
+    // partitions BY WINDOW over the already-aggregated census (≤|types|
+    // rows per window — never events), with the (count desc, type) order
+    // total so rank ties cannot flip.
+    "q_stream_topn" -> { (s, dir) =>
+      val wc = Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      wc.withColumn("rk", row_number().over(
+          Window.partitionBy("w_start").orderBy(col("n").desc, col("event_type"))))
+        .filter(col("rk") <= 3)
+        .select(col("w_start"), col("rk").cast("long").as("rk"),
+          col("event_type"), col("n"))
+        .orderBy("w_start", "rk")
+    },
     // 1-hour window sliding every 15 minutes: each event lands in 4 windows.
     "q_stream_sliding" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -280,6 +299,17 @@ object EventQueries {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |       count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    "q_stream_topn" ->
+      """WITH wc AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        |                   event_type, count(*) AS n
+        |            FROM events GROUP BY 1, 2),
+        |r AS (SELECT w_start, event_type, n,
+        |             CAST(row_number() OVER (PARTITION BY w_start
+        |               ORDER BY n DESC, event_type) AS BIGINT) AS rk
+        |      FROM wc)
+        |SELECT w_start, rk, event_type, n
+        |FROM r WHERE rk <= 3
+        |ORDER BY w_start, rk""".stripMargin,
     // same md5 register derivation + LC/PCSA branch as q_fm_sketch
     "q_stream_distinct" ->
       """WITH b AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, user_id,
