@@ -783,6 +783,47 @@ object RelationalQueries {
               |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
               |LIMIT 20""".stripMargin)
     },
+    // NS: TPC-H Q4 shape (order-priority checking): correlated EXISTS with
+    // an INTER-TABLE date predicate (l_shipdate > o_orderdate + 90 days —
+    // the correlation references a column of the OUTER table inside an
+    // arithmetic expression, a decorrelation case plainer EXISTS queries
+    // don't exercise). Catalyst plans it as one semi join on orderkey with
+    // the date residual evaluated at the join, so the fact side is scanned
+    // once; the date-window filter pushes to the orders scan.
+    "q_sql_tpch_q4" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT o_orderpriority, count(*) AS order_count
+              |FROM orders_v o
+              |WHERE o.o_orderdate >= timestamp '1996-07-01 00:00:00'
+              |  AND o.o_orderdate <  timestamp '1996-10-01 00:00:00'
+              |  AND EXISTS (SELECT 1 FROM lineitem_v l
+              |              WHERE l.l_orderkey = o.o_orderkey
+              |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    },
+    // NS: TPC-H Q14 shape (promotion effect): conditional-aggregate share
+    // over a dim-joined fact month — revenue in exact 1e-4 integer units
+    // (the Q5 rationale) so the promo share is an integer ppm verdict, not
+    // a float ratio; part broadcasts (dimension-sized), the month filter
+    // pushes to the fact scan.
+    "q_sql_tpch_q14" -> { (s, dir) =>
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT
+              |  CAST(sum(CASE WHEN p_type = 'PROMO'
+              |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+              |    ELSE 0 END) AS BIGINT) / 1e4 AS promo_revenue,
+              |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS total_revenue,
+              |  CAST(sum(CASE WHEN p_type = 'PROMO'
+              |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+              |    ELSE 0 END) * 1000000
+              |    DIV sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS promo_ppm
+              |FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+              |WHERE l_shipdate >= timestamp '1996-03-01 00:00:00'
+              |  AND l_shipdate <  timestamp '1996-04-01 00:00:00'""".stripMargin)
+    },
     // NS: TPC-H Q7 shape (volume shipping): the DISJUNCTIVE dim predicate —
     // the nation-pair filter (A->B OR B->A) references BOTH nation copies,
     // so it cannot push below either dim join; Catalyst keeps all four dims
@@ -1430,6 +1471,29 @@ object RelationalQueries {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 20""".stripMargin,
+    "q_sql_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_tpch_q14" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) / 1e4 AS promo_revenue,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS total_revenue,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+        |    ELSE 0 END) * 1000000
+        |    // sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS promo_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
     "q_sql_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue
