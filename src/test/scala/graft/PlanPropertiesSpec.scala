@@ -459,6 +459,21 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"prefix reduce not map-side combined:\n$p")
   }
 
+  test("q_sql_tpch_q4 plans the arithmetic-correlated EXISTS as a semi join") {
+    val p = executedPlan("q_sql_tpch_q4")
+    assert(p.contains("LeftSemi"), s"correlated EXISTS not decorrelated to semi join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date window not pushed to the orders scan:\n$p")
+  }
+
+  test("q_sql_tpch_q14 broadcasts the part dim; month filter reaches the fact scan") {
+    val p = executedPlan("q_sql_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"month filter not pushed to the lineitem scan:\n$p")
+  }
+
   test("q_attribution runs both attribution models on ONE user_id shuffle") {
     val p = executedPlan("q_attribution")
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
