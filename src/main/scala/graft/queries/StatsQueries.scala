@@ -264,9 +264,14 @@ object StatsQueries {
       val o = Tables.orders(s, dir)
         .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
           (col("o_orderstatus") === "F").cast("long").as("resp"))
-      val cutCols = (1 to 9).map(k =>
-        expr(s"CAST(floor(percentile(cents, ${k / 10.0})) AS BIGINT)").as(s"c$k"))
-      val cuts = o.agg(cutCols.head, cutCols.tail: _*)
+      // ONE array-percentile buffer for all nine cuts (nine scalar
+      // percentile() calls each build their own value->count state:
+      // measured 3.4 -> ~1 s at sf0.1)
+      val cuts = o.agg(expr(
+        "percentile(cents, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
+        .as("cs"))
+        .select((1 to 9).map(k =>
+          expr(s"CAST(floor(element_at(cs, $k)) AS BIGINT)").as(s"c$k")): _*)
       val bucket = (1 to 9).map(k => (col("cents") > col(s"c$k")).cast("long"))
         .reduce(_ + _)
       val dec = o.crossJoin(broadcast(cuts))

@@ -83,20 +83,27 @@ object GraphQueries {
         transform(sequence(lit(1), size(col("ws")) - 1),
           i => struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-      Tables.documents(s, dir)
+      // the recursive loop re-evaluates every CTE it references ONCE PER
+      // HOP — materialize the vocabulary-sized distinct edge list and the
+      // 1-row seed up front (localCheckpoint), so each hop joins a cached
+      // tiny frame instead of replaying the corpus bigram explode +
+      // distinct per hop. Residual cost (~1.6 s warm at sf0.1) is the
+      // UnionLoop per-iteration job floor — the same class as the CC
+      // fixpoint's per-round floor, independent of data volume.
+      val pairs = Tables.documents(s, dir)
         .select(ws.as("ws")).select(explode(bigrams).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .createOrReplaceTempView("bfs_pairs_v")
+      pairs.distinct().localCheckpoint().createOrReplaceTempView("bfs_edges_v")
+      pairs.groupBy("w1").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1")).limit(1)
+        .select(col("w1").as("word"))
+        .localCheckpoint().createOrReplaceTempView("bfs_seed_v")
       s.sql("""WITH RECURSIVE
-              |edges AS (SELECT DISTINCT w1, w2 FROM bfs_pairs_v),
-              |seed AS (SELECT w1 AS word FROM (
-              |           SELECT w1, count(*) AS c FROM bfs_pairs_v GROUP BY w1
-              |         ) ORDER BY c DESC, w1 LIMIT 1),
               |bfs(word, hop) AS (
-              |  SELECT word, 0 AS hop FROM seed
+              |  SELECT word, 0 AS hop FROM bfs_seed_v
               |  UNION ALL
               |  SELECT e.w2, b.hop + 1
-              |  FROM bfs b JOIN edges e ON e.w1 = b.word
+              |  FROM bfs b JOIN bfs_edges_v e ON e.w1 = b.word
               |  WHERE b.hop < 2
               |),
               |dist AS (SELECT word, min(hop) AS hop FROM bfs GROUP BY word)
