@@ -253,6 +253,32 @@ object QualityQueries {
           round(sum(term), 9).as("jsd"))
     },
 
+    // NS: worst-slice finder — the model-debugging sweep (SliceFinder/
+    // SliceLine lineage): which (segment × priority) subgroup deviates
+    // most from the global final-status rate? The fact reduces to the
+    // bounded slice grid in one aggregate; the deviation score
+    // |n_f·N − F·n| is EXACT integer cross-multiplication (support-scaled,
+    // so a 3-row slice with a wild rate cannot outrank a real cohort),
+    // ranked with a total (score desc, keys) order into the top 5.
+    // int64 bound: n_f·N caps slice mass × corpus at ~9e18 (the
+    // q_target_encode note).
+    "q_slice_finder" -> { (s, dir) =>
+      val slices = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("o_orderstatus") === "F").cast("long")).as("n_f"))
+      val tot = slices.agg(sum("n").as("nt"), sum("n_f").as("ft"))
+      slices.crossJoin(broadcast(tot))
+        .select(col("segment"), col("priority"), col("n"), col("n_f"),
+          expr("n_f * 1000000 DIV n").as("rate_ppm"),
+          expr("ft * 1000000 DIV nt").as("global_ppm"),
+          abs(col("n_f") * col("nt") - col("ft") * col("n")).as("dev_score"))
+        .orderBy(col("dev_score").desc, col("segment"), col("priority"))
+        .limit(5)
+    },
+
     // NS: PSI drift — the Population Stability Index, the industry-standard
     // binned drift score (credit-risk monitoring lineage; alert folklore:
     // >0.1 investigate, >0.25 act) beside q_token_drift's TV and
@@ -409,6 +435,20 @@ object QualityQueries {
           |       round(CAST(sum(abs(c_t * nv - c_v * nt)) AS DOUBLE) /
           |             (CAST(max(nt) AS DOUBLE) * max(nv) * 2.0), 9) AS tv
           |FROM wc CROSS JOIN tot""".stripMargin,
+      "q_slice_finder" ->
+        """WITH s AS (SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+          |                  count(*) AS n,
+          |                  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+          |           FROM orders JOIN customer ON o_custkey = c_custkey
+          |           GROUP BY 1, 2),
+          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_f) AS BIGINT) AS ft FROM s)
+          |SELECT segment, priority, n, n_f,
+          |       CAST(n_f * 1000000 // n AS BIGINT) AS rate_ppm,
+          |       CAST(ft * 1000000 // nt AS BIGINT) AS global_ppm,
+          |       CAST(abs(n_f * nt - ft * n) AS BIGINT) AS dev_score
+          |FROM s CROSS JOIN tot
+          |ORDER BY dev_score DESC, segment, priority
+          |LIMIT 5""".stripMargin,
       "q_psi_drift" ->
         """WITH d AS (SELECT doc_id, n_chars,
           |                  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h

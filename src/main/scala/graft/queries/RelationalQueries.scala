@@ -824,6 +824,29 @@ object RelationalQueries {
               |WHERE l_shipdate >= timestamp '1996-03-01 00:00:00'
               |  AND l_shipdate <  timestamp '1996-04-01 00:00:00'""".stripMargin)
     },
+    // NS: TPC-H Q10 shape (returned-item reporting): lost revenue per
+    // customer from R-flagged lineitems in a quarter — the 4-table join
+    // with the selective fact-side flag filter pushed to the lineitem
+    // scan, revenue in exact 1e-4 integer units so the top-20 ordering is
+    // deterministic, ending in TakeOrdered.
+    "q_sql_tpch_q10" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""SELECT c_custkey, c_name, n_name,
+              |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue
+              |FROM customer_v c
+              |JOIN orders_v o   ON c.c_custkey = o.o_custkey
+              |JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+              |JOIN nation_v n   ON c.c_nationkey = n.n_nationkey
+              |WHERE o.o_orderdate >= timestamp '1996-10-01 00:00:00'
+              |  AND o.o_orderdate <  timestamp '1997-01-01 00:00:00'
+              |  AND l.l_returnflag = 'R'
+              |GROUP BY c_custkey, c_name, n_name
+              |ORDER BY revenue DESC, c_custkey
+              |LIMIT 20""".stripMargin)
+    },
     // NS: TPC-H Q7 shape (volume shipping): the DISJUNCTIVE dim predicate —
     // the nation-pair filter (A->B OR B->A) references BOTH nation copies,
     // so it cannot push below either dim join; Catalyst keeps all four dims
@@ -1494,6 +1517,19 @@ object RelationalQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "q_sql_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue
+        |FROM customer c
+        |JOIN orders o   ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q_sql_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue

@@ -27,6 +27,50 @@ object TimeSeriesQueries {
     // observation, hours with no events gap-filled by carrying the last
     // observation forward. Deterministic "last in hour" = max over
     // (ts, event_id, value) structs (the (ts, event_id) pair is unique).
+    // NS: Kaplan–Meier survival over user activity lifetimes — the churn
+    // curve (time from first to last activity), with REAL right-censoring:
+    // users still active within 7 days of the observation end have
+    // unknown lifetimes and contribute at-risk mass but no death. The
+    // corpus reduces to one row per user (day-integer first/last), then
+    // to the capped duration grid (≤31 rows — the bounded-histogram
+    // discipline; lifetimes beyond 30 days lump into the cap); at-risk
+    // counts are a reverse cumulative window over the grid, and
+    // S(t) = Π(1 − d/n) folds as exp(Σ ln) over ≤31 exact-ratio terms
+    // (zero factors short-circuited by an explicit flag, not by ±Inf
+    // arithmetic the engines may disagree on). Deaths/at-risk/censored
+    // are exact integers; survival rounds at 6.
+    "q_survival_km" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), datediff(to_date(col("ts")), lit("1994-12-26")).as("d"))
+      val mx = e.agg(max("d").as("dmax"))
+      val users = e.groupBy("user_id").agg(min("d").as("d0"), max("d").as("d1"))
+        .crossJoin(broadcast(mx))
+        .select(least(col("d1") - col("d0"), lit(30)).as("t"),
+          (col("d1") > col("dmax") - 7).cast("long").as("censored"))
+      val grid = users.groupBy("t")
+        .agg(count(lit(1)).as("n_ended_at_t"),
+          sum(lit(1L) - col("censored")).as("n_deaths"),
+          sum("censored").as("n_censored"))
+      val wRisk = Window.orderBy(col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wSurv = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withRisk = grid.withColumn("n_at_risk", sum("n_ended_at_t").over(wRisk))
+      val dead = col("n_deaths").cast("double")
+      val risk = col("n_at_risk").cast("double")
+      withRisk
+        .withColumn("zero_flag",
+          max((col("n_deaths") === col("n_at_risk")).cast("long")).over(wSurv))
+        .withColumn("log_s",
+          sum(when(col("n_deaths") < col("n_at_risk"), log(lit(1.0) - dead / risk))
+            .otherwise(lit(0.0))).over(wSurv))
+        .select(col("t").cast("long").as("t"), col("n_at_risk"), col("n_deaths"),
+          col("n_censored"),
+          when(col("zero_flag") === 1L, lit(0.0))
+            .otherwise(round(exp(col("log_s")), 6)).as("survival"))
+        .orderBy("t")
+    },
+
     // NS: seasonal-naive forecast BACKTEST — the eval loop q_seasonal_profile
     // feeds (is the hour-of-week baseline actually predictive?): hold out
     // the final 7 calendar days, predict each test (type, dow, hour) cell
@@ -379,6 +423,30 @@ object TimeSeriesQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_survival_km" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) - DATE '1994-12-26' AS d FROM events),
+        |mx AS (SELECT max(d) AS dmax FROM e),
+        |users AS (SELECT least(max(d) - min(d), 30) AS t,
+        |                 CASE WHEN max(d) > (SELECT dmax FROM mx) - 7 THEN 1 ELSE 0 END AS censored
+        |          FROM e GROUP BY user_id),
+        |grid AS (SELECT t, count(*) AS n_ended_at_t,
+        |                CAST(sum(1 - censored) AS BIGINT) AS n_deaths,
+        |                CAST(sum(censored) AS BIGINT) AS n_censored
+        |         FROM users GROUP BY 1),
+        |risk AS (SELECT *,
+        |                CAST(sum(n_ended_at_t) OVER (ORDER BY t
+        |                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk
+        |         FROM grid),
+        |surv AS (SELECT *,
+        |                max(CASE WHEN n_deaths = n_at_risk THEN 1 ELSE 0 END)
+        |                  OVER (ORDER BY t) AS zero_flag,
+        |                sum(CASE WHEN n_deaths < n_at_risk
+        |                         THEN ln(1.0 - CAST(n_deaths AS DOUBLE) / n_at_risk)
+        |                         ELSE 0.0 END) OVER (ORDER BY t) AS log_s
+        |         FROM risk)
+        |SELECT CAST(t AS BIGINT) AS t, n_at_risk, n_deaths, n_censored,
+        |       CASE WHEN zero_flag = 1 THEN 0.0 ELSE round(exp(log_s), 6) END AS survival
+        |FROM surv ORDER BY t""".stripMargin,
     "q_backtest_naive" ->
       """WITH e AS (SELECT event_type,
         |                  CAST(ts AS DATE) - DATE '1994-12-26' AS d,

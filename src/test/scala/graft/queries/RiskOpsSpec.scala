@@ -92,6 +92,37 @@ class RiskOpsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("mad") >= 0.0)
   }
 
+  test("q_survival_km: at-risk telescopes, survival monotone in [0,1]") {
+    val rows = run("q_survival_km").sortBy(_.getAs[Long]("t"))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        // at-risk mass at t equals at-risk at the next t plus everyone
+        // whose (possibly censored) lifetime ended at t
+        assert(a.getAs[Long]("n_at_risk") - b.getAs[Long]("n_at_risk") ===
+          a.getAs[Long]("n_deaths") + a.getAs[Long]("n_censored"))
+        assert(a.getAs[Double]("survival") >= b.getAs[Double]("survival") - 1e-9)
+      case _ =>
+    }
+    rows.foreach { r =>
+      val sv = r.getAs[Double]("survival")
+      assert(sv >= 0.0 && sv <= 1.0)
+      assert(r.getAs[Long]("n_deaths") + r.getAs[Long]("n_censored") <=
+        r.getAs[Long]("n_at_risk"))
+    }
+  }
+
+  test("q_slice_finder: top-5 by a replayable support-scaled deviation") {
+    val rows = run("q_slice_finder")
+    assert(rows.length === 5)
+    val scores = rows.map(_.getAs[Long]("dev_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rate_ppm") ===
+        r.getAs[Long]("n_f") * 1000000L / r.getAs[Long]("n"))
+      assert(r.getAs[Long]("n_f") <= r.getAs[Long]("n"))
+    }
+  }
+
   test("q_anomaly_robust: flags a minority; masses reassemble the fact") {
     val rows = run("q_anomaly_robust")
     val li = graft.core.Tables.lineitem(spark, TestSpark.Sf0001).count()
