@@ -27,6 +27,29 @@ object TimeSeriesQueries {
     // observation, hours with no events gap-filled by carrying the last
     // observation forward. Deterministic "last in hour" = max over
     // (ts, event_id, value) structs (the (ts, event_id) pair is unique).
+    // NS: autocorrelation of the hourly event-count series at lags 1, 24
+    // and 168 — the seasonality detector (a strong lag-24 ACF says "daily
+    // cycle", lag-168 "weekly") that decides whether q_seasonal_profile's
+    // baseline is even applicable. The corpus reduces ONCE to the bounded
+    // hourly census (hours-since-origin integer key); each lag is an
+    // equi-join of that tiny series against its shifted self, and Pearson
+    // corr folds over series-length rows (engine corr over exact integer
+    // counts, rounded at 6 — the bounded-frame float discipline).
+    "q_autocorr" -> { (s, dir) =>
+      val series = Tables.events(s, dir)
+        .select((unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hi"))
+        .groupBy("hi").agg(count(lit(1)).as("n"))
+      val lags = Seq(1L, 24L, 168L)
+      lags.map { l =>
+        series.as("a")
+          .join(series.select((col("hi") + l).as("hi"), col("n").as("n_prev")), "hi")
+          .agg(lit(l).as("lag"), count(lit(1)).as("n_pairs"),
+            round(corr(col("n").cast("double"), col("n_prev").cast("double")), 6)
+              .as("acf"))
+      }.reduce(_ unionByName _)
+        .orderBy("lag")
+    },
+
     // NS: Kaplan–Meier survival over user activity lifetimes — the churn
     // curve (time from first to last activity), with REAL right-censoring:
     // users still active within 7 days of the observation end have
@@ -423,6 +446,19 @@ object TimeSeriesQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_autocorr" ->
+      """WITH s AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hi,
+        |                  count(*) AS n
+        |           FROM events GROUP BY 1),
+        |lags AS (SELECT unnest([1, 24, 168]) AS lag),
+        |j AS (SELECT l.lag, a.n, b.n AS n_prev
+        |      FROM lags l
+        |      JOIN s a ON true
+        |      JOIN s b ON a.hi = b.hi + l.lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n_pairs,
+        |       round(corr(CAST(n AS DOUBLE), CAST(n_prev AS DOUBLE)), 6) AS acf
+        |FROM j GROUP BY lag
+        |ORDER BY lag""".stripMargin,
     "q_survival_km" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) - DATE '1994-12-26' AS d FROM events),
         |mx AS (SELECT max(d) AS dmax FROM e),

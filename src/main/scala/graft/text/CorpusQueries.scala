@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -110,6 +111,37 @@ object CorpusQueries {
         .select(col("doc_id"), words.as("ws"))
         .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
         .groupBy(md5(col("chunk")).as("chunk_hash"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          min(col("doc_id") * 1000 + col("chunk_idx")).as("first_pos"))
+        .filter(col("n_occurrences") >= 2)
+        .orderBy("chunk_hash")
+    },
+
+    // NS: content-defined chunking dedup — q_dedup_paragraph's fixed-width
+    // chunks break under a single inserted word (every later chunk
+    // shifts); CDC (the rsync/backup-dedup primitive) cuts where a word's
+    // HASH says so (h % 8 == 0 → ~8-word expected chunks), so an edit
+    // perturbs only its own chunk and duplicated passages re-align
+    // downstream. Per-doc chunk indices come from a doc-partitioned
+    // running boundary count (partitions bounded by document length);
+    // chunk text reassembles deterministically (array_sort by position —
+    // collect_list order is never trusted); the duplicate-chunk census
+    // groups by chunk hash exactly like the fixed-width path, so the two
+    // operators are directly comparable.
+    "q_dedup_cdc" -> { (s, dir) =>
+      val wordsExp = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
+        .withColumn("bnd", (pmod(TextQueries.h32(concat(lit("cdc:"), col("w"))),
+          lit(8L)) === 0L).cast("long"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val chunks = wordsExp
+        .withColumn("chunk_idx", coalesce(sum("bnd")
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w"))).as("chunk"))
+      chunks.groupBy(md5(col("chunk")).as("chunk_hash"))
         .agg(count(lit(1)).as("n_occurrences"),
           min(col("doc_id") * 1000 + col("chunk_idx")).as("first_pos"))
         .filter(col("n_occurrences") >= 2)
@@ -770,6 +802,25 @@ object CorpusQueries {
            |       min(doc_id * 1000 + ch.idx) AS first_pos
            |FROM c GROUP BY chunk_hash HAVING count(*) >= 2
            |ORDER BY chunk_hash""".stripMargin,
+      "q_dedup_cdc" ->
+        """WITH p AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ws[u.i] AS w
+          |           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |                UNNEST(generate_series(1, len(ws))) AS u(i)),
+          |b AS (SELECT doc_id, pos, w,
+          |             CASE WHEN ('0x' || substr(md5('cdc:' || w), 1, 8))::BIGINT % 8 = 0
+          |                  THEN 1 ELSE 0 END AS bnd
+          |      FROM p),
+          |ci AS (SELECT doc_id, pos, w,
+          |              coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+          |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+          |       FROM b),
+          |chunks AS (SELECT doc_id, chunk_idx,
+          |                  string_agg(w, ' ' ORDER BY pos) AS chunk
+          |           FROM ci GROUP BY 1, 2)
+          |SELECT md5(chunk) AS chunk_hash, count(*) AS n_occurrences,
+          |       CAST(min(doc_id * 1000 + chunk_idx) AS BIGINT) AS first_pos
+          |FROM chunks GROUP BY 1 HAVING count(*) >= 2
+          |ORDER BY chunk_hash""".stripMargin,
       "q_minhash_est" ->
         s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |shl AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
