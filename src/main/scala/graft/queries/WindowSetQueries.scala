@@ -140,6 +140,57 @@ object WindowSetQueries {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
     },
+    // NS: audience overlap matrix — which event types share users (the
+    // cross-sell / cannibalization read): the event stream dedupes to the
+    // (user, type) frame, pairs form per USER (≤C(5,2) per user — the
+    // market-basket bounded-blowup argument, never a type×type row
+    // product), and each pair reports intersection, union (by
+    // inclusion–exclusion from exact per-type counts) and Jaccard ppm —
+    // all exact integers.
+    "q_audience_overlap" -> { (s, dir) =>
+      val ut = Tables.events(s, dir)
+        .select(col("user_id").as("u"), col("event_type").as("t")).distinct()
+        .localCheckpoint()
+      val sizes = ut.groupBy("t").agg(count(lit(1)).as("n"))
+      val pairs = ut.select(col("u"), col("t").as("ta"))
+        .join(ut.select(col("u"), col("t").as("tb")), "u")
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(sizes.select(col("t").as("ta"), col("n").as("n_a")), "ta")
+        .join(sizes.select(col("t").as("tb"), col("n").as("n_b")), "tb")
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_both"),
+          expr("n_both * 1000000 DIV (n_a + n_b - n_both)").as("jaccard_ppm"))
+        .orderBy("ta", "tb")
+    },
+
+    // NS: bitmap-index exact distinct — the Druid/ClickHouse trick: user
+    // ids scatter into bitmap words (62 usable bits per long — bit 63 is
+    // the sign bit and DuckDB raises on the BIGINT shift edge cases, the
+    // SketchQueries.BitsPerWord lesson), one bit_or aggregate per
+    // (type, word) builds the index, and Σ bit_count over it is the EXACT
+    // distinct count with no sort-based dedup anywhere — state bounded by
+    // the ID DOMAIN (max_id/62 words), not by event volume, and the words
+    // merge across shards/batches by bit_or exactly like the FM registers
+    // (but exact). Registered as a fused cross-check: the bitmap count
+    // and countDistinct must agree per type (verdict pinned by the
+    // oracle).
+    "q_bitmap_distinct" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      val bm = e
+        .select(col("event_type"), expr("user_id DIV 62").as("wi"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))").as("b"))
+        .groupBy("event_type", "wi").agg(expr("bit_or(b)").as("bits"))
+        .groupBy("event_type")
+        .agg(sum(expr("CAST(bit_count(bits) AS BIGINT)")).as("n_bitmap"),
+          count(lit(1)).as("n_words"))
+      val ex = e.distinct().groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      bm.join(ex, "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_bitmap"), col("n_words"),
+          (col("n_bitmap") === col("n_exact")).cast("long").as("bitmap_ok"))
+        .orderBy("event_type")
+    },
+
     // NS: session quality metrics — the product read over q_sessionize's
     // output (bounce rate, depth distribution): sessions collapse to the
     // capped depth histogram (least(n_events, 10) — bounded domain, the
@@ -330,6 +381,32 @@ object WindowSetQueries {
         |       min(epoch_us(ts)) AS sess_start_us,
         |       count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+        |sizes AS (SELECT t, count(*) AS n FROM ut GROUP BY 1),
+        |pairs AS (SELECT a.t AS ta, b.t AS tb, count(*) AS n_both
+        |          FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+        |          GROUP BY 1, 2)
+        |SELECT ta, tb, sa.n AS n_a, sb.n AS n_b, n_both,
+        |       CAST(n_both * 1000000 // (sa.n + sb.n - n_both) AS BIGINT) AS jaccard_ppm
+        |FROM pairs
+        |JOIN sizes sa ON sa.t = ta
+        |JOIN sizes sb ON sb.t = tb
+        |ORDER BY ta, tb""".stripMargin,
+    "q_bitmap_distinct" ->
+      """WITH e AS (SELECT event_type, user_id FROM events),
+        |bm AS (SELECT event_type, user_id // 62 AS wi,
+        |              bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT)) AS bits
+        |       FROM e GROUP BY 1, 2),
+        |agg AS (SELECT event_type,
+        |               CAST(sum(bit_count(bits)) AS BIGINT) AS n_bitmap,
+        |               count(*) AS n_words
+        |        FROM bm GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM e GROUP BY 1)
+        |SELECT event_type, n_exact, n_bitmap, n_words,
+        |       CAST(CASE WHEN n_bitmap = n_exact THEN 1 ELSE 0 END AS BIGINT) AS bitmap_ok
+        |FROM agg JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // same lag/gap session rebuild, collapsed to the capped depth histogram
     "q_session_metrics" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
