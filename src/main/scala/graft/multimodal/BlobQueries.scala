@@ -233,6 +233,29 @@ object BlobQueries {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
         .filter(col("n_docs") >= 2)
         .orderBy("sig")
+    },
+    // NS: media-dedup eval closing the phash loop (candidate -> verify):
+    // how many perceptual-bucket candidate pairs are EXACT byte
+    // duplicates? Both pair masses are computed by COUNTING FORMULA
+    // (C(n,2) from bucket populations; Σ C(n_digest,2) within buckets) —
+    // no pair row is ever materialized, the q_selfjoin_forecast insight
+    // applied to media dedup, so the eval costs two small aggregates at
+    // any corpus size. Precision ppm = exact / candidate in exact integer
+    // division; the gap is the near-dup (or collision) mass a byte-level
+    // or embedding residual check downstream would adjudicate.
+    "q_blob_dedup" -> { (s, dir) =>
+      val sigs = phashes(blobs(s, dir)).toDF()
+      val digs = blobs(s, dir).toDF()
+        .select(col("doc_id"), md5(col("payload")).as("dg"))
+      val joined = sigs.join(digs, "doc_id")
+      val bySig = joined.groupBy("sig").agg(count(lit(1)).as("n"))
+      val byDg = joined.groupBy("sig", "dg").agg(count(lit(1)).as("nd"))
+      val cand = bySig.agg(count(lit(1)).as("n_buckets"),
+        sum(expr("n * (n - 1) DIV 2")).as("cand_pairs"))
+      val exact = byDg.agg(sum(expr("nd * (nd - 1) DIV 2")).as("exact_pairs"))
+      cand.crossJoin(exact)
+        .select(col("n_buckets"), col("cand_pairs"), col("exact_pairs"),
+          expr("exact_pairs * 1000000 DIV greatest(cand_pairs, 1)").as("precision_ppm"))
     }
   )
 
@@ -314,6 +337,29 @@ object BlobQueries {
         |        FROM m)
         |SELECT CAST(sig AS BIGINT) AS sig, count(*) AS n_docs, min(doc_id) AS canonical
         |FROM sig GROUP BY sig HAVING count(*) >= 2
-        |ORDER BY sig""".stripMargin
+        |ORDER BY sig""".stripMargin,
+    // same aHash prelude; both pair masses by counting formula
+    "q_blob_dedup" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n,
+        |                  list_transform(range(1, length(text) + 1),
+        |                    i -> ord(substr(text, CAST(i AS INT), 1))) AS bytes
+        |           FROM documents),
+        |m AS (SELECT doc_id, text, n, bytes,
+        |             CAST(list_sum(bytes) AS DOUBLE) / n AS mean FROM b),
+        |sig AS (SELECT doc_id, md5(text) AS dg,
+        |               list_sum(list_transform(range(0, 8), blk ->
+        |                 CASE WHEN ((blk + 1) * n) // 8 > (blk * n) // 8 AND
+        |                           CAST(list_sum(bytes[(blk * n) // 8 + 1 : ((blk + 1) * n) // 8]) AS DOUBLE)
+        |                             / (((blk + 1) * n) // 8 - (blk * n) // 8) > mean
+        |                      THEN CAST(1 AS BIGINT) << CAST(blk AS INT) ELSE CAST(0 AS BIGINT) END)) AS sig
+        |        FROM m),
+        |bysig AS (SELECT sig, count(*) AS n FROM sig GROUP BY 1),
+        |bydg AS (SELECT sig, dg, count(*) AS nd FROM sig GROUP BY 1, 2),
+        |c AS (SELECT count(*) AS n_buckets,
+        |             CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs FROM bysig),
+        |e AS (SELECT CAST(sum(nd * (nd - 1) // 2) AS BIGINT) AS exact_pairs FROM bydg)
+        |SELECT n_buckets, cand_pairs, exact_pairs,
+        |       CAST(exact_pairs * 1000000 // greatest(cand_pairs, 1) AS BIGINT) AS precision_ppm
+        |FROM c CROSS JOIN e""".stripMargin
   )
 }

@@ -157,6 +157,31 @@ object StatsQueries {
         .orderBy("price")
     },
 
+    // NS: frequency-weighted quantiles — Spark's percentile(col, p, freq)
+    // surface: the weighted median/quartiles of price where each row
+    // counts quantity-many times (per-unit price distribution, not
+    // per-line) — the physical expansion never happens on the Spark side
+    // (the frequency parameter folds weights into the percentile state);
+    // the oracle PROVES the semantics by actually expanding each row
+    // weight-many times and taking plain quantiles over the multiset.
+    // Integer cents + integral weights keep the interpolation on the k/4
+    // grid (the q_tukey_fences argument); the unweighted median sits
+    // alongside to show the weighting moved the answer.
+    "q_weighted_quantile" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(l_quantity AS BIGINT)").as("w"))
+      li.agg(
+          sum("w").as("total_weight"),
+          expr("percentile(cents, array(0.25D, 0.5D, 0.75D), w)").as("wq"),
+          expr("percentile(cents, 0.5D)").as("m"))
+        .select(col("total_weight"),
+          col("wq").getItem(0).as("w_p25"),
+          col("wq").getItem(1).as("w_p50"),
+          col("wq").getItem(2).as("w_p75"),
+          col("m").as("unweighted_p50"))
+    },
+
     // NS: split-conformal prediction interval — the distribution-free
     // uncertainty wrapper (Vovk; the calibration discipline modern ML eval
     // runs): per event type, the q90 of CALIBRATION-set absolute
@@ -519,6 +544,19 @@ object StatsQueries {
         |      FROM g)
         |SELECT price, qty FROM w WHERE prevmax IS NULL OR qty > prevmax
         |ORDER BY price""".stripMargin,
+    // the oracle expands each row weight-many times: same multiset, plain
+    // quantiles — proving the frequency parameter's semantics
+    "q_weighted_quantile" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |                   CAST(l_quantity AS BIGINT) AS w
+        |            FROM lineitem),
+        |ex AS (SELECT cents FROM li, UNNEST(generate_series(1, w)) AS u(i))
+        |SELECT (SELECT CAST(sum(w) AS BIGINT) FROM li) AS total_weight,
+        |       quantile_cont(cents, 0.25) AS w_p25,
+        |       quantile_cont(cents, 0.5) AS w_p50,
+        |       quantile_cont(cents, 0.75) AS w_p75,
+        |       (SELECT quantile_cont(cents, 0.5) FROM li) AS unweighted_p50
+        |FROM ex""".stripMargin,
     "q_conformal_interval" ->
       """WITH e AS (SELECT event_type,
         |                  CAST(round(value * 100) AS BIGINT) AS vc,
