@@ -847,6 +847,108 @@ object RelationalQueries {
               |ORDER BY revenue DESC, c_custkey
               |LIMIT 20""".stripMargin)
     },
+    // NS: TPC-H Q6 shape (forecasting revenue change): the pure
+    // scan-filter-aggregate — no join at all, so the whole query is one
+    // WholeStageCodegen pass whose three predicates ALL push to the parquet
+    // scan (shipdate year band, discount band, quantity cap); at 100 TB
+    // row-group min/max statistics skip everything outside the year. The
+    // per-row discount revenue rounds to exact 1e-4 integer units before
+    // the sum (the Q5/Q14 discipline), so the single-row verdict is
+    // bit-reproducible under any partial-aggregation order.
+    "q_sql_tpch_q6" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT count(*) AS n_items,
+              |  CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue
+              |FROM lineitem_v
+              |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+              |  AND l_shipdate <  timestamp '1998-01-01 00:00:00'
+              |  AND l_discount BETWEEN 0.02 AND 0.04
+              |  AND l_quantity < 24""".stripMargin)
+    },
+    // NS: TPC-H Q15 shape (top supplier): reduce-before-join twice over —
+    // the quarter's lineitems collapse to one revenue row per supplier
+    // FIRST (map-side combine on the only row-scale shuffle), the max is a
+    // scalar subquery over that supplier-sized frame, and only the winning
+    // row(s) join the supplier dim. Revenue in exact 1e-4 integer units
+    // makes the argmax tie-proof (integer equality, no float ==).
+    "q_sql_tpch_q15" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      s.sql("""WITH rev AS (
+              |  SELECT l_suppkey AS supplier_no,
+              |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_x
+              |  FROM lineitem_v
+              |  WHERE l_shipdate >= timestamp '1998-01-01 00:00:00'
+              |    AND l_shipdate <  timestamp '1998-04-01 00:00:00'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, total_x / 1e4 AS total_revenue
+              |FROM supplier_v JOIN rev ON s_suppkey = supplier_no
+              |WHERE total_x = (SELECT max(total_x) FROM rev)
+              |ORDER BY s_suppkey""".stripMargin)
+    },
+    // NS: TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // SCALAR AGGREGATE subquery — avg quantity per part referenced from the
+    // outer row's filter. Catalyst decorrelates it to a per-part aggregate
+    // joined back on partkey (one shuffle each side, never a per-outer-row
+    // re-execution); the brand filter prunes the part dim before its
+    // broadcast. The avg is sum/count over integral doubles (quantities are
+    // whole numbers, exactly representable), so the 0.5*avg comparison is
+    // deterministic; revenue rounds per-row to 1e-4 integer units.
+    "q_sql_tpch_q17" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""SELECT count(*) AS n_small,
+              |  CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS small_revenue
+              |FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+              |WHERE p.p_brand = 'Brand#3'
+              |  AND l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
+              |                            FROM lineitem_v l2
+              |                            WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    },
+    // NS: TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    // OR-of-ANDs residual — three (brand, size-band, quantity-band)
+    // conjuncts OR'd together straddle BOTH join sides, so the filter
+    // cannot fully push below the join; Catalyst instead infers the
+    // single-side supersets (brand IN the three brands, size <= the widest
+    // band) and pushes THOSE into each scan, keeping the exact OR as the
+    // post-join residual on the broadcast hash join. Plan-pinned in
+    // PlanPropertiesSpec: part broadcasts, and the part scan carries a
+    // pushed brand filter despite the disjunction.
+    "q_sql_tpch_q19" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""SELECT count(*) AS n_items,
+              |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue
+              |FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+              |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+              |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+    },
+    // NS: TPC-H Q22 shape (global sales opportunity): the null-immune
+    // NOT EXISTS anti join plus a scalar "above average" gate — spelled in
+    // exact integer cents so the avg comparison can never flip under
+    // Spark's partial-sum reordering: cents*n_pos > sum_pos_cents is pure
+    // BIGINT arithmetic (the two scalars broadcast as 1-row subqueries).
+    // The anti join probes only the date-bounded orders slice; customer
+    // never shuffles (broadcast or AQE's choice at scale).
+    "q_sql_tpch_q22" -> { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""WITH c AS (
+              |  SELECT c_custkey, c_nationkey,
+              |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              |  FROM customer_v)
+              |SELECT c_nationkey, count(*) AS numcust,
+              |       sum(cents) AS totacctbal_cents
+              |FROM c
+              |WHERE cents * (SELECT count(*) FROM c WHERE cents > 0)
+              |        > (SELECT sum(cents) FROM c WHERE cents > 0)
+              |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+              |                  WHERE o.o_custkey = c.c_custkey
+              |                    AND o.o_orderdate >= timestamp '2000-07-01 00:00:00')
+              |GROUP BY c_nationkey
+              |ORDER BY c_nationkey""".stripMargin)
+    },
     // NS: TPC-H Q7 shape (volume shipping): the DISJUNCTIVE dim predicate —
     // the nation-pair filter (A->B OR B->A) references BOTH nation copies,
     // so it cannot push below either dim join; Catalyst keeps all four dims
@@ -1530,6 +1632,56 @@ object RelationalQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    "q_sql_tpch_q6" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
+    "q_sql_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS total_x
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_x / 1e4 AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_x = (SELECT max(total_x) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_sql_tpch_q17" ->
+      """SELECT count(*) AS n_small,
+        |  CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS small_revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#3'
+        |  AND l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
+        |                            FROM lineitem l2
+        |                            WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q_sql_tpch_q19" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_sql_tpch_q22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |       sum(cents) AS totacctbal_cents
+        |FROM c
+        |WHERE cents * (SELECT count(*) FROM c WHERE cents > 0)
+        |        > (SELECT sum(cents) FROM c WHERE cents > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q_sql_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue

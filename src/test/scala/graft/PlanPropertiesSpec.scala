@@ -474,6 +474,52 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"month filter not pushed to the lineitem scan:\n$p")
   }
 
+  test("q_sql_tpch_q6: all three predicate bands push to the parquet scan, no join") {
+    val p = executedPlan("q_sql_tpch_q6")
+    // toString truncates PushedFilters past ~100 chars, so pin via the
+    // Filter node's residual predicates (same conjuncts, ids elided)
+    assert(p.contains(">= 1997-01-01") && p.contains(">= 0.02") &&
+      p.contains("< 24.0") && p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"Q6's filter bands must reach the scan (row-group skipping at 100 TB):\n$p")
+    assert(!p.contains("Join"), s"Q6 is scan-agg only:\n$p")
+  }
+
+  test("q_sql_tpch_q15 reduces lineitem to supplier grain BELOW the dim join") {
+    val p = executedPlan("q_sql_tpch_q15")
+    // the revenue aggregate must appear under the join (reduce-before-join),
+    // and the quarter filter must reach the fact scan
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim not broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1998-01-01"),
+      s"quarter filter not pushed to the lineitem scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"row-scale shuffle join leaked in:\n$p")
+  }
+
+  test("q_sql_tpch_q17 decorrelates the per-part avg to an aggregate + join") {
+    val p = executedPlan("q_sql_tpch_q17")
+    assert(p.contains("partial_avg") || p.contains("avg(l_quantity"),
+      s"correlated avg not decorrelated to a per-part aggregate:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#3)"),
+      s"brand filter not pushed to the part scan:\n$p")
+  }
+
+  test("q_sql_tpch_q19: disjunctive predicate pushes single-side supersets to BOTH scans") {
+    val p = executedPlan("q_sql_tpch_q19")
+    // Catalyst extracts each side's OR-of-ANDs superset and pushes it:
+    // quantity bands into lineitem, (brand, size) bands into part
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"lineitem-side disjunctive superset not pushed:\n$p")
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"part-side disjunctive superset not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+  }
+
+  test("q_sql_tpch_q22 plans NOT EXISTS as an anti join probing only the date slice") {
+    val p = executedPlan("q_sql_tpch_q22")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not planned as anti join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,2000-07-01"),
+      s"date bound not pushed to the orders scan (anti side must be the slice):\n$p")
+  }
+
   test("q_attribution runs both attribution models on ONE user_id shuffle") {
     val p = executedPlan("q_attribution")
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
