@@ -214,6 +214,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_suppliers"), round(sum("s_acctbal"), 2).as("sum_bal"))
         .orderBy("nationkey")
     },
+    // GEN: the reference's input pipeline as a FIRST-CLASS DataSource V2
+    // table (graft.sources.PointGen): range-split partition planning
+    // (master.py:28-43 as Batch.planInputPartitions), column pruning, and
+    // id-range filter pushdown that narrows the generated domain BEFORE
+    // splits are laid out. Rows are a pure md5 function of id, so the
+    // oracle regenerates the identical table from range(n) — the custom
+    // source is hash-gated end to end, not just smoke-tested. The agg sums
+    // exact integer cents (coordinates have 2 decimals by construction).
+    "q_source_pointgen" -> { (s, _) =>
+      s.read.format("graft.sources.PointGen")
+        .option("rows", 4000).option("partitions", 8).load()
+        .filter(col("id") >= 500 && col("id") < 3500)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(x * 100) AS BIGINT)")).as("sum_x_cents"),
+          min("x").as("min_x"), max("y").as("max_y"))
+        .orderBy("bucket")
+    },
     // NS: schema evolution across parquet snapshot generations — the
     // data-lake reality that columns get ADDED over time. v1 (no priority
     // column) and v2 (priority added) written as sibling dirs; one
@@ -1632,6 +1650,19 @@ object RelationalQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    "q_source_pointgen" ->
+      """WITH g AS (
+        |  SELECT id,
+        |    (('0x' || substr(md5('px:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT % 2000000 - 1000000) / 100.0 AS x,
+        |    (('0x' || substr(md5('py:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT % 2000000 - 1000000) / 100.0 AS y,
+        |    CAST(id % 16 AS INT) AS bucket
+        |  FROM range(0, 4000) t(id)
+        |  WHERE id >= 500 AND id < 3500)
+        |SELECT bucket, count(*) AS n,
+        |       CAST(sum(CAST(round(x * 100) AS BIGINT)) AS BIGINT) AS sum_x_cents,
+        |       min(x) AS min_x, max(y) AS max_y
+        |FROM g GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
     "q_sql_tpch_q6" ->
       """SELECT count(*) AS n_items,
         |  CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue
