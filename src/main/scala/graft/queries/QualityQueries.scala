@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -115,6 +116,59 @@ object QualityQueries {
         .select(col("lang"), col("split"), col("n"),
           round(col("n").cast("double") / col("n_lang").cast("double"), 6).as("share"))
         .orderBy("lang", "split")
+    },
+
+    // NS: GROUP-aware K-fold assignment — the eval split that actually
+    // holds on a dedup-imperfect corpus: hashing the SOURCE (not the doc)
+    // keeps every near-duplicate family inside one fold, so no fold trains
+    // on its own eval set's siblings (q_split_leakage measures that hazard;
+    // this op prevents it by construction). The fold is a pure md5 of the
+    // group key — no shuffle to assign, reproducible on any layout — and
+    // the per-fold census is one map-side-combined aggregate. leak_free
+    // re-proves atomicity in-band: Σ per-fold distinct sources == global
+    // distinct sources (a source straddling folds would double-count).
+    "q_cross_fold" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .withColumn("fold", pmod(TextQueries.h32(
+          concat(lit("fold:"), col("source"))), lit(5L)))
+      val per = d.groupBy("fold").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        sum("n_chars").as("n_chars"))
+      val tot = d.agg(
+        countDistinct("source").as("g_sources"),
+        count(lit(1)).as("g_docs"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("n_docs * 1000000 DIV g_docs"))
+        .withColumn("leak_free",
+          (sum("n_sources").over(Window.partitionBy()) === col("g_sources"))
+            .cast("long"))
+        .select(col("fold"), col("n_docs"), col("n_sources"), col("n_chars"),
+          col("share_ppm"), col("leak_free"))
+        .orderBy("fold")
+    },
+
+    // NS: length-curriculum schedule — the short-to-long document ordering
+    // an LLM pretraining run feeds its sampler: fixed 100-char stages (the
+    // DIV grid discipline — stage count is set by the length domain, not
+    // N), per-stage doc/token volume, and the cumulative token budget a
+    // scheduler reads off to place stage boundaries. Token counts are the
+    // exact whitespace census (q_text_tokens's n_ws); the only window runs
+    // over the ≤6 stage rows, never over documents.
+    "q_curriculum" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        expr("least(CAST(n_chars AS BIGINT) DIV 100, 5)").as("stage"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      val per = d.groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val w = Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = per.agg(sum("n_tokens").as("g_tokens"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .select(col("stage"), col("n_docs"), col("n_tokens"), col("cum_tokens"),
+          expr("n_tokens * 1000000 DIV g_tokens").as("share_ppm"))
+        .orderBy("stage")
     },
 
     // NS: per-document character-level Shannon entropy over a fixed
@@ -337,6 +391,35 @@ object QualityQueries {
   def oracleSql: Map[String, String] = {
     val alphabetSql = Alphabet.map(c => s"'${if (c == "'") "''" else c}'").mkString("[", ", ", "]")
     Map(
+      "q_cross_fold" ->
+        """WITH d AS (
+          |  SELECT source, n_chars,
+          |         ('0x' || substr(md5('fold:' || source), 1, 8))::BIGINT % 5 AS fold
+          |  FROM documents),
+          |per AS (SELECT fold, count(*) AS n_docs,
+          |               count(DISTINCT source) AS n_sources,
+          |               CAST(sum(n_chars) AS BIGINT) AS n_chars
+          |        FROM d GROUP BY 1),
+          |tot AS (SELECT count(DISTINCT source) AS g_sources, count(*) AS g_docs FROM d)
+          |SELECT fold, n_docs, n_sources, n_chars,
+          |       CAST(n_docs * 1000000 // g_docs AS BIGINT) AS share_ppm,
+          |       CAST((SELECT sum(n_sources) FROM per) = g_sources AS BIGINT) AS leak_free
+          |FROM per CROSS JOIN tot
+          |ORDER BY fold""".stripMargin,
+      "q_curriculum" ->
+        """WITH d AS (
+          |  SELECT least(CAST(n_chars AS BIGINT) // 100, 5) AS stage,
+          |         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |per AS (SELECT stage, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          |        FROM d GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS g_tokens FROM per)
+          |SELECT stage, n_docs, n_tokens,
+          |       CAST(sum(n_tokens) OVER (ORDER BY stage
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+          |       CAST(n_tokens * 1000000 // g_tokens AS BIGINT) AS share_ppm
+          |FROM per CROSS JOIN tot
+          |ORDER BY stage""".stripMargin,
       "q_fk_audit" ->
         """WITH a AS (
           |  SELECT 'events.user_id->customer' AS fk, count(*) AS n_child,

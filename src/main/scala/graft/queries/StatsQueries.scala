@@ -316,6 +316,40 @@ object StatsQueries {
         .orderBy("decile")
     },
 
+    // NS: calibration reliability table with a REAL train/holdout split —
+    // the eval a scoring pipeline runs before shipping a model: the train
+    // half's per-bin response rate IS the model's predicted probability,
+    // and the holdout half grades it bin by bin. Fixed $50k price-grid
+    // bins (the q_histogram DIV discipline: bucket count is set by the
+    // value domain, never by N), md5 row split (reproducible on any
+    // cluster layout), and every rate/gap in integer ppm via DIV — the
+    // expected-calibration-error verdict can't wobble with partial-sum
+    // order. Two map-side-combined aggregates + a bin-grain join: at
+    // 100 TB both sides of the join are ~10 rows.
+    "q_calibration_bins" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 5000000").as("bin"),
+        (col("o_orderstatus") === "F").cast("long").as("pos"),
+        (pmod(graft.text.TextQueries.h32(
+          concat(lit("cal:"), col("o_orderkey").cast("string"))), lit(100L)) < 50)
+          .as("is_train"))
+      val train = o.filter(col("is_train"))
+        .groupBy("bin").agg(count(lit(1)).as("n_train"), sum("pos").as("p_train"))
+        .select(col("bin"), col("n_train"),
+          expr("p_train * 1000000 DIV n_train").as("pred_ppm"))
+      val hold = o.filter(!col("is_train"))
+        .groupBy("bin").agg(count(lit(1)).as("n_hold"), sum("pos").as("p_hold"))
+        .select(col("bin"), col("n_hold"),
+          expr("p_hold * 1000000 DIV n_hold").as("obs_ppm"))
+      val j = train.join(hold, "bin")
+        .withColumn("gap_ppm", abs(col("obs_ppm") - col("pred_ppm")))
+      val ece = j.agg(expr("sum(n_hold * gap_ppm) DIV sum(n_hold)").as("ece_ppm"))
+      j.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n_train"), col("pred_ppm"),
+          col("n_hold"), col("obs_ppm"), col("gap_ppm"), col("ece_ppm"))
+        .orderBy("bin")
+    },
+
     // NS: Welch two-sample t-test (unequal variances) — the A/B-test
     // decision statistic beside q_chi_square (categorical) and q_ks_test
     // (distributional): does the purchase cohort's value differ from the
@@ -492,6 +526,24 @@ object StatsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_calibration_bins" ->
+      """WITH o AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS bin,
+        |         CAST(o_orderstatus = 'F' AS BIGINT) AS pos,
+        |         ('0x' || substr(md5('cal:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 50 AS is_train
+        |  FROM orders),
+        |tr AS (SELECT bin, count(*) AS n_train,
+        |              CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS pred_ppm
+        |       FROM o WHERE is_train GROUP BY 1),
+        |ho AS (SELECT bin, count(*) AS n_hold,
+        |              CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS obs_ppm
+        |       FROM o WHERE NOT is_train GROUP BY 1),
+        |j AS (SELECT tr.bin, n_train, pred_ppm, n_hold, obs_ppm,
+        |             abs(obs_ppm - pred_ppm) AS gap_ppm
+        |      FROM tr JOIN ho ON tr.bin = ho.bin),
+        |e AS (SELECT CAST(sum(n_hold * gap_ppm) // sum(n_hold) AS BIGINT) AS ece_ppm FROM j)
+        |SELECT bin, n_train, pred_ppm, n_hold, obs_ppm, gap_ppm, ece_ppm
+        |FROM j CROSS JOIN e ORDER BY bin""".stripMargin,
     "q_median_mad" ->
       """WITH m AS (SELECT l_returnflag, median(l_quantity) AS med FROM lineitem GROUP BY 1)
         |SELECT l.l_returnflag, count(*) AS n, round(max(m.med), 6) AS med,

@@ -99,4 +99,47 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(first <= last)
     assert(r.getAs[Double]("avg_gap_s") > 0.0)
   }
+
+  test("q_calibration_bins: ECE is the holdout-weighted mean gap; rates bounded") {
+    val rows = run("q_calibration_bins")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pred_ppm") >= 0 && r.getAs[Long]("pred_ppm") <= 1000000)
+      assert(r.getAs[Long]("obs_ppm") >= 0 && r.getAs[Long]("obs_ppm") <= 1000000)
+      assert(r.getAs[Long]("gap_ppm") ==
+        math.abs(r.getAs[Long]("obs_ppm") - r.getAs[Long]("pred_ppm")))
+    }
+    val ece = rows.head.getAs[Long]("ece_ppm")
+    assert(rows.forall(_.getAs[Long]("ece_ppm") == ece), "ece must be constant")
+    val wsum = rows.map(r => r.getAs[Long]("n_hold") * r.getAs[Long]("gap_ppm")).sum
+    val n = rows.map(_.getAs[Long]("n_hold")).sum
+    assert(ece == wsum / n, s"ece $ece != weighted mean ${wsum / n}")
+    // ECE can't exceed the largest per-bin gap
+    assert(ece <= rows.map(_.getAs[Long]("gap_ppm")).max)
+  }
+
+  test("q_cross_fold: folds partition the corpus, groups are atomic") {
+    val rows = run("q_cross_fold")
+    assert(rows.length >= 2 && rows.length <= 5)
+    val total = graft.core.Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "folds must partition the document set exactly")
+    assert(rows.forall(_.getAs[Long]("leak_free") == 1L),
+      "a source straddling folds breaks group atomicity")
+    // shares in ppm sum to ~1e6 (DIV floors, so within nFolds of exact)
+    val s = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(s > 1000000 - rows.length && s <= 1000000)
+  }
+
+  test("q_curriculum: cumulative token budget is monotone and closes the total") {
+    val rows = run("q_curriculum")
+    assert(rows.nonEmpty && rows.length <= 6)
+    val stages = rows.map(_.getAs[Long]("stage"))
+    assert(stages.sameElements(stages.sorted))
+    val cums = rows.map(_.getAs[Long]("cum_tokens"))
+    assert(cums.sameElements(cums.sorted), "cumulative budget must be monotone")
+    assert(cums.last == rows.map(_.getAs[Long]("n_tokens")).sum)
+    rows.foreach(r => assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_docs"),
+      "every document has at least one whitespace token"))
+  }
 }
