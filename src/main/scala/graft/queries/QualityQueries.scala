@@ -29,6 +29,9 @@ object QualityQueries {
   private def h100(tag: String, k: Column): Column =
     pmod(TextQueries.h32(concat(lit(tag), k.cast("string"))), lit(100L))
 
+  /** q_blocklist_gate's policy list — compile-time constant, word-exact. */
+  val BlockList: Seq[String] = Seq("dup", "slow", "leak")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // NS: referential-integrity audit over the star schema — orphan counts
@@ -116,6 +119,30 @@ object QualityQueries {
         .select(col("lang"), col("split"), col("n"),
           round(col("n").cast("double") / col("n_lang").cast("double"), 6).as("share"))
         .orderBy("lang", "split")
+    },
+
+    // NS: term-blocklist safety gate — the removal census a corpus pipeline
+    // publishes when a filter list lands: per-source docs flagged (any
+    // blocked word present) and distinct-blocked-term hit volume, rates in
+    // exact ppm. Membership is word-exact (array_contains on the split,
+    // not substring regex — "duplicate" must NOT match "dup"), one narrow
+    // per-row computation folding into a source-sized aggregate; the list
+    // itself is a compile-time constant the optimizer folds, never a
+    // broadcast (the r5 unbounded-vocab lesson does not apply: a policy
+    // blocklist is bounded by definition).
+    "q_blocklist_gate" -> { (s, dir) =>
+      val w = split(col("text"), " ")
+      val hits = BlockList.map(t => array_contains(w, t).cast("long"))
+        .reduce(_ + _)
+      Tables.documents(s, dir)
+        .select(col("source"), hits.as("hits"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("hits") > 0).cast("long")).as("n_flagged"),
+          sum("hits").as("n_term_hits"))
+        .select(col("source"), col("n_docs"), col("n_flagged"), col("n_term_hits"),
+          expr("n_flagged * 1000000 DIV n_docs").as("flag_ppm"))
+        .orderBy("source")
     },
 
     // NS: GROUP-aware K-fold assignment — the eval split that actually
@@ -390,7 +417,19 @@ object QualityQueries {
 
   def oracleSql: Map[String, String] = {
     val alphabetSql = Alphabet.map(c => s"'${if (c == "'") "''" else c}'").mkString("[", ", ", "]")
+    val blockHitsSql = BlockList
+      .map(t => s"CAST(list_contains(string_split(text, ' '), '$t') AS BIGINT)")
+      .mkString(" + ")
     Map(
+      "q_blocklist_gate" ->
+        s"""WITH d AS (SELECT source, $blockHitsSql AS hits FROM documents),
+           |per AS (SELECT source, count(*) AS n_docs,
+           |               CAST(sum(CAST(hits > 0 AS BIGINT)) AS BIGINT) AS n_flagged,
+           |               CAST(sum(hits) AS BIGINT) AS n_term_hits
+           |        FROM d GROUP BY 1)
+           |SELECT source, n_docs, n_flagged, n_term_hits,
+           |       CAST(n_flagged * 1000000 // n_docs AS BIGINT) AS flag_ppm
+           |FROM per ORDER BY source""".stripMargin,
       "q_cross_fold" ->
         """WITH d AS (
           |  SELECT source, n_chars,

@@ -29,6 +29,13 @@ object GraphQueries {
   /** Unrolled iteration count. */
   val Iters = 2
 
+  /** Wedge-center degree cap for q_graph_jaccard: a center of degree d
+    * emits C(d,2) pairs, so hubs are excluded from enumeration (the
+    * TextDedup bucket-cap discipline — common counts undercount
+    * hub-mediated pairs, deterministically, rather than blowing up).
+    */
+  val JaccardHubCap = 64
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // NS: PageRank, 2 unrolled iterations, on the bigram word graph.
@@ -109,6 +116,55 @@ object GraphQueries {
               |dist AS (SELECT word, min(hop) AS hop FROM bfs GROUP BY word)
               |SELECT hop, count(*) AS n_nodes
               |FROM dist GROUP BY hop ORDER BY hop""".stripMargin)
+    },
+
+    // NS: link-prediction similarity over the word-adjacency graph —
+    // degree-capped common-neighbor scores: Jaccard (|N∩N| / |N∪N|, integer
+    // ppm) and Adamic–Adar (Σ_centers 1/ln(deg), the hub-discounting
+    // refinement) for the top-20 word pairs. The wedge enumeration is the
+    // scale-critical part: pairs are generated per CENTER from its
+    // neighbor list, so cost is Σ C(deg, 2) — and centers above
+    // [[JaccardHubCap]] are excluded BEFORE the self-join (the
+    // TextDedup bucket-cap discipline: a hub of degree d would alone emit
+    // d²/2 wedges; capped enumeration undercounts `common` for hub-mediated
+    // pairs, deterministically, and full degrees still anchor the
+    // denominator). Adamic–Adar weights are per-center integers
+    // (round(1e4/ln d)) so the wedge sum is reorder-proof; ordering is
+    // total via (score, pair), ending in TakeOrdered. This fixture's word
+    // graph is nearly complete (31 nodes) — the cap is exercised by the
+    // spec's planted hub, not the fixture.
+    "q_graph_jaccard" -> { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val bigrams = when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val e = Tables.documents(s, dir)
+        .select(ws.as("ws")).select(explode(bigrams).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2")).distinct()
+      val adj = e.select(col("w1").as("c"), col("w2").as("n"))
+        .union(e.select(col("w2").as("c"), col("w1").as("n")))
+        .filter(col("c") =!= col("n")).distinct()
+      val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
+      // d >= 2: degree-1 centers close no wedge, and excluding them keeps
+      // 1/ln(d) finite (ANSI mode would reject casting ln(1)=0's infinity)
+      val capped = adj.join(
+        deg.filter(col("d") >= 2 && col("d") <= lit(JaccardHubCap))
+          .select(col("c"), expr("CAST(round(10000 / ln(d)) AS BIGINT)").as("aaw")),
+        "c")
+      val pairs = capped.as("x").join(capped.as("y"), "c")
+        .filter(col("x.n") < col("y.n"))
+        .select(col("x.n").as("wa"), col("y.n").as("wb"), col("x.aaw").as("aaw"))
+        .groupBy("wa", "wb")
+        .agg(count(lit(1)).as("common"), sum("aaw").as("aa_x1e4"))
+      pairs
+        .join(deg.select(col("c").as("wa"), col("d").as("da")), "wa")
+        .join(deg.select(col("c").as("wb"), col("d").as("db")), "wb")
+        .select(col("wa"), col("wb"), col("common"), col("da"), col("db"),
+          expr("common * 1000000 DIV (da + db - common)").as("jac_ppm"),
+          col("aa_x1e4"))
+        .orderBy(col("jac_ppm").desc, col("wa"), col("wb"))
+        .limit(20)
     },
 
     // NS: triangle counting over the simhash near-dup graph — the density
@@ -218,6 +274,28 @@ object GraphQueries {
            |${iter("pr0", "c1", "pr1")},
            |${iter("pr1", "c2", "pr2")}
            |SELECT word, round(pr, 6) AS pagerank FROM pr2 ORDER BY word""".stripMargin,
+      "q_graph_jaccard" ->
+        s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+           |              i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b FROM w),
+           |e AS (SELECT DISTINCT b.w1 AS w1, b.w2 AS w2 FROM bg),
+           |adj AS (SELECT DISTINCT c, n FROM
+           |          (SELECT w1 AS c, w2 AS n FROM e UNION ALL SELECT w2 AS c, w1 AS n FROM e)
+           |        WHERE c <> n),
+           |deg AS (SELECT c, count(*) AS d FROM adj GROUP BY 1),
+           |capped AS (SELECT adj.c, adj.n,
+           |                  CAST(round(10000 / ln(deg.d)) AS BIGINT) AS aaw
+           |           FROM adj JOIN deg ON adj.c = deg.c
+           |           WHERE deg.d >= 2 AND deg.d <= $JaccardHubCap),
+           |p AS (SELECT x.n AS wa, y.n AS wb, count(*) AS common,
+           |             CAST(sum(x.aaw) AS BIGINT) AS aa_x1e4
+           |      FROM capped x JOIN capped y ON x.c = y.c AND x.n < y.n
+           |      GROUP BY 1, 2)
+           |SELECT wa, wb, common, da.d AS da, db.d AS db,
+           |       CAST(common * 1000000 // (da.d + db.d - common) AS BIGINT) AS jac_ppm,
+           |       aa_x1e4
+           |FROM p JOIN deg da ON p.wa = da.c JOIN deg db ON p.wb = db.c
+           |ORDER BY jac_ppm DESC, wa, wb LIMIT 20""".stripMargin,
       // same simhash edge set as q_simhash_pairs, then the identical
       // degree-oriented wedge + closure count
       "q_graph_triangles" ->

@@ -187,4 +187,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     } brute += 1
     assert(tris == brute, s"degree-oriented count $tris != brute-force $brute")
   }
+
+  test("q_graph_jaccard: score algebra holds; ordering is total") {
+    val rows = SparkEntry.queries("q_graph_jaccard")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (common, da, db, jac) = (r.getAs[Long]("common"), r.getAs[Long]("da"),
+        r.getAs[Long]("db"), r.getAs[Long]("jac_ppm"))
+      assert(common >= 1 && common <= math.min(da, db),
+        "common neighbors bounded by the smaller degree")
+      assert(jac == common * 1000000L / (da + db - common))
+      assert(jac <= 1000000L)
+      // Adamic-Adar: each of `common` centers contributes round(1e4/ln d),
+      // d in [2, cap] -> weight in [round(1e4/ln cap), round(1e4/ln 2)]
+      val aa = r.getAs[Long]("aa_x1e4")
+      val wMin = math.round(10000.0 / math.log(graft.text.GraphQueries.JaccardHubCap))
+      val wMax = math.round(10000.0 / math.log(2.0))
+      assert(aa >= common * wMin && aa <= common * wMax,
+        s"AA sum $aa outside [$wMin, $wMax] x $common")
+    }
+    // descending, tie-broken: strictly decreasing (jac, wa, wb) triple
+    val keys = rows.map(r => (-r.getAs[Long]("jac_ppm"),
+      r.getAs[String]("wa"), r.getAs[String]("wb"))).toSeq
+    assert(keys == keys.sorted, "top-20 ordering must be total")
+  }
+
+  test("q_graph_jaccard: hub cap bounds wedge enumeration on a planted star") {
+    // star graph: hub adjacent to 200 leaves (degree 200 > cap), plus one
+    // bounded clique of 4. The hub must be excluded as a CENTER: no pair of
+    // its leaves may appear with common>=1 unless another center links them.
+    import spark.implicits._
+    val star = (1 to 200).map(i => ("hub", f"leaf$i%03d"))
+    val clique = Seq(("k1", "k2"), ("k2", "k3"), ("k3", "k4"), ("k1", "k3"))
+    val adj0 = (star ++ clique).toDF("c", "n")
+    val adj = adj0.union(adj0.select($"n", $"c")).distinct()
+    val deg = adj.groupBy("c").agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("d"))
+    val capped = adj.join(deg.filter($"d" >= 2 && $"d" <= graft.text.GraphQueries.JaccardHubCap)
+      .select($"c"), "c")
+    val pairs = capped.as("x").join(capped.as("y"), "c")
+      .filter($"x.n" < $"y.n")
+      .select($"x.n".as("wa"), $"y.n".as("wb"))
+    val got = pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // no leaf-leaf pair: the only path between leaves runs through the
+    // excluded hub — cap engaged, wedge count stays O(clique) not O(200^2)
+    assert(!got.exists { case (a, b) => a.startsWith("leaf") && b.startsWith("leaf") },
+      s"hub-mediated pairs leaked past the cap: ${got.take(5)}")
+    // clique wedges survive (k1-k3 share centers k2; hub edges irrelevant)
+    assert(got.nonEmpty)
+  }
+
+  test("q_blocklist_gate: word-exact membership, flags bounded by docs") {
+    val rows = SparkEntry.queries("q_blocklist_gate")(spark, dir).collect()
+    assert(rows.length >= 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_term_hits") >= r.getAs[Long]("n_flagged"))
+      assert(r.getAs[Long]("n_term_hits") <=
+        r.getAs[Long]("n_flagged") * graft.queries.QualityQueries.BlockList.length)
+      assert(r.getAs[Long]("flag_ppm") ==
+        r.getAs[Long]("n_flagged") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+    // word-exact: "duplicate" must not match blocked term "dup"
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val w = split(col("text"), " ")
+    val hits = graft.queries.QualityQueries.BlockList
+      .map(t => array_contains(w, t).cast("long")).reduce(_ + _)
+    val probe = Seq(("duplicate slowly leaky", 0L), ("dup x", 1L), ("a slow leak", 2L))
+      .toDF("text", "want")
+    assert(probe.select(hits.as("got"), col("want")).collect()
+      .forall(r => r.getLong(0) == r.getLong(1)))
+  }
 }
