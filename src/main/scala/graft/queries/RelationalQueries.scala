@@ -967,6 +967,43 @@ object RelationalQueries {
               |GROUP BY c_nationkey
               |ORDER BY c_nationkey""".stripMargin)
     },
+    // NS: TPC-H Q8 shape (national market share): the widest snowflake in
+    // the suite — lineitem joined to part, supplier, orders, customer, and
+    // nation TWICE plus region (7 joins), with the share computed as a
+    // conditional aggregate over the SAME pass (never two scans). All dims
+    // broadcast; the region + part-type filters prune their dims before
+    // broadcast; revenue in exact 1e-4 integer units so the per-year share
+    // is an integer ppm verdict. Completes the feasible TPC-H set for this
+    // fixture (Q2/Q9/Q11/Q12/Q16/Q20/Q21 need partsupp or ship-mode/date
+    // columns the fixture does not carry — recorded in SURVEY §2).
+    "q_sql_tpch_q8" -> { (s, dir) =>
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      Tables.region(s, dir).createOrReplaceTempView("region_v")
+      s.sql("""WITH vol AS (
+              |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              |         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v,
+              |         n2.n_name AS supp_nation
+              |  FROM part_v p
+              |  JOIN lineitem_v l ON p.p_partkey = l.l_partkey
+              |  JOIN supplier_v s ON s.s_suppkey = l.l_suppkey
+              |  JOIN orders_v o   ON o.o_orderkey = l.l_orderkey
+              |  JOIN customer_v c ON c.c_custkey = o.o_custkey
+              |  JOIN nation_v n1  ON c.c_nationkey = n1.n_nationkey
+              |  JOIN region_v r   ON n1.n_regionkey = r.r_regionkey
+              |  JOIN nation_v n2  ON s.s_nationkey = n2.n_nationkey
+              |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'MEDIUM')
+              |SELECT o_year,
+              |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) AS BIGINT) / 1e4 AS nation_revenue,
+              |  CAST(sum(v) AS BIGINT) / 1e4 AS total_revenue,
+              |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) * 1000000
+              |       DIV sum(v) AS BIGINT) AS mkt_share_ppm
+              |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin)
+    },
     // NS: TPC-H Q7 shape (volume shipping): the DISJUNCTIVE dim predicate —
     // the nation-pair filter (A->B OR B->A) references BOTH nation copies,
     // so it cannot push below either dim join; Catalyst keeps all four dims
@@ -1713,6 +1750,26 @@ object RelationalQueries {
         |                    AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "q_sql_tpch_q8" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v,
+        |         n2.n_name AS supp_nation
+        |  FROM part p
+        |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        |  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        |  WHERE r.r_name = 'AMERICA' AND p.p_type = 'MEDIUM')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) AS BIGINT) / 1e4 AS nation_revenue,
+        |  CAST(sum(v) AS BIGINT) / 1e4 AS total_revenue,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) * 1000000
+        |       // sum(v) AS BIGINT) AS mkt_share_ppm
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q_sql_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 1e4 AS revenue

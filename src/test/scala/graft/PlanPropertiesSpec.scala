@@ -513,6 +513,15 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
   }
 
+  test("q_sql_tpch_q8: 7-join snowflake keeps every dim broadcast, fact scanned once") {
+    val p = executedPlan("q_sql_tpch_q8")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a dim join fell back to a fact-side shuffle:\n$p")
+    assert(p.contains("EqualTo(p_type,MEDIUM)"),
+      s"part-type filter not pushed into the part scan:\n$p")
+  }
+
   test("q_sql_tpch_q22 plans NOT EXISTS as an anti join probing only the date slice") {
     val p = executedPlan("q_sql_tpch_q22")
     assert(p.contains("LeftAnti"), s"NOT EXISTS not planned as anti join:\n$p")
