@@ -329,6 +329,38 @@ object MLQueries {
         .toDF("k", "n_points", "sizes_ok", "sse_ok")
     },
 
+    // NS: deterministic negative sampling for contrastive/retrieval
+    // training — each document draws 4 negatives as a pure md5 function of
+    // (doc_id, k) mod corpus size (no RNG: re-running never moves a pair,
+    // the q_stratified_split discipline), self-draws bumped to the next id.
+    // No join generates the candidates — the corpus size is a 1-row
+    // broadcast and the draw is per-row arithmetic, so the op is one
+    // narrow pass + a 4-row census: pair counts, self-collisions avoided,
+    // distinct-negative coverage in exact ppm (a skewed sampler would show
+    // coverage collapse here before training ever sees it).
+    "q_negative_sampling" -> { (s, dir) =>
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val pairs = Tables.documents(s, dir).select(col("doc_id"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("n_docs"),
+          explode(sequence(lit(1L), lit(4L))).as("k"))
+        .withColumn("cand", pmod(graft.text.TextQueries.h32(
+          concat(lit("neg:"), col("doc_id").cast("string"),
+            lit(":"), col("k").cast("string"))), col("n_docs")))
+        .withColumn("bumped", (col("cand") === col("doc_id")).cast("long"))
+        .withColumn("neg_id",
+          when(col("cand") === col("doc_id"),
+            pmod(col("cand") + 1, col("n_docs"))).otherwise(col("cand")))
+      pairs.groupBy("k").agg(
+          count(lit(1)).as("n_pairs"),
+          sum("bumped").as("n_self_avoided"),
+          countDistinct("neg_id").as("distinct_negs"))
+        .select(col("k"), col("n_pairs"), col("n_self_avoided"),
+          col("distinct_negs"),
+          expr("distinct_negs * 1000000 DIV n_pairs").as("coverage_ppm"))
+        .orderBy("k")
+    },
+
     // NS: the hashing trick — 16-dim signed hashed bag-of-words per doc
     // (HashingTF's collision-tolerant shape, md5-derived so both engines
     // agree bit-for-bit). The (doc, dim) shuffle is map-side combined to
@@ -413,6 +445,21 @@ object MLQueries {
       |v2 AS (SELECT pos, round(w / nrm, 7) AS v FROM w2 CROSS JOIN n2)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_negative_sampling" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |p AS (SELECT doc_id, k, n_docs,
+        |             ('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR) || ':'
+        |                || CAST(k AS VARCHAR)), 1, 8))::BIGINT % n_docs AS cand
+        |      FROM documents CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3), (4)) ks(k)),
+        |q AS (SELECT CAST(k AS BIGINT) AS k,
+        |             CAST(cand = doc_id AS BIGINT) AS bumped,
+        |             CASE WHEN cand = doc_id THEN (cand + 1) % n_docs ELSE cand END AS neg_id
+        |      FROM p)
+        |SELECT k, count(*) AS n_pairs,
+        |       CAST(sum(bumped) AS BIGINT) AS n_self_avoided,
+        |       count(DISTINCT neg_id) AS distinct_negs,
+        |       CAST(count(DISTINCT neg_id) * 1000000 // count(*) AS BIGINT) AS coverage_ppm
+        |FROM q GROUP BY k ORDER BY k""".stripMargin,
     // Final-centroid emit over the shared recursive replay (comment on
     // [[lloydRecursiveCte]]).
     "q_kmeans_full" ->

@@ -160,6 +160,37 @@ object TimeSeriesQueries {
         .orderBy("event_type")
     },
 
+    // NS: seasonal-residual anomaly census — q_seasonal_profile finds the
+    // weekly rhythm; this op flags the hours that BREAK it: each observed
+    // (day, hour) cell's event count compares against its hour-of-week
+    // profile median, flagged when it deviates more than 50% from the
+    // median. The profile median is exact on the k/2 integer grid (med2 =
+    // 2·median is a lossless BIGINT — the q_tukey_fences discipline), the
+    // deviation test |2n − med2|·100 > 50·med2 is pure integer
+    // cross-multiplication, and the profile is a 168-row broadcast back
+    // onto the hourly frame — counts shuffle once at (day, hour) grain,
+    // never raw events twice. At 100 TB the hourly frame is
+    // days×24 rows regardless of event volume.
+    "q_anomaly_seasonal" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .select(datediff(to_date(col("ts")), lit("1994-12-26")).as("day"),
+          hour(col("ts")).as("hr"))
+        .groupBy("day", "hr").agg(count(lit(1)).as("n"))
+        .withColumn("how", (pmod(col("day"), lit(7)) * 24 + col("hr")).cast("long"))
+      val prof = hourly.groupBy("how")
+        .agg(expr("CAST(2 * percentile(n, 0.5) AS BIGINT)").as("med2"))
+      hourly.join(broadcast(prof), "how")
+        .withColumn("flag",
+          (abs(lit(2) * col("n") - col("med2")) * 100 > lit(50) * col("med2"))
+            .cast("long"))
+        .groupBy("how")
+        .agg(count(lit(1)).as("n_hours"), max("med2").as("med2"),
+          sum("flag").as("n_flagged"))
+        .select(col("how"), col("n_hours"), col("med2"), col("n_flagged"),
+          expr("n_flagged * 1000000 DIV n_hours").as("flag_ppm"))
+        .orderBy("how")
+    },
+
     // NS: sliding-window distinct users (DAU/WAU — the activity metric
     // every product dashboard runs, and the classic hard case for OLAP
     // because COUNT(DISTINCT) does not decompose over window frames). The
@@ -507,6 +538,21 @@ object TimeSeriesQueries {
         |       CAST(sum(pred_x100) AS BIGINT) AS pred_total_x100,
         |       CAST(sum(abs(cnt_test * 100 - pred_x100)) // count(*) AS BIGINT) AS mae_x100
         |FROM cells GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_anomaly_seasonal" ->
+      """WITH hourly AS (
+        |  SELECT (CAST(ts AS DATE) - DATE '1994-12-26') AS day, hour(ts) AS hr,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT day, hr, n, CAST((day % 7) * 24 + hr AS BIGINT) AS how FROM hourly),
+        |prof AS (SELECT how, CAST(2 * median(n) AS BIGINT) AS med2 FROM h2 GROUP BY 1),
+        |j AS (SELECT h2.how, n, med2,
+        |             CAST(abs(2 * n - med2) * 100 > 50 * med2 AS BIGINT) AS flag
+        |      FROM h2 JOIN prof ON h2.how = prof.how)
+        |SELECT how, count(*) AS n_hours, max(med2) AS med2,
+        |       CAST(sum(flag) AS BIGINT) AS n_flagged,
+        |       CAST(sum(flag) * 1000000 // count(*) AS BIGINT) AS flag_ppm
+        |FROM j GROUP BY how
+        |ORDER BY how""".stripMargin,
     "q_seasonal_profile" ->
       """WITH grid AS (SELECT event_type,
         |                     (CAST(ts AS DATE) - DATE '1994-12-26') % 7 AS dow,

@@ -20,6 +20,31 @@ object WindowSetQueries {
 
     // Top-3 orders per customer by totalprice (rank partitioned by customer;
     // the per-partition sort is local after one hash shuffle).
+    // NS: cumulative DISTINCT users per event type by day — the window
+    // aggregate SQL cannot express directly (COUNT(DISTINCT) over a
+    // running frame doesn't decompose), spelled the one way that scales:
+    // collapse to each user's FIRST-seen day per type (one shuffle at
+    // (type, user) grain with map-side combine), aggregate new-user counts
+    // per (type, day), and run the cumulative sum over that
+    // types×days-sized frame — the window never sees user-grain rows. At
+    // 100 TB the event volume only affects the first aggregate; everything
+    // after is calendar-sized.
+    "q_window_distinct" -> { (s, dir) =>
+      val firstSeen = Tables.events(s, dir)
+        .select(col("event_type"),
+          col("user_id"),
+          datediff(to_date(col("ts")), lit("1994-12-26")).cast("long").as("day"))
+        .groupBy("event_type", "user_id").agg(min("day").as("first_day"))
+      val daily = firstSeen.groupBy("event_type", "first_day")
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.partitionBy("event_type").orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_users", sum("new_users").over(w))
+        .select(col("event_type"), col("first_day").as("day"),
+          col("new_users"), col("cum_users"))
+        .orderBy("event_type", "day")
+    },
     "q_window_rank" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -330,6 +355,16 @@ object WindowSetQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_window_distinct" ->
+      """WITH fs AS (
+        |  SELECT event_type, user_id,
+        |         CAST(min(CAST(ts AS DATE) - DATE '1994-12-26') AS BIGINT) AS first_day
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, first_day, count(*) AS new_users FROM fs GROUP BY 1, 2)
+        |SELECT event_type, first_day AS day, new_users,
+        |       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY first_day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY event_type, day""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

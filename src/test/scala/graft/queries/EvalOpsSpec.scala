@@ -131,6 +131,21 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(s > 1000000 - rows.length && s <= 1000000)
   }
 
+  test("q_negative_sampling: 4 draws per doc, no self-pairs, healthy coverage") {
+    val rows = run("q_negative_sampling")
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val nDocs = graft.core.Tables.documents(spark, TestSpark.Sf0001).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == nDocs)
+      assert(r.getAs[Long]("distinct_negs") <= nDocs)
+      // a uniform md5 draw over 500 ids from 500 draws covers ~63%; a
+      // collapse below 40% would indict the hash mixing
+      assert(r.getAs[Long]("coverage_ppm") > 400000,
+        s"coverage collapsed: ${r.getAs[Long]("coverage_ppm")} ppm")
+      assert(r.getAs[Long]("n_self_avoided") <= 5, "self-draws should be ~n/N")
+    }
+  }
+
   test("q_curriculum: cumulative token budget is monotone and closes the total") {
     val rows = run("q_curriculum")
     assert(rows.nonEmpty && rows.length <= 6)

@@ -73,4 +73,39 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(r.isNullAt(3) == (key % 3 == 0), s"safe_ratio must be null iff divisor is 0 (key $key)")
     }
   }
+
+  test("q_anomaly_seasonal: hour-of-week domain, integer verdict algebra") {
+    val rows = SparkEntry.queries("q_anomaly_seasonal")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 168)
+    rows.foreach { r =>
+      val how = r.getAs[Long]("how")
+      assert(how >= 0 && how < 168)
+      val (nh, nf) = (r.getAs[Long]("n_hours"), r.getAs[Long]("n_flagged"))
+      assert(nf <= nh)
+      assert(r.getAs[Long]("flag_ppm") == nf * 1000000L / nh)
+      // med2 = 2*median of positive hourly counts is >= 2
+      assert(r.getAs[Long]("med2") >= 2)
+    }
+    // a cell at its own median is never flagged: |2n-2n|*100 > 50*med2 is
+    // false, so at least one unflagged hour exists per cell with n_hours>=1
+    assert(rows.exists(r => r.getAs[Long]("n_flagged") < r.getAs[Long]("n_hours")))
+  }
+
+  test("q_window_distinct: cumulative distinct closes to the true distinct count") {
+    val rows = SparkEntry.queries("q_window_distinct")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val truth = graft.core.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("day"))
+      val cums = sorted.map(_.getAs[Long]("cum_users"))
+      assert(cums.sameElements(cums.sorted), s"$t: cumulative not monotone")
+      assert(cums.last == truth(t),
+        s"$t: final cumulative ${cums.last} != true distinct ${truth(t)}")
+      assert(sorted.map(_.getAs[Long]("new_users")).sum == cums.last)
+    }
+  }
 }
