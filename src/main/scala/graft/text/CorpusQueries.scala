@@ -737,6 +737,58 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // NS: the BPE TRAINER loop itself — q_bpe_pairs counts one round of
+    // candidate pairs; this runs three full merge rounds and emits the
+    // learned merge table (the artifact a tokenizer build publishes).
+    // Scale design is vocab-first: the corpus collapses to DISTINCT words
+    // with counts before any symbol work, so every round's cost is bounded
+    // by vocabulary size — corpus volume enters only through the wc
+    // weights (the q_fuzzy_join lesson). Symbol sequences are
+    // sentinel-wrapped strings ("\u0001tok\u0001" per token): pair merge
+    // is ONE literal left-to-right replace() per row — boundary-exact (a
+    // pair can never match inside a longer token) and greedy-non-overlap
+    // in both engines, the reference BPE behavior for runs like "aaa".
+    // Argmax per round is total-ordered (n DESC, pair) and broadcast back,
+    // so all three rounds are one declarative plan.
+    "q_bpe_train" -> { (s, dir) =>
+      val S = "\u0001"
+      val v0 = Tables.documents(s, dir)
+        .select(explode(words).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy("word").agg(count(lit(1)).as("wc"))
+        .select(col("wc"),
+          concat(lit(S), concat_ws(S + S, split(col("word"), "")), lit(S)).as("sym"))
+      def pairCounts(d: DataFrame): DataFrame = {
+        val toks = split(expr("substring(sym, 2, length(sym) - 2)"), S + S)
+        d.select(col("wc"),
+            when(size(toks) >= 2,
+              transform(sequence(lit(1), size(toks) - 1),
+                i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
+              .otherwise(array().cast("array<struct<a:string,b:string>>")).as("ps"))
+          .select(col("wc"), explode(col("ps")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("wc").as("n"))
+      }
+      def top1(pc: DataFrame): DataFrame =
+        pc.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+      def merge(d: DataFrame, t: DataFrame): DataFrame =
+        d.crossJoin(broadcast(t.select(col("a").as("ma"), col("b").as("mb"))))
+          .withColumn("sym", expr(
+            "replace(sym, concat(chr(1), ma, chr(1), chr(1), mb, chr(1)), " +
+              "concat(chr(1), ma, mb, chr(1)))"))
+          .drop("ma", "mb")
+      val t1 = top1(pairCounts(v0)).localCheckpoint()
+      val v1 = merge(v0, t1)
+      val t2 = top1(pairCounts(v1)).localCheckpoint()
+      val v2 = merge(v1, t2)
+      val t3 = top1(pairCounts(v2)).localCheckpoint()
+      t1.withColumn("round", lit(1L))
+        .union(t2.withColumn("round", lit(2L)))
+        .union(t3.withColumn("round", lit(3L)))
+        .select(col("round"), col("a").as("tok_a"), col("b").as("tok_b"), col("n"))
+        .orderBy("round")
+    },
+
     // NS: tokenizer compression stats per source — chars-per-token under
     // the BPE-ish regex tokenizer, the signal a tokenizer trainer / data
     // mixer reads per corpus slice. Narrow per-row tokenize + one tiny
