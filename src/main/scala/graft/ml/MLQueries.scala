@@ -301,12 +301,13 @@ object MLQueries {
     // registered as a fused self-eval (the q_distinct_approx pattern —
     // cluster ids and kmeans|| init are engine-private, so the MODEL can't
     // hash-match a SQL oracle, but its acceptance claims can): emits the
-    // SQL-exact frame (k, n_points) plus two verdicts the oracle pins to
-    // literal 1 — the partition check (cluster sizes are a partition of
-    // the input: sum == n, all nonempty) and the quality check (seeded
-    // MLlib training cost within 1.2x of the deterministic Lloyd loop's
-    // converged SSE — the MllibCrossCheckSpec band, now driver-enforced).
-    // A seed/init/convergence regression in either path goes hash-red.
+    // SQL-exact frame (k, n_points) plus the partition verdict (cluster
+    // sizes are a partition of the input: sum == n, all nonempty). The
+    // SSE-vs-Lloyd quality band deliberately lives in SemDedupSpec as a
+    // toleranced assertion, NOT here: seeded kmeans|| training cost varies
+    // with input partitioning/core count, so pinning it to the driver's
+    // byte-hash gate would flake on environment changes with no code
+    // regression (the round-7 lesson).
     "q_kmeans_mllib" -> { (s, dir) =>
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -315,18 +316,12 @@ object MLQueries {
       val model = new KMeans().setK(KmeansQueries.K).setSeed(42L)
         .setMaxIter(10).setTol(1e-6).fit(data)
       val sizes = model.summary.clusterSizes
-      val mllibSse = model.summary.trainingCost
-      // converged deterministic-Lloyd SSE (memoized: q_kmeans_full's loop)
-      val (cents, _) = Lloyd.runFor(s, dir, KmeansQueries.K,
-        maxIter = 10, eps = 1e-6, useAgg = true, grid = Some(7))
-      val lloydSse = Lloyd.sse(pts, cents)
       val n = pts.count()
       val s2 = s
       import s2.implicits._
       Seq((KmeansQueries.K.toLong, n,
-        if (sizes.sum == n && sizes.forall(_ > 0)) 1L else 0L,
-        if (mllibSse > 0 && mllibSse <= 1.2 * lloydSse) 1L else 0L))
-        .toDF("k", "n_points", "sizes_ok", "sse_ok")
+        if (sizes.sum == n && sizes.forall(_ > 0)) 1L else 0L))
+        .toDF("k", "n_points", "sizes_ok")
     },
 
     // NS: deterministic negative sampling for contrastive/retrieval
@@ -469,19 +464,15 @@ object MLQueries {
          |FROM fin, UNNEST(generate_series(1, len(c))) AS u(i)
          |ORDER BY cid, pos""".stripMargin,
     // Self-eval oracle (q_distinct_approx pattern): n_points is SQL-exact;
-    // the partition and SSE-band verdicts are pinned to literal 1, so a
-    // drifting MLlib fit or a broken Lloyd loop goes hash-red.
-    // Known flake surface (accepted): sse_ok depends on the seeded MLlib
-    // kmeans|| training cost, which varies with input partitioning/core
-    // count — covered at CPUS=1/7/32 locally, and MLlib's cost normally
-    // sits WELL inside the 1.2x Lloyd band. If a driver-env flake ever
-    // appears here, demote the SSE band to the toleranced ScalaTest
-    // assertion (SemDedupSpec) and keep only sizes_ok pinned.
+    // the partition verdict is pinned to literal 1, so a drifting MLlib
+    // fit goes hash-red. The SSE-vs-Lloyd band is NOT pinned here — it
+    // depends on seeded kmeans|| training cost, which varies with input
+    // partitioning/core count; it lives as a toleranced assertion in
+    // SemDedupSpec instead (the round-7 de-flake).
     "q_kmeans_mllib" ->
       s"""SELECT CAST(${KmeansQueries.K} AS BIGINT) AS k,
          |       count(*) AS n_points,
-         |       CAST(1 AS BIGINT) AS sizes_ok,
-         |       CAST(1 AS BIGINT) AS sse_ok
+         |       CAST(1 AS BIGINT) AS sizes_ok
          |FROM embeddings""".stripMargin,
     // cogroup == full outer join of the two per-key aggregates (absent
     // side contributes (0, 0.0))

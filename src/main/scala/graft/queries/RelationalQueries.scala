@@ -957,7 +957,7 @@ object RelationalQueries {
               |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
               |  FROM customer_v)
               |SELECT c_nationkey, count(*) AS numcust,
-              |       sum(cents) AS totacctbal_cents
+              |       CAST(sum(cents) AS BIGINT) AS totacctbal_cents
               |FROM c
               |WHERE cents * (SELECT count(*) FROM c WHERE cents > 0)
               |        > (SELECT sum(cents) FROM c WHERE cents > 0)
@@ -1182,8 +1182,14 @@ object RelationalQueries {
     // spelling of "how compressible is this column order"; the naive
     // spelling (global sort + lag-compare) is a full-table range exchange.
     "q_rle_census" -> { (s, dir) =>
+      // keys coalesced to a chr(1) sentinel: Spark's countDistinct(k1, k2)
+      // DROPS rows where either key is NULL while DuckDB's
+      // count(DISTINCT (k1, k2)) counts the NULL-bearing struct — the
+      // sentinel (mirrored in the oracle) makes both engines total over
+      // nullable key columns
       val g = Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag").as("k1"), col("l_linestatus").as("k2"),
+        .groupBy(coalesce(col("l_returnflag"), lit("\u0001")).as("k1"),
+          coalesce(col("l_linestatus"), lit("\u0001")).as("k2"),
           to_date(col("l_shipdate")).as("k3"))
         .agg(count(lit(1)).as("n"))
       g.agg(sum("n").as("n_rows"),
@@ -1214,11 +1220,15 @@ object RelationalQueries {
       if (!s.catalog.tableExists(t)) {
         clearStaleManagedLocation(s, t)
         Tables.supplier(s, dir).write.mode("overwrite").saveAsTable(t)
-        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
       }
-      val meta = s.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(t))
-      val stats = meta.stats
+      // fast path keyed on stats PRESENCE, not table existence: a run
+      // interrupted between saveAsTable and ANALYZE must re-run ANALYZE
+      // on the next call, not serve a permanently stats-less table
+      def tableStats = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).stats
+      if (tableStats.flatMap(_.rowCount).isEmpty)
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      val stats = tableStats
       val rc = stats.flatMap(_.rowCount).map(_.toLong).getOrElse(-1L)
       val nColStats = stats.map(_.colStats.size.toLong).getOrElse(0L)
       val exact = Tables.supplier(s, dir).count()
@@ -1741,7 +1751,7 @@ object RelationalQueries {
         |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
         |  FROM customer)
         |SELECT c_nationkey, count(*) AS numcust,
-        |       sum(cents) AS totacctbal_cents
+        |       CAST(sum(cents) AS BIGINT) AS totacctbal_cents
         |FROM c
         |WHERE cents * (SELECT count(*) FROM c WHERE cents > 0)
         |        > (SELECT sum(cents) FROM c WHERE cents > 0)
@@ -1854,7 +1864,8 @@ object RelationalQueries {
         |       CAST(scanned_rows * 100 // greatest(selected_rows, 1) AS BIGINT) AS waste_x100
         |FROM census""".stripMargin,
     "q_rle_census" ->
-      """WITH g AS (SELECT l_returnflag AS k1, l_linestatus AS k2,
+      """WITH g AS (SELECT coalesce(l_returnflag, chr(1)) AS k1,
+        |                  coalesce(l_linestatus, chr(1)) AS k2,
         |                  CAST(l_shipdate AS DATE) AS k3, count(*) AS n
         |           FROM lineitem GROUP BY 1, 2, 3)
         |SELECT CAST(sum(n) AS BIGINT) AS n_rows,

@@ -230,7 +230,12 @@ object StatsQueries {
     "q_benford" -> { (s, dir) =>
       val d = substring(expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1)
         .cast("long")
+      // cents > 0 guard (mirrored in the oracle): a zero or negative
+      // price would yield a leading '0'/'-' outside the 1..9 Benford
+      // domain and an infinite log10(1 + 1/digit) — the operator is
+      // total over any input, not fixture-assumed positive
       val bins = Tables.orders(s, dir)
+        .filter(expr("CAST(round(o_totalprice * 100) AS BIGINT) > 0"))
         .select(d.as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("n"))
       val tot = bins.agg(sum("n").as("nt"))
@@ -632,7 +637,9 @@ object StatsQueries {
     "q_benford" ->
       """WITH bins AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
         |                     count(*) AS n
-        |              FROM orders GROUP BY 1),
+        |              FROM orders
+        |              WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+        |              GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM bins),
         |t AS (SELECT digit, n, nt,
         |             CAST(n AS DOUBLE) / nt AS obs,

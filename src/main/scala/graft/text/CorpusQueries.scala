@@ -21,6 +21,52 @@ object CorpusQueries {
 
   private val words: Column = split(col("text"), " ")
 
+  /** BPE-trainer building blocks (q_bpe_train), exposed for the plan spec.
+    * Vocab-first: the corpus collapses to DISTINCT words with counts
+    * before any symbol work, so every merge round is vocabulary-bounded.
+    */
+  private val BpeS = "\u0001"
+
+  private[graft] def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(words).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        concat(lit(BpeS), concat_ws(BpeS + BpeS, split(col("word"), "")), lit(BpeS)).as("sym"))
+
+  private[graft] def bpePairCounts(d: DataFrame): DataFrame = {
+    // toks gets its own projection: CollapseProject refuses to inline a
+    // non-cheap multiply-referenced alias, so the split runs ONCE per row
+    // instead of once per element_at. explode_OUTER (+ the explicit null
+    // filter above the Generate) rather than explode: a plain explode
+    // makes InferFiltersFromGenerate add size(ps)>0 below the Generate,
+    // and predicate pushdown then re-inlines the whole split expression
+    // into that filter — 4 extra splits per row for a guard we don't need.
+    val toks = col("toks")
+    d.select(col("wc"),
+        split(expr("substring(sym, 2, length(sym) - 2)"), BpeS + BpeS).as("toks"))
+      .select(col("wc"),
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>")).as("ps"))
+      .select(col("wc"), explode_outer(col("ps")).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("wc").as("n"))
+  }
+
+  private[graft] def bpeTop1(pc: DataFrame): DataFrame =
+    pc.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+
+  private[graft] def bpeMerge(d: DataFrame, t: DataFrame): DataFrame =
+    d.crossJoin(broadcast(t.select(col("a").as("ma"), col("b").as("mb"))))
+      .withColumn("sym", expr(
+        "replace(sym, concat(chr(1), ma, chr(1), chr(1), mb, chr(1)), " +
+          "concat(chr(1), ma, mb, chr(1)))"))
+      .drop("ma", "mb")
+
   /** Docs with doc_id < EvalDocs play "the held-out benchmark" in the
     * contamination check; the rest are the training corpus.
     */
@@ -751,37 +797,17 @@ object CorpusQueries {
     // Argmax per round is total-ordered (n DESC, pair) and broadcast back,
     // so all three rounds are one declarative plan.
     "q_bpe_train" -> { (s, dir) =>
-      val S = "\u0001"
-      val v0 = Tables.documents(s, dir)
-        .select(explode(words).as("word"))
-        .filter(length(col("word")) >= 1)
-        .groupBy("word").agg(count(lit(1)).as("wc"))
-        .select(col("wc"),
-          concat(lit(S), concat_ws(S + S, split(col("word"), "")), lit(S)).as("sym"))
-      def pairCounts(d: DataFrame): DataFrame = {
-        val toks = split(expr("substring(sym, 2, length(sym) - 2)"), S + S)
-        d.select(col("wc"),
-            when(size(toks) >= 2,
-              transform(sequence(lit(1), size(toks) - 1),
-                i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
-              .otherwise(array().cast("array<struct<a:string,b:string>>")).as("ps"))
-          .select(col("wc"), explode(col("ps")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("wc").as("n"))
-      }
-      def top1(pc: DataFrame): DataFrame =
-        pc.orderBy(col("n").desc, col("a"), col("b")).limit(1)
-      def merge(d: DataFrame, t: DataFrame): DataFrame =
-        d.crossJoin(broadcast(t.select(col("a").as("ma"), col("b").as("mb"))))
-          .withColumn("sym", expr(
-            "replace(sym, concat(chr(1), ma, chr(1), chr(1), mb, chr(1)), " +
-              "concat(chr(1), ma, mb, chr(1)))"))
-          .drop("ma", "mb")
-      val t1 = top1(pairCounts(v0)).localCheckpoint()
-      val v1 = merge(v0, t1)
-      val t2 = top1(pairCounts(v1)).localCheckpoint()
-      val v2 = merge(v1, t2)
-      val t3 = top1(pairCounts(v2)).localCheckpoint()
+      // checkpoint the vocab: (a) it feeds all three merge rounds, so the
+      // corpus scan + word aggregate run ONCE; (b) it is a pushdown
+      // barrier — without it Catalyst infers size(ps)>0 from the pair
+      // Generate and pushes it below the word aggregate, inlining the
+      // symbol-split expression per CORPUS word (5x split per raw token)
+      val v0 = bpeVocab(s, dir).localCheckpoint()
+      val t1 = bpeTop1(bpePairCounts(v0)).localCheckpoint()
+      val v1 = bpeMerge(v0, t1)
+      val t2 = bpeTop1(bpePairCounts(v1)).localCheckpoint()
+      val v2 = bpeMerge(v1, t2)
+      val t3 = bpeTop1(bpePairCounts(v2)).localCheckpoint()
       t1.withColumn("round", lit(1L))
         .union(t2.withColumn("round", lit(2L)))
         .union(t3.withColumn("round", lit(3L)))
@@ -1329,6 +1355,38 @@ object CorpusQueries {
           |      FROM v, UNNEST(generate_series(1, length(v.word) - 1)) AS u(i))
           |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
           |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+      // The 3 merge rounds unrolled as CTEs: same sentinel-wrapped symbol
+      // strings, same literal replace() merge, same (n DESC, a, b) argmax
+      // total order — DuckDB's replace() is the same greedy left-to-right
+      // non-overlapping scan as Spark's, so "aaa"-style runs merge
+      // identically in both engines.
+      "q_bpe_train" ->
+        """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+          |v AS (SELECT word, count(*) AS wc FROM w WHERE length(word) >= 1 GROUP BY word),
+          |v0 AS (SELECT wc, chr(1) || array_to_string(string_split(word, ''), chr(1) || chr(1)) || chr(1) AS sym FROM v),
+          |p1 AS (SELECT t.toks[u.i] AS a, t.toks[u.i + 1] AS b, CAST(sum(t.wc) AS BIGINT) AS n
+          |       FROM (SELECT wc, string_split(substr(sym, 2, length(sym) - 2), chr(1) || chr(1)) AS toks FROM v0) t,
+          |            UNNEST(generate_series(1, len(t.toks) - 1)) AS u(i)
+          |       GROUP BY 1, 2),
+          |t1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+          |v1 AS (SELECT v0.wc, replace(v0.sym, chr(1) || t1.a || chr(1) || chr(1) || t1.b || chr(1), chr(1) || t1.a || t1.b || chr(1)) AS sym FROM v0, t1),
+          |p2 AS (SELECT t.toks[u.i] AS a, t.toks[u.i + 1] AS b, CAST(sum(t.wc) AS BIGINT) AS n
+          |       FROM (SELECT wc, string_split(substr(sym, 2, length(sym) - 2), chr(1) || chr(1)) AS toks FROM v1) t,
+          |            UNNEST(generate_series(1, len(t.toks) - 1)) AS u(i)
+          |       GROUP BY 1, 2),
+          |t2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+          |v2 AS (SELECT v1.wc, replace(v1.sym, chr(1) || t2.a || chr(1) || chr(1) || t2.b || chr(1), chr(1) || t2.a || t2.b || chr(1)) AS sym FROM v1, t2),
+          |p3 AS (SELECT t.toks[u.i] AS a, t.toks[u.i + 1] AS b, CAST(sum(t.wc) AS BIGINT) AS n
+          |       FROM (SELECT wc, string_split(substr(sym, 2, length(sym) - 2), chr(1) || chr(1)) AS toks FROM v2) t,
+          |            UNNEST(generate_series(1, len(t.toks) - 1)) AS u(i)
+          |       GROUP BY 1, 2),
+          |t3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+          |SELECT CAST(1 AS BIGINT) AS round, a AS tok_a, b AS tok_b, n FROM t1
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT) AS round, a AS tok_a, b AS tok_b, n FROM t2
+          |UNION ALL
+          |SELECT CAST(3 AS BIGINT) AS round, a AS tok_a, b AS tok_b, n FROM t3
+          |ORDER BY round""".stripMargin,
       "q_tokenizer_stats" ->
         """WITH t AS (SELECT source,
           |                  CAST(length(text) AS DOUBLE) AS nc,

@@ -297,7 +297,14 @@ object GraphQueries {
            |FROM p JOIN deg da ON p.wa = da.c JOIN deg db ON p.wb = db.c
            |ORDER BY jac_ppm DESC, wa, wb LIMIT 20""".stripMargin,
       // same simhash edge set as q_simhash_pairs, then the identical
-      // degree-oriented wedge + closure count
+      // degree-oriented wedge + closure count. Scale-safe spelling (the
+      // round-8 stress fix): the wedge count is Sum C(outdeg, 2) over the
+      // oriented out-degrees — pure arithmetic, no wedge row ever
+      // materialized — and the triangle count streams the wedge join
+      // straight into the closing-edge probe in ONE single-use pipeline
+      // (the old twice-referenced wedges CTE materialized 1.4e9 rows at
+      // the synthetic-sf1 stress scale and blew the 900 s oracle budget;
+      // this form finishes in ~700 s there, seconds at driver sf0.01)
       "q_graph_triangles" ->
         s"""WITH ${TextQueries.simhashFrameCte},
            |edges AS (SELECT a.doc_id AS a, b.doc_id AS b
@@ -311,15 +318,17 @@ object GraphQueries {
            |             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
            |                  THEN e.b ELSE e.a END AS dst
            |      FROM edges e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
-           |wedges AS (SELECT o1.src, o1.dst AS y, o2.dst AS z
-           |           FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
-           |tri AS (SELECT * FROM wedges w JOIN edges e ON w.y = e.a AND w.z = e.b)
+           |od AS (SELECT src, count(*) AS dout FROM o GROUP BY src),
+           |wc AS (SELECT CAST(sum(dout * (dout - 1) // 2) AS BIGINT) AS n_wedges FROM od),
+           |tc AS (SELECT count(*) AS n_triangles
+           |       FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
+           |       JOIN edges e ON o1.dst = e.a AND o2.dst = e.b)
            |SELECT (SELECT count(*) FROM deg) AS n_nodes,
            |       (SELECT count(*) FROM edges) AS n_edges,
-           |       (SELECT count(*) FROM wedges) AS n_wedges,
-           |       (SELECT count(*) FROM tri) AS n_triangles,
-           |       round(CAST((SELECT count(*) FROM tri) AS DOUBLE) /
-           |             CAST(greatest((SELECT count(*) FROM wedges), 1) AS DOUBLE), 6) AS closure""".stripMargin,
+           |       (SELECT n_wedges FROM wc) AS n_wedges,
+           |       (SELECT n_triangles FROM tc) AS n_triangles,
+           |       round(CAST((SELECT n_triangles FROM tc) AS DOUBLE) /
+           |             CAST(greatest((SELECT n_wedges FROM wc), 1) AS DOUBLE), 6) AS closure""".stripMargin,
       // same simhash edge prelude; histogram + exact integer census
       "q_degree_census" ->
         s"""WITH ${TextQueries.simhashFrameCte},

@@ -94,6 +94,29 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"pair explode not fed by the vocab aggregate:\n$p")
   }
 
+  test("q_bpe_train round: vocab-first (no corpus-scale explode below the word aggregate), split evaluated once") {
+    // the final q_bpe_train frame is post-localCheckpoint (its executed
+    // plan hides the round structure), so pin the building blocks exactly
+    // as the query composes them: a checkpointed vocab + one pair round.
+    // 1) vocab-first: the corpus collapses to the word aggregate reading
+    //    only the text column
+    val vocab = graft.text.CorpusQueries.bpeVocab(spark, TestSpark.Sf0001)
+    val vp = vocab.queryExecution.executedPlan.toString
+    assert(vp.contains("HashAggregate") || vp.contains("SortAggregate"),
+      s"no word-count aggregate in the vocab plan:\n$vp")
+    assert(vp.contains("ReadSchema: struct<text:string>"),
+      s"vocab build reads more than the text column:\n$vp")
+    // 2) the pair round over the (checkpointed, as in the query) vocab:
+    //    toks split must materialize once per row — the checkpoint is the
+    //    barrier that stops the inferred size(ps)>0 filter from being
+    //    pushed down and re-inlining the split per element_at
+    val round = graft.text.CorpusQueries.bpePairCounts(vocab.localCheckpoint())
+    val p = round.queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode"), s"no pair explode:\n$p")
+    assert("split\\(substring\\(".r.findAllIn(p).size <= 1,
+      s"symbol split re-evaluated per element_at:\n$p")
+  }
+
   test("q_kanon_suppress is join-free: census via window, one hash shuffle") {
     val p = executedPlan("q_kanon_suppress")
     assert(!p.contains("Join"), s"census joined back instead of windowed:\n$p")

@@ -81,9 +81,26 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
-  test("q_kmeans_mllib self-eval verdicts hold (sizes partition + SSE band)") {
+  test("q_kmeans_mllib self-eval verdicts hold (sizes partition + toleranced SSE band)") {
     val r = graft.ml.MLQueries.queries("q_kmeans_mllib")(spark, TestSpark.Sf0001).head()
     assert(r.getLong(r.fieldIndex("sizes_ok")) == 1L, "cluster sizes are not a partition")
-    assert(r.getLong(r.fieldIndex("sse_ok")) == 1L, "MLlib SSE outside the 1.2x Lloyd band")
+    // the SSE band lives HERE (toleranced), not in the driver hash gate:
+    // seeded kmeans|| training cost varies with partitioning/core count,
+    // so a pinned sse_ok bit could flake on environment changes alone.
+    // 1.5x Lloyd is wide enough for that variance and still catches a
+    // broken fit (a degenerate model lands orders of magnitude out).
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.functions.col
+    val pts = graft.core.Tables.points(spark, TestSpark.Sf0001)
+    val data = pts.select(array_to_vector(col("coordinates")).as("features"))
+    val model = new KMeans().setK(graft.kmeans.KmeansQueries.K).setSeed(42L)
+      .setMaxIter(10).setTol(1e-6).fit(data)
+    val mllibSse = model.summary.trainingCost
+    val (cents, _) = graft.kmeans.Lloyd.runFor(spark, TestSpark.Sf0001,
+      graft.kmeans.KmeansQueries.K, maxIter = 10, eps = 1e-6, useAgg = true, grid = Some(7))
+    val lloydSse = graft.kmeans.Lloyd.sse(pts, cents)
+    assert(mllibSse > 0 && mllibSse <= 1.5 * lloydSse,
+      s"MLlib SSE $mllibSse outside the 1.5x Lloyd band (Lloyd SSE $lloydSse)")
   }
 }

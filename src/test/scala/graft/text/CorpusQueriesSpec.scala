@@ -111,6 +111,43 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("q_bpe_train matches a driver-side naive BPE replay over the collected vocab") {
+    // independent ground truth: collect the (word, count) vocab (tiny at
+    // sf0.001) and run textbook BPE — symbol lists, weighted adjacent-pair
+    // counts, (n DESC, a, b) argmax, greedy left-to-right non-overlapping
+    // merge — entirely on the driver, no replace()/sentinel tricks shared
+    // with the implementation under test.
+    val vocab = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var syms: Array[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+    val expected = (1 to 3).map { round =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (s, c) =>
+        s.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      syms = syms.map { case (s, c) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        (out.toArray, c)
+      }
+      (round.toLong, a, b, n)
+    }
+    val got = SparkEntry.queries("q_bpe_train")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected, s"BPE merge table mismatch:\n got=$got\n exp=$expected")
+  }
+
   test("q_contamination plans a broadcast join for the eval set (no corpus-side shuffle for the join)") {
     val plan = SparkEntry.queries("q_contamination")(spark, TestSpark.Sf0001)
       .queryExecution.executedPlan.toString
