@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     kmeans.KmeansQueries.queries ++
       _root_.graft.queries.RelationalQueries.queries ++
+      _root_.graft.queries.TpchDerived.queries ++
       _root_.graft.queries.WindowSetQueries.queries ++
       _root_.graft.queries.ScalarQueries.queries ++
       _root_.graft.queries.DataPrepQueries.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     kmeans.KmeansQueries.oracleSql ++
       _root_.graft.queries.RelationalQueries.oracleSql ++
+      _root_.graft.queries.TpchDerived.oracleSql ++
       _root_.graft.queries.WindowSetQueries.oracleSql ++
       _root_.graft.queries.ScalarQueries.oracleSql ++
       _root_.graft.queries.DataPrepQueries.oracleSql ++
