@@ -28,6 +28,7 @@ object SparkEntry {
       _root_.graft.queries.TimeSeriesQueries.queries ++
       _root_.graft.queries.SketchQueries.queries ++
       _root_.graft.queries.StatsQueries.queries ++
+      _root_.graft.queries.EvalMetricsQueries.queries ++
       _root_.graft.queries.QualityQueries.queries ++
       streaming.EventQueries.queries ++
       text.TextQueries.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       _root_.graft.queries.TimeSeriesQueries.oracleSql ++
       _root_.graft.queries.SketchQueries.oracleSql ++
       _root_.graft.queries.StatsQueries.oracleSql ++
+      _root_.graft.queries.EvalMetricsQueries.oracleSql ++
       _root_.graft.queries.QualityQueries.oracleSql ++
       streaming.EventQueries.oracleSql ++
       text.TextQueries.oracleSql ++
