@@ -33,6 +33,7 @@ object SparkEntry {
       streaming.EventQueries.queries ++
       text.TextQueries.queries ++
       text.CorpusQueries.queries ++
+      text.CorpusStatsQueries.queries ++
       text.PackingQueries.queries ++
       text.RetrievalQueries.queries ++
       text.GraphQueries.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       streaming.EventQueries.oracleSql ++
       text.TextQueries.oracleSql ++
       text.CorpusQueries.oracleSql ++
+      text.CorpusStatsQueries.oracleSql ++
       text.PackingQueries.oracleSql ++
       text.RetrievalQueries.oracleSql ++
       text.GraphQueries.oracleSql ++
