@@ -473,10 +473,180 @@ object TimeSeriesQueries {
         .select(col("n_events"), col("n_late"),
           expr("n_late * 1000000 DIV n_events").as("late_ppm"),
           col("p50_m"), col("p95_m"), col("p99_m"), col("max_m"))
+    },
+
+    // NS: Bollinger-band breach census per event type — hourly value mass
+    // vs a 24-observed-hour rolling mean ± 2σ. EXACT integer verdicts: in
+    // milli-units the breach test (x − mean)² > 4σ² rewrites to
+    // (n·x − Σx)² > 4(n·Σx² − (Σx)²) — pure BIGINT cross-multiplication
+    // (milli, not micro, units keep the squares under 2⁶³), so no
+    // last-ulp band boundary can flip between engines. The corpus reduces
+    // to the bounded hourly census first; the rolling window runs over
+    // ≤~720 rows per type. Partial (<24-hour) windows abstain.
+    "q_bollinger" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hi"))
+        .agg(sum(expr("CAST(round(value * 1000) AS BIGINT)")).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("hi").rowsBetween(-23, 0)
+      hourly
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum("x").over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("dev", col("n") * col("x") - col("sx"))
+        .withColumn("var4", lit(4) * (col("n") * col("sxx") - col("sx") * col("sx")))
+        .groupBy("event_type")
+        .agg(sum(when(col("n") === 24, 1L).otherwise(0L)).as("n_hours"),
+          sum(when(col("n") === 24 && col("dev") > 0 &&
+            col("dev") * col("dev") > col("var4"), 1L).otherwise(0L)).as("n_above"),
+          sum(when(col("n") === 24 && col("dev") < 0 &&
+            col("dev") * col("dev") > col("var4"), 1L).otherwise(0L)).as("n_below"))
+        .orderBy("event_type")
+    },
+
+    // NS: peak detection on the hourly count series per event type — a
+    // strict local maximum that also clears the series mean (integer
+    // cross-multiply n·H > total, no float threshold). Series is the
+    // bounded hourly census; lag/lead windows run over ≤~720 rows per
+    // type; the census result is 5 rows. Top peak reported with a total
+    // (count desc, hour asc) tie-break.
+    "q_peak_detect" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hi"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("hi")
+      val tot = Window.partitionBy("event_type")
+      val marked = hourly
+        .withColumn("p", lag("n", 1).over(w))
+        .withColumn("x", lead("n", 1).over(w))
+        .withColumn("n_hours", count(lit(1)).over(tot))
+        .withColumn("total", sum("n").over(tot))
+        .withColumn("is_peak",
+          (col("p").isNotNull && col("x").isNotNull &&
+            col("n") > col("p") && col("n") > col("x") &&
+            col("n") * col("n_hours") > col("total")).cast("long"))
+      marked.groupBy("event_type")
+        .agg(max("n_hours").as("n_hours"), sum("is_peak").as("n_peaks"),
+          max(when(col("is_peak") === 1,
+            struct(col("n"), (-col("hi")).as("nhi")))).getField("n").as("top_peak_n"),
+          (-max(when(col("is_peak") === 1,
+            struct(col("n"), (-col("hi")).as("nhi")))).getField("nhi")).as("top_peak_hi"))
+        .orderBy("event_type")
+    },
+
+    // NS: linear interpolation over per-user hourly gaps — the
+    // gap-filling sibling of q_resample_1h's forward fill. Interior
+    // missing hours take the EXACT integer lerp
+    // (v_prev·(next−h) + v_next·(h−prev)) DIV (next−prev) in micro-units —
+    // numerator non-negative (values > 0), so Spark's truncating DIV and
+    // DuckDB's flooring // agree. Spine endpoints are observed by
+    // construction (min/max hour per user), so every gap is two-sided.
+    // One user_id shuffle; windows ordered within user only.
+    "q_interpolate_linear" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hi"))
+      val obs = e.groupBy("user_id", "hi")
+        .agg(max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("v"))
+        .withColumn("v_micro", expr("CAST(round(v * 1000000) AS BIGINT)"))
+        .drop("v")
+      val bounds = obs.groupBy("user_id")
+        .agg(min("hi").as("h0"), max("hi").as("h1"))
+      val spine = bounds.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hi"))
+      val wp = Window.partitionBy("user_id").orderBy("hi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wn = Window.partitionBy("user_id").orderBy("hi")
+        .rowsBetween(0, Window.unboundedFollowing)
+      spine.join(obs, Seq("user_id", "hi"), "left_outer")
+        .withColumn("pv", last("v_micro", ignoreNulls = true).over(wp))
+        .withColumn("ph", last(when(col("v_micro").isNotNull, col("hi")),
+          ignoreNulls = true).over(wp))
+        .withColumn("nv", first("v_micro", ignoreNulls = true).over(wn))
+        .withColumn("nh", first(when(col("v_micro").isNotNull, col("hi")),
+          ignoreNulls = true).over(wn))
+        .select(col("user_id"), col("hi"),
+          when(col("v_micro").isNotNull, col("v_micro"))
+            .otherwise(expr("(pv * (nh - hi) + nv * (hi - ph)) DIV (nh - ph)"))
+            .as("v_micro"),
+          when(col("v_micro").isNotNull, "obs").otherwise("lerp").as("src"))
+        .orderBy("user_id", "hi")
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_bollinger" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hi,
+        |         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x,
+        |             count(*) OVER w AS n,
+        |             CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |             CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+        |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hi
+        |        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |v AS (SELECT event_type, n, n * x - sx AS dev,
+        |             4 * (n * sxx - sx * sx) AS var4 FROM r)
+        |SELECT event_type,
+        |       CAST(sum(CASE WHEN n = 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_hours,
+        |       CAST(sum(CASE WHEN n = 24 AND dev > 0 AND dev * dev > var4
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |       CAST(sum(CASE WHEN n = 24 AND dev < 0 AND dev * dev > var4
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        |FROM v GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_peak_detect" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hi,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, hi, n,
+        |             lag(n) OVER w AS p, lead(n) OVER w AS x,
+        |             count(*) OVER (PARTITION BY event_type) AS n_hours,
+        |             sum(n) OVER (PARTITION BY event_type) AS total
+        |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hi)),
+        |k AS (SELECT event_type, hi, n, n_hours,
+        |             CAST(p IS NOT NULL AND x IS NOT NULL AND n > p AND n > x
+        |                  AND n * n_hours > total AS BIGINT) AS is_peak
+        |      FROM m)
+        |SELECT event_type, CAST(max(n_hours) AS BIGINT) AS n_hours,
+        |       CAST(sum(is_peak) AS BIGINT) AS n_peaks,
+        |       CAST((max(CASE WHEN is_peak = 1 THEN struct_pack(n := n, nhi := -hi) END)).n
+        |            AS BIGINT) AS top_peak_n,
+        |       CAST(-(max(CASE WHEN is_peak = 1 THEN struct_pack(n := n, nhi := -hi) END)).nhi
+        |            AS BIGINT) AS top_peak_hi
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_interpolate_linear" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hi
+        |           FROM events),
+        |obs AS (SELECT user_id, hi,
+        |               CAST(round((max(struct_pack(ts := ts, event_id := event_id,
+        |                 value := value))).value * 1000000) AS BIGINT) AS v_micro
+        |        FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hi) AS h0, max(hi) AS h1 FROM obs GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hi FROM b),
+        |j AS (SELECT s.user_id, s.hi, o.v_micro
+        |      FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.hi = o.hi),
+        |n AS (SELECT user_id, hi, v_micro,
+        |             last_value(v_micro IGNORE NULLS) OVER wp AS pv,
+        |             last_value(CASE WHEN v_micro IS NOT NULL THEN hi END IGNORE NULLS)
+        |               OVER wp AS ph,
+        |             first_value(v_micro IGNORE NULLS) OVER wn AS nv,
+        |             first_value(CASE WHEN v_micro IS NOT NULL THEN hi END IGNORE NULLS)
+        |               OVER wn AS nh
+        |      FROM j WINDOW
+        |        wp AS (PARTITION BY user_id ORDER BY hi
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        wn AS (PARTITION BY user_id ORDER BY hi
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, hi,
+        |       CAST(coalesce(v_micro,
+        |         (pv * (nh - hi) + nv * (hi - ph)) // (nh - ph)) AS BIGINT) AS v_micro,
+        |       CASE WHEN v_micro IS NOT NULL THEN 'obs' ELSE 'lerp' END AS src
+        |FROM n ORDER BY user_id, hi""".stripMargin,
     "q_autocorr" ->
       """WITH s AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hi,
         |                  count(*) AS n
