@@ -38,6 +38,7 @@ object SparkEntry {
       text.RetrievalQueries.queries ++
       text.GraphQueries.queries ++
       sim.SimilarityQueries.queries ++
+      sim.SpatialQueries.queries ++
       multimodal.BlobQueries.queries ++
       ml.MLQueries.queries ++
       core.Sinks.queries
@@ -65,6 +66,7 @@ object SparkEntry {
       text.RetrievalQueries.oracleSql ++
       text.GraphQueries.oracleSql ++
       sim.SimilarityQueries.oracleSql ++
+      sim.SpatialQueries.oracleSql ++
       multimodal.BlobQueries.oracleSql ++
       ml.MLQueries.oracleSql ++
       core.Sinks.oracleSql
