@@ -41,6 +41,7 @@ object SparkEntry {
       sim.SpatialQueries.queries ++
       multimodal.BlobQueries.queries ++
       ml.MLQueries.queries ++
+      ml.TrainQueries.queries ++
       core.Sinks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,5 +70,6 @@ object SparkEntry {
       sim.SpatialQueries.oracleSql ++
       multimodal.BlobQueries.oracleSql ++
       ml.MLQueries.oracleSql ++
+      ml.TrainQueries.oracleSql ++
       core.Sinks.oracleSql
 }

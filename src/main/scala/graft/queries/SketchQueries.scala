@@ -176,6 +176,41 @@ object SketchQueries {
           round(est, 4).as("est"),
           round(est / col("n_words").cast("double") * 100, 2).as("est_vs_exact_x100"))
         .orderBy("source")
+    },
+
+    // NS: Count-Min sketch — the mergeable fixed-size frequency summary
+    // (3 hash rows x 64 counters, deterministic md5 cells) with its
+    // signature one-sided error: est >= exact always, over-estimation =
+    // hash collisions. Probed on the top-10 exact terms, with the
+    // over-count surfaced in ppm — the accuracy read a streaming
+    // frequency service publishes beside the sketch. Scale shape: inserts
+    // fold map-side into the 192-cell frame (sums commute, so building
+    // from the vocab-bounded term-count frame is numerically identical to
+    // folding the raw token stream — one corpus-scale aggregate either
+    // way); the probe is a 30-row join against the broadcast sketch.
+    "q_countmin" -> { (s, dir) =>
+      val terms = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("exact"))
+        .localCheckpoint() // vocab-bounded; feeds both the build and the probe
+      val rowsCol = explode(array(Seq(0L, 1L, 2L).map(lit): _*)).as("r")
+      def cell(term: Column): Column =
+        pmod(TextQueries.h32(concat(lit("cm"), col("r"), lit(":"), term)), lit(64L))
+      val sketch = terms.select(col("term"), col("exact"), rowsCol)
+        .withColumn("cell", cell(col("term")))
+        .groupBy("r", "cell").agg(sum("exact").as("counter"))
+      val top = terms
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("exact").desc, col("term"))))
+        .filter(col("rk") <= 10)
+      top.select(col("rk"), col("term"), col("exact"), rowsCol)
+        .withColumn("cell", cell(col("term")))
+        .join(sketch, Seq("r", "cell"))
+        .groupBy("rk", "term", "exact").agg(min("counter").as("est"))
+        .select(col("rk"), col("term"), col("exact"), col("est"),
+          expr("(est - exact) * 1000000 DIV exact").as("over_ppm"))
+        .orderBy("rk")
     }
   )
 
@@ -256,7 +291,35 @@ object SketchQueries {
           |       round(est, 4) AS est,
           |       round(est / CAST(n_words AS DOUBLE) * 100, 2) AS est_vs_exact_x100
           |FROM est
-          |ORDER BY source""".stripMargin
+          |ORDER BY source""".stripMargin,
+      // build from the term-count frame (sums commute with the fold),
+      // probe the top-10 exact terms, min across the 3 hash rows
+      "q_countmin" ->
+        """WITH tc AS (
+          |  SELECT term, count(*) AS exact
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          |  GROUP BY term),
+          |r AS (SELECT unnest([0, 1, 2]) AS r),
+          |ins AS (
+          |  SELECT r.r,
+          |         ('0x' || substr(md5('cm' || CAST(r.r AS VARCHAR) || ':' || term), 1, 8))::BIGINT % 64 AS cell,
+          |         CAST(sum(exact) AS BIGINT) AS counter
+          |  FROM tc CROSS JOIN r GROUP BY 1, 2),
+          |top AS (
+          |  SELECT * FROM (
+          |    SELECT term, exact,
+          |           row_number() OVER (ORDER BY exact DESC, term) AS rk
+          |    FROM tc)
+          |  WHERE rk <= 10),
+          |probe AS (
+          |  SELECT top.rk, top.term, top.exact, min(ins.counter) AS est
+          |  FROM top CROSS JOIN r
+          |  JOIN ins ON ins.r = r.r
+          |          AND ins.cell = ('0x' || substr(md5('cm' || CAST(r.r AS VARCHAR) || ':' || top.term), 1, 8))::BIGINT % 64
+          |  GROUP BY 1, 2, 3)
+          |SELECT rk, term, CAST(exact AS BIGINT) AS exact, est,
+          |       (est - exact) * 1000000 // exact AS over_ppm
+          |FROM probe ORDER BY rk""".stripMargin
     )
   }
 }

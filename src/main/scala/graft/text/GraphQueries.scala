@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -228,6 +229,88 @@ object GraphQueries {
         .select(col("d"), col("n_nodes_at_d"), col("n_nodes"), col("max_d"),
           expr("sum_d DIV 2").as("n_edges"))
         .orderBy("d")
+    },
+
+    // NS: one semi-supervised label-propagation round over the near-dup
+    // doc graph — the scalable transfer of a SPARSE trusted annotation
+    // (here: a hash-chosen 10% of docs seed their `source` as the label)
+    // to unlabeled neighbors, graded against ground truth. One round is
+    // one join (edges x seed labels) + one (node, label) count aggregate
+    // + one bounded rank — the exact dataflow an N-round LP would
+    // checkpoint per round at 100 TB (the CC-fixpoint discipline); ties
+    // break to the lexicographically smallest label so the round is
+    // deterministic. Census per label: seeds, adopters, and how many
+    // adopters actually match their true source (the eval a
+    // model-assisted-labeling pipeline publishes before trusting LP).
+    "q_label_prop" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val seeds = docs
+        .filter(pmod(TextQueries.h32(concat(lit("lps:"), col("doc_id"))), lit(10)) === 0)
+        .select(col("doc_id").as("b"), col("source").as("lbl"))
+        .localCheckpoint()
+      val e = TextQueries.simhashPairsFor(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val votes = und.join(seeds, "b")
+        .join(seeds.select(col("b").as("a")), Seq("a"), "left_anti")
+        .groupBy(col("a").as("doc_id"), col("lbl"))
+        .agg(count(lit(1)).as("n_votes"))
+      val adopted = votes
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("n_votes").desc, col("lbl"))))
+        .filter(col("rk") === 1)
+        .join(docs, "doc_id")
+        .select(col("lbl"), col("doc_id"),
+          (col("source") === col("lbl")).cast("long").as("correct"))
+      val seedCensus = seeds.groupBy(col("lbl").as("label"))
+        .agg(count(lit(1)).as("n_seed"))
+        .withColumn("n_adopted", lit(0L)).withColumn("n_correct", lit(0L))
+      val adoptCensus = adopted.groupBy(col("lbl").as("label"))
+        .agg(count(lit(1)).as("n_adopted"), sum("correct").as("n_correct"))
+        .withColumn("n_seed", lit(0L))
+      val unreached = docs
+        .join(seeds.select(col("b").as("doc_id")), Seq("doc_id"), "left_anti")
+        .join(adopted.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_adopted"))
+        .select(lit("(unreached)").as("label"), lit(0L).as("n_seed"),
+          col("n_adopted"), lit(0L).as("n_correct"))
+      seedCensus.unionByName(adoptCensus).unionByName(unreached)
+        .groupBy("label")
+        .agg(sum("n_seed").as("n_seed"), sum("n_adopted").as("n_adopted"),
+          sum("n_correct").as("n_correct"))
+        .orderBy("label")
+    },
+
+    // NS: k-core peeling (k=3, two unrolled rounds) over the near-dup doc
+    // graph — the standard "is this duplicate cluster structural or
+    // incidental" density filter: nodes of degree < k are removed and
+    // degrees recomputed on the induced subgraph. Each round is one
+    // degree aggregate + two semi joins on the edge key — the
+    // checkpoint-per-round shape of the full fixpoint, unrolled to 2 so
+    // the whole computation is one declarative plan. The census (nodes /
+    // edges surviving each peel) is the convergence telemetry the full
+    // peeler would emit per round.
+    "q_kcore" -> { (s, dir) =>
+      val K = 3L
+      val e0 = TextQueries.simhashPairsFor(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint()
+      def degrees(e: DataFrame): DataFrame =
+        e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d"))
+      def peel(e: DataFrame): DataFrame = {
+        val keep = degrees(e).filter(col("d") >= K).select("v")
+        e.join(keep.select(col("v").as("a")), "a")
+          .join(keep.select(col("v").as("b")), "b")
+          .select("a", "b")
+      }
+      val e1 = peel(e0).localCheckpoint()
+      val e2 = peel(e1).localCheckpoint()
+      def census(e: DataFrame, tag: String): DataFrame =
+        e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+          .agg(countDistinct("v").as(s"n_$tag"),
+            expr("CAST(count(1) DIV 2 AS BIGINT)").as(s"m_$tag"))
+      census(e0, "r0").crossJoin(census(e1, "r1")).crossJoin(census(e2, "r2"))
     }
   )
 
@@ -345,7 +428,73 @@ object GraphQueries {
            |       n_nodes, max_d, CAST(sum_d // 2 AS BIGINT) AS n_edges
            |FROM deg CROSS JOIN tot
            |GROUP BY d, n_nodes, max_d, sum_d
-           |ORDER BY d""".stripMargin
+           |ORDER BY d""".stripMargin,
+      // same simhash edge prelude; one vote join + deterministic rank
+      "q_label_prop" ->
+        s"""WITH ${TextQueries.simhashFrameCte},
+           |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |      FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+           |seeds AS (SELECT doc_id AS b, source AS lbl FROM documents
+           |          WHERE ('0x' || substr(md5('lps:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0),
+           |votes AS (SELECT und.a AS doc_id, s.lbl, count(*) AS n_votes
+           |          FROM und JOIN seeds s USING (b)
+           |          WHERE und.a NOT IN (SELECT b FROM seeds)
+           |          GROUP BY und.a, s.lbl),
+           |adopted AS (
+           |  SELECT v.doc_id, v.lbl,
+           |         CAST(d.source = v.lbl AS BIGINT) AS correct
+           |  FROM (SELECT doc_id, lbl,
+           |               row_number() OVER (PARTITION BY doc_id
+           |                                  ORDER BY n_votes DESC, lbl) AS rk
+           |        FROM votes) v
+           |  JOIN documents d USING (doc_id)
+           |  WHERE v.rk = 1),
+           |census AS (
+           |  SELECT lbl AS label, count(*) AS n_seed,
+           |         CAST(0 AS BIGINT) AS n_adopted, CAST(0 AS BIGINT) AS n_correct
+           |  FROM seeds GROUP BY lbl
+           |  UNION ALL
+           |  SELECT lbl AS label, CAST(0 AS BIGINT), count(*),
+           |         CAST(sum(correct) AS BIGINT)
+           |  FROM adopted GROUP BY lbl
+           |  UNION ALL
+           |  SELECT '(unreached)', CAST(0 AS BIGINT),
+           |         (SELECT count(*) FROM documents
+           |          WHERE doc_id NOT IN (SELECT b FROM seeds)
+           |            AND doc_id NOT IN (SELECT doc_id FROM adopted)),
+           |         CAST(0 AS BIGINT))
+           |SELECT label, CAST(sum(n_seed) AS BIGINT) AS n_seed,
+           |       CAST(sum(n_adopted) AS BIGINT) AS n_adopted,
+           |       CAST(sum(n_correct) AS BIGINT) AS n_correct
+           |FROM census GROUP BY label ORDER BY label""".stripMargin,
+      // same edge prelude; two unrolled degree-peel rounds
+      "q_kcore" ->
+        s"""WITH ${TextQueries.simhashFrameCte},
+           |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |       FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |d0 AS (SELECT v, count(*) AS d FROM
+           |         (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+           |       GROUP BY v),
+           |k0 AS (SELECT v FROM d0 WHERE d >= 3),
+           |e1 AS (SELECT a, b FROM e0
+           |       WHERE a IN (SELECT v FROM k0) AND b IN (SELECT v FROM k0)),
+           |d1 AS (SELECT v, count(*) AS d FROM
+           |         (SELECT a AS v FROM e1 UNION ALL SELECT b AS v FROM e1)
+           |       GROUP BY v),
+           |k1 AS (SELECT v FROM d1 WHERE d >= 3),
+           |e2 AS (SELECT a, b FROM e1
+           |       WHERE a IN (SELECT v FROM k1) AND b IN (SELECT v FROM k1))
+           |SELECT
+           |  (SELECT count(*) FROM d0) AS n_r0,
+           |  (SELECT count(*) FROM e0) AS m_r0,
+           |  (SELECT count(*) FROM d1) AS n_r1,
+           |  (SELECT count(*) FROM e1) AS m_r1,
+           |  (SELECT count(DISTINCT v) FROM
+           |     (SELECT a AS v FROM e2 UNION ALL SELECT b AS v FROM e2)) AS n_r2,
+           |  (SELECT count(*) FROM e2) AS m_r2""".stripMargin
     )
   }
 }

@@ -1,0 +1,98 @@
+package graft.ml
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Semantic invariants of the training-primitive operators (q_tree_split,
+  * q_logreg_step), the Count-Min sketch (q_countmin), and the graph
+  * rounds (q_label_prop, q_kcore). The byte-level cross-engine check is
+  * the DuckDB oracle gate; these pin defining identities — the one-sided
+  * CM error, the exact-gradient recomputation, partition-mass
+  * conservation — so a refactor cannot drift both engines in lockstep.
+  */
+class TrainPrimSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, TestSpark.Sf0001).collect()
+
+  test("q_tree_split: split partitions conserve mass, exactly one best, chi2 >= 0") {
+    val rows = run("q_tree_split")
+    assert(rows.nonEmpty)
+    val byFeature = rows.groupBy(_.getAs[String]("feature"))
+    assert(byFeature.keySet == Set("qty", "disc"))
+    for ((_, rs) <- byFeature) {
+      val tot = rs.map(r => r.getAs[Long]("n_left") + r.getAs[Long]("n_right")).distinct
+      assert(tot.size == 1, s"n_left + n_right must be the feature total: $tot")
+      val ptot = rs.map(r => r.getAs[Long]("pos_left") + r.getAs[Long]("pos_right")).distinct
+      assert(ptot.size == 1)
+      // cumulative counts are monotone in the split bin
+      val sorted = rs.sortBy(_.getAs[Long]("split_bin"))
+      assert(sorted.map(_.getAs[Long]("n_left")).sliding(2).forall(p => p.head <= p.last))
+    }
+    assert(rows.count(_.getAs[Long]("is_best") == 1L) == 1)
+    assert(rows.forall(_.getAs[Double]("chi2") >= 0.0))
+  }
+
+  test("q_logreg_step: gradient matches a driver-side exact recomputation") {
+    val row = run("q_logreg_step").head
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.Sf0001)
+      .select("label", "embedding").collect()
+    val n = emb.length.toLong
+    var nPos = 0L
+    val g = Array.fill(8)(0L)
+    emb.foreach { r =>
+      val y = r.getAs[Int]("label") / 5
+      val sgn = 2L * y - 1
+      if (y == 1) nPos += 1
+      val v = r.getSeq[Double](1) // Tables.embeddings widens float32 -> double
+      (0 until 8).foreach(j => g(j) += sgn * math.round(v(j) * 1e6))
+    }
+    assert(row.getAs[Long]("n") == n && row.getAs[Long]("n_pos") == nPos)
+    (1 to 8).foreach(j => assert(row.getAs[Long](s"g$j") == g(j - 1),
+      s"g$j: expected ${g(j - 1)} got ${row.getAs[Long](s"g$j")}"))
+    val acc = row.getAs[Long]("acc_ppm")
+    assert(acc >= 0 && acc <= 1000000)
+  }
+
+  test("q_countmin: one-sided error — estimate >= exact on every probe") {
+    val rows = SparkEntry.queries("q_countmin")(spark, TestSpark.Sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"CM must never under-count: $r")
+      assert(r.getAs[Long]("over_ppm") >= 0)
+    }
+    // ranks are the dense 1..10 prefix
+    assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(1 to 10))
+  }
+
+  test("q_label_prop: seeds + adopters + unreached partition the corpus; correct <= adopted") {
+    val rows = SparkEntry.queries("q_label_prop")(spark, TestSpark.Sf0001).collect()
+    val nDocs = graft.core.Tables.documents(spark, TestSpark.Sf0001).count()
+    val mass = rows.map(r => r.getAs[Long]("n_seed") + r.getAs[Long]("n_adopted")).sum
+    assert(mass == nDocs, s"census mass $mass != corpus $nDocs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_adopted"))
+      if (r.getAs[String]("label") == "(unreached)")
+        assert(r.getAs[Long]("n_seed") == 0 && r.getAs[Long]("n_correct") == 0)
+    }
+  }
+
+  test("q_kcore: peeling is monotone and round 1 obeys the peel predicate") {
+    val row = SparkEntry.queries("q_kcore")(spark, TestSpark.Sf0001).collect().head
+    val Seq(n0, m0, n1, m1, n2, m2) =
+      Seq("n_r0", "m_r0", "n_r1", "m_r1", "n_r2", "m_r2").map(row.getAs[Long])
+    assert(n0 >= n1 && n1 >= n2)
+    assert(m0 >= m1 && m1 >= m2)
+    // independent replay of round 1: e1 = e0 restricted to deg >= 3 nodes
+    val e0 = graft.text.TextQueries.simhashPairsFor(spark, TestSpark.Sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = e0.flatMap(p => Seq(p._1, p._2)).groupBy(identity).view.mapValues(_.length)
+    val e1 = e0.filter(p => deg(p._1) >= 3 && deg(p._2) >= 3)
+    assert(m1 == e1.length.toLong)
+    assert(n1 == e1.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+  }
+}
