@@ -661,6 +661,32 @@ object DataPrepQueries {
         .agg(count(lit(1)).as("n_groups"), sum("n_rows").as("n_rows"))
         .crossJoin(broadcast(tot))
         .orderBy("l")
+    },
+
+    // NS: differentially-private-style noisy count release — the third
+    // panel of the privacy family (k-anon suppression, l-diversity audit,
+    // now the DP mechanism itself): per-group counts plus additive noise
+    // at Laplace scale 1/eps (eps = 0.1 → scale 10), with the utility
+    // ledger (absolute error, error ppm) a data steward publishes beside
+    // any release. The noise here is a DETERMINISTIC md5-derived stand-in
+    // (uniform on [-scale, +scale]) so both engines replay bit-equal — a
+    // real release swaps ONLY the `u` column for calibrated Laplace draws
+    // (the blob-decode stub discipline: the plumbing, clamping and
+    // accounting are the real, tested part). Dataflow: one combinable
+    // count aggregate to a group-domain frame; noise is per-GROUP, so
+    // nothing row-scale follows the shuffle.
+    "q_dp_count" -> { (s, dir) =>
+      val scale = 10L // 1/eps, eps = 0.1
+      Tables.events(s, dir)
+        .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+        .withColumn("u",
+          pmod(TextQueries.h32(concat(lit("dp:"), col("event_type"))), lit(2001L)) - 1000L)
+        .withColumn("noise",
+          expr(s"CASE WHEN u >= 0 THEN u * $scale DIV 1000 ELSE -((-u) * $scale DIV 1000) END"))
+        .select(col("event_type"), col("n_true"), col("noise"),
+          greatest(col("n_true") + col("noise"), lit(0L)).as("n_released"),
+          expr("abs(noise) * 1000000 DIV n_true").as("err_ppm"))
+        .orderBy("event_type")
     }
   )
 
@@ -1015,6 +1041,20 @@ object DataPrepQueries {
         |       min_l, n_groups_below_3
         |FROM grp CROSS JOIN tot
         |GROUP BY l, min_l, n_groups_below_3
-        |ORDER BY l""".stripMargin
+        |ORDER BY l""".stripMargin,
+    // deterministic md5 noise stand-in, symmetric truncating division
+    "q_dp_count" ->
+      """WITH c AS (SELECT event_type, count(*) AS n_true FROM events GROUP BY 1),
+        |u AS (SELECT event_type, n_true,
+        |             ('0x' || substr(md5('dp:' || event_type), 1, 8))::BIGINT % 2001 - 1000 AS u
+        |      FROM c),
+        |nz AS (SELECT event_type, n_true,
+        |              CASE WHEN u >= 0 THEN u * 10 // 1000
+        |                   ELSE -((-u) * 10 // 1000) END AS noise
+        |       FROM u)
+        |SELECT event_type, n_true, noise,
+        |       greatest(n_true + noise, 0) AS n_released,
+        |       abs(noise) * 1000000 // n_true AS err_ppm
+        |FROM nz ORDER BY event_type""".stripMargin
   )
 }

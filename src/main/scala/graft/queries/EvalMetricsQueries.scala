@@ -263,6 +263,30 @@ object EvalMetricsQueries {
           (col("n_rows") - col("k")).as("df2"),
           round((col("between") / (col("k") - 1)) /
             (col("within") / (col("nd") - col("k"))), 6).as("f_bf"))
+    },
+
+    // NS: position-bias correction via inverse-propensity weighting — the
+    // counterfactual CTR estimator every ranker-log pipeline needs: a
+    // click logged at rank p under-represents relevance by the
+    // examination probability (~1/p in the cascade model), so the IPW
+    // estimate re-weights each click by p. Position and click are
+    // hash-derived with the click threshold h·p < C (pure integer — the
+    // boundary can never flip an engine), planted so the naive CTR is
+    // position-confounded while IPW recovers the flat relevance. One
+    // combinable aggregate per event_type; weights are exact integers.
+    "q_position_bias" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"))
+        .withColumn("pos", pmod(h32(concat(lit("pos:"), col("event_id"))), lit(10L)) + 1)
+        .withColumn("h", pmod(h32(concat(lit("clk:"), col("event_id"))), lit(1000L)))
+        .withColumn("click", (col("h") * col("pos") < 300).cast("long"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("click").as("clicks"),
+          sum(col("click") * col("pos")).as("ipw_sum"))
+        .select(col("event_type"), col("n"), col("clicks"),
+          expr("clicks * 1000000 DIV n").as("naive_ctr_ppm"),
+          expr("ipw_sum * 1000000 DIV n").as("ipw_ctr_ppm"))
+        .orderBy("event_type")
     }
   )
 
@@ -407,6 +431,21 @@ object EvalMetricsQueries {
         |      FROM g)
         |SELECT k, n_rows, k - 1 AS df1, n_rows - k AS df2,
         |       round((between_ss / (k - 1)) / (within / (nd - k)), 6) AS f_bf
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // integer click rule h*pos < 300 mirrors the Spark side exactly
+    "q_position_bias" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5('pos:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10 + 1 AS pos,
+        |         ('0x' || substr(md5('clk:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS h
+        |  FROM events),
+        |c AS (SELECT event_type, pos, CAST(h * pos < 300 AS BIGINT) AS click FROM ev),
+        |g AS (SELECT event_type, count(*) AS n, CAST(sum(click) AS BIGINT) AS clicks,
+        |             CAST(sum(click * pos) AS BIGINT) AS ipw_sum
+        |      FROM c GROUP BY 1)
+        |SELECT event_type, n, clicks,
+        |       clicks * 1000000 // n AS naive_ctr_ppm,
+        |       ipw_sum * 1000000 // n AS ipw_ctr_ppm
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }

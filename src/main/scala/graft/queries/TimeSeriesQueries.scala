@@ -573,6 +573,39 @@ object TimeSeriesQueries {
             .as("v_micro"),
           when(col("v_micro").isNotNull, "obs").otherwise("lerp").as("src"))
         .orderBy("user_id", "hi")
+    },
+
+    // NS: simple exponential smoothing (alpha = 1/2) over the per-type
+    // daily count series, EXACT in integers: with the dyadic alpha the
+    // recursion s_t = (x_t + s_{t-1}) DIV 2 stays in BIGINT — no float
+    // recurrence to drift between engines — and the one-step-ahead
+    // forecast error folds alongside (sae = Σ|x_t − s_{t-1}|, the
+    // backtest MAE numerator). Dataflow: one combinable (type, day)
+    // count aggregate collapses the stream to a CALENDAR-bounded series
+    // (30 points per key here; at 100 TB still bounded by the time span,
+    // never by rows), then the inherently-sequential fold runs INSIDE the
+    // row as an `aggregate` HOF over the sorted array — per-key state
+    // O(days), zero extra shuffles, keys parallelize freely. The oracle
+    // replays the identical recursion as a recursive CTE.
+    "q_ses_forecast" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("series"))
+        .withColumn("fold", expr(
+          """aggregate(series,
+            |  named_struct('s', CAST(0 AS BIGINT), 'sae', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT)),
+            |  (acc, e) -> named_struct(
+            |    's',   CASE WHEN acc.n = 0 THEN e.x ELSE (e.x + acc.s) DIV 2 END,
+            |    'sae', acc.sae + CASE WHEN acc.n = 0 THEN CAST(0 AS BIGINT)
+            |                          ELSE abs(e.x - acc.s) END,
+            |    'n',   acc.n + 1))""".stripMargin))
+        .select(col("event_type"), col("fold.n").as("n_days"),
+          col("fold.s").as("level"), col("fold.sae").as("sae"),
+          expr("CASE WHEN fold.n > 1 THEN fold.sae * 1000 DIV (fold.n - 1) " +
+            "ELSE CAST(0 AS BIGINT) END").as("mae_milli"))
+        .orderBy("event_type")
     }
   )
 
@@ -892,6 +925,26 @@ object TimeSeriesQueries {
         |SELECT n_events, n_late,
         |       CAST(n_late * 1000000 // n_events AS BIGINT) AS late_ppm,
         |       p50_m, p95_m, p99_m, max_m
-        |FROM tot CROSS JOIN px""".stripMargin
+        |FROM tot CROSS JOIN px""".stripMargin,
+    // identical integer recursion, replayed as a recursive CTE over the
+    // per-type day rank
+    "q_ses_forecast" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |          FROM events GROUP BY 1, 2),
+        |rd AS (SELECT event_type, x,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |       FROM daily),
+        |f(event_type, i, s, sae) AS (
+        |  SELECT event_type, i, x, CAST(0 AS BIGINT) FROM rd WHERE i = 1
+        |  UNION ALL
+        |  SELECT rd.event_type, rd.i, (rd.x + f.s) // 2, f.sae + abs(rd.x - f.s)
+        |  FROM f JOIN rd ON rd.event_type = f.event_type AND rd.i = f.i + 1),
+        |last AS (SELECT event_type, i, s, sae,
+        |                row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rk
+        |         FROM f)
+        |SELECT event_type, CAST(i AS BIGINT) AS n_days, s AS level, sae,
+        |       CASE WHEN i > 1 THEN sae * 1000 // (i - 1) ELSE CAST(0 AS BIGINT) END AS mae_milli
+        |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
   )
 }
