@@ -133,6 +133,39 @@ object TrainQueries {
       base.crossJoin(broadcast(grad))
         .withColumn("pred", (margin > 0).cast("long"))
         .agg(outCols.head, outCols.tail: _*)
+    },
+
+    // NS: one rank-1 ALS half-sweep — the matrix-factorization training
+    // step every recommender distributes: ratings r(user, item) in exact
+    // milli-units; item factors initialized to v0 = 1000 milli; user
+    // factors solved in closed form u = Σ(r·v) DIV (Σ v² DIV 1000), then
+    // item factors re-solved v1 = Σ(r·u) DIV (Σ u² DIV 1000), then the
+    // residual SSE per item under (u, v1). All quantities non-negative
+    // (values >= 0), so truncating DIV agrees with DuckDB's flooring //;
+    // BIGINT bounds hold through the 10x stress scale (r <= 7e6 milli,
+    // Σr·u <= 7e17). Dataflow is the canonical ALS alternation: one
+    // (user, item) rating aggregate, one user-key solve, a join back on
+    // user (u is ROW-SCALE at real scale — shuffle join, never collect),
+    // one item-key solve, one item-key residual aggregate.
+    "q_als_step" -> { (s, dir) =>
+      val r = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type").as("item"))
+        .agg(expr("CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)").as("r_milli"))
+        .withColumn("v0", lit(1000L))
+        .localCheckpoint() // feeds the u-solve, the v-solve and the residual pass
+      val u = r.groupBy("user_id")
+        .agg(expr("CAST(sum(r_milli * v0) DIV (sum(v0 * v0) DIV 1000) AS BIGINT)").as("u_milli"))
+      val ru = r.join(u, "user_id").localCheckpoint()
+      val v1 = ru.groupBy("item")
+        .agg(expr("CAST(sum(r_milli * u_milli) DIV (sum(u_milli * u_milli) DIV 1000) AS BIGINT)")
+          .as("v1_milli"))
+      ru.join(broadcast(v1), "item")
+        .withColumn("res", col("r_milli") - expr("u_milli * v1_milli DIV 1000"))
+        .groupBy("item")
+        .agg(count(lit(1)).as("n_ratings"),
+          max("v1_milli").as("v1_milli"),
+          sum(col("res") * col("res")).as("sse_milli2"))
+        .orderBy("item")
     }
   )
 
@@ -193,6 +226,28 @@ object TrainQueries {
          |       ${(1 to 8).map(j => s"g.g$j AS g$j").mkString(", ")}
          |FROM base b CROSS JOIN g
          |GROUP BY g.n, g.n_pos, ${(1 to 8).map(j => s"g.g$j").mkString(", ")}""".stripMargin
-    }
+    },
+    // identical integer alternation; all operands non-negative so // = DIV
+    "q_als_step" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type AS item,
+        |         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS r_milli,
+        |         CAST(1000 AS BIGINT) AS v0
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id,
+        |             sum(r_milli * v0) // (sum(v0 * v0) // 1000) AS u_milli
+        |      FROM r GROUP BY user_id),
+        |ru AS (SELECT r.item, r.r_milli, u.u_milli
+        |       FROM r JOIN u USING (user_id)),
+        |v1 AS (SELECT item,
+        |              sum(r_milli * u_milli) // (sum(u_milli * u_milli) // 1000) AS v1_milli
+        |       FROM ru GROUP BY item)
+        |SELECT ru.item, count(*) AS n_ratings,
+        |       CAST(max(v1.v1_milli) AS BIGINT) AS v1_milli,
+        |       CAST(sum((ru.r_milli - ru.u_milli * v1.v1_milli // 1000)
+        |                * (ru.r_milli - ru.u_milli * v1.v1_milli // 1000)) AS BIGINT) AS sse_milli2
+        |FROM ru JOIN v1 USING (item)
+        |GROUP BY ru.item
+        |ORDER BY ru.item""".stripMargin
   )
 }

@@ -160,6 +160,35 @@ object CorpusStatsQueries {
         .filter(col("rk") <= 3)
         .select("source", "rk", "term", "tf_src", "lift_x1e6")
         .orderBy("source", "rk")
+    },
+
+    // NS: leave-one-out source ablation — the cheapest honest data
+    // valuation: for each source, what happens to the corpus-level metric
+    // (mean tokens per doc, milli-precision) if that source is removed?
+    // LOO deltas come FREE from the totals (metric_without = (T − t_s) /
+    // (N − n_s)) — no per-source re-scan, the algebraic trick that makes
+    // group-ablation valuation one aggregate at 100 TB. Exact integers
+    // throughout (truncating DIV, all operands non-negative); delta in
+    // ppm of the full-corpus metric ranks sources by marginal effect.
+    "q_source_ablation" -> { (s, dir) =>
+      val perSrc = Tables.documents(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("t_src"))
+      val tot = perSrc.agg(sum("n_docs").as("n_all"), sum("t_src").as("t_all"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          expr("t_all * 1000 DIV n_all").as("metric_all_milli"),
+          expr("(t_all - t_src) * 1000 DIV (n_all - n_docs)").as("metric_without_milli"))
+        .withColumn("delta_ppm",
+          // symmetric truncating division: Spark DIV truncates toward zero
+          // but DuckDB // floors, so a negative delta must be divided on
+          // its absolute value on both engines
+          expr("""CASE WHEN metric_without_milli >= metric_all_milli
+                 |  THEN (metric_without_milli - metric_all_milli) * 1000000 DIV metric_all_milli
+                 |  ELSE -((metric_all_milli - metric_without_milli) * 1000000 DIV metric_all_milli)
+                 |END""".stripMargin))
+        .orderBy("source")
     }
   )
 
@@ -240,6 +269,24 @@ object CorpusStatsQueries {
         |               ORDER BY lift_x1e6 DESC, tf_src DESC, term) AS rk
         |      FROM l)
         |SELECT source, rk, term, tf_src, lift_x1e6
-        |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+        |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    // LOO from totals; symmetric truncating division for the signed delta
+    "q_source_ablation" ->
+      """WITH ps AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_src
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+        |               CAST(sum(t_src) AS BIGINT) AS t_all FROM ps),
+        |m AS (SELECT source, n_docs,
+        |             t_all * 1000 // n_all AS metric_all_milli,
+        |             (t_all - t_src) * 1000 // (n_all - n_docs) AS metric_without_milli
+        |      FROM ps CROSS JOIN tot)
+        |SELECT source, n_docs, metric_all_milli, metric_without_milli,
+        |       CASE WHEN metric_without_milli >= metric_all_milli
+        |         THEN (metric_without_milli - metric_all_milli) * 1000000 // metric_all_milli
+        |         ELSE -((metric_all_milli - metric_without_milli) * 1000000 // metric_all_milli)
+        |       END AS delta_ppm
+        |FROM m ORDER BY source""".stripMargin
   )
 }

@@ -47,6 +47,68 @@ class ForecastPrivacySpec extends AnyFunSuite {
     }
   }
 
+  test("q_cuped: adjusted means conserve the pooled mean and rho2 is a squared correlation") {
+    val rows = SparkEntry.queries("q_cuped")(spark, TestSpark.Sf0001).collect()
+    assert(rows.length == 2)
+    val rho2 = rows.head.getAs[Double]("rho2")
+    assert(rho2 >= 0.0 && rho2 <= 1.0)
+    // CUPED is mean-preserving in the pooled sense: the n-weighted mean of
+    // the adjusted means equals the n-weighted mean of the raw means
+    // (the theta term cancels by construction of the global pre-mean)
+    val n = rows.map(_.getAs[Long]("n_users").toDouble)
+    val raw = rows.map(_.getAs[Double]("mean_post"))
+    val adj = rows.map(_.getAs[Double]("mean_adj"))
+    val wRaw = (raw, n).zipped.map(_ * _).sum / n.sum
+    val wAdj = (adj, n).zipped.map(_ * _).sum / n.sum
+    assert(math.abs(wRaw - wAdj) < 1e-3, s"CUPED shifted the pooled mean: $wRaw vs $wAdj")
+  }
+
+  test("q_diff_in_diff: DID recombines from its own cell means") {
+    val r = SparkEntry.queries("q_diff_in_diff")(spark, TestSpark.Sf0001).collect().head
+    assert(r.getAs[Long]("did_milli") ==
+      (r.getAs[Long]("m_t_post") - r.getAs[Long]("m_t_pre")) -
+        (r.getAs[Long]("m_c_post") - r.getAs[Long]("m_c_pre")))
+    Seq("n_t_pre", "n_t_post", "n_c_pre", "n_c_post")
+      .foreach(c => assert(r.getAs[Long](c) > 0, s"empty cell $c"))
+  }
+
+  test("q_source_ablation: ablation deltas sign-balance around the corpus metric") {
+    val rows = SparkEntry.queries("q_source_ablation")(spark, TestSpark.Sf0001).collect()
+    assert(rows.length > 1)
+    // removing an above-average source lowers the metric and vice versa;
+    // with >1 source both directions must exist unless all equal
+    val deltas = rows.map(_.getAs[Long]("delta_ppm"))
+    assert(deltas.exists(_ <= 0) && deltas.exists(_ >= 0))
+    val m = rows.map(_.getAs[Long]("metric_all_milli")).distinct
+    assert(m.size == 1, "corpus metric must be identical on every row")
+  }
+
+  test("q_als_step: one alternation strictly improves the v0-model fit per item") {
+    val rows = SparkEntry.queries("q_als_step")(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    // recompute SSE under the INITIAL v0 = 1000 (i.e. predictions u*1)
+    // and check the re-solved v1 does not do worse — the defining ALS
+    // property (each half-solve is the least-squares optimum given the
+    // other side, up to the milli-grid truncation)
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(col("user_id"), col("event_type").as("item"))
+      .agg(expr("CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)").as("r"))
+    val u = ev.groupBy("user_id")
+      .agg(expr("CAST(sum(r * 1000) DIV (sum(CAST(1000000 AS BIGINT)) DIV 1000) AS BIGINT)")
+        .as("u"))
+    val sse0 = ev.join(u, "user_id")
+      .withColumn("res", col("r") - col("u"))
+      .groupBy("item").agg(sum(col("res") * col("res")).as("sse0"))
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("sse0")).toMap
+    rows.foreach { r =>
+      val item = r.getAs[String]("item")
+      // milli-grid truncation can cost at most a hair; allow 0.1% slack
+      assert(r.getAs[Long]("sse_milli2") <= (sse0(item) * 1001) / 1000,
+        s"$item: re-solved SSE ${r.getAs[Long]("sse_milli2")} worse than v0 fit ${sse0(item)}")
+    }
+  }
+
   test("q_position_bias: IPW lifts the position-discounted naive CTR") {
     val rows = SparkEntry.queries("q_position_bias")(spark, TestSpark.Sf0001).collect()
     assert(rows.nonEmpty)
