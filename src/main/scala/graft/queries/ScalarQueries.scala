@@ -162,6 +162,37 @@ object ScalarQueries {
           coalesce(element_at(col("m"), "table"), lit(0L)).as("n_table"),
           coalesce(element_at(col("m"), "query"), lit(0L)).as("n_query"))
         .orderBy("doc_id")
+    },
+
+    // NS: rendezvous (highest-random-weight) routing + elastic-rescale
+    // census — the shard router that survives cluster growth: each doc
+    // goes to argmax_k h(shard_k, doc_id), and when a 5th shard joins,
+    // the HRW guarantee says docs move ONLY to the new shard (old shards
+    // never trade docs — the property that makes rescaling an append,
+    // not a reshuffle). The argmax is one BIGINT `greatest` over packed
+    // (score*8 + shard_idx) keys (the tie-break is the packed index, so
+    // no float and no struct ordering is involved); the whole router is a
+    // NARROW map — zero joins, zero blowup — followed by one bounded
+    // census aggregate. n_moved_in > 0 only on the new shard, spec-pinned.
+    "q_rendezvous_route" -> { (s, dir) =>
+      def key(k: Int): Column =
+        graft.text.TextQueries.h32(concat(lit(s"hrw:s$k:"), col("doc_id"))) * 8 + k
+      def route(n: Int): Column =
+        concat(lit("s"), pmod(greatest((0 until n).map(key): _*), lit(8L)))
+      val routed = Tables.documents(s, dir)
+        .select(col("doc_id"), route(4).as("before"), route(5).as("after"))
+      val afterC = routed.groupBy(col("after").as("shard"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(when(col("before") =!= col("after"), 1L).otherwise(0L)).as("n_moved_in"))
+      val beforeC = routed.groupBy(col("before").as("shard"))
+        .agg(count(lit(1)).as("n_before"))
+      // both censuses are shard-bounded frames; the narrow routing map is
+      // recomputed rather than materialized (row-scale caching is the
+      // anti-pattern at 100 TB, the map is cheaper than the write)
+      afterC.join(beforeC, Seq("shard"), "full_outer")
+        .na.fill(0L, Seq("n_before", "n_after", "n_moved_in"))
+        .select(col("shard"), col("n_before"), col("n_after"), col("n_moved_in"))
+        .orderBy("shard")
     }
   )
 
@@ -256,6 +287,26 @@ object ScalarQueries {
         |       CAST(cardinality(m) AS BIGINT) AS n_distinct,
         |       coalesce(m['table'][1], 0) AS n_table,
         |       coalesce(m['query'][1], 0) AS n_query
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // packed-key HRW argmax, identical on both engines
+    "q_rendezvous_route" -> {
+      def key(k: Int) =
+        s"(('0x' || substr(md5('hrw:s$k:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * 8 + $k)"
+      def route(n: Int) =
+        s"'s' || CAST(greatest(${(0 until n).map(key).mkString(", ")}) % 8 AS VARCHAR)"
+      s"""WITH r AS (
+         |  SELECT doc_id, ${route(4)} AS before, ${route(5)} AS after
+         |  FROM documents),
+         |a AS (SELECT after AS shard, count(*) AS n_after,
+         |             CAST(sum(CASE WHEN before <> after THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+         |      FROM r GROUP BY after),
+         |b AS (SELECT before AS shard, count(*) AS n_before FROM r GROUP BY before)
+         |SELECT coalesce(a.shard, b.shard) AS shard,
+         |       coalesce(b.n_before, 0) AS n_before,
+         |       coalesce(a.n_after, 0) AS n_after,
+         |       coalesce(a.n_moved_in, 0) AS n_moved_in
+         |FROM a FULL OUTER JOIN b ON a.shard = b.shard
+         |ORDER BY shard""".stripMargin
+    }
   )
 }

@@ -311,6 +311,47 @@ object GraphQueries {
           .agg(countDistinct("v").as(s"n_$tag"),
             expr("CAST(count(1) DIV 2 AS BIGINT)").as(s"m_$tag"))
       census(e0, "r0").crossJoin(census(e1, "r1")).crossJoin(census(e2, "r2"))
+    },
+
+    // NS: HITS hubs & authorities (Kleinberg), 1.5 unrolled sweeps on the
+    // weighted bigram digraph — PageRank's bipartite-mutual-reinforcement
+    // sibling (a page is a good hub if it points at good authorities, and
+    // vice versa). EXACT in integers: authority/hub masses are BIGINT
+    // c12-weighted sums, re-normalized to a 1e6 grid against the
+    // broadcast max after every propagation (a1 → h1 → a2), so no float
+    // recurrence exists and BIGINT never overflows (mass <= Σc12 · 1e6 ≈
+    // 5e12 at the 10x stress scale). Each propagation is one
+    // vocab-bounded join + one destination-key aggregate — the PageRank
+    // dataflow with the rank frame swapped per direction. Top-10 per role
+    // with total (score, word) tie-break.
+    "q_hits_rank" -> { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val bigrams = when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val edges = Tables.documents(s, dir)
+        .select(ws.as("ws")).select(explode(bigrams).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint() // vocab-bounded; feeds all three propagations
+      def norm(df: DataFrame, c: String): DataFrame =
+        df.crossJoin(broadcast(df.agg(max(c).as("mx"))))
+          .select(col("word"), expr(s"$c * 1000000 DIV mx").as("score_x1e6"))
+      val a1 = edges.groupBy(col("w2").as("word")).agg(sum("c12").as("a"))
+      val a1n = norm(a1, "a")
+      val h1 = edges.join(a1n.withColumnRenamed("word", "w2"), "w2")
+        .groupBy(col("w1").as("word")).agg(sum(expr("c12 * score_x1e6")).as("h"))
+      val h1n = norm(h1, "h").localCheckpoint() // reused: a2 propagation + hub top-10
+      val a2 = edges.join(h1n.withColumnRenamed("word", "w1"), "w1")
+        .groupBy(col("w2").as("word")).agg(sum(expr("c12 * score_x1e6")).as("a"))
+      val a2n = norm(a2, "a")
+      def top(df: DataFrame, role: String): DataFrame =
+        df.withColumn("rk", row_number().over(
+            Window.orderBy(col("score_x1e6").desc, col("word"))))
+          .filter(col("rk") <= 10)
+          .select(lit(role).as("role"), col("rk"), col("word"), col("score_x1e6"))
+      top(a2n, "auth").unionByName(top(h1n, "hub")).orderBy("role", "rk")
     }
   )
 
@@ -494,7 +535,29 @@ object GraphQueries {
            |  (SELECT count(*) FROM e1) AS m_r1,
            |  (SELECT count(DISTINCT v) FROM
            |     (SELECT a AS v FROM e2 UNION ALL SELECT b AS v FROM e2)) AS n_r2,
-           |  (SELECT count(*) FROM e2) AS m_r2""".stripMargin
+           |  (SELECT count(*) FROM e2) AS m_r2""".stripMargin,
+      // same bigram edge prelude; integer-renormalized HITS propagations
+      "q_hits_rank" ->
+        s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+           |              i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b FROM w),
+           |e AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+           |      FROM bg GROUP BY 1, 2),
+           |a1 AS (SELECT w2 AS word, CAST(sum(c12) AS BIGINT) AS a FROM e GROUP BY 1),
+           |a1n AS (SELECT word, a * 1000000 // (SELECT max(a) FROM a1) AS score_x1e6 FROM a1),
+           |h1 AS (SELECT e.w1 AS word, CAST(sum(e.c12 * a1n.score_x1e6) AS BIGINT) AS h
+           |       FROM e JOIN a1n ON a1n.word = e.w2 GROUP BY 1),
+           |h1n AS (SELECT word, h * 1000000 // (SELECT max(h) FROM h1) AS score_x1e6 FROM h1),
+           |a2 AS (SELECT e.w2 AS word, CAST(sum(e.c12 * h1n.score_x1e6) AS BIGINT) AS a
+           |       FROM e JOIN h1n ON h1n.word = e.w1 GROUP BY 1),
+           |a2n AS (SELECT word, a * 1000000 // (SELECT max(a) FROM a2) AS score_x1e6 FROM a2),
+           |ta AS (SELECT 'auth' AS role, row_number() OVER (ORDER BY score_x1e6 DESC, word) AS rk,
+           |              word, score_x1e6 FROM a2n),
+           |th AS (SELECT 'hub' AS role, row_number() OVER (ORDER BY score_x1e6 DESC, word) AS rk,
+           |              word, score_x1e6 FROM h1n)
+           |SELECT role, rk, word, CAST(score_x1e6 AS BIGINT) AS score_x1e6
+           |FROM (SELECT * FROM ta WHERE rk <= 10 UNION ALL SELECT * FROM th WHERE rk <= 10)
+           |ORDER BY role, rk""".stripMargin
     )
   }
 }

@@ -1,0 +1,46 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Semantic invariants of q_rendezvous_route (HRW elastic rescale) and
+  * q_hits_rank (integer-renormalized HITS). The cross-engine byte check
+  * is the DuckDB oracle gate; these pin the algorithmic guarantees.
+  */
+class GraphRouteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("q_rendezvous_route: adding a shard moves docs ONLY to the new shard") {
+    val rows = SparkEntry.queries("q_rendezvous_route")(spark, TestSpark.Sf0001).collect()
+    val nDocs = graft.core.Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_before")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("n_after")).sum == nDocs)
+    rows.foreach { r =>
+      val shard = r.getAs[String]("shard")
+      if (shard != "s4")
+        assert(r.getAs[Long]("n_moved_in") == 0,
+          s"HRW violated: old shard $shard gained ${r.getAs[Long]("n_moved_in")} docs")
+      else {
+        assert(r.getAs[Long]("n_before") == 0)
+        // expected movement is ~1/5 of the corpus; allow a wide band
+        val frac = r.getAs[Long]("n_moved_in").toDouble / nDocs
+        assert(frac > 0.10 && frac < 0.33, s"moved fraction $frac outside the HRW expectation")
+      }
+    }
+  }
+
+  test("q_hits_rank: both roles rank 10, top score is the 1e6 grid point, scores non-increasing") {
+    val rows = SparkEntry.queries("q_hits_rank")(spark, TestSpark.Sf0001).collect()
+    val byRole = rows.groupBy(_.getAs[String]("role"))
+    assert(byRole.keySet == Set("auth", "hub"))
+    byRole.foreach { case (role, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).sameElements(1 to sorted.length))
+      assert(sorted.head.getAs[Long]("score_x1e6") == 1000000L,
+        s"$role: renormalization lost the max grid point")
+      val scores = sorted.map(_.getAs[Long]("score_x1e6"))
+      assert(scores.sliding(2).forall(p => p.head >= p.last), s"$role scores not sorted")
+    }
+  }
+}
