@@ -573,4 +573,39 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // the resample never sorts or windows anything
     assert(!p.contains("Window"), s"unexpected window in the resample:\n$p")
   }
+
+  test("q_tree_split: the row-scale frame passes exactly one combined shuffle") {
+    val p = executedPlan("q_tree_split")
+    // the split histogram folds map-side below its exchange; all window
+    // math runs on the bounded cell frame behind it (plan text is
+    // top-down, so assert presence + exchange budget, not text order)
+    assert(p.contains("partial_count"),
+      s"cell aggregate not map-side combined before the first shuffle:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      s"more exchanges than cell-agg + feature window + global rank:\n$p")
+  }
+
+  test("q_ses_forecast: the SES fold is in-row — no Window operator anywhere") {
+    val p = executedPlan("q_ses_forecast")
+    assert(!p.contains("Window"),
+      s"the sequential fold leaked into a window (row-scale sort at 100 TB):\n$p")
+    assert(p.contains("partial_count"),
+      s"daily census not map-side combined:\n$p")
+  }
+
+  test("q_rendezvous_route: routing is a narrow map — partial census before any exchange") {
+    val p = executedPlan("q_rendezvous_route")
+    assert(p.contains("greatest"), s"packed-key HRW argmax missing:\n$p")
+    assert(p.contains("partial_count"),
+      s"census not combined before the shuffle — row-scale bytes move:\n$p")
+    // the router itself is join-free: the only join is the full-outer
+    // recombine of the two shard-bounded censuses
+    assert("Join".r.findAllIn(p).size <= 2, s"unexpected joins in the router:\n$p")
+  }
+
+  test("q_als_step: the bounded item-factor frame joins broadcast") {
+    val p = executedPlan("q_als_step")
+    assert(p.contains("BroadcastHashJoin"),
+      s"v1 (item-domain frame) fell back to a shuffle join:\n$p")
+  }
 }
