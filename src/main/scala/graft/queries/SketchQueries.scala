@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -211,6 +212,52 @@ object SketchQueries {
         .select(col("rk"), col("term"), col("exact"), col("est"),
           expr("(est - exact) * 1000000 DIV exact").as("over_ppm"))
         .orderBy("rk")
+    },
+
+    // NS: mergeable log-histogram quantile sketch — the fourth mergeable
+    // summary beside FM (distinct), Count-Min (frequency) and MinHash
+    // (similarity): values land in base-2 octaves with 16 sub-buckets
+    // (bucket id from the BINARY STRING LENGTH of the integer cents —
+    // floor(log2)+1 with no float log to boundary-flip an engine), shard
+    // histograms merge by pure addition, and p50/p95/p99 read off the
+    // merged cumulative histogram with <= 2^-4 relative bucket error by
+    // construction. The exact-percentile baseline (distinct-value census
+    // + one bounded ordered window) is the EVAL side only — it is the
+    // expensive path the sketch replaces at 100 TB, computed here to
+    // surface err_ppm the way q_ann_recall grades its index.
+    "q_histo_quantile_merge" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderstatus").as("src"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val bucketed = o
+        .withColumn("b", length(conv(col("cents"), 10, 2)).cast("long"))
+        .withColumn("bucket",
+          expr("b * 16 + (cents * 16) DIV shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+      // per-shard sketches (one map-side-combinable agg), then the merge
+      // is plain addition on the bucket key — the mergeability property
+      val hist = bucketed.groupBy("src", "bucket").agg(count(lit(1)).as("n"))
+      val merged = hist.groupBy("bucket").agg(sum("n").as("n"))
+      val tot = merged.agg(sum("n").as("nt"))
+      val cum = merged.crossJoin(broadcast(tot))
+        .withColumn("cum", sum("n").over(Window.orderBy("bucket")))
+        .localCheckpoint() // <= ~450 buckets; probed by three percentiles
+      val ps = Seq(50L, 95L, 99L)
+      val est = ps.map(p => cum.filter(col("cum") * 100 >= col("nt") * p)
+          .agg(min("bucket").as("bucket")).select(lit(p).as("p"), col("bucket")))
+        .reduce(_ unionByName _)
+        .withColumn("est_cents",
+          expr("((bucket % 16) * shiftleft(CAST(1 AS BIGINT), CAST(bucket DIV 16 AS INT))) DIV 16"))
+      val vc = o.groupBy("cents").agg(count(lit(1)).as("n"))
+      val vtot = vc.agg(sum("n").as("nt"))
+      val vcum = vc.crossJoin(broadcast(vtot))
+        .withColumn("cum", sum("n").over(Window.orderBy("cents")))
+        .localCheckpoint() // eval baseline: value census, probed 3x
+      val exact = ps.map(p => vcum.filter(col("cum") * 100 >= col("nt") * p)
+          .agg(min("cents").as("exact_cents")).select(lit(p).as("p"), col("exact_cents")))
+        .reduce(_ unionByName _)
+      est.join(exact, "p")
+        .select(col("p"), col("est_cents"), col("exact_cents"),
+          expr("(exact_cents - est_cents) * 1000000 DIV exact_cents").as("err_ppm"))
+        .orderBy("p")
     }
   )
 
@@ -319,7 +366,40 @@ object SketchQueries {
           |  GROUP BY 1, 2, 3)
           |SELECT rk, term, CAST(exact AS BIGINT) AS exact, est,
           |       (est - exact) * 1000000 // exact AS over_ppm
-          |FROM probe ORDER BY rk""".stripMargin
+          |FROM probe ORDER BY rk""".stripMargin,
+      // same octave bucketing from the binary-string length, shard merge
+      // by addition, identical integer percentile reads
+      "q_histo_quantile_merge" ->
+        """WITH o AS (
+          |  SELECT o_orderstatus AS src,
+          |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          |  FROM orders),
+          |bk AS (SELECT src, cents,
+          |              length(bin(cents)) * 16
+          |                + (cents * 16) // (CAST(1 AS BIGINT) << length(bin(cents))) AS bucket
+          |       FROM o),
+          |hist AS (SELECT src, bucket, count(*) AS n FROM bk GROUP BY 1, 2),
+          |merged AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n FROM hist GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM merged),
+          |cum AS (SELECT bucket, nt,
+          |               CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum
+          |        FROM merged CROSS JOIN tot),
+          |ps AS (SELECT unnest([50, 95, 99]) AS p),
+          |est AS (SELECT p, min(bucket) AS bucket
+          |        FROM ps JOIN cum ON cum.cum * 100 >= cum.nt * ps.p GROUP BY p),
+          |estv AS (SELECT p,
+          |                ((bucket % 16) * (CAST(1 AS BIGINT) << (bucket // 16))) // 16 AS est_cents
+          |         FROM est),
+          |vc AS (SELECT cents, count(*) AS n FROM o GROUP BY 1),
+          |vtot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM vc),
+          |vcum AS (SELECT cents, nt, CAST(sum(n) OVER (ORDER BY cents) AS BIGINT) AS cum
+          |         FROM vc CROSS JOIN vtot),
+          |ex AS (SELECT p, min(cents) AS exact_cents
+          |       FROM ps JOIN vcum ON vcum.cum * 100 >= vcum.nt * ps.p GROUP BY p)
+          |SELECT CAST(estv.p AS BIGINT) AS p, est_cents, exact_cents,
+          |       (exact_cents - est_cents) * 1000000 // exact_cents AS err_ppm
+          |FROM estv JOIN ex USING (p)
+          |ORDER BY p""".stripMargin
     )
   }
 }

@@ -352,6 +352,45 @@ object GraphQueries {
           .filter(col("rk") <= 10)
           .select(lit(role).as("role"), col("rk"), col("word"), col("score_x1e6"))
       top(a2n, "auth").unionByName(top(h1n, "hub")).orderBy("role", "rk")
+    },
+
+    // NS: Newman modularity of the source partition on the near-dup doc
+    // graph — "do duplicates cluster within sources or leak across
+    // them?", the one-number grade of any community assignment (here the
+    // `source` column; the same query grades label-prop or CC output).
+    // EXACT: Q = Σ_c (m_c/m − (d_c/2m)²) is computed as ONE integer sum
+    // Σ_c (4·m·m_c − d_c²) over the single denominator 4m², then a SINGLE
+    // IEEE division rounded 6dp — never a float sum over communities, so
+    // no accumulation order exists, and both operands stay below 2^53
+    // (4m² ≈ 2.9e14 at the 10x stress edge count) so the doubles are the
+    // exact integers. Dataflow: two id-keyed
+    // community lookups on the edge list, one community aggregate, one
+    // degree aggregate — everything after is arithmetic on <= |sources|
+    // rows.
+    "q_graph_modularity" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val e = TextQueries.simhashPairsFor(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .join(docs.select(col("doc_id").as("a"), col("source").as("ca")), "a")
+        .join(docs.select(col("doc_id").as("b"), col("source").as("cb")), "b")
+        .localCheckpoint() // feeds m, m_c and d_c
+      val m = e.agg(count(lit(1)).as("m"))
+      val mc = e.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("m_c"))
+      val dc = e.select(col("ca").as("community"))
+        .union(e.select(col("cb").as("community")))
+        .groupBy("community").agg(count(lit(1)).as("d_c"))
+      val terms = dc.join(mc, Seq("community"), "left_outer")
+        .na.fill(0L, Seq("m_c"))
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("m_c"), col("d_c"), col("m"),
+          (lit(4L) * col("m") * col("m_c") - col("d_c") * col("d_c")).as("num"))
+      terms.agg(count(lit(1)).as("n_communities"),
+          sum("num").as("num"), max("m").as("m"))
+        .select(col("n_communities"), col("m").as("n_edges"),
+          round(col("num").cast("double") /
+            (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6)
+            .as("q_mod"))
     }
   )
 
@@ -557,7 +596,30 @@ object GraphQueries {
            |              word, score_x1e6 FROM h1n)
            |SELECT role, rk, word, CAST(score_x1e6 AS BIGINT) AS score_x1e6
            |FROM (SELECT * FROM ta WHERE rk <= 10 UNION ALL SELECT * FROM th WHERE rk <= 10)
-           |ORDER BY role, rk""".stripMargin
+           |ORDER BY role, rk""".stripMargin,
+      // same simhash edge prelude; one integer numerator sum, one division
+      "q_graph_modularity" ->
+        s"""WITH ${TextQueries.simhashFrameCte},
+           |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |       FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |e AS (SELECT e0.a, e0.b, da.source AS ca, db.source AS cb
+           |      FROM e0 JOIN documents da ON da.doc_id = e0.a
+           |              JOIN documents db ON db.doc_id = e0.b),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+           |mc AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS m_c
+           |       FROM e WHERE ca = cb GROUP BY 1),
+           |dc AS (SELECT community, CAST(count(*) AS BIGINT) AS d_c FROM
+           |         (SELECT ca AS community FROM e UNION ALL SELECT cb FROM e)
+           |       GROUP BY 1),
+           |t AS (SELECT dc.community,
+           |             4 * m.m * coalesce(mc.m_c, 0) - dc.d_c * dc.d_c AS num
+           |      FROM dc LEFT JOIN mc USING (community) CROSS JOIN m)
+           |SELECT count(*) AS n_communities,
+           |       (SELECT m FROM m) AS n_edges,
+           |       round(CAST(sum(num) AS DOUBLE)
+           |             / (4.0 * (SELECT m FROM m) * (SELECT m FROM m)), 6) AS q_mod
+           |FROM t""".stripMargin
     )
   }
 }

