@@ -239,22 +239,31 @@ object SketchQueries {
       val tot = merged.agg(sum("n").as("nt"))
       val cum = merged.crossJoin(broadcast(tot))
         .withColumn("cum", sum("n").over(Window.orderBy("bucket")))
-        .localCheckpoint() // <= ~450 buckets; probed by three percentiles
       val ps = Seq(50L, 95L, 99L)
-      val est = ps.map(p => cum.filter(col("cum") * 100 >= col("nt") * p)
-          .agg(min("bucket").as("bucket")).select(lit(p).as("p"), col("bucket")))
-        .reduce(_ unionByName _)
-        .withColumn("est_cents",
-          expr("((bucket % 16) * shiftleft(CAST(1 AS BIGINT), CAST(bucket DIV 16 AS INT))) DIV 16"))
+      // all three percentile probes fold in ONE conditional aggregate per
+      // frame (min over the rows past each threshold) — no per-percentile
+      // re-scan, no checkpoint
+      def probes(df: DataFrame, v: String, out: String): DataFrame = {
+        val aggs = ps.map(p =>
+          min(when(col("cum") * 100 >= col("nt") * p, col(v))).as(s"$out$p"))
+        df.agg(aggs.head, aggs.tail: _*)
+      }
+      val est1 = probes(cum, "bucket", "b")
       val vc = o.groupBy("cents").agg(count(lit(1)).as("n"))
       val vtot = vc.agg(sum("n").as("nt"))
       val vcum = vc.crossJoin(broadcast(vtot))
         .withColumn("cum", sum("n").over(Window.orderBy("cents")))
-        .localCheckpoint() // eval baseline: value census, probed 3x
-      val exact = ps.map(p => vcum.filter(col("cum") * 100 >= col("nt") * p)
-          .agg(min("cents").as("exact_cents")).select(lit(p).as("p"), col("exact_cents")))
-        .reduce(_ unionByName _)
-      est.join(exact, "p")
+      val ex1 = probes(vcum, "cents", "x")
+      // unpivot the 1-row probe frame with ONE explode (a 3-way union
+      // would re-run both probe pipelines per branch)
+      val rows = est1.crossJoin(ex1)
+        .select(explode(array(ps.map(p => struct(lit(p).as("p"),
+          col(s"b$p").as("bucket"), col(s"x$p").as("exact_cents"))): _*)).as("r"))
+        .select(col("r.p").as("p"), col("r.bucket").as("bucket"),
+          col("r.exact_cents").as("exact_cents"))
+      rows
+        .withColumn("est_cents",
+          expr("((bucket % 16) * shiftleft(CAST(1 AS BIGINT), CAST(bucket DIV 16 AS INT))) DIV 16"))
         .select(col("p"), col("est_cents"), col("exact_cents"),
           expr("(exact_cents - est_cents) * 1000000 DIV exact_cents").as("err_ppm"))
         .orderBy("p")
