@@ -412,6 +412,84 @@ object QualityQueries {
         .select(col("source"), col("n_docs"), col("total_tokens"), col("n_langs"),
           col("n_dup_surplus"), expr("sum_chars DIV n_docs").as("mean_chars"))
         .orderBy("source")
+    },
+
+    // NS: data-contract expectation suite (the Great-Expectations shape):
+    // each table folds its whole checklist in ONE conditional aggregate —
+    // domain membership, range, positivity, uniqueness (count minus
+    // countDistinct, no self-join) — and the union of the per-table
+    // 1-row frames unpivots to the (check, n_rows, n_violations,
+    // viol_ppm, pass) report a pipeline gates deploys on. Nothing after
+    // the per-table aggregate scales with rows; every verdict is an
+    // exact integer.
+    "q_data_contract" -> { (s, dir) =>
+      def report(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+        val aggs = count(lit(1)).as("n_rows") +:
+          checks.map { case (nm, viol) =>
+            sum(viol.cast("long")).as(s"v_$nm")
+          }
+        val wide = df.agg(aggs.head, aggs.tail: _*)
+        wide.select(explode(array(checks.map { case (nm, _) =>
+            // backticks: check names contain dots, which bare col() would
+            // parse as struct-field access
+            struct(lit(nm).as("check"), col("n_rows"), col(s"`v_$nm`").as("n_violations"))
+          }: _*)).as("r"))
+          .select(col("r.check").as("check"), col("r.n_rows").as("n_rows"),
+            col("r.n_violations").as("n_violations"))
+      }
+      val orders = report(Tables.orders(s, dir), Seq(
+        "orders.totalprice_positive" -> (col("o_totalprice") <= 0),
+        "orders.status_domain" -> !col("o_orderstatus").isin("O", "F", "P"),
+        // uniqueness spelled as a per-row duplicate mark would need a
+        // window; the count-vs-distinct gap is the aggregate-only form
+        "orders.orderkey_nonnull" -> col("o_orderkey").isNull))
+      val keyDup = Tables.orders(s, dir)
+        .agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"),
+          count(lit(1)).as("n_rows"))
+        .select(lit("orders.orderkey_unique").as("check"), col("n_rows"),
+          col("n_violations"))
+      val events = report(Tables.events(s, dir), Seq(
+        "events.value_nonnegative" -> (col("value") < 0),
+        "events.ts_in_window" ->
+          (col("ts") < to_timestamp(lit("2024-01-01 00:00:00")) ||
+            col("ts") >= to_timestamp(lit("2024-02-01 00:00:00"))),
+        "events.type_nonempty" -> (length(col("event_type")) === 0)))
+      val docs = report(Tables.documents(s, dir), Seq(
+        "documents.lang_domain" -> !col("lang").isin("en", "de", "fr", "es", "zh"),
+        "documents.chars_match_text" -> (length(col("text")) =!= col("n_chars"))))
+      orders.unionByName(keyDup).unionByName(events).unionByName(docs)
+        .withColumn("viol_ppm", expr("n_violations * 1000000 DIV n_rows"))
+        .withColumn("pass", (col("n_violations") === 0).cast("long"))
+        .orderBy("check")
+    },
+
+    // NS: item-item collaborative filtering — the neighborhood-method
+    // recommender primitive (q_als_step's factorization sibling): cosine²
+    // similarity between item rating vectors over the shared user base,
+    // EXACT as one integer dot-product aggregate per pair — ratings in
+    // deci-units keep every Σr_a·r_b below 2^53 through the 10x stress
+    // user count, so the single IEEE division rounds identically. The
+    // pair join is item×item through the USER key (each user contributes
+    // C(items,2) <= 10 pairs — the market-basket per-group bound), never
+    // all-pairs over rows.
+    "q_item_cf" -> { (s, dir) =>
+      val r = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type").as("item"))
+        .agg(expr("CAST(sum(CAST(round(value * 10) AS BIGINT)) AS BIGINT)").as("r"))
+        .localCheckpoint() // feeds norms and the pair join
+      val norms = r.groupBy("item").agg(sum(col("r") * col("r")).as("n2"))
+      val pairs = r.as("x").join(r.as("y"), "user_id")
+        .filter(col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+        .agg(count(lit(1)).as("n_common_users"),
+          sum(col("x.r") * col("y.r")).as("dot"))
+      pairs
+        .join(norms.select(col("item").as("item_a"), col("n2").as("na")), "item_a")
+        .join(broadcast(norms.select(col("item").as("item_b"), col("n2").as("nb"))), "item_b")
+        .select(col("item_a"), col("item_b"), col("n_common_users"),
+          round(col("dot").cast("double") * col("dot").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double")), 6).as("cos2"))
+        .orderBy("item_a", "item_b")
     }
   )
 
@@ -629,7 +707,61 @@ object QualityQueries {
           |       CAST(n_langs AS BIGINT) AS n_langs, n_dup_surplus,
           |       CAST(sum_chars // n_docs AS BIGINT) AS mean_chars
           |FROM base b JOIN dup USING (source)
-          |ORDER BY source""".stripMargin
+          |ORDER BY source""".stripMargin,
+      // per-table conditional aggregates unioned into the contract report
+      "q_data_contract" ->
+        """WITH o AS (
+          |  SELECT count(*) AS n_rows,
+          |         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_pos,
+          |         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+          |         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+          |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq
+          |  FROM orders),
+          |e AS (
+          |  SELECT count(*) AS n_rows,
+          |         CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_neg,
+          |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+          |                         OR ts >= TIMESTAMP '2024-02-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS v_win,
+          |         CAST(sum(CASE WHEN length(event_type) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_emp
+          |  FROM events),
+          |d AS (
+          |  SELECT count(*) AS n_rows,
+          |         CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+          |         CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS v_chars
+          |  FROM documents),
+          |rows_ AS (
+          |  SELECT 'orders.totalprice_positive' AS check_, n_rows, v_pos AS n_violations FROM o
+          |  UNION ALL SELECT 'orders.status_domain', n_rows, v_dom FROM o
+          |  UNION ALL SELECT 'orders.orderkey_nonnull', n_rows, v_null FROM o
+          |  UNION ALL SELECT 'orders.orderkey_unique', n_rows, v_uniq FROM o
+          |  UNION ALL SELECT 'events.value_nonnegative', n_rows, v_neg FROM e
+          |  UNION ALL SELECT 'events.ts_in_window', n_rows, v_win FROM e
+          |  UNION ALL SELECT 'events.type_nonempty', n_rows, v_emp FROM e
+          |  UNION ALL SELECT 'documents.lang_domain', n_rows, v_lang FROM d
+          |  UNION ALL SELECT 'documents.chars_match_text', n_rows, v_chars FROM d)
+          |SELECT check_ AS check, n_rows, n_violations,
+          |       n_violations * 1000000 // n_rows AS viol_ppm,
+          |       CAST(n_violations = 0 AS BIGINT) AS pass
+          |FROM rows_ ORDER BY check_""".stripMargin,
+      // per-user pair generation (C(items,2) bound), one dot aggregate
+      "q_item_cf" ->
+        """WITH r AS (
+          |  SELECT user_id, event_type AS item,
+          |         CAST(sum(CAST(round(value * 10) AS BIGINT)) AS BIGINT) AS r
+          |  FROM events GROUP BY 1, 2),
+          |norms AS (SELECT item, CAST(sum(r * r) AS BIGINT) AS n2 FROM r GROUP BY 1),
+          |p AS (SELECT x.item AS item_a, y.item AS item_b,
+          |             count(*) AS n_common_users,
+          |             CAST(sum(x.r * y.r) AS BIGINT) AS dot
+          |      FROM r x JOIN r y USING (user_id)
+          |      WHERE x.item < y.item
+          |      GROUP BY 1, 2)
+          |SELECT item_a, item_b, n_common_users,
+          |       round(CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+          |             / (CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos2
+          |FROM p JOIN norms na ON na.item = p.item_a
+          |       JOIN norms nb ON nb.item = p.item_b
+          |ORDER BY item_a, item_b""".stripMargin
     )
   }
 }

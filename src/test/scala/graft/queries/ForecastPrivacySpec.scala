@@ -109,6 +109,30 @@ class ForecastPrivacySpec extends AnyFunSuite {
     }
   }
 
+  test("q_data_contract: the fixture satisfies its own contract, and rates recombine") {
+    val rows = SparkEntry.queries("q_data_contract")(spark, TestSpark.Sf0001).collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("viol_ppm") ==
+        r.getAs[Long]("n_violations") * 1000000 / r.getAs[Long]("n_rows"))
+      assert((r.getAs[Long]("pass") == 1L) == (r.getAs[Long]("n_violations") == 0L))
+    }
+    // the driver fixture is clean by construction — every check passes
+    assert(rows.forall(_.getAs[Long]("pass") == 1L),
+      s"fixture violates its own contract: ${rows.filter(_.getAs[Long]("pass") == 0L).mkString}")
+  }
+
+  test("q_item_cf: cos2 bounded by 1 and symmetric-by-construction pairs are canonical") {
+    val rows = SparkEntry.queries("q_item_cf")(spark, TestSpark.Sf0001).collect()
+    assert(rows.length == 10) // C(5,2) event-type pairs
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos2")
+      assert(c >= 0.0 && c <= 1.0 + 1e-9, s"Cauchy-Schwarz violated: $r")
+      assert(r.getAs[String]("item_a") < r.getAs[String]("item_b"))
+      assert(r.getAs[Long]("n_common_users") > 0)
+    }
+  }
+
   test("q_position_bias: IPW lifts the position-discounted naive CTR") {
     val rows = SparkEntry.queries("q_position_bias")(spark, TestSpark.Sf0001).collect()
     assert(rows.nonEmpty)
