@@ -600,6 +600,44 @@ object StatsQueries {
           expr("s_c_post DIV n_c_post").as("m_c_post"))
         .withColumn("did_milli",
           (col("m_t_post") - col("m_t_pre")) - (col("m_c_post") - col("m_c_pre")))
+    },
+
+    // NS: uplift by targeting decile — the heterogeneous-treatment-effect
+    // read behind every targeting decision (ab_ttest -> CUPED -> DiD ->
+    // THIS completes the causal family): users bucket by a (hash-derived)
+    // targeting score, and each decile reports treated-vs-control outcome
+    // means plus the running cumulative uplift scanning deciles best-first
+    // (the Qini-curve spine). All EXACT integers: outcome sums in milli,
+    // decile means by truncating DIV on non-negative operands, the
+    // cumulative window runs over the fixed 10-row decile frame. One
+    // user-grain aggregate (combinable) + one 20-cell aggregate + a
+    // bounded window — nothing row-scale after the first shuffle.
+    "q_uplift_deciles" -> { (s, dir) =>
+      val users = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(expr("CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)").as("y_milli"))
+        .withColumn("treated",
+          pmod(graft.text.TextQueries.h32(concat(lit("up:"), col("user_id"))), lit(2L)))
+        .withColumn("scr",
+          pmod(graft.text.TextQueries.h32(concat(lit("scr:"), col("user_id"))), lit(1000L)))
+        .withColumn("decile", expr("scr DIV 100"))
+      val cells = users.groupBy("decile")
+        .agg(sum(when(col("treated") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("treated") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("treated") === 1, col("y_milli")).otherwise(0L)).as("s_t"),
+          sum(when(col("treated") === 0, col("y_milli")).otherwise(0L)).as("s_c"))
+        // both arms populated (an empty arm would divide by zero — at any
+        // realistic scale every decile holds both; the filter keeps the
+        // operator total, deterministically, on degenerate inputs)
+        .filter(col("n_t") > 0 && col("n_c") > 0)
+        .select(col("decile"), col("n_t"), col("n_c"),
+          expr("s_t DIV n_t").as("m_t_milli"),
+          expr("s_c DIV n_c").as("m_c_milli"))
+        .withColumn("uplift_milli", col("m_t_milli") - col("m_c_milli"))
+      cells.withColumn("cum_uplift_milli",
+          sum("uplift_milli").over(Window.orderBy(col("decile").desc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("decile")
     }
   )
 
@@ -922,6 +960,30 @@ object StatsQueries {
         |       s_c_post // n_c_post AS m_c_post,
         |       (s_t_post // n_t_post - s_t_pre // n_t_pre)
         |         - (s_c_post // n_c_post - s_c_pre // n_c_pre) AS did_milli
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // identical hash bucketing; bounded 10-row cumulative window
+    "q_uplift_deciles" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS y_milli
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT y_milli,
+        |             ('0x' || substr(md5('up:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS treated,
+        |             ('0x' || substr(md5('scr:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1000 // 100 AS decile
+        |      FROM u),
+        |c AS (SELECT decile,
+        |             CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |             CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |             CAST(sum(CASE WHEN treated = 1 THEN y_milli ELSE 0 END) AS BIGINT) AS s_t,
+        |             CAST(sum(CASE WHEN treated = 0 THEN y_milli ELSE 0 END) AS BIGINT) AS s_c
+        |      FROM b GROUP BY decile),
+        |m AS (SELECT decile, n_t, n_c,
+        |             s_t // n_t AS m_t_milli, s_c // n_c AS m_c_milli,
+        |             s_t // n_t - s_c // n_c AS uplift_milli
+        |      FROM c WHERE n_t > 0 AND n_c > 0)
+        |SELECT decile, n_t, n_c, m_t_milli, m_c_milli, uplift_milli,
+        |       CAST(sum(uplift_milli) OVER (ORDER BY decile DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_uplift_milli
+        |FROM m ORDER BY decile""".stripMargin
   )
 }

@@ -109,6 +109,20 @@ class ForecastPrivacySpec extends AnyFunSuite {
     }
   }
 
+  test("q_uplift_deciles: cumulative column recombines from per-decile uplifts best-first") {
+    val rows = SparkEntry.queries("q_uplift_deciles")(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val byDecileDesc = rows.sortBy(-_.getAs[Long]("decile"))
+    var cum = 0L
+    byDecileDesc.foreach { r =>
+      assert(r.getAs[Long]("uplift_milli") ==
+        r.getAs[Long]("m_t_milli") - r.getAs[Long]("m_c_milli"))
+      cum += r.getAs[Long]("uplift_milli")
+      assert(r.getAs[Long]("cum_uplift_milli") == cum, s"cum broken at $r")
+      assert(r.getAs[Long]("n_t") > 0 && r.getAs[Long]("n_c") > 0)
+    }
+  }
+
   test("q_data_contract: the fixture satisfies its own contract, and rates recombine") {
     val rows = SparkEntry.queries("q_data_contract")(spark, TestSpark.Sf0001).collect()
     assert(rows.length == 9)
