@@ -638,6 +638,36 @@ object StatsQueries {
           sum("uplift_milli").over(Window.orderBy(col("decile").desc)
             .rowsBetween(Window.unboundedPreceding, 0)))
         .orderBy("decile")
+    },
+
+    // NS: Wilson-lower-bound ranking — "sort by rating" done right: the
+    // naive positive rate over-ranks tiny samples, the Wilson score
+    // interval's lower bound at z=1.96 is the standard shrinkage fix.
+    // Success is hash-derived with a per-item planted rate (h·37 <
+    // 1000·len(type): pure integer rule), so items differ and the
+    // ranking is meaningful. (n, s) fold in ONE combinable aggregate;
+    // the Wilson bound is a fixed IEEE tree over those exact integers
+    // rounded 6dp (the z and z² literals spelled identically on both
+    // engines); rank by (lb desc, item) is total.
+    "q_wilson_rank" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_type").as("item"),
+          (pmod(graft.text.TextQueries.h32(concat(lit("wil:"), col("event_id"))), lit(1000L))
+            * 37 < length(col("event_type")).cast("long") * 1000).cast("long").as("success"))
+      val g = ev.groupBy("item")
+        .agg(count(lit(1)).as("n"), sum("success").as("s"))
+      val nD = col("n").cast("double"); val sD = col("s").cast("double")
+      val z2 = lit(1.96 * 1.96)
+      val p = sD / nD
+      val lb = (p + z2 / (lit(2.0) * nD) -
+        lit(1.96) * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nD)) / nD)) /
+        (lit(1.0) + z2 / nD)
+      g.select(col("item"), col("n"), col("s"),
+          expr("s * 1000000 DIV n").as("rate_ppm"),
+          round(lb, 6).as("wilson_lb"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("wilson_lb").desc, col("item"))))
+        .orderBy("rk")
     }
   )
 
@@ -984,6 +1014,28 @@ object StatsQueries {
         |SELECT decile, n_t, n_c, m_t_milli, m_c_milli, uplift_milli,
         |       CAST(sum(uplift_milli) OVER (ORDER BY decile DESC
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_uplift_milli
-        |FROM m ORDER BY decile""".stripMargin
+        |FROM m ORDER BY decile""".stripMargin,
+    // same integer success rule; identical IEEE Wilson tree
+    "q_wilson_rank" ->
+      """WITH ev AS (
+        |  SELECT event_type AS item,
+        |         CAST(('0x' || substr(md5('wil:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+        |              * 37 < length(event_type) * 1000 AS BIGINT) AS success
+        |  FROM events),
+        |g AS (SELECT item, count(*) AS n, CAST(sum(success) AS BIGINT) AS s
+        |      FROM ev GROUP BY item),
+        |w AS (SELECT item, n, s,
+        |             s * 1000000 // n AS rate_ppm,
+        |             round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |                    + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+        |                    - 1.96 * sqrt((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |                                   * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |                                   + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+        |                                  / CAST(n AS DOUBLE)))
+        |                   / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_lb
+        |      FROM g)
+        |SELECT item, n, s, rate_ppm, wilson_lb,
+        |       CAST(row_number() OVER (ORDER BY wilson_lb DESC, item) AS INT) AS rk
+        |FROM w ORDER BY rk""".stripMargin
   )
 }

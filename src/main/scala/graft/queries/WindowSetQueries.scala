@@ -351,6 +351,28 @@ object WindowSetQueries {
         .intersectAll(ev.filter(col("event_type") === "purchase").select("user_id"))
         .groupBy("user_id").agg(count(lit(1)).as("n_common"))
         .orderBy("user_id")
+    },
+
+    // NS: first-order Markov transition matrix over per-user event
+    // journeys — the product-analytics "where do users go next" read and
+    // the generative model behind journey simulation: lead() within the
+    // (ts, event_id)-ordered user stream pairs each event with its
+    // successor, one bounded |types|² aggregate counts transitions, and
+    // the row-conditional probability is exact integer ppm. One user-key
+    // shuffle (the sessionize window), nothing row-scale after the
+    // transition aggregate.
+    "q_markov_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = Tables.events(s, dir)
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy("cur").agg(sum("n").as("n_cur"))
+      trans.join(broadcast(totals), "cur")
+        .select(col("cur"), col("nxt"), col("n"),
+          expr("n * 1000000 DIV n_cur").as("p_ppm"))
+        .orderBy("cur", "nxt")
     }
   )
 
@@ -532,6 +554,18 @@ object WindowSetQueries {
         |  INTERSECT ALL
         |  SELECT user_id FROM events WHERE event_type = 'purchase')
         |SELECT user_id, count(*) AS n_common
-        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical (ts, event_id) total order inside each user stream
+    "q_markov_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |t AS (SELECT cur, nxt, count(*) AS n FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM t GROUP BY 1)
+        |SELECT t.cur, t.nxt, t.n, t.n * 1000000 // tot.n_cur AS p_ppm
+        |FROM t JOIN tot USING (cur)
+        |ORDER BY cur, nxt""".stripMargin
   )
 }

@@ -109,6 +109,35 @@ class ForecastPrivacySpec extends AnyFunSuite {
     }
   }
 
+  test("q_markov_transitions: rows are a proper conditional distribution") {
+    val rows = SparkEntry.queries("q_markov_transitions")(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("cur")).foreach { case (cur, rs) =>
+      val pSum = rs.map(_.getAs[Long]("p_ppm")).sum
+      // truncating ppm division loses at most (branches - 1) ppm
+      assert(pSum <= 1000000 && pSum > 1000000 - rs.length,
+        s"$cur: conditional row sums to $pSum ppm")
+    }
+    // transition mass = events minus one per user (no successor for the last)
+    val ev = graft.core.Tables.events(spark, TestSpark.Sf0001)
+    val expected = ev.count() -
+      ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+  }
+
+  test("q_wilson_rank: the bound shrinks toward zero and never exceeds the raw rate") {
+    val rows = SparkEntry.queries("q_wilson_rank")(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lb = r.getAs[Double]("wilson_lb")
+      val rate = r.getAs[Long]("rate_ppm").toDouble / 1e6
+      assert(lb >= 0.0 && lb <= rate + 1e-9,
+        s"Wilson LB must lower-bound the raw rate: $r")
+    }
+    val rks = rows.map(_.getAs[Int]("rk")).sorted
+    assert(rks.sameElements(1 to rows.length))
+  }
+
   test("q_uplift_deciles: cumulative column recombines from per-decile uplifts best-first") {
     val rows = SparkEntry.queries("q_uplift_deciles")(spark, TestSpark.Sf0001).collect()
     assert(rows.nonEmpty)
