@@ -831,6 +831,37 @@ object CorpusQueries {
           round(min(col("nc") / col("nt")), 6).as("min_cpt"),
           round(max(col("nc") / col("nt")), 6).as("max_cpt"))
         .orderBy("source")
+    },
+
+    // NS: exact-substring duplication census (the Lee et al. 2022
+    // "Deduplicating Training Data Makes Language Models Better" shape,
+    // L=32 chars): every character position opens a 32-gram window, a
+    // position is DUPLICATED if its gram occurs more than once in the
+    // whole corpus, and the per-source duplicated-position share is the
+    // coverage number that paper's suffix-array pass reports. The
+    // windowing is a narrow per-row transform (no suffix array needed
+    // for the CENSUS — the gram-key aggregate gives occurrence counts);
+    // work is corpus-chars-scale rows through ONE (source, gram)
+    // combinable aggregate, then a gram-key join of two AGGREGATED
+    // frames (gram vocabulary bound), never position-by-position.
+    "q_substring_dup" -> { (s, dir) =>
+      val grams = Tables.documents(s, dir)
+        .select(col("source"), expr(
+          """explode(CASE WHEN length(text) >= 32
+            |  THEN transform(sequence(1, length(text) - 31), i -> substring(text, i, 32))
+            |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin).as("gram"))
+      val perSrc = grams.groupBy("source", "gram").agg(count(lit(1)).as("n_sg"))
+      val tot = perSrc.groupBy("gram")
+        .agg(sum("n_sg").as("n_g"), count(lit(1)).as("n_sources_g"))
+      perSrc.join(tot, "gram")
+        .groupBy("source")
+        .agg(sum("n_sg").as("n_positions"),
+          sum(when(col("n_g") > 1, col("n_sg")).otherwise(0L)).as("n_dup_positions"),
+          sum(when(col("n_sources_g") > 1, col("n_sg")).otherwise(0L))
+            .as("n_cross_source_positions"),
+          count(lit(1)).as("n_distinct_grams"))
+        .withColumn("dup_ppm", expr("n_dup_positions * 1000000 DIV n_positions"))
+        .orderBy("source")
     }
   )
 
@@ -1396,7 +1427,30 @@ object CorpusQueries {
           |       round(avg(nc / nt), 6) AS avg_chars_per_token,
           |       round(min(nc / nt), 6) AS min_cpt,
           |       round(max(nc / nt), 6) AS max_cpt
-          |FROM t GROUP BY source ORDER BY source""".stripMargin
+          |FROM t GROUP BY source ORDER BY source""".stripMargin,
+      // same 32-char windows; range() end is exclusive where Spark's
+      // sequence() end is inclusive, hence the +1
+      "q_substring_dup" ->
+        """WITH g AS (
+          |  SELECT source,
+          |         unnest(CASE WHEN length(text) >= 32
+          |           THEN list_transform(range(1, length(text) - 31 + 1),
+          |                               i -> substr(text, i, 32))
+          |           ELSE [] END) AS gram
+          |  FROM documents),
+          |ps AS (SELECT source, gram, count(*) AS n_sg FROM g GROUP BY 1, 2),
+          |tot AS (SELECT gram, CAST(sum(n_sg) AS BIGINT) AS n_g,
+          |               count(*) AS n_sources_g
+          |        FROM ps GROUP BY 1)
+          |SELECT source,
+          |       CAST(sum(n_sg) AS BIGINT) AS n_positions,
+          |       CAST(sum(CASE WHEN n_g > 1 THEN n_sg ELSE 0 END) AS BIGINT) AS n_dup_positions,
+          |       CAST(sum(CASE WHEN n_sources_g > 1 THEN n_sg ELSE 0 END) AS BIGINT) AS n_cross_source_positions,
+          |       count(*) AS n_distinct_grams,
+          |       CAST(sum(CASE WHEN n_g > 1 THEN n_sg ELSE 0 END) AS BIGINT)
+          |         * 1000000 // CAST(sum(n_sg) AS BIGINT) AS dup_ppm
+          |FROM ps JOIN tot USING (gram)
+          |GROUP BY source ORDER BY source""".stripMargin
     )
   }
 }

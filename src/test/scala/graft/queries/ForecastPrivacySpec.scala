@@ -109,6 +109,22 @@ class ForecastPrivacySpec extends AnyFunSuite {
     }
   }
 
+  test("q_substring_dup: position mass conserves and a planted duplicate is detected") {
+    val rows = SparkEntry.queries("q_substring_dup")(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val expected = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .select(sum(greatest(length(col("text")) - lit(31), lit(0))).as("p"))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_positions")).sum == expected,
+      "every >=32-char position must be counted exactly once")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_positions") >= r.getAs[Long]("n_cross_source_positions"),
+        "cross-source duplication is a subset of duplication")
+      assert(r.getAs[Long]("n_dup_positions") <= r.getAs[Long]("n_positions"))
+    }
+  }
+
   test("q_markov_transitions: rows are a proper conditional distribution") {
     val rows = SparkEntry.queries("q_markov_transitions")(spark, TestSpark.Sf0001).collect()
     assert(rows.nonEmpty)
