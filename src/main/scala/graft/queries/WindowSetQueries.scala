@@ -368,6 +368,10 @@ object WindowSetQueries {
         .filter(col("nxt").isNotNull)
         .groupBy(col("event_type").as("cur"), col("nxt"))
         .agg(count(lit(1)).as("n"))
+        // |types|^2-bounded; materialized so the totals branch and the
+        // join don't each replay the user-key window over the corpus
+        // (plan-pinned: exactly one user_id shuffle)
+        .localCheckpoint()
       val totals = trans.groupBy("cur").agg(sum("n").as("n_cur"))
       trans.join(broadcast(totals), "cur")
         .select(col("cur"), col("nxt"), col("n"),

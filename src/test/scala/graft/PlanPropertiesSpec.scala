@@ -608,4 +608,25 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"v1 (item-domain frame) fell back to a shuffle join:\n$p")
   }
+
+  test("q_markov_transitions: the corpus passes the user window once, totals join broadcasts") {
+    val p = executedPlan("q_markov_transitions")
+    // the transition census is localCheckpointed, so the visible plan
+    // reads the materialized frame — the user-key window (and its one
+    // shuffle) ran exactly once inside that materialization and must NOT
+    // reappear here
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).isEmpty &&
+      p.contains("Scan ExistingRDD"),
+      s"transition census not materialized — the user window would replay per consumer:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the totals join must broadcast (types-bounded frame):\n$p")
+  }
+
+  test("q_substring_dup: gram census is map-side combined before its shuffle") {
+    val p = executedPlan("q_substring_dup")
+    assert(p.contains("partial_count"),
+      s"the (source, gram) aggregate reaches the shuffle uncombined:\n$p")
+    assert(!p.contains("Window"),
+      s"no window belongs in the census:\n$p")
+  }
 }
