@@ -58,8 +58,8 @@ object CorpusStatsQueries {
         .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
         .select(col("n").as("n_fit"),
-          round(slopeCol, 6).as("slope"),
-          round((col("sy") - slopeCol * col("sx")) / col("n"), 6).as("intercept"))
+          (round(slopeCol, 6) + lit(0.0)).as("slope"),
+          (round((col("sy") - slopeCol * col("sx")) / col("n"), 6) + lit(0.0)).as("intercept"))
     },
 
     // NS: Heaps'-law vocabulary growth — cumulative vocabulary vs
@@ -94,7 +94,10 @@ object CorpusStatsQueries {
           log(col("vocab_cum").cast("double")).as("y"))
         .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-        .select(round(slopeCol, 6).as("beta"))
+        // + 0.0 folds any -0.0 from an exactly-flat fit to +0.0 (the
+        // duplicate-heavy stress corpus produces beta = 0; both engines
+        // must hash the same zero)
+        .select((round(slopeCol, 6) + lit(0.0)).as("beta"))
       curve.crossJoin(broadcast(beta)).orderBy("bucket")
     },
 
@@ -202,8 +205,8 @@ object CorpusStatsQueries {
         |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
         |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy)
         |SELECT n AS n_fit,
-        |       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
-        |       round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
+        |       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0 AS slope,
+        |       round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) + 0.0 AS intercept
         |FROM a""".stripMargin,
     "q_heaps_law" ->
       """WITH wd AS (SELECT (max(doc_id) + 10) // 10 AS w FROM documents),
@@ -220,7 +223,7 @@ object CorpusStatsQueries {
         |xy AS (SELECT ln(tokens_cum::DOUBLE) AS x, ln(vocab_cum::DOUBLE) AS y FROM curve),
         |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
         |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy),
-        |beta AS (SELECT round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS beta FROM a)
+        |beta AS (SELECT round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0 AS beta FROM a)
         |SELECT bucket, tokens_cum, vocab_cum, beta FROM curve CROSS JOIN beta
         |ORDER BY bucket""".stripMargin,
     "q_url_dedup" ->
