@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -668,6 +668,112 @@ object StatsQueries {
         .withColumn("rk", row_number().over(
           Window.orderBy(col("wilson_lb").desc, col("item"))))
         .orderBy("rk")
+    },
+
+    // NS: minimum-detectable-effect / power planning — the experiment-
+    // design companion of q_ab_ttest: from each arm's (n, Σx, Σx²) — the
+    // same six-number sufficient reduction, one combinable aggregate —
+    // compute the two-sided-α=5% MDE at 80% and 90% power via
+    // MDE = (z_α/2 + z_β)·sqrt(va/na + vb/nb). The z constants are fixed
+    // literals (Φ⁻¹ is not data-dependent), the rest is a fixed IEEE tree
+    // over the aggregate row, rounded 6dp on both engines.
+    "q_mde_power" -> { (s, dir) =>
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value").as("s1"),
+          sum(col("value") * col("value")).as("s2"))
+      def side(t: String, c: String) = g.filter(col("event_type") === t)
+        .select(col("n").as(s"n_$c"), col("s1").as(s"s1_$c"), col("s2").as(s"s2_$c"))
+      val j = side("purchase", "a").crossJoin(side("click", "b"))
+      def vr(c: String) =
+        (col(s"s2_$c") - col(s"s1_$c") * col(s"s1_$c") / col(s"n_$c")) / (col(s"n_$c") - 1)
+      val se = sqrt(vr("a") / col("n_a") + vr("b") / col("n_b"))
+      j.select(col("n_a"), col("n_b"), se.as("se"),
+          (col("s1_a") / col("n_a")).as("mean_a"))
+        .crossJoin(broadcast(s.createDataFrame(Seq((80L, 0.841621), (90L, 1.281552)))
+          .toDF("power_pct", "z_beta")))
+        .select(col("power_pct"), col("n_a"), col("n_b"),
+          round((lit(1.959964) + col("z_beta")) * col("se"), 6).as("mde"),
+          round((lit(1.959964) + col("z_beta")) * col("se") / col("mean_a") * 100, 4)
+            .as("mde_rel_pct"))
+        .orderBy("power_pct")
+    },
+
+    // NS: Simpson's-paradox screen — does the within-segment association
+    // sign contradict the pooled sign? Association sign per group is
+    // sign(n·Σxy − Σx·Σy), with n/Σx/Σy/Σxy EXACT BIGINTs from one
+    // combinable aggregate (x = quantity units, y = price cents; Σxy ≤
+    // 3e15 at 10x stress, exact) and the two products compared as doubles
+    // — a fixed IEEE tree over exact integers, the chi² discipline; the
+    // products are ~1e20 vs a margin of ~1e17, so a 1-ulp wobble (~1e4)
+    // can never flip the verdict. One aggregate per grain, no row-scale
+    // float sum anywhere.
+    "q_simpson_flip" -> { (s, dir) =>
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("segment"),
+          col("l_quantity").cast("long").as("x"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      def assoc(df: DataFrame, keys: Column*): DataFrame = {
+        val grouped = if (keys.isEmpty) df.groupBy() else df.groupBy(keys: _*)
+        grouped.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"))
+      }
+      val seg = assoc(base, col("segment"))
+      val glob = assoc(base)
+        .select(signum(col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")).cast("long").as("sign_global"))
+      seg.crossJoin(broadcast(glob))
+        .select(col("segment"), col("n"), col("sxy"),
+          signum(col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")).cast("long").as("sign_seg"),
+          col("sign_global"))
+        .withColumn("simpson_flip",
+          (col("sign_seg") * col("sign_global") < 0).cast("long"))
+        .orderBy("segment")
+    },
+
+    // NS: SPRT — Wald's sequential A/B test over the event stream, the
+    // always-valid alternative to the fixed-horizon t-test. Success =
+    // purchase; H0 p=0.18 vs H1 p=0.22, α=β=0.05. Per-observation LLR
+    // contributions are CONSTANTS (ln(p1/p0), ln((1−p1)/(1−p0)) — fixed
+    // micro-nat integer literals, not data-dependent), so the sequential
+    // statistic needs only per-bucket success/fail counts: the stream
+    // collapses map-side into (variant, event_id DIV 256) cells — a
+    // 1/256-scale frame — and the cumulative LLR is an exact-integer
+    // window over that bounded frame. First boundary crossing and its
+    // direction come from one min-filter + self-join on the tiny frame;
+    // the final LLR needs no window at all (totals x the constants).
+    "q_sprt" -> { (s, dir) =>
+      val LlrSucc = 200671L  // round(ln(0.22/0.18) * 1e6)
+      val LlrFail = -50010L  // round(ln(0.78/0.82) * 1e6)
+      val Bound = 2944439L   // round(ln((1-0.05)/0.05) * 1e6) = ln 19
+      val cells = Tables.events(s, dir)
+        .select(pmod(col("user_id"), lit(2L)).as("variant"),
+          expr("event_id DIV 256").as("bucket"),
+          (col("event_type") === "purchase").cast("long").as("succ"))
+        .groupBy("variant", "bucket")
+        .agg(count(lit(1)).as("n"), sum("succ").as("n_succ"))
+        .withColumn("llr_delta",
+          col("n_succ") * LlrSucc + (col("n") - col("n_succ")) * LlrFail)
+      val w = Window.partitionBy("variant").orderBy("bucket")
+      val cum = cells.withColumn("llr_cum", sum("llr_delta").over(w))
+        .withColumn("ct",
+          when(col("llr_cum") >= Bound, 1L)
+            .when(col("llr_cum") <= -Bound, -1L).otherwise(0L))
+      val crossDir = cum.filter(col("ct") =!= 0)
+        .groupBy("variant").agg(min("bucket").as("first_cross_bucket"),
+          expr("min_by(ct, bucket)").as("cross_dir"))
+      cum.groupBy("variant")
+        .agg(sum("n").as("n_obs"), sum("n_succ").as("n_succ"),
+          sum("llr_delta").as("llr_micronat"))
+        .join(crossDir, Seq("variant"), "left_outer")
+        .select(col("variant"), col("n_obs"), col("n_succ"), col("llr_micronat"),
+          coalesce(col("first_cross_bucket"), lit(-1L)).as("first_cross_bucket"),
+          when(col("cross_dir") === 1, "accept_h1")
+            .when(col("cross_dir") === -1, "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy("variant")
     }
   )
 
@@ -1036,6 +1142,76 @@ object StatsQueries {
         |      FROM g)
         |SELECT item, n, s, rate_ppm, wilson_lb,
         |       CAST(row_number() OVER (ORDER BY wilson_lb DESC, item) AS INT) AS rk
-        |FROM w ORDER BY rk""".stripMargin
+        |FROM w ORDER BY rk""".stripMargin,
+    // same six-number sufficient stats; z constants are shared literals
+    "q_mde_power" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(value) AS s1, sum(value * value) AS s2
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY event_type),
+        |j AS (
+        |  SELECT a.n AS n_a, b.n AS n_b,
+        |         sqrt(((a.s2 - a.s1*a.s1/a.n) / (a.n - 1)) / a.n
+        |              + ((b.s2 - b.s1*b.s1/b.n) / (b.n - 1)) / b.n) AS se,
+        |         a.s1 / a.n AS mean_a
+        |  FROM (SELECT * FROM g WHERE event_type = 'purchase') a
+        |  CROSS JOIN (SELECT * FROM g WHERE event_type = 'click') b)
+        |SELECT v.power_pct, j.n_a, j.n_b,
+        |       round((1.959964 + v.z_beta) * j.se, 6) AS mde,
+        |       round((1.959964 + v.z_beta) * j.se / j.mean_a * 100, 4) AS mde_rel_pct
+        |FROM j CROSS JOIN (VALUES (CAST(80 AS BIGINT), 0.841621),
+        |                          (CAST(90 AS BIGINT), 1.281552)) v(power_pct, z_beta)
+        |ORDER BY v.power_pct""".stripMargin,
+    // same exact-integer sufficient stats; the sign compare is the same
+    // fixed IEEE product tree over exact BIGINTs on both engines
+    "q_simpson_flip" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS segment, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |seg AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM base GROUP BY segment),
+        |pooled AS (
+        |  SELECT CAST(sign(CAST(count(*) AS DOUBLE) * CAST(CAST(sum(x*y) AS BIGINT) AS DOUBLE)
+        |                   - CAST(CAST(sum(x) AS BIGINT) AS DOUBLE)
+        |                     * CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)) AS BIGINT) AS sign_global
+        |  FROM base)
+        |SELECT segment, n, sxy,
+        |       CAST(sign(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS BIGINT) AS sign_seg,
+        |       sign_global,
+        |       CAST(CAST(sign(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS BIGINT)
+        |            * sign_global < 0 AS BIGINT) AS simpson_flip
+        |FROM seg CROSS JOIN pooled ORDER BY segment""".stripMargin,
+    // identical micro-nat constants and bucket grid; bounded cum window
+    "q_sprt" ->
+      """WITH cells AS (
+        |  SELECT user_id % 2 AS variant, event_id // 256 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_succ
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, n_succ * 200671 + (n - n_succ) * (-50010) AS llr_delta FROM cells),
+        |c AS (SELECT *, CAST(sum(llr_delta) OVER (PARTITION BY variant ORDER BY bucket) AS BIGINT) AS llr_cum FROM d),
+        |ct AS (SELECT *, CASE WHEN llr_cum >= 2944439 THEN 1
+        |                      WHEN llr_cum <= -2944439 THEN -1 ELSE 0 END AS ct FROM c),
+        |cd AS (SELECT variant, min(bucket) AS first_cross_bucket,
+        |              min_by(ct, bucket) AS cross_dir
+        |       FROM ct WHERE ct <> 0 GROUP BY variant),
+        |tot AS (SELECT variant, CAST(sum(n) AS BIGINT) AS n_obs,
+        |               CAST(sum(n_succ) AS BIGINT) AS n_succ,
+        |               CAST(sum(llr_delta) AS BIGINT) AS llr_micronat
+        |        FROM ct GROUP BY variant)
+        |SELECT t.variant, t.n_obs, t.n_succ, t.llr_micronat,
+        |       coalesce(cd.first_cross_bucket, -1) AS first_cross_bucket,
+        |       CASE WHEN cd.cross_dir = 1 THEN 'accept_h1'
+        |            WHEN cd.cross_dir = -1 THEN 'accept_h0'
+        |            ELSE 'continue' END AS decision
+        |FROM tot t LEFT JOIN cd ON t.variant = cd.variant
+        |ORDER BY t.variant""".stripMargin
   )
 }

@@ -192,6 +192,115 @@ object CorpusStatsQueries {
                  |  ELSE -((metric_all_milli - metric_without_milli) * 1000000 DIV metric_all_milli)
                  |END""".stripMargin))
         .orderBy("source")
+    },
+
+    // NS: boilerplate chunk census — the content-extraction screen (CCNet/
+    // RefinedWeb drop lines repeated across many pages of a host). The
+    // fixture text has no newlines, so a "line" is a non-overlapping
+    // 4-token chunk; a chunk value seen in >= 3 DISTINCT docs of a source
+    // is boilerplate. Dataflow: chunk explode is linear in corpus tokens
+    // and collapses map-side into the (source, chunk) aggregate (chunk-
+    // vocab bounded); the doc-fanout count uses count(distinct doc_id)
+    // over that grouped frame — never a pair join. Per-source shares in
+    // exact integer ppm.
+    "q_boilerplate" -> { (s, dir) =>
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("arr"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(0, (size(arr)-1) DIV 4)," +
+              " i -> array_join(slice(arr, i*4+1, 4), ' '))")).as("chunk"))
+      val perChunk = chunks.groupBy("source", "chunk")
+        .agg(count(lit(1)).as("n_occur"), countDistinct("doc_id").as("n_docs"))
+      perChunk.groupBy("source")
+        .agg(sum("n_occur").as("n_chunks"),
+          sum(when(col("n_docs") >= 3, col("n_occur")).otherwise(0L)).as("boiler_occ"),
+          sum(when(col("n_docs") >= 3, 1L).otherwise(0L)).as("boiler_distinct"))
+        .withColumn("boiler_ppm", expr("boiler_occ * 1000000 DIV n_chunks"))
+        .orderBy("source")
+    },
+
+    // NS: readability-ingredient census (LIX family): per source the exact
+    // integer components every readability formula folds — word count,
+    // char mass, vowel-group syllable proxy, long-word (>=7 chars) and
+    // monosyllable counts — plus the LIX statistic itself with the
+    // document standing in for the sentence (the fixture carries no
+    // punctuation; convention documented here, mirrored in the oracle).
+    // One token-scale pass collapsing map-side into a per-source frame;
+    // rates are integer cross-multiplications (milli / ppm).
+    "q_readability" -> { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"), col("doc_id"),
+          length(col("w")).cast("long").as("wlen"),
+          regexp_count(col("w"), lit("[aeiouy]+")).cast("long").as("syl"))
+      tok.groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum("wlen").as("n_chars"),
+          sum("syl").as("n_syllables"),
+          sum(when(col("wlen") >= 7, 1L).otherwise(0L)).as("n_long"),
+          sum(when(col("syl") <= 1, 1L).otherwise(0L)).as("n_mono"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          expr("n_chars * 1000 DIV n_words").as("word_len_milli"),
+          expr("n_syllables * 1000 DIV n_words").as("syl_per_word_milli"),
+          expr("n_long * 1000000 DIV n_words").as("long_word_ppm"),
+          expr("n_mono * 1000000 DIV n_words").as("mono_ppm"),
+          // LIX = words/sentences + 100 * longwords/words, milli units
+          expr("n_words * 1000 DIV n_docs + n_long * 100000 DIV n_words").as("lix_milli"))
+        .orderBy("source")
+    },
+
+    // NS: Stupid Backoff trigram LM scoring (Brants et al. 2007 — the LM
+    // smoothing invented FOR MapReduce scale: no discount normalization,
+    // so every count table is one combinable aggregate and scoring is
+    // pure lookup). Probes = top-10 bigrams x top-5 unigrams (bounded,
+    // deterministic lexical tie-breaks); S(w3|w1 w2) backs off c3/c2 ->
+    // 0.4*c2(w2 w3)/c1(w2) -> 0.16*c1(w3)/T, each branch an exact integer
+    // cross-multiplication in ppm (0.4 = 2/5 exactly). The three count
+    // frames collapse map-side; probe joins broadcast the 50-row side.
+    "q_stupid_backoff" -> { (s, dir) =>
+      val arr = Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("arr"))
+      val uni = arr.select(explode(col("arr")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val tot = uni.agg(sum("c1").as("t_tokens"))
+      val bi = arr.filter(size(col("arr")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(arr)-1)," +
+            " i -> struct(element_at(arr, i) AS w1, element_at(arr, i+1) AS w2))")).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val tri = arr.filter(size(col("arr")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(arr)-2)," +
+            " i -> struct(element_at(arr, i) AS w1, element_at(arr, i+1) AS w2," +
+            " element_at(arr, i+2) AS w3))")).as("t"))
+        .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+        .agg(count(lit(1)).as("c3"))
+      val topBi = bi.orderBy(col("c2").desc, col("w1"), col("w2")).limit(10)
+        .select(col("w1"), col("w2"), col("c2").as("c2_12"))
+      val topUni = uni.orderBy(col("c1").desc, col("w")).limit(5)
+        .select(col("w").as("w3"))
+      val probes = broadcast(topBi.crossJoin(topUni))
+      probes
+        .join(tri, Seq("w1", "w2", "w3"), "left_outer")
+        .join(bi.select(col("w1").as("w2"), col("w2").as("w3"), col("c2").as("c2_23")),
+          Seq("w2", "w3"), "left_outer")
+        .join(uni.select(col("w").as("w2"), col("c1").as("c1_2")), Seq("w2"), "left_outer")
+        .join(uni.select(col("w").as("w3"), col("c1").as("c1_3")), Seq("w3"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("w3"),
+          coalesce(col("c3"), lit(0L)).as("c3"),
+          when(col("c3").isNotNull, 0L)
+            .when(col("c2_23").isNotNull, 1L).otherwise(2L).as("backoff_level"),
+          when(col("c3").isNotNull, expr("c3 * 1000000 DIV c2_12"))
+            .when(col("c2_23").isNotNull, expr("c2_23 * 400000 DIV c1_2"))
+            .otherwise(expr("c1_3 * 160000 DIV t_tokens")).as("score_ppm"))
+        .orderBy("w1", "w2", "w3")
     }
   )
 
@@ -290,6 +399,80 @@ object CorpusStatsQueries {
         |         THEN (metric_without_milli - metric_all_milli) * 1000000 // metric_all_milli
         |         ELSE -((metric_all_milli - metric_without_milli) * 1000000 // metric_all_milli)
         |       END AS delta_ppm
-        |FROM m ORDER BY source""".stripMargin
+        |FROM m ORDER BY source""".stripMargin,
+    "q_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |         array_to_string(list_slice(arr, i*4+1, i*4+4), ' ') AS chunk
+        |  FROM (SELECT doc_id, source, arr,
+        |               unnest(range(0, (len(arr)-1)//4 + 1)) AS i FROM t)),
+        |pc AS (
+        |  SELECT source, chunk, CAST(count(*) AS BIGINT) AS n_occur,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM c GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n_occur) AS BIGINT) AS n_chunks,
+        |       CAST(sum(CASE WHEN n_docs >= 3 THEN n_occur ELSE 0 END) AS BIGINT) AS boiler_occ,
+        |       CAST(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS boiler_distinct,
+        |       CAST(sum(CASE WHEN n_docs >= 3 THEN n_occur ELSE 0 END) AS BIGINT)
+        |         * 1000000 // CAST(sum(n_occur) AS BIGINT) AS boiler_ppm
+        |FROM pc GROUP BY source ORDER BY source""".stripMargin,
+    "q_readability" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |m AS (
+        |  SELECT source, doc_id, CAST(len(w) AS BIGINT) AS wlen,
+        |         CAST(len(regexp_extract_all(w, '[aeiouy]+')) AS BIGINT) AS syl
+        |  FROM tok WHERE len(w) > 0),
+        |a AS (
+        |  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |         CAST(count(*) AS BIGINT) AS n_words,
+        |         CAST(sum(wlen) AS BIGINT) AS n_chars,
+        |         CAST(sum(syl) AS BIGINT) AS n_syllables,
+        |         CAST(sum(CASE WHEN wlen >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+        |         CAST(sum(CASE WHEN syl <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mono
+        |  FROM m GROUP BY source)
+        |SELECT source, n_docs, n_words,
+        |       n_chars * 1000 // n_words AS word_len_milli,
+        |       n_syllables * 1000 // n_words AS syl_per_word_milli,
+        |       n_long * 1000000 // n_words AS long_word_ppm,
+        |       n_mono * 1000000 // n_words AS mono_ppm,
+        |       n_words * 1000 // n_docs + n_long * 100000 // n_words AS lix_milli
+        |FROM a ORDER BY source""".stripMargin,
+    "q_stupid_backoff" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS arr FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(arr) AS w FROM d) WHERE len(w) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t_tokens FROM uni),
+        |bi AS (
+        |  SELECT arr[i] AS w1, arr[i+1] AS w2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM d WHERE len(arr) >= 2)
+        |  GROUP BY 1, 2),
+        |tri AS (
+        |  SELECT arr[i] AS w1, arr[i+1] AS w2, arr[i+2] AS w3,
+        |         CAST(count(*) AS BIGINT) AS c3
+        |  FROM (SELECT arr, unnest(range(1, len(arr)-1)) AS i FROM d WHERE len(arr) >= 3)
+        |  GROUP BY 1, 2, 3),
+        |topbi AS (
+        |  SELECT w1, w2, c2 AS c2_12 FROM bi
+        |  ORDER BY c2 DESC, w1, w2 LIMIT 10),
+        |topuni AS (SELECT w AS w3 FROM uni ORDER BY c1 DESC, w LIMIT 5),
+        |probes AS (SELECT * FROM topbi CROSS JOIN topuni)
+        |SELECT p.w1, p.w2, p.w3,
+        |       coalesce(tri.c3, 0) AS c3,
+        |       CASE WHEN tri.c3 IS NOT NULL THEN 0
+        |            WHEN b23.c2 IS NOT NULL THEN 1 ELSE 2 END AS backoff_level,
+        |       CASE WHEN tri.c3 IS NOT NULL THEN tri.c3 * 1000000 // p.c2_12
+        |            WHEN b23.c2 IS NOT NULL THEN b23.c2 * 400000 // u2.c1
+        |            ELSE u3.c1 * 160000 // tot.t_tokens END AS score_ppm
+        |FROM probes p
+        |LEFT JOIN tri ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
+        |LEFT JOIN bi b23 ON b23.w1 = p.w2 AND b23.w2 = p.w3
+        |LEFT JOIN uni u2 ON u2.w = p.w2
+        |LEFT JOIN uni u3 ON u3.w = p.w3
+        |CROSS JOIN tot
+        |ORDER BY p.w1, p.w2, p.w3""".stripMargin
   )
 }

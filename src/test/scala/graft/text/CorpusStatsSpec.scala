@@ -68,4 +68,58 @@ class CorpusStatsSpec extends AnyFunSuite {
     // be at least average somewhere
     assert(rows.exists(_.getAs[Long]("lift_x1e6") >= 1000000L))
   }
+
+  test("q_boilerplate: share identities and the >=3-docs occurrence floor") {
+    val rows = run("q_boilerplate")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_chunks")
+      val occ = r.getAs[Long]("boiler_occ")
+      val dist = r.getAs[Long]("boiler_distinct")
+      assert(n > 0 && occ >= 0 && occ <= n)
+      // every boilerplate chunk appears in >= 3 distinct docs, so its
+      // occurrence count is >= 3 — the occurrence mass floors at 3x the
+      // distinct-chunk count
+      assert(occ >= 3 * dist, s"occ $occ < 3 * distinct $dist")
+      assert(r.getAs[Long]("boiler_ppm") == occ * 1000000L / n)
+    }
+  }
+
+  test("q_readability: masses recompute exactly; LIX decomposes into its terms") {
+    val rows = run("q_readability")
+    val docs = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .select("source", "text").collect()
+      .groupBy(_.getAs[String]("source"))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val words = docs(src).flatMap(_.getAs[String]("text").split(" ")).filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_words") == words.length.toLong)
+      val longW = words.count(_.length >= 7).toLong
+      // nested-floor identity: floor(floor(10x)/10) == floor(x), so the ppm
+      // column determines the LIX long-word term exactly
+      assert(r.getAs[Long]("long_word_ppm") == longW * 1000000L / words.length)
+      val lix = r.getAs[Long]("n_words") * 1000L / r.getAs[Long]("n_docs") +
+        longW * 100000L / words.length
+      assert(r.getAs[Long]("lix_milli") == lix)
+      val m = r.getAs[Long]("mono_ppm")
+      assert(m >= 0 && m <= 1000000L)
+    }
+  }
+
+  test("q_stupid_backoff: 50 probes, branch discipline, scores in (0, 1e6]") {
+    val rows = run("q_stupid_backoff")
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val lvl = r.getAs[Long]("backoff_level")
+      val c3 = r.getAs[Long]("c3")
+      assert(Set(0L, 1L, 2L).contains(lvl))
+      // level 0 iff the trigram itself was observed
+      assert((lvl == 0L) == (c3 > 0L), s"level $lvl with c3=$c3")
+      val sc = r.getAs[Long]("score_ppm")
+      // S > 0 always (the last backoff hits a top-5 unigram, count >= 1);
+      // S <= 1 at level 0 (c3 <= c2_12), and the 0.4 discounts keep the
+      // backed-off branches under 1e6 too
+      assert(sc > 0L && sc <= 1000000L, s"score_ppm $sc")
+    }
+  }
 }
