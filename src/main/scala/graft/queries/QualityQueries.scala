@@ -490,6 +490,100 @@ object QualityQueries {
           round(col("dot").cast("double") * col("dot").cast("double") /
             (col("na").cast("double") * col("nb").cast("double")), 6).as("cos2"))
         .orderBy("item_a", "item_b")
+    },
+
+    // NS: primary-key discovery — the first pass of every schema profiler
+    // (and of q_fk_audit's upstream "which column IS the key"): per column
+    // of orders, exact row/distinct/null counts and the candidate-key
+    // verdict (distinct == rows, zero nulls). All six distincts fold in
+    // ONE aggregate — Catalyst plans the multi-DISTINCT as a single
+    // Expand (6x row multiplication collapsing map-side), one shuffle,
+    // not six scans; the stack() unpivot runs on the 1-row result. At
+    // 100 TB the same shape holds (the Expand is the standard profiler
+    // cost); the approx path for wider tables is q_distinct_approx's HLL.
+    "q_pk_discovery" -> { (s, dir) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = Seq(count(lit(1)).as("n_rows")) ++
+        cols.flatMap(c => Seq(
+          countDistinct(col(c)).as(s"d_$c"),
+          sum(col(c).isNull.cast("long")).as(s"z_$c")))
+      val one = Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', d_$c, z_$c").mkString(", ")
+      one.select(col("n_rows"),
+          expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_distinct, n_null)"))
+        .select(col("column_name"), col("n_rows"), col("n_distinct"), col("n_null"),
+          expr("n_distinct * 1000000 DIV n_rows").as("distinct_ppm"),
+          (col("n_distinct") === col("n_rows") && col("n_null") === 0)
+            .cast("long").as("is_pk"))
+        .orderBy("column_name")
+    },
+
+    // NS: join-candidate discovery via KMV value sketches (the Aurum /
+    // data-catalog primitive: "which column pairs join?"). Each key
+    // column's DISTINCT value set reduces to its k = 128 smallest 56-bit
+    // md5 hashes (one rank window over the deduped (column, hash) frame);
+    // a pair's Jaccard is then estimated INSIDE the union sketch — the k
+    // smallest of A ∪ B, counting members of both — so columns are
+    // compared through 128-row frames, never value-by-value (the whole
+    // point at 100 TB: catalog discovery over sketches, not data). The
+    // exact Jaccard (affordable at fixture scale) rides beside it as the
+    // self-eval; verdict = estimate >= 0.5.
+    "q_join_discovery" -> { (s, dir) =>
+      val K = 128
+      def h56(c: Column): Column =
+        conv(substring(md5(concat(lit("jd:"), c.cast("string"))), 1, 14), 16, 10).cast("long")
+      val colFrames = Seq(
+        ("o_orderkey", Tables.orders(s, dir).select(col("o_orderkey").as("v"))),
+        ("o_custkey", Tables.orders(s, dir).select(col("o_custkey").as("v"))),
+        ("c_custkey", Tables.customer(s, dir).select(col("c_custkey").as("v"))),
+        ("l_orderkey", Tables.lineitem(s, dir).select(col("l_orderkey").as("v"))),
+        ("l_partkey", Tables.lineitem(s, dir).select(col("l_partkey").as("v"))),
+        ("p_partkey", Tables.part(s, dir).select(col("p_partkey").as("v"))))
+      val values = colFrames.map { case (name, df) =>
+        df.distinct().select(lit(name).as("col_name"), col("v"))
+      }.reduce(_ unionByName _)
+        .localCheckpoint() // feeds the sketch build AND the exact self-eval
+      val sk = values.select(col("col_name"), h56(col("v")).as("h")).distinct()
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("col_name").orderBy("h")))
+        .filter(col("rk") <= K)
+        .localCheckpoint() // 128-row-per-column frame; feeds three joins
+      val pairs = Seq(("o_orderkey", "l_orderkey"), ("o_custkey", "c_custkey"),
+        ("l_partkey", "p_partkey"), ("o_orderkey", "o_custkey"))
+      val pairDf = broadcast(s.createDataFrame(pairs).toDF("col_a", "col_b"))
+      val union = pairDf
+        .join(sk.select(col("col_name"), col("h")), col("col_name") === col("col_a") ||
+          col("col_name") === col("col_b"))
+        .select(col("col_a"), col("col_b"), col("h")).distinct()
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("col_a", "col_b").orderBy("h")))
+        .filter(col("rk") <= K)
+      val inA = sk.select(col("col_name").as("col_a"), col("h"), lit(1L).as("in_a"))
+      val inB = sk.select(col("col_name").as("col_b"), col("h"), lit(1L).as("in_b"))
+      val estim = union
+        .join(inA, Seq("col_a", "h"), "left_outer")
+        .join(inB, Seq("col_b", "h"), "left_outer")
+        .groupBy("col_a", "col_b")
+        .agg(count(lit(1)).as("k_union"),
+          sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
+            .as("k_both"))
+        .withColumn("jaccard_est_ppm", expr("k_both * 1000000 DIV k_union"))
+      val va = values.select(col("col_name").as("col_a"), col("v"))
+      val vb = values.select(col("col_name").as("col_b"), col("v"))
+      val exact = pairDf.join(va, "col_a").join(vb, Seq("col_b", "v"))
+        .groupBy("col_a", "col_b").agg(count(lit(1)).as("n_inter"))
+      val sizes = values.groupBy("col_name").agg(count(lit(1)).as("n"))
+      estim
+        .join(exact, Seq("col_a", "col_b"), "left_outer")
+        .join(sizes.select(col("col_name").as("col_a"), col("n").as("n_a")), "col_a")
+        .join(sizes.select(col("col_name").as("col_b"), col("n").as("n_b")), "col_b")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .select(col("col_a"), col("col_b"), col("k_union"), col("k_both"),
+          col("jaccard_est_ppm"),
+          expr("n_inter * 1000000 DIV (n_a + n_b - n_inter)").as("jaccard_exact_ppm"),
+          (col("jaccard_est_ppm") >= 500000L).cast("long").as("join_candidate"))
+        .orderBy("col_a", "col_b")
     }
   )
 
@@ -761,7 +855,83 @@ object QualityQueries {
           |             / (CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos2
           |FROM p JOIN norms na ON na.item = p.item_a
           |       JOIN norms nb ON nb.item = p.item_b
-          |ORDER BY item_a, item_b""".stripMargin
+          |ORDER BY item_a, item_b""".stripMargin,
+      // one aggregate row, unpivoted per column; same verdict rule
+      "q_pk_discovery" -> {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val aggCols = cols.map(c =>
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS d_$c, " +
+            s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_$c")
+          .mkString(",\n          |         ")
+        val branches = cols.map(c =>
+          s"SELECT '$c' AS column_name, n_rows, d_$c AS n_distinct, z_$c AS n_null FROM a")
+          .mkString("\n          |  UNION ALL ")
+        s"""WITH a AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |         $aggCols
+          |  FROM orders),
+          |u AS (
+          |  $branches)
+          |SELECT column_name, n_rows, n_distinct, n_null,
+          |       n_distinct * 1000000 // n_rows AS distinct_ppm,
+          |       CAST(n_distinct = n_rows AND n_null = 0 AS BIGINT) AS is_pk
+          |FROM u ORDER BY column_name""".stripMargin
+      },
+      // identical 56-bit hash space, per-column and union-sketch ranks
+      "q_join_discovery" ->
+        """WITH vals AS (
+          |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+          |  UNION SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+          |  UNION SELECT 'c_custkey', CAST(c_custkey AS VARCHAR) FROM customer
+          |  UNION SELECT 'l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+          |  UNION SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+          |  UNION SELECT 'p_partkey', CAST(p_partkey AS VARCHAR) FROM part),
+          |sk AS (
+          |  SELECT col_name, h FROM (
+          |    SELECT col_name, h,
+          |           row_number() OVER (PARTITION BY col_name ORDER BY h) AS rk
+          |    FROM (SELECT DISTINCT col_name,
+          |                 ('0x' || substr(md5('jd:' || v), 1, 14))::BIGINT AS h
+          |          FROM vals))
+          |  WHERE rk <= 128),
+          |pairs AS (
+          |  SELECT * FROM (VALUES ('o_orderkey', 'l_orderkey'),
+          |                        ('o_custkey', 'c_custkey'),
+          |                        ('l_partkey', 'p_partkey'),
+          |                        ('o_orderkey', 'o_custkey')) p(col_a, col_b)),
+          |un AS (
+          |  SELECT col_a, col_b, h FROM (
+          |    SELECT col_a, col_b, h,
+          |           row_number() OVER (PARTITION BY col_a, col_b ORDER BY h) AS rk
+          |    FROM (SELECT DISTINCT p.col_a, p.col_b, sk.h
+          |          FROM pairs p JOIN sk ON sk.col_name = p.col_a OR sk.col_name = p.col_b))
+          |  WHERE rk <= 128),
+          |est AS (
+          |  SELECT u.col_a, u.col_b, CAST(count(*) AS BIGINT) AS k_union,
+          |         CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS k_both
+          |  FROM un u
+          |  LEFT JOIN sk a ON a.col_name = u.col_a AND a.h = u.h
+          |  LEFT JOIN sk b ON b.col_name = u.col_b AND b.h = u.h
+          |  GROUP BY u.col_a, u.col_b),
+          |sizes AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY 1),
+          |inter AS (
+          |  SELECT p.col_a, p.col_b, CAST(count(*) AS BIGINT) AS n_inter
+          |  FROM pairs p
+          |  JOIN vals va ON va.col_name = p.col_a
+          |  JOIN vals vb ON vb.col_name = p.col_b AND vb.v = va.v
+          |  GROUP BY p.col_a, p.col_b)
+          |SELECT e.col_a, e.col_b, e.k_union, e.k_both,
+          |       e.k_both * 1000000 // e.k_union AS jaccard_est_ppm,
+          |       coalesce(i.n_inter, 0) * 1000000
+          |         // (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard_exact_ppm,
+          |       CAST(e.k_both * 1000000 // e.k_union >= 500000 AS BIGINT) AS join_candidate
+          |FROM est e
+          |LEFT JOIN inter i ON i.col_a = e.col_a AND i.col_b = e.col_b
+          |JOIN sizes sa ON sa.col_name = e.col_a
+          |JOIN sizes sb ON sb.col_name = e.col_b
+          |ORDER BY e.col_a, e.col_b""".stripMargin
     )
   }
 }

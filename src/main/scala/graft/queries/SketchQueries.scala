@@ -267,6 +267,54 @@ object SketchQueries {
         .select(col("p"), col("est_cents"), col("exact_cents"),
           expr("(exact_cents - est_cents) * 1000000 DIV exact_cents").as("err_ppm"))
         .orderBy("p")
+    },
+
+    // NS: KMV (k-minimum-values) distinct-count sketch — the third
+    // mergeable cardinality summary beside FM/PCSA and the bitmap index,
+    // and the one whose merge is simply "keep the k smallest of the
+    // union" (the theta-sketch core). Values hash into a 56-bit space
+    // (14 md5 hex chars — (k−1)·2^56 ≤ 9.1e18 stays inside BIGINT for
+    // k = 64), each group keeps its k = 64 smallest DISTINCT hashes via
+    // one rank window over the deduped (group, hash) frame, and the
+    // estimator (k−1)·2^56 DIV kth_min is EXACT integer arithmetic.
+    // Groups with fewer than k distinct values report exactly (the
+    // sketch IS the value set there). The __ALL__ row is built by
+    // MERGING the per-status sketches (k smallest of their union), not
+    // by re-scanning — the mergeability under test. Self-eval: exact
+    // countDistinct beside the estimate, signed err_ppm.
+    "q_kmv_sketch" -> { (s, dir) =>
+      val K = 64L
+      val hashed = Tables.orders(s, dir)
+        .select(col("o_orderstatus").as("grp"),
+          conv(substring(md5(concat(lit("kmv:"), col("o_custkey"))), 1, 14), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val wk = Window.partitionBy("grp").orderBy("h")
+      val sk = hashed.withColumn("rk", row_number().over(wk)).filter(col("rk") <= K)
+        .localCheckpoint() // feeds the per-group estimate AND the merge
+      val merged = sk.select(col("h")).distinct()
+        .withColumn("rk", row_number().over(Window.orderBy("h")))
+        .filter(col("rk") <= K)
+        .withColumn("grp", lit("__ALL__"))
+      val est = sk.select("grp", "h", "rk").unionByName(merged.select("grp", "h", "rk"))
+        .groupBy("grp")
+        .agg(max("h").as("kth_min"), count(lit(1)).as("k_used"))
+        .withColumn("est",
+          when(col("k_used") < K, col("k_used"))
+            .otherwise(expr(s"($K - 1) * 72057594037927936 DIV kth_min")))
+      val exact = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("grp"))
+        .agg(countDistinct("o_custkey").as("n_exact"))
+      val exactAll = Tables.orders(s, dir)
+        .agg(countDistinct("o_custkey").as("n_exact"))
+        .withColumn("grp", lit("__ALL__"))
+      est.join(exact.unionByName(exactAll.select("grp", "n_exact")), "grp")
+        .select(col("grp"), col("n_exact"), col("k_used"), col("kth_min"), col("est"),
+          expr("""CASE WHEN est >= n_exact
+                 |  THEN (est - n_exact) * 1000000 DIV n_exact
+                 |  ELSE -((n_exact - est) * 1000000 DIV n_exact) END""".stripMargin)
+            .as("err_ppm"))
+        .orderBy("grp")
     }
   )
 
@@ -408,7 +456,42 @@ object SketchQueries {
           |SELECT CAST(estv.p AS BIGINT) AS p, est_cents, exact_cents,
           |       (exact_cents - est_cents) * 1000000 // exact_cents AS err_ppm
           |FROM estv JOIN ex USING (p)
-          |ORDER BY p""".stripMargin
+          |ORDER BY p""".stripMargin,
+      // identical 56-bit md5 hash space, rank window, and integer estimator
+      "q_kmv_sketch" ->
+        """WITH hashed AS (
+          |  SELECT DISTINCT o_orderstatus AS grp,
+          |         ('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 14))::BIGINT AS h
+          |  FROM orders),
+          |sk AS (
+          |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+          |  FROM hashed QUALIFY rk <= 64),
+          |mg AS (
+          |  SELECT '__ALL__' AS grp, h,
+          |         row_number() OVER (ORDER BY h) AS rk
+          |  FROM (SELECT DISTINCT h FROM sk) QUALIFY rk <= 64),
+          |est AS (
+          |  SELECT grp, CAST(max(h) AS BIGINT) AS kth_min,
+          |         CAST(count(*) AS BIGINT) AS k_used
+          |  FROM (SELECT * FROM sk UNION ALL SELECT grp, h, rk FROM mg)
+          |  GROUP BY grp),
+          |e2 AS (
+          |  SELECT grp, kth_min, k_used,
+          |         CASE WHEN k_used < 64 THEN k_used
+          |              ELSE 63 * 72057594037927936 // kth_min END AS est
+          |  FROM est),
+          |ex AS (
+          |  SELECT o_orderstatus AS grp,
+          |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+          |  FROM orders GROUP BY 1
+          |  UNION ALL
+          |  SELECT '__ALL__', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+          |SELECT e2.grp, ex.n_exact, e2.k_used, e2.kth_min, e2.est,
+          |       CASE WHEN e2.est >= ex.n_exact
+          |         THEN (e2.est - ex.n_exact) * 1000000 // ex.n_exact
+          |         ELSE -((ex.n_exact - e2.est) * 1000000 // ex.n_exact) END AS err_ppm
+          |FROM e2 JOIN ex ON e2.grp = ex.grp
+          |ORDER BY e2.grp""".stripMargin
     )
   }
 }
