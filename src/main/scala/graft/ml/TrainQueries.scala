@@ -166,6 +166,121 @@ object TrainQueries {
           max("v1_milli").as("v1_milli"),
           sum(col("res") * col("res")).as("sse_milli2"))
         .orderBy("item")
+    },
+
+    // NS: multinomial Naive Bayes over document tokens (class = lang,
+    // Laplace +1) — the count-based text classifier whose training IS one
+    // combinable aggregate (the reason NB was the first MapReduce-scale
+    // learner). md5 parity splits train/test; the model is the vocab x
+    // |langs| count frame; each log-likelihood ln((c+1)/(T_l+V)) and the
+    // prior ln(D_l/D) round to MICRO-NAT BIGINTs (the LM-scoring
+    // discipline of q_unigram_logprob), so per-doc scores are exact
+    // integer sums. Scoring joins the token stream to the 5-row lang
+    // frame (linear x5) and left-joins the model — OOV terms coalesce to
+    // the per-lang Laplace floor. Argmax per doc is the packed-key max:
+    // scores shift non-negative by 8e9 micro-nats (a doc has <= ~250
+    // tokens and each term's |ln| stays under 20 nats through a 100x
+    // corpus, so scores floor above -5e9; shifted*8 + 7 <= 6.5e10, far
+    // inside BIGINT), pack = shifted*8 + (7-idx) so a tie picks the
+    // lexicographically smallest lang. Output: the (true lang,
+    // predicted lang) confusion census of the test half.
+    "q_naive_bayes" -> { (s, dir) =>
+      // fixture lang codes, lexically indexed (documented fixture
+      // assumption, same class as the hardcoded event_type domains)
+      val langIdx = "CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 " +
+        "WHEN 'fr' THEN 3 WHEN 'zh' THEN 4 END"
+      val docs = Tables.documents(s, dir)
+        .withColumn("is_train",
+          pmod(graft.text.TextQueries.h32(concat(lit("nb:"), col("doc_id"))), lit(2L)))
+      val trainTok = docs.filter(col("is_train") === 1)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val model = trainTok.groupBy("lang", "term").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds totals, vocab and the scoring join
+      val langTotals = model.groupBy("lang").agg(sum("c").as("t_l"))
+      val vocab = model.select("term").distinct().agg(count(lit(1)).as("v"))
+      val priors = docs.filter(col("is_train") === 1)
+        .groupBy("lang").agg(count(lit(1)).as("d_l"))
+      val dTot = priors.agg(sum("d_l").as("d"))
+      val langFrame = broadcast(langTotals.join(priors, "lang")
+        .crossJoin(broadcast(vocab)).crossJoin(broadcast(dTot))
+        .select(col("lang").as("cand"), col("t_l"), col("v"),
+          expr("CAST(round(ln(CAST(d_l AS DOUBLE) / CAST(d AS DOUBLE)) * 1000000) AS BIGINT)")
+            .as("prior_mn"),
+          expr("CAST(round(ln(1.0 / CAST(t_l + v AS DOUBLE)) * 1000000) AS BIGINT)")
+            .as("oov_mn")))
+      val testTok = docs.filter(col("is_train") === 0)
+        .select(col("doc_id"), col("lang").as("true_lang"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val scored = testTok.crossJoin(langFrame)
+        .join(model.select(col("lang").as("cand"), col("term"),
+          col("c")), Seq("cand", "term"), "left_outer")
+        .withColumn("ll_mn",
+          when(col("c").isNotNull,
+            expr("CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(t_l + v AS DOUBLE)) * 1000000) AS BIGINT)"))
+            .otherwise(col("oov_mn")))
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg((max("prior_mn") + sum("ll_mn")).as("score_mn"))
+      val pred = scored
+        .withColumn("idx", expr(langIdx.replace("lang", "cand")))
+        .groupBy("doc_id", "true_lang")
+        .agg(max((col("score_mn") + lit(8000000000L)) * 8 + (lit(7) - col("idx")))
+          .as("packed"))
+        .withColumn("pred_idx", lit(7) - pmod(col("packed"), lit(8L)))
+        .withColumn("pred_lang",
+          expr("CASE pred_idx WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' " +
+            "WHEN 3 THEN 'fr' WHEN 4 THEN 'zh' END"))
+      pred.groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")
+    },
+
+    // NS: two-feature OLS via the normal equations — the closed-form
+    // regression a distributed trainer actually runs (one pass for the
+    // exact sufficient statistics, Cramer's rule on the 3x3 system at the
+    // driver — nothing iterative, nothing row-scale after the aggregate).
+    // x1 = quantity units, x2 = discount cents, y = price in WHOLE
+    // dollars (cents would put Σy² at 6e19 — past BIGINT — by sf0.1;
+    // dollars cap it at 6e16 through 10x stress): every Σ is EXACT
+    // BIGINT; the determinants are
+    // fixed IEEE trees over those exact integers (products ~1e47 exceed
+    // BIGINT by design — double is the right register; the 6dp rounding
+    // is shared by both engines). R² from the same sums. The first normal
+    // equation (n·b0 + b1·Σx1 + b2·Σx2 = Σy) is the spec's exactness pin.
+    "q_ols_normal" -> { (s, dir) =>
+      val sums = Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("x1"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("x2"),
+          expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"),
+          sum(col("y") * col("y")).as("syy"))
+      def d(c: String) = col(c).cast("double")
+      // 3x3 Cramer determinants, expanded along the first row
+      val det = d("n") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+        d("s1") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+        d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+      val det0 = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+        d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y")) +
+        d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+      val det1 = d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
+        d("sy") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+        d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+      val det2 = d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
+        d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+        d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+      val b0 = det0 / det; val b1 = det1 / det; val b2 = det2 / det
+      val sse = d("syy") - b0 * d("sy") - b1 * d("s1y") - b2 * d("s2y")
+      val sst = d("syy") - d("sy") * d("sy") / d("n")
+      sums.select(col("n"),
+        round(b0, 6).as("b0_dollars"), round(b1, 6).as("b1_dollars_per_unit"),
+        round(b2, 6).as("b2_dollars_per_disc"),
+        round(lit(1.0) - sse / sst, 6).as("r2"))
     }
   )
 
@@ -248,6 +363,100 @@ object TrainQueries {
         |                * (ru.r_milli - ru.u_milli * v1.v1_milli // 1000)) AS BIGINT) AS sse_milli2
         |FROM ru JOIN v1 USING (item)
         |GROUP BY ru.item
-        |ORDER BY ru.item""".stripMargin
+        |ORDER BY ru.item""".stripMargin,
+    // identical md5 split, micro-nat rounding and packed argmax
+    "q_naive_bayes" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, text,
+        |         ('0x' || substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS is_train
+        |  FROM documents),
+        |ttok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term
+        |  FROM docs WHERE is_train = 1),
+        |model AS (
+        |  SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM ttok WHERE len(term) > 0 GROUP BY 1, 2),
+        |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t_l FROM model GROUP BY 1),
+        |vc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM model),
+        |pr AS (SELECT lang, CAST(count(*) AS BIGINT) AS d_l
+        |       FROM docs WHERE is_train = 1 GROUP BY 1),
+        |dt AS (SELECT CAST(sum(d_l) AS BIGINT) AS d FROM pr),
+        |lf AS (
+        |  SELECT lt.lang AS cand, t_l, v,
+        |         CAST(round(ln(CAST(d_l AS DOUBLE) / CAST(d AS DOUBLE)) * 1000000) AS BIGINT) AS prior_mn,
+        |         CAST(round(ln(1.0 / CAST(t_l + v AS DOUBLE)) * 1000000) AS BIGINT) AS oov_mn
+        |  FROM lt JOIN pr ON lt.lang = pr.lang CROSS JOIN vc CROSS JOIN dt),
+        |tt AS (
+        |  SELECT doc_id, true_lang, term FROM (
+        |    SELECT doc_id, lang AS true_lang,
+        |           unnest(string_split(text, ' ')) AS term
+        |    FROM docs WHERE is_train = 0)
+        |  WHERE len(term) > 0),
+        |sc AS (
+        |  SELECT tt.doc_id, tt.true_lang, lf.cand,
+        |         max(lf.prior_mn) + CAST(sum(CASE WHEN m.c IS NOT NULL
+        |           THEN CAST(round(ln(CAST(m.c + 1 AS DOUBLE)
+        |                / CAST(lf.t_l + lf.v AS DOUBLE)) * 1000000) AS BIGINT)
+        |           ELSE lf.oov_mn END) AS BIGINT) AS score_mn
+        |  FROM tt CROSS JOIN lf
+        |  LEFT JOIN model m ON m.lang = lf.cand AND m.term = tt.term
+        |  GROUP BY 1, 2, 3),
+        |pk AS (
+        |  SELECT doc_id, true_lang,
+        |         max((score_mn + 8000000000) * 8 + (7 - CASE cand
+        |           WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+        |           WHEN 'fr' THEN 3 WHEN 'zh' THEN 4 END)) AS packed
+        |  FROM sc GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT true_lang,
+        |         CASE 7 - (packed % 8) WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+        |           WHEN 2 THEN 'es' WHEN 3 THEN 'fr' WHEN 4 THEN 'zh' END AS pred_lang
+        |  FROM pk)
+        |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same exact sums; the Cramer expansion keeps the identical IEEE
+    // association order (left-assoc a - b + c; paired products)
+    "q_ols_normal" -> {
+      def D(c: String) = s"CAST($c AS DOUBLE)"
+      val det =
+        s"""${D("n")} * (${D("s11")} * ${D("s22")} - ${D("s12")} * ${D("s12")})
+           | - ${D("s1")} * (${D("s1")} * ${D("s22")} - ${D("s12")} * ${D("s2")})
+           | + ${D("s2")} * (${D("s1")} * ${D("s12")} - ${D("s11")} * ${D("s2")})""".stripMargin
+      val det0 =
+        s"""${D("sy")} * (${D("s11")} * ${D("s22")} - ${D("s12")} * ${D("s12")})
+           | - ${D("s1")} * (${D("s1y")} * ${D("s22")} - ${D("s12")} * ${D("s2y")})
+           | + ${D("s2")} * (${D("s1y")} * ${D("s12")} - ${D("s11")} * ${D("s2y")})""".stripMargin
+      val det1 =
+        s"""${D("n")} * (${D("s1y")} * ${D("s22")} - ${D("s12")} * ${D("s2y")})
+           | - ${D("sy")} * (${D("s1")} * ${D("s22")} - ${D("s12")} * ${D("s2")})
+           | + ${D("s2")} * (${D("s1")} * ${D("s2y")} - ${D("s1y")} * ${D("s2")})""".stripMargin
+      val det2 =
+        s"""${D("n")} * (${D("s11")} * ${D("s2y")} - ${D("s1y")} * ${D("s12")})
+           | - ${D("s1")} * (${D("s1")} * ${D("s2y")} - ${D("s1y")} * ${D("s2")})
+           | + ${D("sy")} * (${D("s1")} * ${D("s12")} - ${D("s11")} * ${D("s2")})""".stripMargin
+      s"""WITH s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x1*x2) AS BIGINT) AS s12,
+         |         CAST(sum(x2*x2) AS BIGINT) AS s22, CAST(sum(x1*y) AS BIGINT) AS s1y,
+         |         CAST(sum(x2*y) AS BIGINT) AS s2y, CAST(sum(y*y) AS BIGINT) AS syy
+         |  FROM (SELECT CAST(l_quantity AS BIGINT) AS x1,
+         |               CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         |               CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem)),
+         |b AS (
+         |  SELECT n, sy, s1y, s2y, syy,
+         |         ($det0) / ($det) AS b0,
+         |         ($det1) / ($det) AS b1,
+         |         ($det2) / ($det) AS b2
+         |  FROM s)
+         |SELECT n, round(b0, 6) AS b0_dollars, round(b1, 6) AS b1_dollars_per_unit,
+         |       round(b2, 6) AS b2_dollars_per_disc,
+         |       round(1.0 - (CAST(syy AS DOUBLE) - b0 * CAST(sy AS DOUBLE)
+         |                    - b1 * CAST(s1y AS DOUBLE) - b2 * CAST(s2y AS DOUBLE))
+         |                 / (CAST(syy AS DOUBLE)
+         |                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS r2
+         |FROM b""".stripMargin
+    }
   )
 }

@@ -95,4 +95,47 @@ class TrainPrimSpec extends AnyFunSuite {
     assert(m1 == e1.length.toLong)
     assert(n1 == e1.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
   }
+
+  test("q_naive_bayes: confusion mass = test docs with tokens; labels in domain") {
+    val rows = run("q_naive_bayes")
+    val langs = Set("de", "en", "es", "fr", "zh")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(langs.contains(r.getAs[String]("true_lang")))
+      assert(langs.contains(r.getAs[String]("pred_lang")))
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // every test-half doc with at least one nonempty token is classified
+    // exactly once
+    val expected = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .selectExpr("doc_id", "text",
+        "CAST(conv(substring(md5(concat('nb:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 AS t")
+      .collect()
+      .count(r => r.getAs[Long]("t") == 0 &&
+        r.getAs[String]("text").split(" ").exists(_.nonEmpty))
+    assert(rows.map(_.getAs[Long]("n")).sum == expected.toLong)
+  }
+
+  test("q_ols_normal: first normal equation holds; fit is sane") {
+    val row = run("q_ols_normal").head
+    val s = graft.core.Tables.lineitem(spark, TestSpark.Sf0001)
+      .selectExpr("CAST(l_quantity AS BIGINT) AS x1",
+        "CAST(round(l_discount * 100) AS BIGINT) AS x2",
+        "CAST(round(l_extendedprice) AS BIGINT) AS y")
+      .selectExpr("count(*) AS n", "sum(x1) AS s1", "sum(x2) AS s2", "sum(y) AS sy")
+      .collect().head
+    val (n, s1, s2, sy) = (s.getAs[Long]("n"), s.getAs[Long]("s1"),
+      s.getAs[Long]("s2"), s.getAs[Long]("sy"))
+    val b0 = row.getAs[Double]("b0_dollars")
+    val b1 = row.getAs[Double]("b1_dollars_per_unit")
+    val b2 = row.getAs[Double]("b2_dollars_per_disc")
+    // n·b0 + b1·Σx1 + b2·Σx2 = Σy — the defining property of the OLS
+    // solution (gradient of SSE w.r.t. the intercept is zero)
+    val lhs = n * b0 + b1 * s1 + b2 * s2
+    assert(math.abs(lhs - sy) / sy.toDouble < 1e-5, s"normal eq: $lhs vs $sy")
+    // no sign pin on b1/b2: the synthetic fixture draws price independent
+    // of quantity, so the slope is a small data artifact either way
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
 }
