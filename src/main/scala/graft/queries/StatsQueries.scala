@@ -774,6 +774,66 @@ object StatsQueries {
             .when(col("cross_dir") === -1, "accept_h0")
             .otherwise("continue").as("decision"))
         .orderBy("variant")
+    },
+
+    // NS: sample-ratio-mismatch check — the guardrail every experiment
+    // platform runs BEFORE reading any metric (a biased assignment
+    // invalidates the whole test): per segment, distinct USERS (the
+    // randomization unit, not events) per md5-assigned variant, and the
+    // 2-cell chi² against the expected 50/50 — which collapses to
+    // (n0−n1)²/(n0+n1), an EXACT integer cross-multiplication in ppm
+    // (no IEEE anywhere); alarm at the 3.841 df=1 95% critical value.
+    // One (segment, user) dedup aggregate + a segment-bounded fold.
+    "q_srm_check" -> { (s, dir) =>
+      val users = Tables.events(s, dir)
+        .select(col("event_type").as("segment"), col("user_id")).distinct()
+        .unionByName(Tables.events(s, dir)
+          .select(lit("__ALL__").as("segment"), col("user_id")).distinct())
+        .withColumn("variant",
+          pmod(graft.text.TextQueries.h32(concat(lit("srm:"), col("user_id"))), lit(2L)))
+      users.groupBy("segment")
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
+        .select(col("segment"), col("n0"), col("n1"),
+          expr("(n0 - n1) * (n0 - n1) * 1000000 DIV (n0 + n1)").as("chi2_ppm"))
+        .withColumn("srm_alarm", (col("chi2_ppm") > 3841459L).cast("long"))
+        .orderBy("segment")
+    },
+
+    // NS: Theil–Sen robust slope of the daily revenue trend — the
+    // outlier-proof alternative to q_linear_fit's OLS (breakdown point
+    // 29% vs 0%): the stream collapses to the CALENDAR-bounded daily
+    // frame first, pairwise slopes form on that ≤days² frame (bounded by
+    // the time span, never by rows — the market-basket blowup argument),
+    // each slope an exact integer in milli-units/day via the plain signed
+    // truncating division (DuckDB's BIGINT // truncates toward zero like
+    // Spark's DIV — measured; flooring applies to DOUBLE operands only);
+    // the median slope reads off the k/2 grid. OLS beside as self-eval.
+    "q_theil_sen" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)").as("y"))
+        .withColumn("d", datediff(col("day"), lit("1970-01-01")).cast("long"))
+        .localCheckpoint() // bounded frame; feeds both sides of the pair join
+      val slopes = daily.select(col("d").as("di"), col("y").as("yi"))
+        .join(daily.select(col("d").as("dj"), col("y").as("yj")), col("di") < col("dj"))
+        .select(expr("(yj - yi) * 1000 DIV (dj - di)").as("slope_milli"))
+      val sen = slopes.agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(floor(percentile(slope_milli, 0.5)) AS BIGINT)").as("sen_slope_milli"))
+      // OLS slope from EXACT BIGINT sufficient stats, not regr_slope —
+      // the engines' streaming covariance accumulators disagreed by one
+      // ulp at the stress scale; a fixed IEEE tree over exact integers
+      // cannot (Σd·y ≤ 1e17 over the ≤60-day calendar frame)
+      val ols = daily
+        .agg(count(lit(1)).as("n"), sum("d").as("sd"), sum("y").as("sy"),
+          sum(col("d") * col("d")).as("sdd"), sum(col("d") * col("y")).as("sdy"))
+        .select(col("n").as("n_days"),
+          round((col("n").cast("double") * col("sdy").cast("double") -
+            col("sd").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sdd").cast("double") -
+              col("sd").cast("double") * col("sd").cast("double")), 6).as("ols_slope"))
+      ols.crossJoin(broadcast(sen))
+        .select(col("n_days"), col("n_pairs"), col("sen_slope_milli"), col("ols_slope"))
     }
   )
 
@@ -1212,6 +1272,48 @@ object StatsQueries {
         |            WHEN cd.cross_dir = -1 THEN 'accept_h0'
         |            ELSE 'continue' END AS decision
         |FROM tot t LEFT JOIN cd ON t.variant = cd.variant
-        |ORDER BY t.variant""".stripMargin
+        |ORDER BY t.variant""".stripMargin,
+    // identical md5 assignment; the chi2 is pure integer on both engines
+    "q_srm_check" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type AS segment, user_id FROM events
+        |  UNION ALL
+        |  SELECT DISTINCT '__ALL__', user_id FROM events),
+        |v AS (SELECT segment,
+        |             ('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS variant
+        |      FROM u),
+        |c AS (SELECT segment,
+        |             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |      FROM v GROUP BY segment)
+        |SELECT segment, n0, n1,
+        |       (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS chi2_ppm,
+        |       CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 3841459 AS BIGINT) AS srm_alarm
+        |FROM c ORDER BY segment""".stripMargin,
+    // same bounded pair frame; // floors natively so no shift is needed
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS y,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events GROUP BY 1, 3),
+        |sl AS (
+        |  SELECT (b.y - a.y) * 1000 // (b.d - a.d) AS slope_milli
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |sen AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |               CAST(floor(quantile_cont(slope_milli, 0.5)) AS BIGINT) AS sen_slope_milli
+        |        FROM sl),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS sd,
+        |              CAST(sum(y) AS BIGINT) AS sy, CAST(sum(d*d) AS BIGINT) AS sdd,
+        |              CAST(sum(d*y) AS BIGINT) AS sdy
+        |       FROM daily),
+        |ols AS (SELECT n AS n_days,
+        |               round((CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE)
+        |                      - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                   / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+        |                      - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)), 6) AS ols_slope
+        |        FROM st)
+        |SELECT n_days, n_pairs, sen_slope_milli, ols_slope
+        |FROM ols CROSS JOIN sen""".stripMargin
   )
 }

@@ -606,6 +606,68 @@ object TimeSeriesQueries {
           expr("CASE WHEN fold.n > 1 THEN fold.sae * 1000 DIV (fold.n - 1) " +
             "ELSE CAST(0 AS BIGINT) END").as("mae_milli"))
         .orderBy("event_type")
+    },
+
+    // NS: Holt linear-trend smoothing (alpha = beta = 1/2) — q_ses's
+    // trending sibling, EXACT in integers: the dyadic parameters make
+    // both recursions single halvings, and because the TREND can go
+    // negative the halving must have ONE cross-engine signed semantics —
+    // measured this round: DuckDB's // on BIGINT operands truncates
+    // toward zero exactly like Spark's DIV ((-3)//2 = -1 on both; the
+    // flooring behavior earlier rounds recorded applies to DOUBLE
+    // operands only), so the signed halving is the PLAIN truncating DIV
+    // on both engines. Same dataflow as q_ses_forecast: calendar-bounded
+    // per-type daily series, the sequential fold INSIDE the row as an
+    // aggregate HOF (init l=x_1, b=0), one-step-ahead SAE beside it; the
+    // oracle replays the identical recursion as a recursive CTE.
+    "q_holt_forecast" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      // signed truncating halving — identical on both engines (see above)
+      def fhalf(v: String) = s"($v) DIV 2"
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("series"))
+        .withColumn("fold", expr(
+          s"""aggregate(series,
+            |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+            |               'sae', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT)),
+            |  (acc, e) -> CASE WHEN acc.n = 0 THEN named_struct(
+            |      'l', e.x, 'b', CAST(0 AS BIGINT),
+            |      'sae', CAST(0 AS BIGINT), 'n', CAST(1 AS BIGINT))
+            |    ELSE named_struct(
+            |      'l', ${fhalf("e.x + acc.l + acc.b")},
+            |      'b', ${fhalf(fhalf("e.x + acc.l + acc.b") + " - acc.l + acc.b")},
+            |      'sae', acc.sae + abs(e.x - (acc.l + acc.b)),
+            |      'n', acc.n + 1) END)""".stripMargin))
+        .select(col("event_type"), col("fold.n").as("n_days"),
+          col("fold.l").as("level"), col("fold.b").as("trend"),
+          (col("fold.l") + col("fold.b")).as("forecast_next"),
+          expr("CASE WHEN fold.n > 1 THEN fold.sae * 1000 DIV (fold.n - 1) " +
+            "ELSE CAST(0 AS BIGINT) END").as("mae_milli"))
+        .orderBy("event_type")
+    },
+
+    // NS: Q-Q comparison points — the plotted sibling of q_ks_test (the
+    // roc_points-beside-auc pattern): deciles p10..p90 of the purchase
+    // and click value distributions side by side, in integer milli-units
+    // with type-7 percentiles FLOORED to the integer grid (the
+    // q_gains_table discipline); one percentile-array aggregate per
+    // segment, a 9-row posexplode, signed gaps in exact integers.
+    "q_qq_points" -> { (s, dir) =>
+      val ps = (1 to 9).map(_ / 10.0)
+      def seg(t: String, out: String) = Tables.events(s, dir)
+        .filter(col("event_type") === t)
+        .select(expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+        .agg(expr(s"percentile(v, array(${ps.mkString(", ")}))").as(out))
+      seg("purchase", "qa").crossJoin(seg("click", "qb"))
+        .select(posexplode(expr(
+          "transform(qa, (a, i) -> named_struct('qp', CAST(floor(a) AS BIGINT), " +
+            "'qc', CAST(floor(qb[i]) AS BIGINT)))")).as(Seq("pos", "q")))
+        .select(((col("pos") + 1) * 10).cast("long").as("p_pct"),
+          col("q.qp").as("q_purchase_milli"), col("q.qc").as("q_click_milli"),
+          (col("q.qp") - col("q.qc")).as("gap_milli"))
+        .orderBy("p_pct")
     }
   )
 
@@ -945,6 +1007,47 @@ object TimeSeriesQueries {
         |         FROM f)
         |SELECT event_type, CAST(i AS BIGINT) AS n_days, s AS level, sae,
         |       CASE WHEN i > 1 THEN sae * 1000 // (i - 1) ELSE CAST(0 AS BIGINT) END AS mae_milli
-        |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin
+        |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // identical signed truncating halving (BIGINT // truncates like DIV)
+    "q_holt_forecast" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |          FROM events GROUP BY 1, 2),
+        |rd AS (SELECT event_type, x,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |       FROM daily),
+        |f(event_type, i, l, b, sae) AS (
+        |  SELECT event_type, i, x, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM rd WHERE i = 1
+        |  UNION ALL
+        |  SELECT rd.event_type, rd.i,
+        |         (rd.x + f.l + f.b) // 2,
+        |         ((rd.x + f.l + f.b) // 2 - f.l + f.b) // 2,
+        |         f.sae + abs(rd.x - (f.l + f.b))
+        |  FROM f JOIN rd ON rd.event_type = f.event_type AND rd.i = f.i + 1),
+        |last AS (SELECT event_type, i, l, b, sae,
+        |                row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rk
+        |         FROM f)
+        |SELECT event_type, CAST(i AS BIGINT) AS n_days, l AS level, b AS trend,
+        |       l + b AS forecast_next,
+        |       CASE WHEN i > 1 THEN sae * 1000 // (i - 1) ELSE CAST(0 AS BIGINT) END AS mae_milli
+        |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // same type-7 percentile list, floored to the integer grid
+    "q_qq_points" ->
+      """WITH qa AS (
+        |  SELECT quantile_cont(CAST(round(value * 1000) AS BIGINT),
+        |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |  FROM events WHERE event_type = 'purchase'),
+        |qb AS (
+        |  SELECT quantile_cont(CAST(round(value * 1000) AS BIGINT),
+        |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |  FROM events WHERE event_type = 'click'),
+        |x AS (SELECT unnest(range(1, 10)) AS i FROM (SELECT 1))
+        |SELECT CAST(i * 10 AS BIGINT) AS p_pct,
+        |       CAST(floor(qa.q[i]) AS BIGINT) AS q_purchase_milli,
+        |       CAST(floor(qb.q[i]) AS BIGINT) AS q_click_milli,
+        |       CAST(floor(qa.q[i]) AS BIGINT) - CAST(floor(qb.q[i]) AS BIGINT) AS gap_milli
+        |FROM x CROSS JOIN qa CROSS JOIN qb
+        |ORDER BY p_pct""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkEntry, TestSpark}
@@ -70,5 +71,40 @@ class ExperimentOpsSpec extends AnyFunSuite {
       assert((fcb == -1L) == (dec == "continue"), s"fcb=$fcb dec=$dec")
       assert(Set("accept_h1", "accept_h0", "continue").contains(dec))
     }
+  }
+
+  test("q_srm_check: user mass conserved, chi2 identity, alarm rule") {
+    val rows = run("q_srm_check")
+    val all = rows.filter(_.getAs[String]("segment") == "__ALL__")
+    assert(all.length == 1)
+    val users = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .select("user_id").distinct().count()
+    assert(all.head.getAs[Long]("n0") + all.head.getAs[Long]("n1") == users)
+    rows.foreach { r =>
+      val (n0, n1) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"))
+      val chi2 = (n0 - n1) * (n0 - n1) * 1000000L / (n0 + n1)
+      assert(r.getAs[Long]("chi2_ppm") == chi2)
+      assert(r.getAs[Long]("srm_alarm") == (if (chi2 > 3841459L) 1L else 0L))
+    }
+  }
+
+  test("q_theil_sen: median of pairwise slopes recomputes exactly") {
+    val row = run("q_theil_sen").head
+    val daily = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)").as("y"))
+      .selectExpr("CAST(datediff(day, DATE '1970-01-01') AS BIGINT) AS d", "y")
+      .collect().map(r => (r.getAs[Long]("d"), r.getAs[Long]("y"))).sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j)._2 - daily(i)._2) * 1000 / (daily(j)._1 - daily(i)._1)).sorted
+    assert(row.getAs[Long]("n_pairs") == slopes.length.toLong)
+    // type-7 median on the k/2 grid, floored
+    val n = slopes.length
+    val med: Double =
+      if (n % 2 == 1) slopes(n / 2).toDouble
+      else (slopes(n / 2 - 1) + slopes(n / 2)) / 2.0
+    assert(row.getAs[Long]("sen_slope_milli") == math.floor(med).toLong)
+    assert(row.getAs[Long]("n_days") == daily.length.toLong)
   }
 }

@@ -68,4 +68,42 @@ class SeriesOpsSpec extends AnyFunSuite {
       .distinct().count()
     assert(obsCount == direct)
   }
+
+  test("q_holt_forecast: driver-side exact replay of the integer recursion") {
+    val rows = run("q_holt_forecast")
+    val daily = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy("event_type", "day").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = daily(t).sortBy(_.getAs[java.sql.Date]("day").toString)
+        .map(_.getAs[Long]("x"))
+      var l = xs.head; var b = 0L; var sae = 0L
+      xs.tail.foreach { x =>
+        sae += math.abs(x - (l + b))
+        val l2 = (x + l + b) / 2 // JVM / on Long truncates toward zero, like DIV
+        b = (l2 - l + b) / 2
+        l = l2
+      }
+      assert(r.getAs[Long]("level") == l, s"$t level")
+      assert(r.getAs[Long]("trend") == b, s"$t trend")
+      assert(r.getAs[Long]("forecast_next") == l + b)
+      assert(r.getAs[Long]("n_days") == xs.length.toLong)
+      if (xs.length > 1) assert(r.getAs[Long]("mae_milli") == sae * 1000 / (xs.length - 1))
+    }
+  }
+
+  test("q_qq_points: nine probes, quantiles monotone in p on both sides") {
+    val rows = run("q_qq_points").sortBy(_.getAs[Long]("p_pct"))
+    assert(rows.map(_.getAs[Long]("p_pct")).toSeq == (1 to 9).map(_ * 10L))
+    def mono(c: String) = {
+      val v = rows.map(_.getAs[Long](c))
+      v.zip(v.tail).forall { case (a, b) => a <= b }
+    }
+    assert(mono("q_purchase_milli") && mono("q_click_milli"))
+    rows.foreach(r => assert(r.getAs[Long]("gap_milli") ==
+      r.getAs[Long]("q_purchase_milli") - r.getAs[Long]("q_click_milli")))
+  }
 }
