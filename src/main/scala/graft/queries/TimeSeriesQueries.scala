@@ -668,6 +668,25 @@ object TimeSeriesQueries {
           col("q.qp").as("q_purchase_milli"), col("q.qc").as("q_click_milli"),
           (col("q.qp") - col("q.qc")).as("gap_milli"))
         .orderBy("p_pct")
+    },
+
+    // NS: per-source freshness SLA census — the data-ops monitor every
+    // warehouse runs ("is this feed still flowing?"): per event type, the
+    // lag of its LAST event behind the globally freshest event, in exact
+    // integer minutes (epoch-micros DIV — no timestamp formatting crosses
+    // the engines), and the ≤120-min SLA verdict. One combinable max/count
+    // aggregate per type + a broadcast global max: the cost is a scan.
+    "q_freshness" -> { (s, dir) =>
+      val perType = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      val globalMax = perType.agg(max("last_us").as("g_us"))
+      perType.crossJoin(broadcast(globalMax))
+        .select(col("event_type"), col("n_events"),
+          expr("(g_us - last_us) DIV 60000000").as("lag_min"))
+        .withColumn("is_fresh", (col("lag_min") <= 120L).cast("long"))
+        .orderBy("event_type")
     }
   )
 
@@ -1048,6 +1067,17 @@ object TimeSeriesQueries {
         |       CAST(floor(qb.q[i]) AS BIGINT) AS q_click_milli,
         |       CAST(floor(qa.q[i]) AS BIGINT) - CAST(floor(qb.q[i]) AS BIGINT) AS gap_milli
         |FROM x CROSS JOIN qa CROSS JOIN qb
-        |ORDER BY p_pct""".stripMargin
+        |ORDER BY p_pct""".stripMargin,
+    // same epoch-micros integer lag; // = DIV on the non-negative lag
+    "q_freshness" ->
+      """WITH pt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+        |  FROM events GROUP BY event_type),
+        |g AS (SELECT max(last_us) AS g_us FROM pt)
+        |SELECT event_type, n_events,
+        |       (g_us - last_us) // 60000000 AS lag_min,
+        |       CAST((g_us - last_us) // 60000000 <= 120 AS BIGINT) AS is_fresh
+        |FROM pt CROSS JOIN g ORDER BY event_type""".stripMargin
   )
 }

@@ -113,6 +113,51 @@ object EventQueries {
           col("event_type"), col("n"))
         .orderBy("w_start", "rk")
     },
+    // NS: streaming windowed p95 with BOUNDED state — exact streaming
+    // percentiles are the other impossible streaming aggregate beside
+    // COUNT(DISTINCT) (state grows with the value domain; Spark rejects
+    // percentile in streaming mode). The log-octave quantile sketch
+    // (q_histo_quantile_merge's machinery — base-2 octave keyed by the
+    // BINARY-STRING LENGTH of the milli value, 16 sub-buckets, ≤2⁻⁴
+    // relative error by construction) caps per-window state at ~1k
+    // counters regardless of volume, and the bucket counts are exactly
+    // the mergeable aggregate micro-batch state-store merges need.
+    // Registered in the batch-equivalent form (the q_stream_tumbling
+    // convention) with the exact nearest-rank p95 alongside as the
+    // baseline a streaming run cannot afford, and the signed err_ppm.
+    "q_stream_quantile" -> { (s, dir) =>
+      val v = Tables.events(s, dir)
+        .select(window(col("ts"), "1 hour").getField("start").as("w_start"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
+        .localCheckpoint() // feeds the sketch and the exact baseline
+      val hist = v
+        .withColumn("b", length(conv(col("v"), 10, 2)).cast("long"))
+        .withColumn("bucket",
+          expr("b * 16 + (v * 16) DIV shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .groupBy("w_start", "bucket").agg(count(lit(1)).as("n"))
+      val wv = Window.partitionBy("w_start").orderBy("bucket")
+      val tot = hist.groupBy("w_start").agg(sum("n").as("nt"))
+      val est = hist.join(tot, "w_start")
+        .withColumn("cum", sum("n").over(wv))
+        .groupBy("w_start")
+        .agg(max("nt").as("n"),
+          min(when(col("cum") * 100 >= col("nt") * 95, col("bucket"))).as("bk"))
+        .withColumn("est_milli",
+          expr("((bk % 16) * shiftleft(CAST(1 AS BIGINT), CAST(bk DIV 16 AS INT))) DIV 16"))
+      val vc = v.groupBy("w_start", "v").agg(count(lit(1)).as("n"))
+      val vtot = vc.groupBy("w_start").agg(sum("n").as("nt"))
+      val exact = vc.join(vtot, "w_start")
+        .withColumn("cum", sum("n").over(Window.partitionBy("w_start").orderBy("v")))
+        .groupBy("w_start")
+        .agg(min(when(col("cum") * 100 >= col("nt") * 95, col("v"))).as("exact_milli"))
+      est.join(exact, "w_start")
+        .select(col("w_start"), col("n"), col("est_milli"), col("exact_milli"),
+          expr("""CASE WHEN exact_milli >= est_milli
+                 |  THEN (exact_milli - est_milli) * 1000000 DIV exact_milli
+                 |  ELSE -((est_milli - exact_milli) * 1000000 DIV exact_milli) END""".stripMargin)
+            .as("err_ppm"))
+        .orderBy("w_start")
+    },
     // 1-hour window sliding every 15 minutes: each event lands in 4 windows.
     "q_stream_sliding" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -295,6 +340,42 @@ object EventQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical octave bucketing (binary-string-length, no float log) and
+    // nearest-rank exact baseline per hour window
+    "q_stream_quantile" ->
+      """WITH v AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        |         CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events),
+        |hb AS (SELECT w_start, v, CAST(length(bin(v)) AS BIGINT) AS b FROM v),
+        |h AS (SELECT w_start,
+        |             b * 16 + (v * 16) // (CAST(1 AS BIGINT) << CAST(b AS INT)) AS bucket,
+        |             count(*) AS n
+        |      FROM hb GROUP BY 1, 2),
+        |t AS (SELECT w_start, CAST(sum(n) AS BIGINT) AS nt FROM h GROUP BY 1),
+        |c AS (SELECT h.w_start, h.bucket, h.n, t.nt,
+        |             CAST(sum(h.n) OVER (PARTITION BY h.w_start ORDER BY h.bucket) AS BIGINT) AS cum
+        |      FROM h JOIN t USING (w_start)),
+        |e AS (SELECT w_start, CAST(max(nt) AS BIGINT) AS n,
+        |             CAST(min(CASE WHEN cum * 100 >= nt * 95 THEN bucket END) AS BIGINT) AS bk
+        |      FROM c GROUP BY w_start),
+        |est AS (SELECT w_start, n,
+        |               ((bk % 16) * (CAST(1 AS BIGINT) << CAST(bk // 16 AS INT))) // 16 AS est_milli
+        |        FROM e),
+        |vc AS (SELECT w_start, v, count(*) AS n FROM v GROUP BY 1, 2),
+        |vt AS (SELECT w_start, CAST(sum(n) AS BIGINT) AS nt FROM vc GROUP BY 1),
+        |ec AS (SELECT vc.w_start, vc.v, vt.nt,
+        |              CAST(sum(vc.n) OVER (PARTITION BY vc.w_start ORDER BY vc.v) AS BIGINT) AS cum
+        |       FROM vc JOIN vt USING (w_start)),
+        |ex AS (SELECT w_start,
+        |              CAST(min(CASE WHEN cum * 100 >= nt * 95 THEN v END) AS BIGINT) AS exact_milli
+        |       FROM ec GROUP BY w_start)
+        |SELECT est.w_start, est.n, est.est_milli, ex.exact_milli,
+        |       CASE WHEN ex.exact_milli >= est.est_milli
+        |         THEN (ex.exact_milli - est.est_milli) * 1000000 // ex.exact_milli
+        |         ELSE -((est.est_milli - ex.exact_milli) * 1000000 // ex.exact_milli) END AS err_ppm
+        |FROM est JOIN ex USING (w_start)
+        |ORDER BY est.w_start""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
         |       count(*) AS n, round(sum(value), 6) AS sum_value

@@ -391,6 +391,41 @@ object GraphQueries {
           round(col("num").cast("double") /
             (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6)
             .as("q_mod"))
+    },
+
+    // NS: degree assortativity (Newman's r) of the near-dup graph — do
+    // high-degree nodes attach to each other (a template blob) or to
+    // leaves (hub-and-spoke boilerplate)? Pearson correlation of endpoint
+    // degrees over the edge list read in BOTH orientations (the standard
+    // undirected convention, which also makes Σx = Σy so only one moment
+    // set is needed). Degrees come from one edge aggregate; the edge list
+    // joins its two endpoint degrees (graph-scale joins, the
+    // q_graph_jaccard shape); the correlation is a fixed IEEE tree over
+    // EXACT BIGINT sufficient stats (deg ≤ nodes, Σxy ≤ m·deg² bounded
+    // through stress), rounded 6dp; a zero-variance (regular) graph pins
+    // r to 0 on both engines.
+    "q_assortativity" -> { (s, dir) =>
+      val e = TextQueries.simhashPairsFor(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint() // feeds the degree agg and the orientation union
+      val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val both = e.select(col("a"), col("b"))
+        .unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        .join(deg.select(col("v").as("a"), col("deg").as("dx")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("dy")), "b")
+      val stats = both.agg(count(lit(1)).as("n"),
+        sum("dx").as("sx"), sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      def d(c: String) = col(c).cast("double")
+      val num = d("n") * d("sxy") - d("sx") * d("sx")
+      val den = d("n") * d("sxx") - d("sx") * d("sx")
+      stats
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+        .select(expr("n DIV 2").as("n_edges"), col("n_nodes"),
+          expr("sx * 1000 DIV n").as("mean_deg_milli"),
+          when(den === 0.0, lit(0.0)).otherwise(round(num / den, 6) + lit(0.0))
+            .as("r_assort"))
     }
   )
 
@@ -619,7 +654,33 @@ object GraphQueries {
            |       (SELECT m FROM m) AS n_edges,
            |       round(CAST(sum(num) AS DOUBLE)
            |             / (4.0 * (SELECT m FROM m) * (SELECT m FROM m)), 6) AS q_mod
-           |FROM t""".stripMargin
+           |FROM t""".stripMargin,
+      // same simhash edge prelude; both orientations, exact-stat Pearson
+      "q_assortativity" ->
+        s"""WITH ${TextQueries.simhashFrameCte},
+           |edges AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |          FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+           |          (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+           |        GROUP BY v),
+           |both_o AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+           |j AS (SELECT da.deg AS dx, db.deg AS dy
+           |      FROM both_o e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dx) AS BIGINT) AS sx,
+           |              CAST(sum(dx*dx) AS BIGINT) AS sxx, CAST(sum(dx*dy) AS BIGINT) AS sxy
+           |       FROM j)
+           |SELECT n // 2 AS n_edges,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           |       sx * 1000 // n AS mean_deg_milli,
+           |       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0.0
+           |            ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           |                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           |                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+           |       END AS r_assort
+           |FROM st""".stripMargin
     )
   }
 }

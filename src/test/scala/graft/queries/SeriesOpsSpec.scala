@@ -95,6 +95,32 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_freshness: the freshest type has lag 0; verdicts follow the SLA rule") {
+    val rows = run("q_freshness")
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("lag_min") == 0L))
+    rows.foreach { r =>
+      val lag = r.getAs[Long]("lag_min")
+      assert(lag >= 0L)
+      assert(r.getAs[Long]("is_fresh") == (if (lag <= 120L) 1L else 0L))
+      assert(r.getAs[Long]("n_events") > 0L)
+    }
+  }
+
+  test("q_stream_quantile: sketch is a lower bound within the octave error band") {
+    val rows = run("q_stream_quantile")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_milli"); val ex = r.getAs[Long]("exact_milli")
+      // the estimate is the containing bucket's LOWER edge: est <= exact,
+      // and a value v >= 8·(bucket width) bounds the relative gap at 2^-3
+      // (sub-bucket index >= 8 within its octave), plus the DIV-16 floor
+      assert(est <= ex, s"est $est > exact $ex")
+      val err = r.getAs[Long]("err_ppm")
+      assert(err >= 0L && err <= 125100L, s"err_ppm $err outside the octave band")
+    }
+  }
+
   test("q_qq_points: nine probes, quantiles monotone in p on both sides") {
     val rows = run("q_qq_points").sortBy(_.getAs[Long]("p_pct"))
     assert(rows.map(_.getAs[Long]("p_pct")).toSeq == (1 to 9).map(_ * 10L))

@@ -63,4 +63,29 @@ class GraphRouteSpec extends AnyFunSuite {
       assert(scores.sliding(2).forall(p => p.head >= p.last), s"$role scores not sorted")
     }
   }
+
+  test("q_assortativity: r in [-1, 1] and recomputes from the exact edge degrees") {
+    val spark = graft.TestSpark.spark
+    val row = graft.SparkEntry.queries("q_assortativity")(spark, graft.TestSpark.Sf0001)
+      .collect().head
+    val e = graft.text.TextQueries.simhashPairsFor(spark, graft.TestSpark.Sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val xy = e.flatMap(p => Seq((deg(p._1), deg(p._2)), (deg(p._2), deg(p._1))))
+    val n = xy.length.toLong
+    val sx = xy.map(_._1).sum
+    val sxx = xy.map(q => q._1 * q._1).sum
+    val sxy = xy.map(q => q._1 * q._2).sum
+    assert(row.getAs[Long]("n_edges") == e.length.toLong)
+    assert(row.getAs[Long]("n_nodes") == deg.size.toLong)
+    val den = n.toDouble * sxx - sx.toDouble * sx
+    val expected =
+      if (den == 0.0) 0.0
+      else BigDecimal(( n.toDouble * sxy - sx.toDouble * sx ) / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = row.getAs[Double]("r_assort")
+    assert(math.abs(r - expected) < 2e-6, s"r=$r expected=$expected")
+    assert(r >= -1.000001 && r <= 1.000001)
+  }
 }
