@@ -256,6 +256,32 @@ object BlobQueries {
       cand.crossJoin(exact)
         .select(col("n_buckets"), col("cand_pairs"), col("exact_pairs"),
           expr("exact_pairs * 1000000 DIV greatest(cand_pairs, 1)").as("precision_ppm"))
+    },
+
+    // NS: payload-integrity audit — the manifest-vs-bytes checksum pass a
+    // media lakehouse runs before training (a corrupted shard silently
+    // poisons a run; the fix is quarantine, not retry). The manifest
+    // digest is md5 of the payload bytes with a DETERMINISTIC ~2% fault
+    // injection (md5 of a tagged copy when h32(doc_id) % 50 == 0 — the
+    // q_forward_fill injected-fault precedent, so both engines plant
+    // identical corruption); the audit recomputes the digest from bytes
+    // and censuses mismatches per source. One narrow map over payloads +
+    // one combinable aggregate — at 100 TB the cost is the read, and the
+    // digest compare shuffles 16-byte strings, never payloads.
+    "q_blob_integrity" -> { (s, dir) =>
+      val d = graft.core.Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          pmod(graft.text.TextQueries.h32(concat(lit("chk:"), col("doc_id"))), lit(50L))
+            .as("h"))
+        .withColumn("manifest_dg",
+          when(col("h") === 0, md5(concat(lit("corrupt:"), col("text"))))
+            .otherwise(md5(col("text"))))
+        .withColumn("computed_dg", md5(col("text")))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_blobs"),
+          sum((col("manifest_dg") =!= col("computed_dg")).cast("long")).as("n_corrupt"))
+        .withColumn("corrupt_ppm", expr("n_corrupt * 1000000 DIV n_blobs"))
+        .orderBy("source")
     }
   )
 
@@ -360,6 +386,21 @@ object BlobQueries {
         |e AS (SELECT CAST(sum(nd * (nd - 1) // 2) AS BIGINT) AS exact_pairs FROM bydg)
         |SELECT n_buckets, cand_pairs, exact_pairs,
         |       CAST(exact_pairs * 1000000 // greatest(cand_pairs, 1) AS BIGINT) AS precision_ppm
-        |FROM c CROSS JOIN e""".stripMargin
+        |FROM c CROSS JOIN e""".stripMargin,
+    // identical md5-over-bytes digests and fault-injection rule
+    "q_blob_integrity" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |         ('0x' || substr(md5('chk:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 50 AS h
+        |  FROM documents),
+        |m AS (SELECT source,
+        |             CASE WHEN h = 0 THEN md5('corrupt:' || text) ELSE md5(text) END AS manifest_dg,
+        |             md5(text) AS computed_dg
+        |      FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_blobs,
+        |       CAST(sum(CASE WHEN manifest_dg <> computed_dg THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |       CAST(sum(CASE WHEN manifest_dg <> computed_dg THEN 1 ELSE 0 END) AS BIGINT)
+        |         * 1000000 // count(*) AS corrupt_ppm
+        |FROM m GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -111,6 +111,37 @@ object SimilarityQueries {
     // NaN), dimensionality constancy (min==max dims or the index build is
     // garbage), and the norm envelope. One narrow per-row norm + K-group
     // agg — a map-side-combined single shuffle at any scale.
+    // NS: embedding-space drift monitor — "is this label's (or source's)
+    // embedding distribution moving away from the corpus?": per-label
+    // centroid vs the global centroid, cosine similarity. Centroids are
+    // per-dim avgs QUANTIZED to BIGINT micro-units (one rounding per
+    // aggregate, the Lloyd/kmeans-centroid risk class), after which every
+    // dot/norm is an EXACT 64-term integer sum (≤6.4e13 — no float-order
+    // wobble can exist) and the cosine is a single IEEE division rounded
+    // 6dp. Dataflow: one posexplode + two bounded (label·d and d) aggs +
+    // a d-sized join — nothing after the first aggregate scales with rows.
+    "q_embed_drift" -> { (s, dir) =>
+      val base = Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+      val byLabel = base.groupBy("label", "pos")
+        .agg(expr("CAST(round(avg(v) * 1000000) AS BIGINT)").as("c"),
+          count(lit(1)).as("n"))
+      val global = broadcast(base.groupBy("pos")
+        .agg(expr("CAST(round(avg(v) * 1000000) AS BIGINT)").as("g")))
+      byLabel.join(global, "pos")
+        .groupBy("label")
+        .agg((max("n")).as("n_vecs"),
+          sum(col("c") * col("g")).as("ab"),
+          sum(col("c") * col("c")).as("aa"),
+          sum(col("g") * col("g")).as("bb"))
+        .select(col("label"), col("n_vecs"),
+          round(col("ab").cast("double") /
+            sqrt(col("aa").cast("double") * col("bb").cast("double")), 6)
+            .as("cos_to_global"))
+        .orderBy("label")
+    },
+
     "q_embed_census" -> { (s, dir) =>
       Tables.embeddings(s, dir)
         .select(col("label").cast("long").as("label"),
@@ -497,6 +528,27 @@ object SimilarityQueries {
            |       CAST(n_vecs * 1000000 // n AS BIGINT) AS share_ppm,
            |       CAST(max_n * k * 100 // n AS BIGINT) AS imbalance_x100
            |FROM cells CROSS JOIN tot ORDER BY cid""".stripMargin,
+      // identical micro-unit centroid quantization + exact integer dots
+      "q_embed_drift" ->
+        """WITH base AS (
+          |  SELECT CAST(label AS BIGINT) AS label, i AS pos,
+          |         CAST(embedding[i] AS DOUBLE) AS v
+          |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+          |bl AS (SELECT label, pos,
+          |              CAST(round(avg(v) * 1000000) AS BIGINT) AS c,
+          |              CAST(count(*) AS BIGINT) AS n
+          |       FROM base GROUP BY 1, 2),
+          |g AS (SELECT pos, CAST(round(avg(v) * 1000000) AS BIGINT) AS g
+          |      FROM base GROUP BY 1),
+          |j AS (SELECT bl.label, CAST(max(bl.n) AS BIGINT) AS n_vecs,
+          |             CAST(sum(bl.c * g.g) AS BIGINT) AS ab,
+          |             CAST(sum(bl.c * bl.c) AS BIGINT) AS aa,
+          |             CAST(sum(g.g * g.g) AS BIGINT) AS bb
+          |      FROM bl JOIN g USING (pos) GROUP BY bl.label)
+          |SELECT label, n_vecs,
+          |       round(CAST(ab AS DOUBLE) / sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE)), 6)
+          |         AS cos_to_global
+          |FROM j ORDER BY label""".stripMargin,
       // same DOUBLE[] cast + dot-product fold the topk oracle validates
       "q_embed_census" ->
         """WITH t AS (SELECT CAST(label AS BIGINT) AS label,

@@ -103,4 +103,41 @@ class SemDedupSpec extends AnyFunSuite {
     assert(mllibSse > 0 && mllibSse <= 1.5 * lloydSse,
       s"MLlib SSE $mllibSse outside the 1.5x Lloyd band (Lloyd SSE $lloydSse)")
   }
+
+  test("q_embed_drift: cosine bounded, and the dominant label tracks the corpus") {
+    val rows = graft.SparkEntry.queries("q_embed_drift")(
+      graft.TestSpark.spark, graft.TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_to_global")
+      assert(c >= -1.000001 && c <= 1.000001, s"cos $c out of range")
+      assert(r.getAs[Long]("n_vecs") > 0)
+    }
+    // vector mass conservation: label counts sum to the corpus
+    val total = graft.core.Tables.embeddings(graft.TestSpark.spark,
+      graft.TestSpark.Sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+  }
+
+  test("q_blob_integrity: corruption census matches the planted fault rule") {
+    val spark = graft.TestSpark.spark
+    val rows = graft.SparkEntry.queries("q_blob_integrity")(spark,
+      graft.TestSpark.Sf0001).collect()
+    // the planted rule is h32('chk:'||doc_id) % 50 == 0 — recompute it
+    val expected = graft.core.Tables.documents(spark, graft.TestSpark.Sf0001)
+      .selectExpr("source",
+        "CAST(conv(substring(md5(concat('chk:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 50 AS h")
+      .collect().groupBy(_.getAs[String]("source"))
+      .view.mapValues(v => (v.length.toLong, v.count(_.getAs[Long]("h") == 0L).toLong))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, corrupt) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_blobs") == n)
+      assert(r.getAs[Long]("n_corrupt") == corrupt)
+      assert(r.getAs[Long]("corrupt_ppm") == corrupt * 1000000L / n)
+    }
+    // the ~2% rate is actually planted somewhere in the corpus
+    assert(rows.map(_.getAs[Long]("n_corrupt")).sum > 0)
+  }
 }
