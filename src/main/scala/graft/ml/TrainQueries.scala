@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -168,6 +168,73 @@ object TrainQueries {
         .orderBy("item")
     },
 
+    // NS: depth-2 tree growth — the step q_tree_split is the inner loop
+    // OF: apply the level-1 best split, re-histogram WITHIN each leaf,
+    // and find each leaf's best level-2 split. This is the distributed
+    // tree-build dataflow in miniature: one combinable histogram pass per
+    // DEPTH LEVEL (the passes are inherently sequential — each needs the
+    // previous level's split — which is exactly why GBDT cost scales with
+    // depth x passes at 100 TB), with everything after each aggregate
+    // bounded by cells, not rows. Same exact-BIGINT cumulative-count
+    // chi2 as q_tree_split (products split before the double multiply);
+    // level-1 winner selected by the same (chi2 desc, feature, bin)
+    // total order and broadcast back as a 1-row frame.
+    "q_tree_depth2" -> { (s, dir) =>
+      def base = Tables.lineitem(s, dir)
+        .select((col("l_returnflag") === "R").cast("long").as("pos"),
+          expr(s"CAST(l_quantity AS BIGINT) DIV $QtyBinWidth").as("qty_bin"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_bin"))
+      def chi2Col: Column = round(
+        col("n_tot").cast("double") * col("det").cast("double") * col("det").cast("double") /
+          ((col("n_left") * col("n_right")).cast("double") *
+            (col("pos_tot") * (col("n_tot") - col("pos_tot"))).cast("double")), 6)
+      def scoreCells(cells: DataFrame, part: Seq[String]): DataFrame = {
+        val wCum = Window.partitionBy(part.map(col): _*).orderBy("bin")
+        val wAll = Window.partitionBy(part.map(col): _*)
+        cells
+          .withColumn("n_left", sum("n").over(wCum))
+          .withColumn("pos_left", sum("np").over(wCum))
+          .withColumn("n_tot", sum("n").over(wAll))
+          .withColumn("pos_tot", sum("np").over(wAll))
+          .withColumn("n_right", col("n_tot") - col("n_left"))
+          .withColumn("pos_right", col("pos_tot") - col("pos_left"))
+          .filter(col("n_right") > 0 && col("pos_tot") > 0 && col("pos_tot") < col("n_tot"))
+          .withColumn("det",
+            col("pos_left") * (col("n_right") - col("pos_right")) -
+              (col("n_left") - col("pos_left")) * col("pos_right"))
+          .withColumn("chi2", chi2Col)
+      }
+      def explodeFb(df: DataFrame, extra: Seq[Column]): DataFrame =
+        df.select(extra :+ col("pos") :+ explode(array(
+          struct(lit("qty").as("feature"), col("qty_bin").as("bin")),
+          struct(lit("disc").as("feature"), col("disc_bin").as("bin")))).as("fb"): _*)
+      val l1cells = explodeFb(base, Seq.empty)
+        .groupBy(col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+      val best1 = scoreCells(l1cells, Seq("feature"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("chi2").desc, col("feature"), col("bin"))))
+        .filter(col("rk") === 1)
+        .select(col("feature").as("f1"), col("bin").as("b1"))
+      val leaves = base.crossJoin(broadcast(best1))
+        .withColumn("leaf",
+          when(when(col("f1") === "qty", col("qty_bin")).otherwise(col("disc_bin"))
+            <= col("b1"), "L").otherwise("R"))
+      val l2cells = explodeFb(leaves, Seq(col("leaf"), col("f1"), col("b1")))
+        .groupBy(col("leaf"), col("f1"), col("b1"),
+          col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+      scoreCells(l2cells, Seq("leaf", "feature"))
+        .withColumn("rk", row_number().over(Window.partitionBy("leaf")
+          .orderBy(col("chi2").desc, col("feature"), col("bin"))))
+        .filter(col("rk") === 1)
+        .select(col("leaf"), col("f1").as("l1_feature"), col("b1").as("l1_bin"),
+          col("feature").as("l2_feature"), col("bin").as("l2_bin"),
+          col("n_left"), col("pos_left"), col("n_right"), col("pos_right"),
+          col("chi2"))
+        .orderBy("leaf")
+    },
+
     // NS: multinomial Naive Bayes over document tokens (class = lang,
     // Laplace +1) — the count-based text classifier whose training IS one
     // combinable aggregate (the reason NB was the first MapReduce-scale
@@ -284,7 +351,66 @@ object TrainQueries {
     }
   )
 
+  /** Shared oracle fragment: score split candidates (cumulative counts +
+    * the exact-int chi2 tree) over a cells relation, per `part` keys.
+    */
+  private def scoredCte(cells: String, part: String): String =
+    s"""(SELECT *,
+       |        n_tot - n_left AS n_right, pos_tot - pos_left AS pos_right,
+       |        pos_left * ((n_tot - n_left) - (pos_tot - pos_left))
+       |          - (n_left - pos_left) * (pos_tot - pos_left) AS det
+       | FROM (SELECT *,
+       |              CAST(sum(n)  OVER (PARTITION BY $part ORDER BY bin) AS BIGINT) AS n_left,
+       |              CAST(sum(np) OVER (PARTITION BY $part ORDER BY bin) AS BIGINT) AS pos_left,
+       |              CAST(sum(n)  OVER (PARTITION BY $part) AS BIGINT) AS n_tot,
+       |              CAST(sum(np) OVER (PARTITION BY $part) AS BIGINT) AS pos_tot
+       |       FROM $cells)
+       | WHERE n_tot - n_left > 0 AND pos_tot > 0 AND pos_tot < n_tot)""".stripMargin
+
+  private val chi2Sql: String =
+    """round(CAST(n_tot AS DOUBLE) * CAST(det AS DOUBLE) * CAST(det AS DOUBLE)
+      |      / (CAST(n_left * n_right AS DOUBLE)
+      |         * CAST(pos_tot * (n_tot - pos_tot) AS DOUBLE)), 6)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // identical two-level histogram passes and chi2 trees
+    "q_tree_depth2" ->
+      s"""WITH base AS (
+         |  SELECT CAST(l_returnflag = 'R' AS BIGINT) AS pos,
+         |         CAST(l_quantity AS BIGINT) // $QtyBinWidth AS qty_bin,
+         |         CAST(round(l_discount * 100) AS BIGINT) AS disc_bin
+         |  FROM lineitem),
+         |l1 AS (
+         |  SELECT feature, bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS np
+         |  FROM (SELECT pos, unnest(['qty', 'disc']) AS feature,
+         |               unnest([qty_bin, disc_bin]) AS bin FROM base)
+         |  GROUP BY 1, 2),
+         |s1 AS (SELECT *, $chi2Sql AS chi2 FROM ${scoredCte("l1", "feature")} sc),
+         |b1 AS (
+         |  SELECT feature AS f1, bin AS b1 FROM (
+         |    SELECT feature, bin,
+         |           row_number() OVER (ORDER BY chi2 DESC, feature, bin) AS rk
+         |    FROM s1) WHERE rk = 1),
+         |lv AS (
+         |  SELECT base.pos, base.qty_bin, base.disc_bin, b1.f1, b1.b1,
+         |         CASE WHEN (CASE WHEN b1.f1 = 'qty' THEN base.qty_bin
+         |                         ELSE base.disc_bin END) <= b1.b1
+         |              THEN 'L' ELSE 'R' END AS leaf
+         |  FROM base CROSS JOIN b1),
+         |l2 AS (
+         |  SELECT leaf, f1, b1, feature, bin, count(*) AS n,
+         |         CAST(sum(pos) AS BIGINT) AS np
+         |  FROM (SELECT leaf, f1, b1, pos, unnest(['qty', 'disc']) AS feature,
+         |               unnest([qty_bin, disc_bin]) AS bin FROM lv)
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |s2 AS (SELECT *, $chi2Sql AS chi2
+         |       FROM ${scoredCte("l2", "leaf, feature")} sc)
+         |SELECT leaf, f1 AS l1_feature, b1 AS l1_bin,
+         |       feature AS l2_feature, bin AS l2_bin,
+         |       n_left, pos_left, n_right, pos_right, chi2
+         |FROM (SELECT *, row_number() OVER (PARTITION BY leaf
+         |        ORDER BY chi2 DESC, feature, bin) AS rk FROM s2)
+         |WHERE rk = 1 ORDER BY leaf""".stripMargin,
     "q_tree_split" ->
       s"""WITH cells AS (
          |  SELECT feature, bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS np

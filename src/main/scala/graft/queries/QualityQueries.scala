@@ -501,6 +501,38 @@ object QualityQueries {
     // not six scans; the stack() unpivot runs on the 1-row result. At
     // 100 TB the same shape holds (the Expand is the standard profiler
     // cost); the approx path for wider tables is q_distinct_approx's HLL.
+    // NS: functional-dependency check — q_pk_discovery's relational
+    // sibling ("does A determine B?"): FD A→B holds iff
+    // countDistinct(A) == countDistinct(A, B). All pairs for a table fold
+    // in ONE multi-DISTINCT aggregate (a single Expand, one shuffle per
+    // table, not one scan per pair); the violating-key count (pairs minus
+    // lhs) is the repair workload estimate. Keys here are non-null by
+    // fixture contract (q_data_contract gates that), so the
+    // countDistinct(A, B) null-row drop cannot diverge from the oracle's
+    // row-struct count.
+    "q_fd_check" -> { (s, dir) =>
+      def fdAgg(df: DataFrame, table: String, pairs: Seq[(String, String)]) = {
+        val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+          Seq(countDistinct(col(a)).as(s"da_$i"),
+            countDistinct(col(a), col(b)).as(s"dab_$i"))
+        }
+        val stackArgs = pairs.zipWithIndex
+          .map { case ((a, b), i) => s"'$table', '$a', '$b', da_$i, dab_$i" }
+          .mkString(", ")
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${pairs.length}, $stackArgs) " +
+            "AS (table_name, lhs, rhs, n_lhs, n_pair)"))
+      }
+      val o = fdAgg(Tables.orders(s, dir), "orders",
+        Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderstatus")))
+      val l = fdAgg(Tables.lineitem(s, dir), "lineitem",
+        Seq(("l_orderkey", "l_partkey"), ("l_partkey", "l_suppkey")))
+      o.unionByName(l)
+        .withColumn("n_violating_keys", col("n_pair") - col("n_lhs"))
+        .withColumn("fd_holds", (col("n_pair") === col("n_lhs")).cast("long"))
+        .orderBy("table_name", "lhs", "rhs")
+    },
+
     "q_pk_discovery" -> { (s, dir) =>
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -856,6 +888,30 @@ object QualityQueries {
           |FROM p JOIN norms na ON na.item = p.item_a
           |       JOIN norms nb ON nb.item = p.item_b
           |ORDER BY item_a, item_b""".stripMargin,
+      // one aggregate per table, row-struct distinct pair counts
+      "q_fd_check" ->
+        """WITH o AS (
+          |  SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS da_0,
+          |         CAST(count(DISTINCT (o_orderkey, o_custkey)) AS BIGINT) AS dab_0,
+          |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS da_1,
+          |         CAST(count(DISTINCT (o_custkey, o_orderstatus)) AS BIGINT) AS dab_1
+          |  FROM orders),
+          |l AS (
+          |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS da_0,
+          |         CAST(count(DISTINCT (l_orderkey, l_partkey)) AS BIGINT) AS dab_0,
+          |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS da_1,
+          |         CAST(count(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS dab_1
+          |  FROM lineitem),
+          |u AS (
+          |  SELECT 'orders' AS table_name, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+          |         da_0 AS n_lhs, dab_0 AS n_pair FROM o
+          |  UNION ALL SELECT 'orders', 'o_custkey', 'o_orderstatus', da_1, dab_1 FROM o
+          |  UNION ALL SELECT 'lineitem', 'l_orderkey', 'l_partkey', da_0, dab_0 FROM l
+          |  UNION ALL SELECT 'lineitem', 'l_partkey', 'l_suppkey', da_1, dab_1 FROM l)
+          |SELECT table_name, lhs, rhs, n_lhs, n_pair,
+          |       n_pair - n_lhs AS n_violating_keys,
+          |       CAST(n_pair = n_lhs AS BIGINT) AS fd_holds
+          |FROM u ORDER BY table_name, lhs, rhs""".stripMargin,
       // one aggregate row, unpivoted per column; same verdict rule
       "q_pk_discovery" -> {
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

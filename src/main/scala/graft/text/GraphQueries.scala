@@ -426,6 +426,39 @@ object GraphQueries {
           expr("sx * 1000 DIV n").as("mean_deg_milli"),
           when(den === 0.0, lit(0.0)).otherwise(round(num / den, 6) + lit(0.0))
             .as("r_assort"))
+    },
+
+    // NS: conductance of the source partition — q_graph_modularity's cut
+    // sibling (modularity rewards internal density; conductance measures
+    // the CUT: phi(S) = cut(S) / min(vol(S), 2m − vol(S)), low = a
+    // well-separated community): per community, volume (degree mass) and
+    // cut-edge count from ONE labeled-edge aggregate each, phi a single
+    // IEEE division over exact BIGINTs rounded 6dp. The same
+    // two-id-lookup + bounded-aggregate dataflow as modularity.
+    "q_conductance" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val e = TextQueries.simhashPairsFor(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .join(docs.select(col("doc_id").as("a"), col("source").as("ca")), "a")
+        .join(docs.select(col("doc_id").as("b"), col("source").as("cb")), "b")
+        .localCheckpoint() // feeds m, vol and cut
+      val m = e.agg(count(lit(1)).as("m"))
+      val vol = e.select(col("ca").as("community"))
+        .union(e.select(col("cb").as("community")))
+        .groupBy("community").agg(count(lit(1)).as("vol"))
+      val cut = e.filter(col("ca") =!= col("cb"))
+        .select(explode(array(col("ca"), col("cb"))).as("community"))
+        .groupBy("community").agg(count(lit(1)).as("cut"))
+      vol.join(cut, Seq("community"), "left_outer")
+        .na.fill(0L, Seq("cut"))
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("vol"), col("cut"),
+          when(least(col("vol"), lit(2L) * col("m") - col("vol")) === 0, lit(0.0))
+            .otherwise(round(col("cut").cast("double") /
+              least(col("vol"), lit(2L) * col("m") - col("vol")).cast("double"), 6)
+              + lit(0.0))
+            .as("phi"))
+        .orderBy("community")
     }
   )
 
@@ -680,7 +713,32 @@ object GraphQueries {
            |                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
            |                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
            |       END AS r_assort
-           |FROM st""".stripMargin
+           |FROM st""".stripMargin,
+      // same labeled edge set; vol/cut exact, one IEEE division
+      "q_conductance" ->
+        s"""WITH ${TextQueries.simhashFrameCte},
+           |edges AS (SELECT a.doc_id AS a, b.doc_id AS b
+           |          FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |lab AS (SELECT e.a, e.b, da.source AS ca, db.source AS cb
+           |        FROM edges e
+           |        JOIN documents da ON da.doc_id = e.a
+           |        JOIN documents db ON db.doc_id = e.b),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+           |vol AS (SELECT community, CAST(count(*) AS BIGINT) AS vol FROM
+           |          (SELECT ca AS community FROM lab
+           |           UNION ALL SELECT cb FROM lab)
+           |        GROUP BY 1),
+           |cut AS (SELECT community, CAST(count(*) AS BIGINT) AS cut FROM
+           |          (SELECT unnest([ca, cb]) AS community FROM lab WHERE ca <> cb)
+           |        GROUP BY 1)
+           |SELECT vol.community, vol.vol, coalesce(cut.cut, 0) AS cut,
+           |       CASE WHEN least(vol.vol, 2 * m.m - vol.vol) = 0 THEN 0.0
+           |            ELSE round(CAST(coalesce(cut.cut, 0) AS DOUBLE)
+           |                     / CAST(least(vol.vol, 2 * m.m - vol.vol) AS DOUBLE), 6) + 0.0
+           |       END AS phi
+           |FROM vol LEFT JOIN cut USING (community) CROSS JOIN m
+           |ORDER BY vol.community""".stripMargin
     )
   }
 }

@@ -96,6 +96,24 @@ class TrainPrimSpec extends AnyFunSuite {
     assert(n1 == e1.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
   }
 
+  test("q_tree_depth2: leaves partition mass; level-2 splits respect leaf totals") {
+    val l2 = run("q_tree_depth2")
+    assert(l2.length == 2 && l2.map(_.getAs[String]("leaf")).toSet == Set("L", "R"))
+    // level-1 winner is consistent across both leaf rows
+    assert(l2.map(r => (r.getAs[String]("l1_feature"), r.getAs[Long]("l1_bin")))
+      .distinct.length == 1)
+    // each leaf's level-2 split partitions that leaf's own row mass, and
+    // the two leaves together partition the full dataset
+    val total = l2.map(r => r.getAs[Long]("n_left") + r.getAs[Long]("n_right")).sum
+    val n = graft.core.Tables.lineitem(spark, TestSpark.Sf0001).count()
+    assert(total == n, s"leaf masses $total != $n")
+    l2.foreach { r =>
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      assert(r.getAs[Long]("pos_left") <= r.getAs[Long]("n_left"))
+      assert(r.getAs[Long]("pos_right") <= r.getAs[Long]("n_right"))
+    }
+  }
+
   test("q_naive_bayes: confusion mass = test docs with tokens; labels in domain") {
     val rows = run("q_naive_bayes")
     val langs = Set("de", "en", "es", "fr", "zh")

@@ -61,6 +61,21 @@ class ProfilingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_fd_check: the key FD holds, violating-key arithmetic consistent") {
+    val rows = run("q_fd_check")
+    assert(rows.length == 4)
+    val byFd = rows.map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")) -> r).toMap
+    // a primary key determines every column
+    assert(byFd(("o_orderkey", "o_custkey")).getAs[Long]("fd_holds") == 1L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pair") >= r.getAs[Long]("n_lhs"))
+      assert(r.getAs[Long]("n_violating_keys") ==
+        r.getAs[Long]("n_pair") - r.getAs[Long]("n_lhs"))
+      assert(r.getAs[Long]("fd_holds") ==
+        (if (r.getAs[Long]("n_violating_keys") == 0L) 1L else 0L))
+    }
+  }
+
   test("q_join_discovery: FK pairs flagged, sketch estimate tracks exact Jaccard") {
     val rows = run("q_join_discovery")
     assert(rows.length == 4)

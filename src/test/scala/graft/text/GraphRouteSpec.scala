@@ -64,6 +64,21 @@ class GraphRouteSpec extends AnyFunSuite {
     }
   }
 
+  test("q_conductance: volume conservation and the phi bound") {
+    val spark = graft.TestSpark.spark
+    val rows = graft.SparkEntry.queries("q_conductance")(spark, graft.TestSpark.Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val e = graft.text.TextQueries.simhashPairsFor(spark, graft.TestSpark.Sf0001).count()
+    // Σ vol_c = 2m (every edge contributes its two endpoints' communities)
+    assert(rows.map(_.getAs[Long]("vol")).sum == 2 * e)
+    rows.foreach { r =>
+      val phi = r.getAs[Double]("phi")
+      assert(phi >= 0.0 && phi <= 1.0 + 1e-9, s"phi $phi out of [0,1]")
+      assert(r.getAs[Long]("cut") <= r.getAs[Long]("vol"))
+    }
+  }
+
   test("q_assortativity: r in [-1, 1] and recomputes from the exact edge degrees") {
     val spark = graft.TestSpark.spark
     val row = graft.SparkEntry.queries("q_assortativity")(spark, graft.TestSpark.Sf0001)
