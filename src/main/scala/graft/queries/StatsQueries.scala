@@ -800,6 +800,42 @@ object StatsQueries {
         .orderBy("segment")
     },
 
+    // NS: off-policy replay evaluation (IPS) — "what would the new
+    // policy have earned on the logged traffic?", the counterfactual
+    // read every recommender/bandit team runs before an online test.
+    // The logging policy is uniform over the 5 event types (fixture
+    // construction), so the importance weight is the CONSTANT 5 and the
+    // IPS estimator Σ r·1[π(x)=a]·5 / n is an exact integer
+    // cross-multiplication in milli-units. The candidate policy is a
+    // deterministic hash model (argmax over h32(context, action) — the
+    // q_rendezvous_route packed-key argmax); context = user_id % 16.
+    // One narrow pass + one aggregate; the logged-policy baseline folds
+    // in the same aggregate.
+    "q_policy_replay" -> { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pick = types.zipWithIndex.map { case (t, i) =>
+        s"struct(CAST(conv(substring(md5(concat('pol:', CAST(ctx AS STRING), ':$t')), 1, 8), 16, 10) AS BIGINT) AS h, $i AS i)"
+      }.mkString(", ")
+      val ev = Tables.events(s, dir)
+        .select(pmod(col("user_id"), lit(16L)).as("ctx"),
+          col("event_type").as("action"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("r_milli"))
+        .withColumn("pi_idx",
+          expr(s"CAST(aggregate(array($pick), struct(CAST(-1 AS BIGINT) AS h, -1 AS i), " +
+            "(acc, e) -> CASE WHEN e.h > acc.h THEN e ELSE acc END).i AS BIGINT)"))
+        .withColumn("pi_action",
+          expr(s"element_at(array(${types.map("'" + _ + "'").mkString(", ")}), CAST(pi_idx + 1 AS INT))"))
+      ev.agg(count(lit(1)).as("n"),
+          sum("r_milli").as("logged_value_sum"),
+          sum(when(col("action") === col("pi_action"), col("r_milli")).otherwise(0L))
+            .as("matched_sum"),
+          sum((col("action") === col("pi_action")).cast("long")).as("n_matched"))
+        .select(col("n"),
+          expr("logged_value_sum DIV n").as("logged_value_milli"),
+          expr("matched_sum * 5 DIV n").as("ips_value_milli"),
+          expr("n_matched * 1000000 DIV n").as("match_ppm"))
+    },
+
     // NS: Theil–Sen robust slope of the daily revenue trend — the
     // outlier-proof alternative to q_linear_fit's OLS (breakdown point
     // 29% vs 0%): the stream collapses to the CALENDAR-bounded daily
@@ -1290,6 +1326,29 @@ object StatsQueries {
         |       (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS chi2_ppm,
         |       CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 3841459 AS BIGINT) AS srm_alarm
         |FROM c ORDER BY segment""".stripMargin,
+    // identical hash model and constant importance weight 5
+    "q_policy_replay" ->
+      """WITH ev AS (
+        |  SELECT user_id % 16 AS ctx, event_type AS action,
+        |         CAST(round(value * 1000) AS BIGINT) AS r_milli
+        |  FROM events),
+        |cand AS (
+        |  SELECT DISTINCT ctx FROM ev),
+        |sc AS (
+        |  SELECT c.ctx, t.a,
+        |         ('0x' || substr(md5('pol:' || CAST(c.ctx AS VARCHAR) || ':' || t.a), 1, 8))::BIGINT AS h
+        |  FROM cand c CROSS JOIN (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS a) t),
+        |pi AS (
+        |  SELECT ctx, a AS pi_action FROM (
+        |    SELECT ctx, a, row_number() OVER (PARTITION BY ctx ORDER BY h DESC, a) AS rk
+        |    FROM sc) WHERE rk = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(r_milli) AS BIGINT) // count(*) AS logged_value_milli,
+        |       CAST(sum(CASE WHEN ev.action = pi.pi_action THEN r_milli ELSE 0 END) AS BIGINT)
+        |         * 5 // count(*) AS ips_value_milli,
+        |       CAST(sum(CASE WHEN ev.action = pi.pi_action THEN 1 ELSE 0 END) AS BIGINT)
+        |         * 1000000 // count(*) AS match_ppm
+        |FROM ev JOIN pi USING (ctx)""".stripMargin,
     // same bounded pair frame; // floors natively so no shift is needed
     "q_theil_sen" ->
       """WITH daily AS (

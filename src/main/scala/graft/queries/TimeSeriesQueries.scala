@@ -670,6 +670,34 @@ object TimeSeriesQueries {
         .orderBy("p_pct")
     },
 
+    // NS: gaps-and-islands — the canonical SQL streak analysis ("longest
+    // run of consecutive active days per user"): the (user, day) dedup
+    // collapses events to at most span-many rows per user, then the
+    // island id is the classic day − row_number() constant — consecutive
+    // days share it, a gap breaks it — and per-user streak stats fold
+    // over the island frame. Two bounded windows per user key (the frame
+    // is calendar-bounded after dedup), exact integer day arithmetic.
+    "q_islands" -> { (s, dir) =>
+      val days = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val islands = days
+        .withColumn("grp", col("d") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"),
+          min("d").as("start_d"))
+      islands.groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          max("len").as("longest_streak"),
+          sum("len").as("n_active_days"),
+          // longest streak, ties to the earliest start — the q_peak_detect
+          // packed-struct max (lexicographic struct compare on both engines)
+          max(struct(col("len"), (-col("start_d")).as("nsd"), col("start_d")))
+            .getField("start_d").as("best_start_d"))
+        .orderBy("user_id")
+    },
+
     // NS: per-source freshness SLA census — the data-ops monitor every
     // warehouse runs ("is this feed still flowing?"): per event type, the
     // lag of its LAST event behind the globally freshest event, in exact
@@ -1068,6 +1096,23 @@ object TimeSeriesQueries {
         |       CAST(floor(qa.q[i]) AS BIGINT) - CAST(floor(qb.q[i]) AS BIGINT) AS gap_milli
         |FROM x CROSS JOIN qa CROSS JOIN qb
         |ORDER BY p_pct""".stripMargin,
+    // same day - row_number() island id and packed-struct best pick
+    "q_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |g AS (SELECT user_id, d,
+        |             d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |      FROM days),
+        |isl AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |               CAST(min(d) AS BIGINT) AS start_d
+        |        FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(max(len) AS BIGINT) AS longest_streak,
+        |       CAST(sum(len) AS BIGINT) AS n_active_days,
+        |       (max(struct_pack(len := len, nsd := -start_d, sd := start_d))).sd AS best_start_d
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same epoch-micros integer lag; // = DIV on the non-negative lag
     "q_freshness" ->
       """WITH pt AS (

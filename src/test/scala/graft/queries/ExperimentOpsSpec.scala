@@ -88,6 +88,17 @@ class ExperimentOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_policy_replay: IPS identity — full match would equal 5x the matched mass") {
+    val row = run("q_policy_replay").head
+    val n = row.getAs[Long]("n")
+    assert(n == graft.core.Tables.events(spark, TestSpark.Sf0001).count())
+    val mp = row.getAs[Long]("match_ppm")
+    // a 1-of-5 deterministic policy matches roughly 1/5 of uniform logs
+    assert(mp > 50000L && mp < 400000L, s"match_ppm $mp implausible for 1-of-5")
+    assert(row.getAs[Long]("ips_value_milli") >= 0L)
+    assert(row.getAs[Long]("logged_value_milli") >= 0L)
+  }
+
   test("q_theil_sen: median of pairwise slopes recomputes exactly") {
     val row = run("q_theil_sen").head
     val daily = graft.core.Tables.events(spark, TestSpark.Sf0001)

@@ -95,6 +95,31 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_islands: streak arithmetic recomputes from the raw day sets") {
+    val rows = run("q_islands")
+    assert(rows.nonEmpty)
+    val days = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .selectExpr("user_id", "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) AS d")
+      .distinct().collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(_.getAs[Long]("d")).sorted.toSeq).toMap
+    rows.foreach { r =>
+      val ds = days(r.getAs[Long]("user_id"))
+      // islands = runs of consecutive days
+      val runs = ds.foldLeft(List.empty[(Long, Long)]) { // (start, len)
+        case (acc, d) => acc match {
+          case (s, l) :: tail if s + l == d => (s, l + 1) :: tail
+          case _ => (d, 1L) :: acc
+        }
+      }.reverse
+      assert(r.getAs[Long]("n_islands") == runs.length.toLong)
+      assert(r.getAs[Long]("longest_streak") == runs.map(_._2).max)
+      assert(r.getAs[Long]("n_active_days") == ds.length.toLong)
+      val best = runs.maxBy { case (s, l) => (l, -s) }
+      assert(r.getAs[Long]("best_start_d") == best._1)
+    }
+  }
+
   test("q_freshness: the freshest type has lag 0; verdicts follow the SLA rule") {
     val rows = run("q_freshness")
     assert(rows.nonEmpty)
