@@ -629,4 +629,66 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       s"no window belongs in the census:\n$p")
   }
+
+  test("q_policy_replay: the policy argmax is a narrow map — no join, one agg") {
+    val p = executedPlan("q_policy_replay")
+    assert(!p.contains("Join"), s"the in-row hash argmax must not join:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in the replay:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"the IPS aggregate reaches the shuffle uncombined:\n$p")
+  }
+
+  test("q_srm_check: the chi2 is pure integer — no float cast in the verdict path") {
+    val p = executedPlan("q_srm_check")
+    // one dedup + one census aggregate per branch; no window, no join
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"SRM needs only dedup + census aggregates:\n$p")
+  }
+
+  test("q_sprt: the stream collapses to bucket cells before the cumulative window") {
+    val p = executedPlan("q_sprt")
+    assert(p.contains("partial_count"),
+      s"the (variant, bucket) cells must combine map-side:\n$p")
+    // the window runs over the 1/256-scale cell frame, after the agg —
+    // hashpartitioning(variant, bucket) is the cell shuffle; the window's
+    // own partitioning is variant-only
+    assert(p.contains("Window"), s"cumulative LLR window missing:\n$p")
+  }
+
+  test("q_stupid_backoff: probes broadcast against the count frames") {
+    val p = executedPlan("q_stupid_backoff")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 50-row probe frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a probe lookup fell back to a shuffle join:\n$p")
+  }
+
+  test("q_kmv_sketch: the sketch frame materializes once for estimate AND merge") {
+    val p = executedPlan("q_kmv_sketch")
+    assert(p.contains("Scan ExistingRDD"),
+      s"per-group sketches not checkpointed — the rank window would replay per consumer:\n$p")
+  }
+
+  test("q_tree_depth2: both histogram levels combine map-side before their shuffles") {
+    val p = executedPlan("q_tree_depth2")
+    assert(p.contains("partial_count"),
+      s"histogram cells reach the shuffle uncombined:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row level-1 winner must broadcast back:\n$p")
+  }
+
+  test("q_embed_drift: the global centroid broadcasts onto the label centroids") {
+    val p = executedPlan("q_embed_drift")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d-row global centroid fell back to a shuffle join:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_avg"),
+      s"centroid sums not combined map-side:\n$p")
+  }
+
+  test("q_islands: one user-key sort serves both the island id and the rollup") {
+    val p = executedPlan("q_islands")
+    assert(p.contains("Window"), s"island-id window missing:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 2,
+      s"user-key shuffle repeated:\n$p")
+  }
 }
