@@ -670,6 +670,43 @@ object TimeSeriesQueries {
         .orderBy("p_pct")
     },
 
+    // NS: seasonality strength — eta² (the ANOVA correlation ratio) of
+    // hour-of-week on the hourly count series: how much of the series'
+    // variance the weekly profile explains (Hyndman's Fs with the
+    // hour-of-week means as the seasonal model). EXACT integers end to
+    // end via the computational identity SS_between = Σ_g T_g²/n_g −
+    // T²/n: each group term floors ONCE to micro-units (T_g²·1e6 DIV
+    // n_g — exact BIGINT, ≤2e17 through 10x stress), the sums are then
+    // pure integer, and eta² is one integer cross-multiplication in ppm.
+    // Peak hour-of-week by packed (rate, −how) struct max. The stream
+    // collapses to the calendar-bounded hourly frame first; everything
+    // after is ≤168-group arithmetic.
+    "q_seasonal_strength" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("hi"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("how", expr("((hi DIV 24 + 4) % 7) * 24 + hi % 24"))
+      val byHow = hourly.groupBy("event_type", "how")
+        .agg(sum("x").as("t_g"), count(lit(1)).as("n_g"))
+        .withColumn("term_micro", expr("t_g * t_g * 1000000 DIV n_g"))
+      val tot = hourly.groupBy("event_type")
+        .agg(sum("x").as("t"), count(lit(1)).as("n"),
+          sum(col("x") * col("x")).as("sxx"))
+      byHow.groupBy("event_type")
+        .agg(sum("term_micro").as("ss_b_micro"),
+          max(struct(expr("t_g * 1000 DIV n_g").as("rate"),
+            (-col("how")).as("nhow"), col("how"))).getField("how").as("peak_how"))
+        .join(tot, "event_type")
+        .select(col("event_type"), col("n").as("n_hours"), col("peak_how"),
+          expr("""CASE WHEN sxx * 1000000 - t * t * 1000000 DIV n = 0
+                 |  THEN CAST(0 AS BIGINT)
+                 |  ELSE (ss_b_micro - t * t * 1000000 DIV n) * 1000000
+                 |       DIV (sxx * 1000000 - t * t * 1000000 DIV n)
+                 |END""".stripMargin).as("eta2_ppm"))
+        .orderBy("event_type")
+    },
+
     // NS: gaps-and-islands — the canonical SQL streak analysis ("longest
     // run of consecutive active days per user"): the (user, day) dedup
     // collapses events to at most span-many rows per user, then the
@@ -1096,6 +1133,34 @@ object TimeSeriesQueries {
         |       CAST(floor(qa.q[i]) AS BIGINT) - CAST(floor(qb.q[i]) AS BIGINT) AS gap_milli
         |FROM x CROSS JOIN qa CROSS JOIN qb
         |ORDER BY p_pct""".stripMargin,
+    // identical micro-unit group terms and integer eta2
+    "q_seasonal_strength" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hi,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |hw AS (SELECT event_type, x,
+        |              ((hi // 24 + 4) % 7) * 24 + hi % 24 AS how
+        |       FROM hourly),
+        |bh AS (SELECT event_type, how, CAST(sum(x) AS BIGINT) AS t_g,
+        |              CAST(count(*) AS BIGINT) AS n_g
+        |       FROM hw GROUP BY 1, 2),
+        |bt AS (SELECT event_type,
+        |              CAST(sum(t_g * t_g * 1000000 // n_g) AS BIGINT) AS ss_b_micro,
+        |              (max(struct_pack(rate := t_g * 1000 // n_g,
+        |                               nhow := -how, how := how))).how AS peak_how
+        |       FROM bh GROUP BY 1),
+        |tt AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS t,
+        |              CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(x * x) AS BIGINT) AS sxx
+        |       FROM hw GROUP BY 1)
+        |SELECT bt.event_type, tt.n AS n_hours, bt.peak_how,
+        |       CASE WHEN sxx * 1000000 - t * t * 1000000 // n = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE (ss_b_micro - t * t * 1000000 // n) * 1000000
+        |                 // (sxx * 1000000 - t * t * 1000000 // n)
+        |       END AS eta2_ppm
+        |FROM bt JOIN tt USING (event_type)
+        |ORDER BY bt.event_type""".stripMargin,
     // same day - row_number() island id and packed-struct best pick
     "q_islands" ->
       """WITH days AS (

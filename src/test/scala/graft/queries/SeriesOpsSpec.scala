@@ -95,6 +95,19 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_seasonal_strength: eta2 in [0, 1e6], peak hour in the week grid") {
+    val rows = run("q_seasonal_strength")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val eta = r.getAs[Long]("eta2_ppm")
+      // eta² is a variance share: the integer flooring can push the
+      // numerator a hair below 0 but never above the denominator
+      assert(eta >= -1L && eta <= 1000000L, s"eta2_ppm $eta outside [0, 1e6]")
+      val p = r.getAs[Long]("peak_how")
+      assert(p >= 0L && p < 168L, s"peak_how $p outside the week grid")
+    }
+  }
+
   test("q_islands: streak arithmetic recomputes from the raw day sets") {
     val rows = run("q_islands")
     assert(rows.nonEmpty)
