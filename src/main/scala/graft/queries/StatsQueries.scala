@@ -529,6 +529,61 @@ object StatsQueries {
             .as("gini"))
     },
 
+    // NS: Lorenz curve points + HHI — q_gini_concentration's plotted
+    // sibling (the roc_points-beside-auc pattern): sources ranked by
+    // token mass ascending, decile points of (population share,
+    // cumulative token share) in exact integer ppm, with the Herfindahl
+    // concentration index beside them (HHI·1e6 = Σ t_g²·1e6 DIV T² —
+    // pure integer; Σ t_g² ≤ 2e21? no: t_g ≤ 2e9 at 10x stress,
+    // squared 4e18 ≤ BIGINT, and the SUM stays under 9.2e18 because
+    // Σ t_g² ≤ T·max(t_g) ≤ 2e10·2e9 bounds only at extreme skew —
+    // fixture masses are ~1e8, Σ t_g² ~ 2e17, safe with margin).
+    // Registry-bounded frames after one source aggregate.
+    "q_lorenz_points" -> { (s, dir) =>
+      val src = Tables.documents(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+        .groupBy("source").agg(sum("t").as("x"))
+      val ranked = src
+        .withColumn("i", row_number().over(Window.orderBy("x", "source")).cast("long"))
+        .withColumn("cum", sum("x").over(
+          Window.orderBy("x", "source").rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = src.agg(count(lit(1)).as("n"), sum("x").as("t_all"),
+        sum(col("x") * col("x")).as("sxx"))
+      ranked.crossJoin(broadcast(tot))
+        // decile points: the last source whose rank lands in each decile
+        .withColumn("decile", expr("i * 10 DIV n"))
+        .groupBy("decile")
+        .agg(max(struct(col("i"), col("cum"))).as("m"),
+          max(expr("sxx * 1000000 DIV (t_all * t_all)")).as("hhi_ppm"),
+          max("n").as("n_sources"), max("t_all").as("total_tokens"))
+        .filter(col("decile") > 0)
+        .select(col("decile"), col("n_sources"), col("total_tokens"),
+          expr("m.i * 1000000 DIV n_sources").as("pop_share_ppm"),
+          expr("m.cum * 1000000 DIV total_tokens").as("mass_share_ppm"),
+          col("hhi_ppm"))
+        .orderBy("decile")
+    },
+
+    // NS: burstiness census — the index of dispersion (Fano factor,
+    // var/mean) of the hourly count series per event type: ~1 = Poisson
+    // arrivals, >>1 = bursty (a crawler stampede, a retry storm), <1 =
+    // rate-limited. EXACT integers: dispersion_milli =
+    // (n·Σx² − T²)·1000 DIV ((n−1)·T) — one hourly aggregate, one
+    // bounded per-type fold, no IEEE anywhere.
+    "q_burstiness" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("hi"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum("x").as("t"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("n_hours") > 1)
+        .select(col("event_type"), col("n_hours"),
+          expr("t * 1000 DIV n_hours").as("mean_milli"),
+          expr("(n_hours * sxx - t * t) * 1000 DIV ((n_hours - 1) * t)").as("dispersion_milli"))
+        .orderBy("event_type")
+    },
+
     // NS: CUPED variance reduction (the industry-standard A/B power
     // multiplier): the pre-experiment covariate (first-half event count
     // per user) is regressed out of the experiment metric (second-half
@@ -1326,6 +1381,42 @@ object StatsQueries {
         |       (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS chi2_ppm,
         |       CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 3841459 AS BIGINT) AS srm_alarm
         |FROM c ORDER BY segment""".stripMargin,
+    // same ascending rank, decile cut and integer shares
+    "q_lorenz_points" ->
+      """WITH src AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, x,
+        |             CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i,
+        |             CAST(sum(x) OVER (ORDER BY x, source
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM src),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t_all,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx FROM src),
+        |d AS (SELECT i * 10 // n AS decile,
+        |             (max(struct_pack(i := i, cum := cum))).i AS mi,
+        |             (max(struct_pack(i := i, cum := cum))).cum AS mcum,
+        |             max(sxx * 1000000 // (t_all * t_all)) AS hhi_ppm,
+        |             max(n) AS n_sources, max(t_all) AS total_tokens
+        |      FROM r CROSS JOIN t GROUP BY 1)
+        |SELECT decile, n_sources, total_tokens,
+        |       mi * 1000000 // n_sources AS pop_share_ppm,
+        |       mcum * 1000000 // total_tokens AS mass_share_ppm,
+        |       hhi_ppm
+        |FROM d WHERE decile > 0 ORDER BY decile""".stripMargin,
+    // identical integer Fano factor
+    "q_burstiness" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hi,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |             CAST(sum(x) AS BIGINT) AS t, CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM h GROUP BY 1)
+        |SELECT event_type, n_hours,
+        |       t * 1000 // n_hours AS mean_milli,
+        |       (n_hours * sxx - t * t) * 1000 // ((n_hours - 1) * t) AS dispersion_milli
+        |FROM a WHERE n_hours > 1 ORDER BY event_type""".stripMargin,
     // identical hash model and constant importance weight 5
     "q_policy_replay" ->
       """WITH ev AS (

@@ -377,6 +377,32 @@ object WindowSetQueries {
         .select(col("cur"), col("nxt"), col("n"),
           expr("n * 1000000 DIV n_cur").as("p_ppm"))
         .orderBy("cur", "nxt")
+    },
+
+    // NS: day-over-day audience overlap — the stickiness read between
+    // q_cohort_retention (first-touch cohorts) and q_wau_sliding
+    // (window distinct): consecutive-day DAU Jaccard and next-day
+    // return rate. The stream dedups to the (day, user) frame once; the
+    // overlap is a USER-key equi-join of that frame against its day+1
+    // shift (co-partitioned on the same key — never day×day), sizes
+    // join back on the day key, every rate an exact integer ppm.
+    "q_dau_overlap" -> { (s, dir) =>
+      val du = Tables.events(s, dir)
+        .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"),
+          col("user_id")).distinct()
+        .localCheckpoint() // feeds sizes and both sides of the shift join
+      val sizes = du.groupBy("d").agg(count(lit(1)).as("dau"))
+      val both = du.select(col("d"), col("user_id"))
+        .join(du.select((col("d") - 1).as("d"), col("user_id")), Seq("d", "user_id"))
+        .groupBy("d").agg(count(lit(1)).as("n_both"))
+      sizes
+        .join(sizes.select((col("d") - 1).as("d"), col("dau").as("dau_next")), "d")
+        .join(both, Seq("d"), "left_outer")
+        .na.fill(0L, Seq("n_both"))
+        .select(col("d").as("day"), col("dau"), col("dau_next"), col("n_both"),
+          expr("n_both * 1000000 DIV (dau + dau_next - n_both)").as("jaccard_ppm"),
+          expr("n_both * 1000000 DIV dau").as("return_ppm"))
+        .orderBy("day")
     }
   )
 
@@ -570,6 +596,25 @@ object WindowSetQueries {
         |tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM t GROUP BY 1)
         |SELECT t.cur, t.nxt, t.n, t.n * 1000000 // tot.n_cur AS p_ppm
         |FROM t JOIN tot USING (cur)
-        |ORDER BY cur, nxt""".stripMargin
+        |ORDER BY cur, nxt""".stripMargin,
+    // same (day, user) dedup and day+1 shift join
+    "q_dau_overlap" ->
+      """WITH du AS (
+        |  SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |         user_id
+        |  FROM events),
+        |sizes AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+        |b AS (SELECT a.d, CAST(count(*) AS BIGINT) AS n_both
+        |      FROM du a JOIN du n ON n.user_id = a.user_id AND n.d = a.d + 1
+        |      GROUP BY a.d)
+        |SELECT s.d AS day, s.dau, sn.dau AS dau_next,
+        |       coalesce(b.n_both, 0) AS n_both,
+        |       coalesce(b.n_both, 0) * 1000000
+        |         // (s.dau + sn.dau - coalesce(b.n_both, 0)) AS jaccard_ppm,
+        |       coalesce(b.n_both, 0) * 1000000 // s.dau AS return_ppm
+        |FROM sizes s
+        |JOIN sizes sn ON sn.d = s.d + 1
+        |LEFT JOIN b ON b.d = s.d
+        |ORDER BY day""".stripMargin
   )
 }

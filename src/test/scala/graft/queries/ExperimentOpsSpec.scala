@@ -88,6 +88,38 @@ class ExperimentOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lorenz_points: curve below the diagonal, monotone, ends at 100%") {
+    val rows = run("q_lorenz_points").sortBy(_.getAs[Long]("decile"))
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getAs[Long]("mass_share_ppm"))
+    assert(mass.zip(mass.tail).forall { case (a, b) => a <= b }, "mass share not monotone")
+    rows.foreach { r =>
+      // Lorenz property: cumulative mass share <= population share
+      // (ascending order puts the lightest sources first)
+      assert(r.getAs[Long]("mass_share_ppm") <= r.getAs[Long]("pop_share_ppm") + 1)
+      assert(r.getAs[Long]("hhi_ppm") >= 1000000L / r.getAs[Long]("n_sources") - 1)
+    }
+    val last = rows.last
+    assert(last.getAs[Long]("decile") == 10L)
+    assert(last.getAs[Long]("pop_share_ppm") == 1000000L)
+    assert(last.getAs[Long]("mass_share_ppm") == 1000000L)
+  }
+
+  test("q_burstiness: dispersion recomputes from the raw hourly counts") {
+    val rows = run("q_burstiness")
+    assert(rows.nonEmpty)
+    val hourly = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .selectExpr("event_type", "unix_micros(ts) DIV 3600000000 AS hi")
+      .groupBy("event_type", "hi").count()
+      .collect().groupBy(_.getAs[String]("event_type"))
+    rows.foreach { r =>
+      val xs = hourly(r.getAs[String]("event_type")).map(_.getAs[Long]("count"))
+      val n = xs.length.toLong; val t = xs.sum; val sxx = xs.map(x => x * x).sum
+      assert(r.getAs[Long]("n_hours") == n)
+      assert(r.getAs[Long]("dispersion_milli") == (n * sxx - t * t) * 1000 / ((n - 1) * t))
+    }
+  }
+
   test("q_policy_replay: IPS identity — full match would equal 5x the matched mass") {
     val row = run("q_policy_replay").head
     val n = row.getAs[Long]("n")

@@ -95,6 +95,18 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dau_overlap: set identities — both <= min(dau, dau_next), rates consistent") {
+    val rows = run("q_dau_overlap")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, both) = (r.getAs[Long]("dau"), r.getAs[Long]("dau_next"),
+        r.getAs[Long]("n_both"))
+      assert(both <= math.min(a, b))
+      assert(r.getAs[Long]("jaccard_ppm") == both * 1000000L / (a + b - both))
+      assert(r.getAs[Long]("return_ppm") == both * 1000000L / a)
+    }
+  }
+
   test("q_seasonal_strength: eta2 in [0, 1e6], peak hour in the week grid") {
     val rows = run("q_seasonal_strength")
     assert(rows.nonEmpty)
