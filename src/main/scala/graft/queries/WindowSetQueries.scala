@@ -296,6 +296,56 @@ object WindowSetQueries {
         .orderBy("cohort_h", "offset_h")
     },
 
+    // NS: cohort LTV curve — q_cohort_retention's revenue sibling (the
+    // "payback curve" a growth team reads): users cohorted by first-seen
+    // day, cumulative revenue per cohort by age, LTV = cumulative milli
+    // revenue DIV cohort size. One user-grain cohort aggregate, one
+    // (cohort, age) revenue aggregate (calendar²-bounded), a cumulative
+    // window over that bounded frame, all rates exact integer milli.
+    "q_cohort_ltv" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v_milli"))
+      val cohort = ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+      val sizes = cohort.groupBy("cohort_d").agg(count(lit(1)).as("n_users"))
+      val rev = ev.join(cohort, "user_id")
+        .withColumn("age", col("d") - col("cohort_d"))
+        .filter(col("age") <= 7)
+        .groupBy("cohort_d", "age")
+        .agg(sum("v_milli").as("rev_milli"))
+      val w = Window.partitionBy("cohort_d").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.withColumn("cum_rev_milli", sum("rev_milli").over(w))
+        .join(sizes, "cohort_d")
+        .select(col("cohort_d"), col("age"), col("n_users"),
+          col("rev_milli"), col("cum_rev_milli"),
+          expr("cum_rev_milli DIV n_users").as("ltv_milli"))
+        .orderBy("cohort_d", "age")
+    },
+
+    // NS: time-to-convert latency distribution — how long from first
+    // click to the first purchase AFTER it, per user, summarized as
+    // exact-integer-grid percentiles (the product-funnel latency SLA):
+    // two per-user min-aggregates (the q_seq_pattern chain shape) give
+    // each converter one integer microsecond delta; p50/p90 land on the
+    // k/100-grid FLOORED (the gains-table percentile discipline).
+    "q_time_to_convert" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t_click"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t_p"))
+        .join(firstClick, "user_id")
+        .filter(col("t_p") >= col("t_click"))
+        .groupBy("user_id").agg(max("t_click").as("t_click"), min("t_p").as("t_p"))
+        .select(col("user_id"), expr("(t_p - t_click) DIV 60000000").as("delta_min"))
+      conv.agg(count(lit(1)).as("n_converters"),
+          expr("CAST(floor(percentile(delta_min, 0.5)) AS BIGINT)").as("p50_min"),
+          expr("CAST(floor(percentile(delta_min, 0.9)) AS BIGINT)").as("p90_min"),
+          max("delta_min").as("max_min"))
+    },
+
     // ---- §2.6 sorts / limits / top-k --------------------------------------
 
     // Global order-by + limit -> TakeOrderedAndProjectExec: per-partition
@@ -597,6 +647,47 @@ object WindowSetQueries {
         |SELECT t.cur, t.nxt, t.n, t.n * 1000000 // tot.n_cur AS p_ppm
         |FROM t JOIN tot USING (cur)
         |ORDER BY cur, nxt""".stripMargin,
+    // identical cohort grain, age cap and integer milli rates
+    "q_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |         CAST(round(value * 1000) AS BIGINT) AS v_milli
+        |  FROM events),
+        |cohort AS (SELECT user_id, CAST(min(d) AS BIGINT) AS cohort_d FROM ev GROUP BY user_id),
+        |sizes AS (SELECT cohort_d, CAST(count(*) AS BIGINT) AS n_users FROM cohort GROUP BY 1),
+        |rev AS (
+        |  SELECT c.cohort_d, e.d - c.cohort_d AS age,
+        |         CAST(sum(e.v_milli) AS BIGINT) AS rev_milli
+        |  FROM ev e JOIN cohort c USING (user_id)
+        |  WHERE e.d - c.cohort_d <= 7
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_d, age, rev_milli,
+        |         CAST(sum(rev_milli) OVER (PARTITION BY cohort_d ORDER BY age
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_milli
+        |  FROM rev)
+        |SELECT cum.cohort_d, CAST(cum.age AS BIGINT) AS age, sizes.n_users,
+        |       cum.rev_milli, cum.cum_rev_milli,
+        |       cum.cum_rev_milli // sizes.n_users AS ltv_milli
+        |FROM cum JOIN sizes USING (cohort_d)
+        |ORDER BY cohort_d, age""".stripMargin,
+    // same two min-aggregates and floored integer-grid percentiles
+    "q_time_to_convert" ->
+      """WITH fc AS (
+        |  SELECT user_id, CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t_click
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id,
+        |         (min(epoch_us(CAST(e.ts AS TIMESTAMP))) - max(fc.t_click)) // 60000000 AS delta_min
+        |  FROM events e JOIN fc ON fc.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= fc.t_click
+        |  GROUP BY e.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converters,
+        |       CAST(floor(quantile_cont(delta_min, 0.5)) AS BIGINT) AS p50_min,
+        |       CAST(floor(quantile_cont(delta_min, 0.9)) AS BIGINT) AS p90_min,
+        |       CAST(max(delta_min) AS BIGINT) AS max_min
+        |FROM conv""".stripMargin,
     // same (day, user) dedup and day+1 shift join
     "q_dau_overlap" ->
       """WITH du AS (

@@ -95,6 +95,33 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_cohort_ltv: cumulative revenue monotone; LTV division exact") {
+    val rows = run("q_cohort_ltv")
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort_d")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("age"))
+      val cum = sorted.map(_.getAs[Long]("cum_rev_milli"))
+      assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+      // cum is the running sum of the per-age revenue
+      assert(cum.last == sorted.map(_.getAs[Long]("rev_milli")).sum)
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("ltv_milli") ==
+          r.getAs[Long]("cum_rev_milli") / r.getAs[Long]("n_users"))
+      }
+    }
+  }
+
+  test("q_time_to_convert: percentile ordering and converter bound") {
+    val r = run("q_time_to_convert").head
+    val n = r.getAs[Long]("n_converters")
+    assert(n > 0)
+    assert(n <= graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .select("user_id").distinct().count())
+    assert(r.getAs[Long]("p50_min") <= r.getAs[Long]("p90_min"))
+    assert(r.getAs[Long]("p90_min") <= r.getAs[Long]("max_min"))
+    assert(r.getAs[Long]("p50_min") >= 0L)
+  }
+
   test("q_dau_overlap: set identities — both <= min(dau, dau_next), rates consistent") {
     val rows = run("q_dau_overlap")
     assert(rows.nonEmpty)
