@@ -140,6 +140,68 @@ object RetrievalQueries {
           round(col("dcg") / col("idcg"), 6).as("ndcg"))
     },
 
+    // NS: hyperparameter grid search as ONE dataflow — four BM25
+    // (k1, b) configs scored by nDCG@10 in a single pass over the
+    // corpus (the tuning loop teams usually run as N sequential jobs;
+    // here the config dimension is a broadcast 4-row cross that rides
+    // the same tf scan). Per-config top-10 via the bounded TopKAgg
+    // (k rows per config per partition — no per-config corpus sort),
+    // relevance grades and the IDCG are config-independent and computed
+    // once, ranks come from the ROUNDED score with a doc tie-break (the
+    // q_ndcg_eval float-flip-proofing), and the winner is ranked by
+    // (ndcg desc, k1, b).
+    "q_grid_search" -> { (s, dir) =>
+      val (tf, terms) = tfFrame(s, dir)
+      val n = terms.length
+      val stats = tf.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).cast("double").as("sum_dl") +:
+          (0 until n).map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df$i")): _*)
+      val configs = broadcast(s.createDataFrame(
+        Seq((90L, 40L), (120L, 75L), (150L, 75L), (200L, 90L)))
+        .toDF("k1_x100", "b_x100"))
+      val avgdl = col("sum_dl") / col("n_docs")
+      val k1c = col("k1_x100").cast("double") / 100.0
+      val bc = col("b_x100").cast("double") / 100.0
+      def contrib(i: Int): Column = {
+        val idf = log(lit(1.0) + (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+        val tfi = col(s"tf$i").cast("double")
+        idf * (tfi * (k1c + 1.0)) / (tfi + k1c * (lit(1.0) - bc + bc * col("dl") / avgdl))
+      }
+      val scored = tf.crossJoin(broadcast(stats)).crossJoin(configs)
+        .select(col("k1_x100"), col("b_x100"), col("doc_id"),
+          (0 until n).map(i => col(s"tf$i")).reduce(_ + _).cast("long").as("n_hits"),
+          round((0 until n).map(contrib).reduce(_ + _), 6).as("bm25"))
+        .filter(col("n_hits") > 0)
+      val topk = udaf(new graft.functions.TopKAgg(10),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredId]())
+      val rel = tf.select(col("doc_id"),
+        (0 until n).map(i => (col(s"tf$i") > 0).cast("long")).reduce(_ + _).as("rel"))
+      def gain(relCol: Column, rankCol: Column): Column =
+        (pow(lit(2.0), relCol.cast("double")) - 1.0) / log2(rankCol.cast("double") + 1.0)
+      val top = scored.groupBy("k1_x100", "b_x100")
+        .agg(topk(col("doc_id"), col("bm25")).as("nn"))
+        .select(col("k1_x100"), col("b_x100"), posexplode(col("nn")).as(Seq("pos", "e")))
+        .select(col("k1_x100"), col("b_x100"), (col("pos") + 1).cast("long").as("r"),
+          col("e.id").as("doc_id"))
+        .join(broadcast(rel), "doc_id")
+      val dcg = top.groupBy("k1_x100", "b_x100")
+        .agg(count(lit(1)).as("n_ranked"), sum(gain(col("rel"), col("r"))).as("dcg"))
+      val ideal = rel.filter(col("rel") > 0)
+        .orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("r", row_number()
+          .over(Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+        .agg(sum(gain(col("rel"), col("r"))).as("idcg"))
+      dcg.crossJoin(broadcast(ideal))
+        .select(col("k1_x100"), col("b_x100"), col("n_ranked"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("ndcg").desc, col("k1_x100"), col("b_x100"))).cast("long"))
+        .withColumn("is_best", (col("rk") === 1).cast("long"))
+        .orderBy("k1_x100", "b_x100")
+    },
+
     // NS: reciprocal-rank fusion — merge a lexical top-50 (hit count over
     // the query terms; integer score, so ranking is exactly reproducible)
     // with an embedding top-50 (cosine to the probe vector, rounded to 9
@@ -266,6 +328,48 @@ object RetrievalQueries {
            |SELECT n_ranked, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
            |       round(dcg / idcg, 6) AS ndcg
            |FROM dc CROSS JOIN ic""".stripMargin,
+      "q_grid_search" ->
+        s"""$prelude,
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |                 CAST(sum(len(ws)) AS DOUBLE) AS sum_dl
+           |          FROM w),
+           |df AS (SELECT word, CAST(count(*) FILTER (WHERE tf > 0) AS DOUBLE) AS df
+           |       FROM tf GROUP BY word),
+           |cfg AS (SELECT CAST(k1_x100 AS BIGINT) AS k1_x100,
+           |               CAST(b_x100 AS BIGINT) AS b_x100
+           |        FROM (VALUES (90, 40), (120, 75), (150, 75), (200, 90)) c(k1_x100, b_x100)),
+           |scored AS (
+           |  SELECT c.k1_x100, c.b_x100, tf.doc_id,
+           |         CAST(sum(tf.tf) AS BIGINT) AS n_hits,
+           |         round(list_sum(list(
+           |           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+           |           (tf.tf * (c.k1_x100 / 100.0 + 1.0)) /
+           |           (tf.tf + c.k1_x100 / 100.0 *
+           |             (1.0 - c.b_x100 / 100.0 + c.b_x100 / 100.0 * tf.dl / (s.sum_dl / s.n_docs)))
+           |           ORDER BY tf.word)), 6) AS bm25
+           |  FROM tf JOIN df d USING (word) CROSS JOIN stats s CROSS JOIN cfg c
+           |  GROUP BY c.k1_x100, c.b_x100, tf.doc_id
+           |  HAVING sum(tf.tf) > 0),
+           |rel AS (SELECT doc_id, CAST(count(*) FILTER (WHERE tf > 0) AS BIGINT) AS rel
+           |        FROM tf GROUP BY doc_id),
+           |top AS (SELECT k1_x100, b_x100, doc_id,
+           |               CAST(row_number() OVER (PARTITION BY k1_x100, b_x100
+           |                 ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+           |        FROM scored QUALIFY r <= 10),
+           |dc AS (SELECT t.k1_x100, t.b_x100, CAST(count(*) AS BIGINT) AS n_ranked,
+           |              sum((pow(2.0, rel.rel) - 1.0) / log2(t.r + 1.0)) AS dcg
+           |       FROM top t JOIN rel USING (doc_id) GROUP BY 1, 2),
+           |ideal AS (SELECT rel,
+           |                 CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS r
+           |          FROM rel WHERE rel > 0 QUALIFY r <= 10),
+           |ic AS (SELECT sum((pow(2.0, rel) - 1.0) / log2(r + 1.0)) AS idcg FROM ideal)
+           |SELECT k1_x100, b_x100, n_ranked,
+           |       round(dcg / ic.idcg, 6) AS ndcg,
+           |       CAST(row_number() OVER (ORDER BY round(dcg / ic.idcg, 6) DESC,
+           |         k1_x100, b_x100) AS BIGINT) AS rk,
+           |       CAST(row_number() OVER (ORDER BY round(dcg / ic.idcg, 6) DESC,
+           |         k1_x100, b_x100) = 1 AS BIGINT) AS is_best
+           |FROM dc CROSS JOIN ic ORDER BY k1_x100, b_x100""".stripMargin,
       "q_rrf_fusion" ->
         s"""$prelude,
            |hits AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_hits

@@ -169,4 +169,23 @@ class DataPrepRetrievalSpec extends AnyFunSuite {
       assert(math.abs(s0._3 - b0._3) < 1e-5, s"sum_v diverged for ${s0._1}")
     }
   }
+
+  test("q_grid_search: the (1.2, 0.75) cell reproduces q_ndcg_eval exactly") {
+    val rows = SparkEntry.queries("q_grid_search")(spark, dir).collect()
+    assert(rows.length == 4)
+    assert(rows.count(_.getAs[Long]("is_best") == 1L) == 1)
+    rows.foreach { r =>
+      val nd = r.getAs[Double]("ndcg")
+      assert(nd > 0.0 && nd <= 1.0, s"ndcg $nd out of (0,1]")
+      assert(r.getAs[Long]("n_ranked") <= 10L)
+    }
+    // cross-operator consistency: the default-config cell must equal the
+    // standalone nDCG eval (same K1=1.2, B=0.75, same rounding)
+    val cell = rows.find(r => r.getAs[Long]("k1_x100") == 120L &&
+      r.getAs[Long]("b_x100") == 75L).get
+    val standalone = SparkEntry.queries("q_ndcg_eval")(spark, dir)
+      .collect().head.getAs[Double]("ndcg")
+    assert(cell.getAs[Double]("ndcg") == standalone,
+      s"grid cell ${cell.getAs[Double]("ndcg")} != q_ndcg_eval $standalone")
+  }
 }
