@@ -296,6 +296,52 @@ object WindowSetQueries {
         .orderBy("cohort_h", "offset_h")
     },
 
+    // NS: peak concurrency (sweep line) — "how many sessions were open at
+    // once, per hour" (Little's-law capacity planning): each 30-min-gap
+    // session contributes (+1 at start, −1 just after end), and the
+    // running sum of deltas IS the concurrency. The scalable spelling is
+    // the distributed prefix-sum decomposition — a GLOBAL ordered window
+    // would be one partition at 100 TB, so instead: per-hour delta
+    // totals cumulate over the CALENDAR-bounded hour frame (the carry-in),
+    // and the within-hour running sum is a window PARTITIONED BY HOUR
+    // (+carry), ties ordered (t, delta desc) so arrivals count before
+    // departures at the same instant. All exact integers; per-hour peak
+    // is deterministic (equal-delta peers form monotone runs, so the max
+    // is peer-order-invariant).
+    "q_concurrency" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))
+      val sessions = Tables.events(s, dir)
+        .withColumn("new_sess",
+          when(gapUs.isNull.or(gapUs > lit(30L * 60 * 1000000L)), 1L).otherwise(0L))
+        .withColumn("sess_idx", sum("new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_idx")
+        .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+      val deltas = sessions
+        .select(explode(array(
+          struct(col("t0").as("t"), lit(1L).as("delta")),
+          struct((col("t1") + 1).as("t"), lit(-1L).as("delta")))).as("e"))
+        .select(col("e.t").as("t"), col("e.delta").as("delta"))
+        .withColumn("hour", expr("t DIV 3600000000"))
+        .localCheckpoint() // feeds the carry frame and the in-hour window
+      val carry = deltas.groupBy("hour").agg(sum("delta").as("h_total"),
+          count(lit(1)).as("n_deltas"))
+        .withColumn("carry_in", coalesce(sum("h_total").over(
+          Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val wh = Window.partitionBy("hour").orderBy(col("t"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deltas.withColumn("run", sum("delta").over(wh))
+        .groupBy("hour").agg(max("run").as("peak_in_hour"))
+        .join(carry, "hour")
+        // the hour's step function starts at carry_in before its first
+        // delta, so a departure-only hour peaks at the boundary value
+        .select(col("hour"), col("n_deltas"),
+          (col("carry_in") + greatest(col("peak_in_hour"), lit(0L)))
+            .as("peak_concurrency"))
+        .orderBy("hour")
+    },
+
     // NS: cohort LTV curve — q_cohort_retention's revenue sibling (the
     // "payback curve" a growth team reads): users cohorted by first-seen
     // day, cumulative revenue per cohort by age, LTV = cumulative milli
@@ -647,6 +693,44 @@ object WindowSetQueries {
         |SELECT t.cur, t.nxt, t.n, t.n * 1000000 // tot.n_cur AS p_ppm
         |FROM t JOIN tot USING (cur)
         |ORDER BY cur, nxt""".stripMargin,
+    // identical session intervals, delta points and carry decomposition
+    "q_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |         CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, ts, tus,
+        |             tus - lag(tus) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |      FROM e),
+        |c AS (SELECT user_id, tus,
+        |             CAST(sum(CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000000
+        |                           THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+        |      FROM m),
+        |sess AS (SELECT user_id, sess_idx, CAST(min(tus) AS BIGINT) AS t0,
+        |                CAST(max(tus) AS BIGINT) AS t1
+        |         FROM c GROUP BY 1, 2),
+        |d AS (SELECT t0 AS t, CAST(1 AS BIGINT) AS delta FROM sess
+        |      UNION ALL SELECT t1 + 1, CAST(-1 AS BIGINT) FROM sess),
+        |dh AS (SELECT t, delta, t // 3600000000 AS hour FROM d),
+        |carry AS (
+        |  SELECT hour, CAST(count(*) AS BIGINT) AS n_deltas,
+        |         coalesce(CAST(sum(sum(delta)) OVER (ORDER BY hour
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS carry_in
+        |  FROM dh GROUP BY hour),
+        |run AS (
+        |  SELECT hour,
+        |         CAST(max(s) AS BIGINT) AS peak_in_hour
+        |  FROM (SELECT hour, CAST(sum(delta) OVER (PARTITION BY hour
+        |          ORDER BY t, delta DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |        FROM dh)
+        |  GROUP BY hour)
+        |SELECT run.hour, carry.n_deltas,
+        |       carry.carry_in + greatest(run.peak_in_hour, 0) AS peak_concurrency
+        |FROM run JOIN carry USING (hour)
+        |ORDER BY run.hour""".stripMargin,
     // identical cohort grain, age cap and integer milli rates
     "q_cohort_ltv" ->
       """WITH ev AS (

@@ -95,6 +95,40 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_concurrency: delta conservation and a driver-side sweep-line replay") {
+    val rows = run("q_concurrency").sortBy(_.getAs[Long]("hour"))
+    assert(rows.nonEmpty)
+    // independent replay: global sweep line over the same session intervals
+    val ev = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS t")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("t")))
+    val deltas = ev.groupBy(_._1).values.flatMap { es =>
+      val ts = es.sortBy(e => (e._3, e._2)).map(_._3)
+      val sessions = ts.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, t) => List((t, t))
+        case ((s, e) :: tail, t) =>
+          if (t - e > 30L * 60 * 1000000L) (t, t) :: (s, e) :: tail
+          else (s, t) :: tail
+      }
+      sessions.flatMap { case (s, e) => Seq((s, 1L), (e + 1, -1L)) }
+    }.toSeq.sortBy { case (t, d) => (t, -d) }
+    var cur = 0L
+    val peakByHour = scala.collection.mutable.Map.empty[Long, Long]
+    deltas.foreach { case (t, d) =>
+      val h = t / 3600000000L
+      // boundary value before the hour's first delta is a peak candidate
+      peakByHour.updateWith(h)(v => Some(math.max(v.getOrElse(cur), cur + d)))
+      cur += d
+    }
+    assert(cur == 0L, "every session must close")
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hour")
+      assert(r.getAs[Long]("peak_concurrency") == peakByHour(h),
+        s"hour $h: ${r.getAs[Long]("peak_concurrency")} vs ${peakByHour(h)}")
+    }
+  }
+
   test("q_median_polish: residuals shrink and row effects track the row medians") {
     val rows = run("q_median_polish")
     assert(rows.nonEmpty)
