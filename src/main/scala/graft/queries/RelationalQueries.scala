@@ -469,6 +469,55 @@ object RelationalQueries {
         .select(col("event_id"), col("asof_order"))
         .orderBy("event_id")
     },
+    // NS: NEAREST as-of join — completes the as-of family (backward =
+    // q_join_asof, native = q_join_asof_native): each event matches the
+    // order minimizing |order_time − event_time| within the user, ties
+    // preferring the backward match (the "state in force" convention).
+    // Composed from the SAME union+window spelling run in both
+    // directions — one (user, time) sort carries BOTH the
+    // unbounded-preceding last() and the unbounded-following first()
+    // frames, so the nearest join costs exactly what backward alone
+    // costs (one shuffle, one sort); the distance compare is exact
+    // integer microseconds.
+    "q_join_asof_nearest" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+          lit(1).as("tag"), col("event_id"), lit(null).cast("long").as("o_key"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey").as("k"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+          lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+          col("o_orderkey").as("o_key"))
+      val base = Window.partitionBy("k").orderBy(col("t"), col("tag"), col("o_key"))
+      val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.unionByName(ord)
+        .withColumn("b_key", last("o_key", ignoreNulls = true).over(wb))
+        .withColumn("b_t", last(when(col("o_key").isNotNull, col("t")),
+          ignoreNulls = true).over(wb))
+        .withColumn("f_key", first("o_key", ignoreNulls = true).over(wf))
+        .withColumn("f_t", first(when(col("o_key").isNotNull, col("t")),
+          ignoreNulls = true).over(wf))
+        .filter(col("tag") === 1)
+        .withColumn("d_b", col("t") - col("b_t"))
+        .withColumn("d_f", col("f_t") - col("t"))
+        .select(col("event_id"),
+          when(col("b_key").isNull && col("f_key").isNull, lit(null).cast("long"))
+            .when(col("f_key").isNull || (col("b_key").isNotNull && col("d_b") <= col("d_f")),
+              col("b_key"))
+            .otherwise(col("f_key")).as("nearest_order"),
+          when(col("b_key").isNull && col("f_key").isNull, lit(null).cast("string"))
+            .when(col("f_key").isNull || (col("b_key").isNotNull && col("d_b") <= col("d_f")),
+              lit("backward"))
+            .otherwise(lit("forward")).as("side"),
+          when(col("b_key").isNull && col("f_key").isNull, lit(null).cast("long"))
+            .when(col("f_key").isNull || (col("b_key").isNotNull && col("d_b") <= col("d_f")),
+              col("d_b"))
+            .otherwise(col("d_f")).as("delta_us"))
+        .orderBy("event_id")
+    },
+
     // NS: the SAME as-of semantics through the engine's native operator —
     // graft's custom LogicalPlan + SparkStrategy + BinaryExecNode
     // (plans.AsOfJoin): co-partitioned by EnsureRequirements, sorted by
@@ -1554,6 +1603,41 @@ object RelationalQueries {
         |FROM events e ASOF LEFT JOIN (SELECT * FROM o WHERE rn = 1) o
         |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    // the identical union + two-frame window spelling; NULL-handling is
+    // inert because ties within (t, tag) are all-events or all-orders
+    "q_join_asof_nearest" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS t, 1 AS tag,
+        |         event_id, CAST(NULL AS BIGINT) AS o_key
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)), 0,
+        |         CAST(NULL AS BIGINT), o_orderkey
+        |  FROM orders),
+        |w AS (
+        |  SELECT *,
+        |         last_value(o_key IGNORE NULLS) OVER wb AS b_key,
+        |         last_value(CASE WHEN o_key IS NOT NULL THEN t END IGNORE NULLS)
+        |           OVER wb AS b_t,
+        |         first_value(o_key IGNORE NULLS) OVER wf AS f_key,
+        |         first_value(CASE WHEN o_key IS NOT NULL THEN t END IGNORE NULLS)
+        |           OVER wf AS f_t
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY k ORDER BY t, tag, o_key
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY k ORDER BY t, tag, o_key
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id,
+        |       CASE WHEN b_key IS NULL AND f_key IS NULL THEN CAST(NULL AS BIGINT)
+        |            WHEN f_key IS NULL OR (b_key IS NOT NULL AND t - b_t <= f_t - t)
+        |              THEN b_key ELSE f_key END AS nearest_order,
+        |       CASE WHEN b_key IS NULL AND f_key IS NULL THEN CAST(NULL AS VARCHAR)
+        |            WHEN f_key IS NULL OR (b_key IS NOT NULL AND t - b_t <= f_t - t)
+        |              THEN 'backward' ELSE 'forward' END AS side,
+        |       CASE WHEN b_key IS NULL AND f_key IS NULL THEN CAST(NULL AS BIGINT)
+        |            WHEN f_key IS NULL OR (b_key IS NOT NULL AND t - b_t <= f_t - t)
+        |              THEN t - b_t ELSE f_t - t END AS delta_us
+        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
     "q_star_join" ->
       """SELECT p.p_brand, o.o_orderstatus, count(*) AS n_lines,
         |       count(DISTINCT s.s_nationkey) AS n_supp_nations,

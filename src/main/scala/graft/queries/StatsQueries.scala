@@ -529,6 +529,32 @@ object StatsQueries {
             .as("gini"))
     },
 
+    // NS: effective sample size / design effect — the survey-statistics
+    // read every weighted pipeline needs ("my 1M weighted rows carry the
+    // information of how many unweighted ones?"): Kish n_eff =
+    // (Σw)²/Σw², deff = n/n_eff. Weights are exact integer milli
+    // (Σw² ≤ 2.5e18 through 10x stress stays BIGINT; the (Σw)² square
+    // happens in the DOUBLE of the fixed IEEE tree), one combinable
+    // aggregate per segment.
+    "q_effective_n" -> { (s, dir) =>
+      val w = Tables.events(s, dir)
+        .select(col("event_type").as("segment"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("w"))
+      val seg = w.groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum("w").as("sw"),
+          sum(col("w") * col("w")).as("sww"))
+      val all = w.groupBy(lit("__ALL__").as("segment"))
+        .agg(count(lit(1)).as("n"), sum("w").as("sw"),
+          sum(col("w") * col("w")).as("sww"))
+      seg.unionByName(all)
+        .select(col("segment"), col("n"),
+          round(col("sw").cast("double") * col("sw").cast("double") /
+            col("sww").cast("double"), 3).as("n_eff"),
+          round(col("n").cast("double") * col("sww").cast("double") /
+            (col("sw").cast("double") * col("sw").cast("double")), 4).as("deff"))
+        .orderBy("segment")
+    },
+
     // NS: Lorenz curve points + HHI — q_gini_concentration's plotted
     // sibling (the roc_points-beside-auc pattern): sources ranked by
     // token mass ascending, decile points of (population share,
@@ -1381,6 +1407,24 @@ object StatsQueries {
         |       (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS chi2_ppm,
         |       CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 3841459 AS BIGINT) AS srm_alarm
         |FROM c ORDER BY segment""".stripMargin,
+    // same exact milli weights; identical IEEE ratio trees
+    "q_effective_n" ->
+      """WITH w AS (
+        |  SELECT event_type AS segment, CAST(round(value * 1000) AS BIGINT) AS w
+        |  FROM events),
+        |seg AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS sw,
+        |         CAST(sum(w * w) AS BIGINT) AS sww
+        |  FROM w GROUP BY segment
+        |  UNION ALL
+        |  SELECT '__ALL__', CAST(count(*) AS BIGINT), CAST(sum(w) AS BIGINT),
+        |         CAST(sum(w * w) AS BIGINT)
+        |  FROM w)
+        |SELECT segment, n,
+        |       round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE), 3) AS n_eff,
+        |       round(CAST(n AS DOUBLE) * CAST(sww AS DOUBLE)
+        |             / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)), 4) AS deff
+        |FROM seg ORDER BY segment""".stripMargin,
     // same ascending rank, decile cut and integer shares
     "q_lorenz_points" ->
       """WITH src AS (

@@ -88,6 +88,42 @@ class ExperimentOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_effective_n: Kish bounds — 1 <= n_eff <= n, deff >= 1") {
+    val rows = run("q_effective_n")
+    assert(rows.length == 6) // 5 types + __ALL__
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val ne = r.getAs[Double]("n_eff")
+      assert(ne >= 1.0 - 1e-9 && ne <= n.toDouble + 1e-6,
+        s"${r.getAs[String]("segment")}: n_eff $ne outside [1, $n]")
+      assert(r.getAs[Double]("deff") >= 1.0 - 1e-4)
+    }
+  }
+
+  test("q_join_asof_nearest: every match is genuinely the nearest order") {
+    val rows = run("q_join_asof_nearest")
+    assert(rows.nonEmpty)
+    val orders = graft.core.Tables.orders(spark, TestSpark.Sf0001)
+      .selectExpr("o_custkey", "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS t",
+        "o_orderkey").collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("t"), r.getAs[Long]("o_orderkey"))).toSeq)
+      .toMap
+    val events = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS t").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[Long]("t"))).toMap
+    rows.foreach { r =>
+      val (u, t) = events(r.getAs[Long]("event_id"))
+      orders.get(u) match {
+        case None => assert(r.isNullAt(r.fieldIndex("nearest_order")))
+        case Some(os) =>
+          val minDist = os.map(o => math.abs(o._1 - t)).min
+          assert(r.getAs[Long]("delta_us") == minDist,
+            s"event ${r.getAs[Long]("event_id")}: ${r.getAs[Long]("delta_us")} vs $minDist")
+      }
+    }
+  }
+
   test("q_lorenz_points: curve below the diagonal, monotone, ends at 100%") {
     val rows = run("q_lorenz_points").sortBy(_.getAs[Long]("decile"))
     assert(rows.nonEmpty)
