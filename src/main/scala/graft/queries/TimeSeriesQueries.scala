@@ -670,6 +670,58 @@ object TimeSeriesQueries {
         .orderBy("p_pct")
     },
 
+    // NS: binary-segmentation changepoint (depth 2) — q_changepoint finds
+    // ONE break; real series have several, and binary segmentation is the
+    // standard recursion: split at the CUSUM argmax, then re-run within
+    // each half (one bounded pass per DEPTH LEVEL — the q_tree_depth2
+    // pass structure on the time axis). EXACT integers throughout: the
+    // segment-local |cusum| is scaled by the segment mass
+    // (|n_s·cum_s − i_s·T_s| — argmax-invariant, no rational mean), the
+    // argmax is the packed-struct max with a smallest-index tie-break,
+    // and level-2 segment statistics derive algebraically from the
+    // level-1 winner row (carried through the same struct — no re-scan).
+    "q_changepoint_binseg" -> { (s, dir) =>
+      val wi = Window.partitionBy("event_type").orderBy("hi")
+      val idx = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("hi"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("i", row_number().over(wi).cast("long"))
+        .withColumn("cum", sum("x").over(wi.rowsBetween(Window.unboundedPreceding, 0)))
+        .localCheckpoint() // calendar-bounded frame; feeds both levels
+      val tot = idx.groupBy("event_type").agg(max("i").as("n"), sum("x").as("t"))
+      val sc1 = idx.join(broadcast(tot), "event_type")
+        .filter(col("i") < col("n"))
+        .withColumn("sabs", abs(col("n") * col("cum") - col("i") * col("t")))
+      val cp1 = sc1.groupBy("event_type")
+        .agg(max(struct(col("sabs"), (-col("i")).as("ni"), col("i"), col("hi"),
+          col("cum"), col("n"), col("t"))).as("m"))
+        .select(col("event_type"), col("m.i").as("i1"), col("m.hi").as("cp1_hi"),
+          col("m.sabs").as("s1"), col("m.cum").as("cum1"),
+          col("m.n").as("n"), col("m.t").as("t"))
+      val seg = idx.join(broadcast(cp1), "event_type")
+        .withColumn("segment", when(col("i") <= col("i1"), "L").otherwise("R"))
+        .withColumn("i_s", when(col("segment") === "L", col("i"))
+          .otherwise(col("i") - col("i1")))
+        .withColumn("cum_s", when(col("segment") === "L", col("cum"))
+          .otherwise(col("cum") - col("cum1")))
+        .withColumn("n_s", when(col("segment") === "L", col("i1"))
+          .otherwise(col("n") - col("i1")))
+        .withColumn("t_s", when(col("segment") === "L", col("cum1"))
+          .otherwise(col("t") - col("cum1")))
+      val cp2 = seg.filter(col("i_s") < col("n_s"))
+        .withColumn("sabs", abs(col("n_s") * col("cum_s") - col("i_s") * col("t_s")))
+        .groupBy("event_type", "segment")
+        .agg(max(struct(col("sabs"), (-col("i_s")).as("ni"), col("hi"), col("n_s")))
+          .as("m"))
+        .select(col("event_type"), lit(2L).as("level"), col("segment"),
+          col("m.hi").as("cp_hi"), col("m.n_s").as("n_seg"),
+          col("m.sabs").as("scaled_cusum"))
+      cp1.select(col("event_type"), lit(1L).as("level"), lit("FULL").as("segment"),
+          col("cp1_hi").as("cp_hi"), col("n").as("n_seg"), col("s1").as("scaled_cusum"))
+        .unionByName(cp2)
+        .orderBy("event_type", "level", "segment")
+    },
+
     // NS: Tukey median polish — the robust two-way decomposition (row +
     // column effects by iterated medians, the EDA classic; outliers in a
     // few cells cannot drag the effects the way ANOVA means do): two
@@ -1172,6 +1224,53 @@ object TimeSeriesQueries {
         |       CAST(floor(qa.q[i]) AS BIGINT) - CAST(floor(qb.q[i]) AS BIGINT) AS gap_milli
         |FROM x CROSS JOIN qa CROSS JOIN qb
         |ORDER BY p_pct""".stripMargin,
+    // identical scaled integer cusum, packed argmax and carry algebra
+    "q_changepoint_binseg" ->
+      """WITH idx AS (
+        |  SELECT event_type, hi, x,
+        |         CAST(row_number() OVER w AS BIGINT) AS i,
+        |         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY hi
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hi,
+        |               CAST(count(*) AS BIGINT) AS x
+        |        FROM events GROUP BY 1, 2)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hi)),
+        |tot AS (SELECT event_type, CAST(max(i) AS BIGINT) AS n,
+        |               CAST(sum(x) AS BIGINT) AS t
+        |        FROM idx GROUP BY 1),
+        |cp1 AS (
+        |  SELECT event_type,
+        |         (max(m)).i AS i1, (max(m)).hi AS cp1_hi, (max(m)).sabs AS s1,
+        |         (max(m)).cum AS cum1, (max(m)).n AS n, (max(m)).t AS t
+        |  FROM (SELECT idx.event_type,
+        |               struct_pack(sabs := abs(tot.n * idx.cum - idx.i * tot.t),
+        |                           ni := -idx.i, i := idx.i, hi := idx.hi,
+        |                           cum := idx.cum, n := tot.n, t := tot.t) AS m
+        |        FROM idx JOIN tot USING (event_type)
+        |        WHERE idx.i < tot.n)
+        |  GROUP BY event_type),
+        |seg AS (
+        |  SELECT idx.event_type, idx.hi,
+        |         CASE WHEN idx.i <= cp1.i1 THEN 'L' ELSE 'R' END AS segment,
+        |         CASE WHEN idx.i <= cp1.i1 THEN idx.i ELSE idx.i - cp1.i1 END AS i_s,
+        |         CASE WHEN idx.i <= cp1.i1 THEN idx.cum ELSE idx.cum - cp1.cum1 END AS cum_s,
+        |         CASE WHEN idx.i <= cp1.i1 THEN cp1.i1 ELSE cp1.n - cp1.i1 END AS n_s,
+        |         CASE WHEN idx.i <= cp1.i1 THEN cp1.cum1 ELSE cp1.t - cp1.cum1 END AS t_s
+        |  FROM idx JOIN cp1 USING (event_type)),
+        |cp2 AS (
+        |  SELECT event_type, CAST(2 AS BIGINT) AS level, segment,
+        |         (max(m)).hi AS cp_hi, (max(m)).n_s AS n_seg,
+        |         (max(m)).sabs AS scaled_cusum
+        |  FROM (SELECT event_type, segment,
+        |               struct_pack(sabs := abs(n_s * cum_s - i_s * t_s),
+        |                           ni := -i_s, hi := hi, n_s := n_s) AS m
+        |        FROM seg WHERE i_s < n_s)
+        |  GROUP BY event_type, segment)
+        |SELECT event_type, CAST(1 AS BIGINT) AS level, 'FULL' AS segment,
+        |       cp1_hi AS cp_hi, n AS n_seg, s1 AS scaled_cusum
+        |FROM cp1
+        |UNION ALL SELECT * FROM cp2
+        |ORDER BY event_type, level, segment""".stripMargin,
     // identical milli grid and k/2-grid floored median chain
     "q_median_polish" ->
       """WITH hourly AS (

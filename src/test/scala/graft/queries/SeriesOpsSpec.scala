@@ -95,6 +95,25 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_changepoint_binseg: level-2 splits nest inside level 1; masses conserve") {
+    val rows = run("q_changepoint_binseg")
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      val full = rs.find(_.getAs[String]("segment") == "FULL").get
+      val l = rs.find(_.getAs[String]("segment") == "L")
+      val r = rs.find(_.getAs[String]("segment") == "R")
+      // L + R partition the full index range
+      for (lr <- l; rr <- r) {
+        assert(lr.getAs[Long]("n_seg") + rr.getAs[Long]("n_seg") ==
+          full.getAs[Long]("n_seg"), s"$t: segment masses")
+        // the left cp precedes the level-1 cp, which precedes the right cp
+        assert(lr.getAs[Long]("cp_hi") <= full.getAs[Long]("cp_hi"))
+        assert(rr.getAs[Long]("cp_hi") > full.getAs[Long]("cp_hi"))
+      }
+      assert(full.getAs[Long]("scaled_cusum") >= 0L)
+    }
+  }
+
   test("q_concurrency: delta conservation and a driver-side sweep-line replay") {
     val rows = run("q_concurrency").sortBy(_.getAs[Long]("hour"))
     assert(rows.nonEmpty)
