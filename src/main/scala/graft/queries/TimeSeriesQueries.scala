@@ -798,6 +798,53 @@ object TimeSeriesQueries {
         .orderBy("event_type")
     },
 
+    // NS: Holt–Winters triple smoothing (additive, alpha = beta = gamma
+    // = 1/2, weekly season) — the full classical forecasting recursion
+    // completing the SES → Holt ladder, EXACT in integers: all three
+    // dyadic updates are plain signed truncating halvings (cross-engine
+    // identical on BIGINT — the measured polarity rule), and the
+    // 7-slot seasonal state lives INSIDE the in-row fold as an array
+    // field updated by transform (per-key state O(days + 7), zero extra
+    // shuffles — the q_ses_forecast dataflow with structured state).
+    // One-step-ahead SAE folds beside it; the oracle replays the
+    // identical recursion as a recursive CTE carrying a LIST column.
+    "q_holt_winters" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow",
+          expr("(datediff(day, DATE '1970-01-01') + 4) % 7"))
+      val lp = "(e.x - element_at(acc.sea, CAST(e.dow + 1 AS INT)) + acc.l + acc.b) DIV 2"
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("dow"), col("x"))))
+          .as("series"))
+        .withColumn("fold", expr(
+          s"""aggregate(series,
+             |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+             |    'sea', array_repeat(CAST(0 AS BIGINT), 7),
+             |    'sae', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT)),
+             |  (acc, e) -> CASE WHEN acc.n = 0 THEN named_struct(
+             |      'l', e.x, 'b', CAST(0 AS BIGINT),
+             |      'sea', array_repeat(CAST(0 AS BIGINT), 7),
+             |      'sae', CAST(0 AS BIGINT), 'n', CAST(1 AS BIGINT))
+             |    ELSE named_struct(
+             |      'l', $lp,
+             |      'b', (($lp) - acc.l + acc.b) DIV 2,
+             |      'sea', transform(sequence(0, 6), j -> CASE WHEN j = e.dow
+             |        THEN (e.x - ($lp) + element_at(acc.sea, CAST(j + 1 AS INT))) DIV 2
+             |        ELSE element_at(acc.sea, CAST(j + 1 AS INT)) END),
+             |      'sae', acc.sae + abs(e.x - (acc.l + acc.b
+             |        + element_at(acc.sea, CAST(e.dow + 1 AS INT)))),
+             |      'n', acc.n + 1) END)""".stripMargin))
+        .select(Seq(col("event_type"), col("fold.n").as("n_days"),
+          col("fold.l").as("level"), col("fold.b").as("trend"),
+          expr("CASE WHEN fold.n > 1 THEN fold.sae * 1000 DIV (fold.n - 1) " +
+            "ELSE CAST(0 AS BIGINT) END").as("mae_milli")) ++
+          (0 until 7).map(j =>
+            expr(s"element_at(fold.sea, ${j + 1})").as(s"sea$j")): _*)
+        .orderBy("event_type")
+    },
+
     // NS: gaps-and-islands — the canonical SQL streak analysis ("longest
     // run of consecutive active days per user"): the (user, day) dedup
     // collapses events to at most span-many rows per user, then the
@@ -1330,6 +1377,41 @@ object TimeSeriesQueries {
         |       END AS eta2_ppm
         |FROM bt JOIN tt USING (event_type)
         |ORDER BY bt.event_type""".stripMargin,
+    // identical triple recursion; the LIST column carries the 7-slot
+    // seasonal state through the recursive CTE
+    "q_holt_winters" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |          FROM events GROUP BY 1, 2),
+        |rd AS (SELECT event_type, x,
+        |              (date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS dow,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |       FROM daily),
+        |f(event_type, i, l, b, sea, sae) AS (
+        |  SELECT event_type, i, x, CAST(0 AS BIGINT),
+        |         [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0], CAST(0 AS BIGINT)
+        |  FROM rd WHERE i = 1
+        |  UNION ALL
+        |  SELECT rd.event_type, rd.i,
+        |         (rd.x - f.sea[CAST(rd.dow + 1 AS INT)] + f.l + f.b) // 2,
+        |         (((rd.x - f.sea[CAST(rd.dow + 1 AS INT)] + f.l + f.b) // 2)
+        |           - f.l + f.b) // 2,
+        |         list_transform(range(0, 7), j -> CASE WHEN j = rd.dow
+        |           THEN (rd.x - ((rd.x - f.sea[CAST(rd.dow + 1 AS INT)] + f.l + f.b) // 2)
+        |                 + f.sea[CAST(j + 1 AS INT)]) // 2
+        |           ELSE f.sea[CAST(j + 1 AS INT)] END),
+        |         f.sae + abs(rd.x - (f.l + f.b + f.sea[CAST(rd.dow + 1 AS INT)]))
+        |  FROM f JOIN rd ON rd.event_type = f.event_type AND rd.i = f.i + 1),
+        |lastrow AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |              ORDER BY i DESC) AS rk FROM f)
+        |SELECT event_type, CAST(i AS BIGINT) AS n_days, l AS level, b AS trend,
+        |       CASE WHEN i > 1 THEN sae * 1000 // (i - 1)
+        |            ELSE CAST(0 AS BIGINT) END AS mae_milli,
+        |       CAST(sea[1] AS BIGINT) AS sea0, CAST(sea[2] AS BIGINT) AS sea1,
+        |       CAST(sea[3] AS BIGINT) AS sea2, CAST(sea[4] AS BIGINT) AS sea3,
+        |       CAST(sea[5] AS BIGINT) AS sea4, CAST(sea[6] AS BIGINT) AS sea5,
+        |       CAST(sea[7] AS BIGINT) AS sea6
+        |FROM lastrow WHERE rk = 1 ORDER BY event_type""".stripMargin,
     // same day - row_number() island id and packed-struct best pick
     "q_islands" ->
       """WITH days AS (

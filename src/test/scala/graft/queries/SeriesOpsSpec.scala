@@ -95,6 +95,37 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_holt_winters: driver-side exact replay of the triple recursion") {
+    val rows = run("q_holt_winters")
+    val daily = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .selectExpr("event_type", "day",
+        "CAST((datediff(day, DATE '1970-01-01') + 4) % 7 AS INT) AS dow", "x")
+      .orderBy("event_type", "day").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val series = daily(t).sortBy(_.getAs[java.sql.Date]("day").toString)
+        .map(rr => (rr.getAs[Int]("dow"), rr.getAs[Long]("x")))
+      var l = series.head._2; var b = 0L
+      val sea = Array.fill(7)(0L); var sae = 0L
+      series.tail.foreach { case (dow, x) =>
+        sae += math.abs(x - (l + b + sea(dow)))
+        val lp = (x - sea(dow) + l + b) / 2
+        b = (lp - l + b) / 2
+        sea(dow) = (x - lp + sea(dow)) / 2
+        l = lp
+      }
+      assert(r.getAs[Long]("level") == l, s"$t level")
+      assert(r.getAs[Long]("trend") == b, s"$t trend")
+      (0 until 7).foreach(j =>
+        assert(r.getAs[Long](s"sea$j") == sea(j), s"$t sea$j"))
+      if (series.length > 1)
+        assert(r.getAs[Long]("mae_milli") == sae * 1000 / (series.length - 1))
+    }
+  }
+
   test("q_changepoint_binseg: level-2 splits nest inside level 1; masses conserve") {
     val rows = run("q_changepoint_binseg")
     val byType = rows.groupBy(_.getAs[String]("event_type"))
