@@ -269,6 +269,35 @@ object SketchQueries {
         .orderBy("p")
     },
 
+    // NS: Bloom-filter sizing advisor — the planning pass before
+    // q_bloom_prune builds anything: for each join-key domain and target
+    // FPR, the optimal bits m = ceil(-n·ln p/ln²2) and hash count
+    // k = round(m/n·ln 2). The per-element bit multipliers are
+    // DATA-INDEPENDENT constants (9.584963 bits/key at 1%, 14.377445 at
+    // 0.1% — ppm literals shared by both engines), so the whole plan is
+    // exact integer arithmetic off three countDistinct aggregates; ceil
+    // spelled (n·c + 999999) DIV 1e6.
+    "q_bloom_plan" -> { (s, dir) =>
+      def dom(name: String, df: DataFrame) =
+        df.agg(countDistinct(col(df.columns.head)).as("n"))
+          .select(lit(name).as("domain"), col("n"))
+      val domains =
+        dom("orders.o_custkey", Tables.orders(s, dir).select("o_custkey"))
+          .unionByName(dom("lineitem.l_partkey", Tables.lineitem(s, dir).select("l_partkey")))
+          .unionByName(dom("events.user_id", Tables.events(s, dir).select("user_id")))
+      // (target fpr ppm, bits-per-key ppm, k hashes): ln(0.01)/ln²2,
+      // ln(0.001)/ln²2 and round(c·ln2) — fixed closed-form constants
+      val targets = broadcast(s.createDataFrame(Seq(
+        (10000L, 9584963L, 7L), (1000L, 14377445L, 10L)))
+        .toDF("fpr_ppm", "bits_per_key_ppm", "k_hashes"))
+      domains.crossJoin(targets)
+        .select(col("domain"), col("fpr_ppm"), col("n").as("n_distinct"),
+          expr("(n * bits_per_key_ppm + 999999) DIV 1000000").as("m_bits"),
+          col("k_hashes"))
+        .withColumn("m_kib", expr("m_bits DIV 8192"))
+        .orderBy("domain", "fpr_ppm")
+    },
+
     // NS: KMV (k-minimum-values) distinct-count sketch — the third
     // mergeable cardinality summary beside FM/PCSA and the bitmap index,
     // and the one whose merge is simply "keep the k smallest of the
@@ -457,6 +486,25 @@ object SketchQueries {
           |       (exact_cents - est_cents) * 1000000 // exact_cents AS err_ppm
           |FROM estv JOIN ex USING (p)
           |ORDER BY p""".stripMargin,
+      // identical constant multipliers and integer ceil
+      "q_bloom_plan" ->
+        """WITH d AS (
+          |  SELECT 'orders.o_custkey' AS domain,
+          |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n FROM orders
+          |  UNION ALL
+          |  SELECT 'lineitem.l_partkey', CAST(count(DISTINCT l_partkey) AS BIGINT)
+          |  FROM lineitem
+          |  UNION ALL
+          |  SELECT 'events.user_id', CAST(count(DISTINCT user_id) AS BIGINT) FROM events),
+          |t AS (SELECT CAST(fpr_ppm AS BIGINT) AS fpr_ppm,
+          |             CAST(c AS BIGINT) AS bits_per_key_ppm,
+          |             CAST(k AS BIGINT) AS k_hashes
+          |      FROM (VALUES (10000, 9584963, 7), (1000, 14377445, 10)) v(fpr_ppm, c, k))
+          |SELECT domain, fpr_ppm, n AS n_distinct,
+          |       (n * bits_per_key_ppm + 999999) // 1000000 AS m_bits,
+          |       k_hashes,
+          |       (n * bits_per_key_ppm + 999999) // 1000000 // 8192 AS m_kib
+          |FROM d CROSS JOIN t ORDER BY domain, fpr_ppm""".stripMargin,
       // identical 56-bit md5 hash space, rank window, and integer estimator
       "q_kmv_sketch" ->
         """WITH hashed AS (

@@ -296,6 +296,55 @@ object WindowSetQueries {
         .orderBy("cohort_h", "offset_h")
     },
 
+    // NS: top user journeys — the most common opening 3-step event-type
+    // paths ("what do users actually do first"), the path-level read
+    // beside q_markov_transitions' aggregate transition matrix: each
+    // user's first three events (by (ts, event_id)) concatenate into a
+    // path string, paths census into a ≤|types|³-bounded frame, top-5 by
+    // (count desc, path). The rank window runs AFTER the bounded census;
+    // the per-user trim is a rank window on the user key (one shuffle).
+    "q_top_paths" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val first3 = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      val paths = first3.groupBy("user_id")
+        .agg(count(lit(1)).as("n_steps"),
+          concat_ws(">", sort_array(collect_list(
+            struct(col("rn"), col("event_type")))).getField("event_type"))
+            .as("path"))
+        .filter(col("n_steps") === 3)
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+      val tot = paths.agg(sum("n_users").as("t"))
+      paths.crossJoin(broadcast(tot))
+        .select(col("path"), col("n_users"),
+          expr("n_users * 1000000 DIV t").as("share_ppm"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(5)
+    },
+
+    // NS: new-vs-returning mix per day — the acquisition dashboard's
+    // first row: a user is NEW on their first-seen day, returning after;
+    // one user-grain first-seen aggregate + one (day, is_new) census,
+    // share in exact integer ppm.
+    "q_new_vs_returning" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+        .distinct()
+      val firstSeen = ev.groupBy("user_id").agg(min("d").as("d0"))
+      ev.join(firstSeen, "user_id")
+        .withColumn("is_new", (col("d") === col("d0")).cast("long"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("dau"),
+          sum("is_new").as("n_new"))
+        .select(col("d").as("day"), col("dau"), col("n_new"),
+          (col("dau") - col("n_new")).as("n_returning"),
+          expr("n_new * 1000000 DIV dau").as("new_ppm"))
+        .orderBy("day")
+    },
+
     // NS: peak concurrency (sweep line) — "how many sessions were open at
     // once, per hour" (Little's-law capacity planning): each 30-min-gap
     // session contributes (+1 at start, −1 just after end), and the
@@ -693,6 +742,36 @@ object WindowSetQueries {
         |SELECT t.cur, t.nxt, t.n, t.n * 1000000 // tot.n_cur AS p_ppm
         |FROM t JOIN tot USING (cur)
         |ORDER BY cur, nxt""".stripMargin,
+    // same first-3 trim and path census
+    "q_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, count(*) AS n_steps,
+        |             array_to_string(list(event_type ORDER BY rn), '>') AS path
+        |      FROM e WHERE rn <= 3 GROUP BY user_id),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM p WHERE n_steps = 3 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tt FROM c)
+        |SELECT path, n_users, n_users * 1000000 // t.tt AS share_ppm
+        |FROM c CROSS JOIN t ORDER BY n_users DESC, path LIMIT 5""".stripMargin,
+    // same first-seen grain and integer shares
+    "q_new_vs_returning" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |fs AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id)
+        |SELECT ev.d AS day, CAST(count(*) AS BIGINT) AS dau,
+        |       CAST(sum(CASE WHEN ev.d = fs.d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |       CAST(count(*) - sum(CASE WHEN ev.d = fs.d0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_returning,
+        |       CAST(sum(CASE WHEN ev.d = fs.d0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         * 1000000 // count(*) AS new_ppm
+        |FROM ev JOIN fs USING (user_id)
+        |GROUP BY ev.d ORDER BY day""".stripMargin,
     // identical session intervals, delta points and carry decomposition
     "q_concurrency" ->
       """WITH e AS (

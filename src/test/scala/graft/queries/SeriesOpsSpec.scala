@@ -95,6 +95,37 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_top_paths: 5 rows of 3-step paths over the type alphabet, shares consistent") {
+    val rows = run("q_top_paths")
+    assert(rows.length == 5)
+    val types = Set("click", "error", "purchase", "signup", "view")
+    rows.foreach { r =>
+      val segs = r.getAs[String]("path").split(">")
+      assert(segs.length == 3 && segs.forall(types.contains), r.getAs[String]("path"))
+      assert(r.getAs[Long]("n_users") > 0)
+      assert(r.getAs[Long]("share_ppm") <= 1000000L)
+    }
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_new_vs_returning: day-1 users are all new; masses conserve") {
+    val rows = run("q_new_vs_returning").sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    val first = rows.head
+    assert(first.getAs[Long]("n_new") == first.getAs[Long]("dau"),
+      "every user on the first day is new")
+    assert(first.getAs[Long]("new_ppm") == 1000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_returning") ==
+        r.getAs[Long]("dau"))
+    }
+    // total new users across days = total distinct users
+    val users = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == users)
+  }
+
   test("q_holt_winters: driver-side exact replay of the triple recursion") {
     val rows = run("q_holt_winters")
     val daily = graft.core.Tables.events(spark, TestSpark.Sf0001)

@@ -113,4 +113,21 @@ class SketchCensusOpsSpec extends AnyFunSuite {
       r.getAs[Long]("n_outliers") * 1000000L / r.getAs[Long]("n_vectors"))
     assert(r.getAs[Double]("max_d2") >= mean)
   }
+
+  test("q_bloom_plan: the sized filter actually achieves near-optimal bits/key") {
+    val rows = graft.SparkEntry.queries("q_bloom_plan")(
+      graft.TestSpark.spark, graft.TestSpark.Sf0001).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_distinct"); val m = r.getAs[Long]("m_bits")
+      val bitsPerKey = m.toDouble / n
+      // closed-form optima 9.584963 / 14.377445 bits per key; the integer
+      // ceil can only add granularity, bounded by a few ulps of 1/n
+      val c = if (r.getAs[Long]("fpr_ppm") == 10000L) 9.584963 else 14.377445
+      assert(bitsPerKey >= c - 1e-6 && bitsPerKey <= c + 2.0 / n + 1e-6,
+        s"bits/key $bitsPerKey vs $c (n=$n)")
+      assert(r.getAs[Long]("k_hashes") == (if (r.getAs[Long]("fpr_ppm") == 10000L) 7L else 10L))
+      assert(r.getAs[Long]("m_kib") == m / 8192)
+    }
+  }
 }
