@@ -529,6 +529,43 @@ object StatsQueries {
             .as("gini"))
     },
 
+    // NS: rank correlation — Spearman's rho and Kendall's tau between
+    // two rankings of the sources (by token mass vs by doc count): do the
+    // two size notions order the corpus the same way? Both statistics
+    // are EXACT INTEGERS on the registry-bounded frame — rho_ppm =
+    // 1e6 − 6·Σd²·1e6 DIV (n(n²−1)) from the rank-difference identity,
+    // tau from concordant/discordant counts over the C(n,2) pair frame
+    // (bounded by the REGISTRY, never rows); (value, source) total
+    // orders make ranks tie-free on both engines.
+    "q_rank_corr" -> { (s, dir) =>
+      val src = Tables.documents(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+        .groupBy("source")
+        .agg(sum("t").as("tokens"), count(lit(1)).as("docs"))
+        .withColumn("r_tok", row_number().over(
+          Window.orderBy(col("tokens").desc, col("source"))).cast("long"))
+        .withColumn("r_doc", row_number().over(
+          Window.orderBy(col("docs").desc, col("source"))).cast("long"))
+        .localCheckpoint() // registry-bounded; feeds rho fold + pair join
+      val rho = src
+        .agg(count(lit(1)).as("n"),
+          sum((col("r_tok") - col("r_doc")) * (col("r_tok") - col("r_doc"))).as("sd2"))
+        .select(col("n"),
+          expr("1000000 - 6 * sd2 * 1000000 DIV (n * (n * n - 1))").as("spearman_ppm"))
+      val pairs = src.select(col("source").as("sa"), col("r_tok").as("ta"), col("r_doc").as("da"))
+        .join(src.select(col("source").as("sb"), col("r_tok").as("tb"), col("r_doc").as("db")),
+          col("sa") < col("sb"))
+        .select(((col("ta") < col("tb")) === (col("da") < col("db"))).cast("long").as("conc"))
+      val tau = pairs.agg(count(lit(1)).as("n_pairs"), sum("conc").as("n_concordant"))
+        .select(col("n_pairs"), col("n_concordant"),
+          (col("n_pairs") - col("n_concordant")).as("n_discordant"),
+          expr("""CASE WHEN 2 * n_concordant >= n_pairs
+                 |  THEN (2 * n_concordant - n_pairs) * 1000000 DIV n_pairs
+                 |  ELSE -((n_pairs - 2 * n_concordant) * 1000000 DIV n_pairs)
+                 |END""".stripMargin).as("kendall_ppm"))
+      rho.crossJoin(broadcast(tau))
+    },
+
     // NS: effective sample size / design effect — the survey-statistics
     // read every weighted pipeline needs ("my 1M weighted rows carry the
     // information of how many unweighted ones?"): Kish n_eff =
@@ -1407,6 +1444,34 @@ object StatsQueries {
         |       (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS chi2_ppm,
         |       CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 3841459 AS BIGINT) AS srm_alarm
         |FROM c ORDER BY segment""".stripMargin,
+    // same tie-free ranks and integer identities
+    "q_rank_corr" ->
+      """WITH src AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |         CAST(count(*) AS BIGINT) AS docs
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source,
+        |             CAST(row_number() OVER (ORDER BY tokens DESC, source) AS BIGINT) AS r_tok,
+        |             CAST(row_number() OVER (ORDER BY docs DESC, source) AS BIGINT) AS r_doc
+        |      FROM src),
+        |rho AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum((r_tok - r_doc) * (r_tok - r_doc)) AS BIGINT) AS sd2
+        |  FROM r),
+        |p AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN (a.r_tok < b.r_tok) = (a.r_doc < b.r_doc)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant
+        |  FROM r a JOIN r b ON a.source < b.source)
+        |SELECT rho.n,
+        |       1000000 - 6 * rho.sd2 * 1000000 // (rho.n * (rho.n * rho.n - 1)) AS spearman_ppm,
+        |       p.n_pairs, p.n_concordant,
+        |       p.n_pairs - p.n_concordant AS n_discordant,
+        |       CASE WHEN 2 * p.n_concordant >= p.n_pairs
+        |         THEN (2 * p.n_concordant - p.n_pairs) * 1000000 // p.n_pairs
+        |         ELSE -((p.n_pairs - 2 * p.n_concordant) * 1000000 // p.n_pairs)
+        |       END AS kendall_ppm
+        |FROM rho CROSS JOIN p""".stripMargin,
     // same exact milli weights; identical IEEE ratio trees
     "q_effective_n" ->
       """WITH w AS (

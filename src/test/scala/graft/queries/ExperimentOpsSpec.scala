@@ -88,6 +88,33 @@ class ExperimentOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rank_corr: both coefficients in [-1e6, 1e6] and recompute exactly") {
+    val row = run("q_rank_corr").head
+    val n = row.getAs[Long]("n")
+    assert(row.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+    val rho = row.getAs[Long]("spearman_ppm")
+    val tau = row.getAs[Long]("kendall_ppm")
+    assert(rho >= -1000000L && rho <= 1000000L)
+    assert(tau >= -1000000L && tau <= 1000000L)
+    // independent recomputation over the collected source stats
+    val src = graft.core.Tables.documents(spark, TestSpark.Sf0001)
+      .selectExpr("source", "size(split(text, ' ')) AS t")
+      .groupBy("source").agg(sum("t").as("tokens"), count(lit(1)).as("docs"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("docs")))
+    val rTok = src.sortBy(s => (-s._2, s._1)).zipWithIndex
+      .map { case (s, i) => s._1 -> (i + 1L) }.toMap
+    val rDoc = src.sortBy(s => (-s._3, s._1)).zipWithIndex
+      .map { case (s, i) => s._1 -> (i + 1L) }.toMap
+    val sd2 = src.map(s => { val d = rTok(s._1) - rDoc(s._1); d * d }).sum
+    assert(rho == 1000000L - 6 * sd2 * 1000000L / (n * (n * n - 1)))
+    val conc = (for {
+      i <- src.indices; j <- (i + 1) until src.length
+      a = src(i)._1; b = src(j)._1
+    } yield if ((rTok(a) < rTok(b)) == (rDoc(a) < rDoc(b))) 1L else 0L).sum
+    assert(row.getAs[Long]("n_concordant") == conc)
+  }
+
   test("q_effective_n: Kish bounds — 1 <= n_eff <= n, deff >= 1") {
     val rows = run("q_effective_n")
     assert(rows.length == 6) // 5 types + __ALL__
