@@ -193,6 +193,45 @@ object KmeansQueries {
         .groupBy("cid")
         .agg(count(lit(1)).as("n"), round(sum("d2"), 6).as("inertia"))
         .orderBy("cid")
+    },
+
+    // NS: Adjusted Rand Index — the chance-corrected clustering-vs-truth
+    // agreement grade (does the K-Means geometry recover the labels?),
+    // completing the clustering-eval family beside silhouette (internal)
+    // and inertia (objective). Everything reduces to the K×|labels|
+    // CONTINGENCY TABLE in one aggregate; the pair-count sums
+    // Σ C(n_ij,2) / Σ C(a_i,2) / Σ C(b_j,2) are exact BIGINTs over that
+    // bounded frame, and the ARI ratio (2(S_ij·N₂ − S_a·S_b)) /
+    // ((S_a+S_b)·N₂ − 2·S_a·S_b) is one IEEE division over exact
+    // ≤8e16 integers, rounded 6dp (scaling to ppm in integers would
+    // overflow at the stress N₂ — the q_ols_normal register choice).
+    "q_ari" -> { (s, dir) =>
+      val cents = Lloyd.initCentroidsFor(s, dir, K)
+      val asg = Tables.points(s, dir)
+        .withColumn("cid", Lloyd.assignCol(cents, col("coordinates")))
+        .select(col("vec_id"), col("cid"))
+      val lab = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("cls"))
+      val cells = asg.join(lab, "vec_id")
+        .groupBy("cid", "cls").agg(count(lit(1)).as("nij"))
+        .localCheckpoint() // K×L-bounded; feeds three pair-count folds
+      val sij = cells.agg(sum(expr("nij * (nij - 1) DIV 2")).as("sij"),
+        sum("nij").as("n"))
+      val sa = cells.groupBy("cid").agg(sum("nij").as("a"))
+        .agg(sum(expr("a * (a - 1) DIV 2")).as("sa"))
+      val sb = cells.groupBy("cls").agg(sum("nij").as("b"))
+        .agg(sum(expr("b * (b - 1) DIV 2")).as("sb"))
+      sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .withColumn("n2", expr("n * (n - 1) DIV 2"))
+        .select(col("n"), col("sij"), col("sa"), col("sb"),
+          when(expr("(sa + sb) * n2 - 2 * sa * sb") === 0, lit(0.0))
+            .otherwise(round(
+              (lit(2.0) * (col("sij").cast("double") * col("n2").cast("double") -
+                col("sa").cast("double") * col("sb").cast("double"))) /
+                ((col("sa") + col("sb")).cast("double") * col("n2").cast("double") -
+                  lit(2.0) * col("sa").cast("double") * col("sb").cast("double")), 6)
+              + lit(0.0))
+            .as("ari"))
     }
   )
 
@@ -290,6 +329,30 @@ object KmeansQueries {
     "q_inertia" ->
       s"""$preludeSql
          |SELECT cid, count(*) AS n, round(sum(d2), 6) AS inertia
-         |FROM assign GROUP BY cid ORDER BY cid""".stripMargin
+         |FROM assign GROUP BY cid ORDER BY cid""".stripMargin,
+    // same contingency table and pair-count identities
+    "q_ari" ->
+      s"""$preludeSql,
+         |cells AS (
+         |  SELECT a.cid, CAST(e.label AS BIGINT) AS cls,
+         |         CAST(count(*) AS BIGINT) AS nij
+         |  FROM assign a JOIN embeddings e USING (vec_id)
+         |  GROUP BY 1, 2),
+         |sij AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sij,
+         |               CAST(sum(nij) AS BIGINT) AS n FROM cells),
+         |sa AS (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS sa
+         |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS a FROM cells GROUP BY cid)),
+         |sb AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS sb
+         |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS b FROM cells GROUP BY cls))
+         |SELECT n, sij.sij, sa.sa, sb.sb,
+         |       CASE WHEN (sa.sa + sb.sb) * (n * (n - 1) // 2) - 2 * sa.sa * sb.sb = 0
+         |            THEN 0.0
+         |            ELSE round(
+         |              (2.0 * (CAST(sij.sij AS DOUBLE) * CAST(n * (n - 1) // 2 AS DOUBLE)
+         |                      - CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE)))
+         |              / (CAST(sa.sa + sb.sb AS DOUBLE) * CAST(n * (n - 1) // 2 AS DOUBLE)
+         |                 - 2.0 * CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE)), 6) + 0.0
+         |       END AS ari
+         |FROM sij CROSS JOIN sa CROSS JOIN sb""".stripMargin
   )
 }

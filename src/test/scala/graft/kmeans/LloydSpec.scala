@@ -126,4 +126,35 @@ class LloydSpec extends AnyFunSuite {
     assert(iters >= 2)
     assert(cents.map(_.cid).toSet.subsetOf(Set(1, 2, 3)))
   }
+
+  test("q_ari: matches a driver-side exact ARI over the same assignment") {
+    val row = graft.SparkEntry.queries("q_ari")(spark, TestSpark.Sf0001)
+      .collect().head
+    val cents = Lloyd.initCentroidsFor(spark, TestSpark.Sf0001, KmeansQueries.K)
+    val pts = graft.core.Tables.points(spark, TestSpark.Sf0001)
+      .withColumn("cid", Lloyd.assignCol(cents, col("coordinates")))
+      .select("vec_id", "cid").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
+    val labs = graft.core.Tables.embeddings(spark, TestSpark.Sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label"))
+    val cells = labs.groupBy { case (v, l) => (pts(v), l) }
+      .view.mapValues(_.length.toLong).toMap
+    def c2(x: Long) = x * (x - 1) / 2
+    val sij = cells.values.map(c2).sum
+    val sa = cells.groupBy(_._1._1).values.map(v => c2(v.values.sum)).sum
+    val sb = cells.groupBy(_._1._2).values.map(v => c2(v.values.sum)).sum
+    val n = labs.length.toLong
+    val n2 = c2(n)
+    val expected = BigDecimal(
+      2.0 * (sij.toDouble * n2.toDouble - sa.toDouble * sb.toDouble) /
+        ((sa + sb).toDouble * n2.toDouble - 2.0 * sa.toDouble * sb.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Long]("sij") == sij && row.getAs[Long]("sa") == sa &&
+      row.getAs[Long]("sb") == sb)
+    assert(math.abs(row.getAs[Double]("ari") - expected) < 2e-6,
+      s"ari ${row.getAs[Double]("ari")} vs $expected")
+    // sanity: ARI is bounded by 1 and chance-corrected around 0
+    assert(row.getAs[Double]("ari") <= 1.0)
+  }
 }
