@@ -670,6 +670,66 @@ object TimeSeriesQueries {
         .orderBy("p_pct")
     },
 
+    // NS: expanding-window time-series cross-validation plan — the CV
+    // split that doesn't leak the future (random K-fold on a time series
+    // trains on tomorrow to predict yesterday): folds k = 1..4 train on
+    // days ≤ cutoff_k and test on the next 3 days, cutoffs on the
+    // span's integer quantile grid. One calendar-bounded day frame; the
+    // plan is a broadcast 4-row cross + integer day arithmetic, with
+    // per-fold train/test masses and the leakage invariant (max train
+    // day < min test day) emitted as a checked verdict.
+    "q_timeseries_cv" -> { (s, dir) =>
+      val days = Tables.events(s, dir)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // calendar-bounded; feeds span and the fold cross
+      val span = days.agg(min("d").as("d0"), max("d").as("d1"))
+      val folds = broadcast(s.createDataFrame(Seq(1L, 2L, 3L, 4L).map(Tuple1(_)))
+        .toDF("fold"))
+      days.crossJoin(broadcast(span)).crossJoin(folds)
+        // cutoff_k splits the span at k/6, leaving room for the test tail
+        .withColumn("cutoff", expr("d0 + (d1 - d0) * fold DIV 6"))
+        .withColumn("role",
+          when(col("d") <= col("cutoff"), "train")
+            .when(col("d") <= col("cutoff") + 3, "test")
+            .otherwise("unused"))
+        .filter(col("role") =!= "unused")
+        .groupBy("fold")
+        .agg(sum(when(col("role") === "train", col("n")).otherwise(0L)).as("n_train"),
+          sum(when(col("role") === "test", col("n")).otherwise(0L)).as("n_test"),
+          max(when(col("role") === "train", col("d"))).as("max_train_d"),
+          min(when(col("role") === "test", col("d"))).as("min_test_d"))
+        .withColumn("no_leakage",
+          (col("max_train_d") < col("min_test_d")).cast("long"))
+        .orderBy("fold")
+    },
+
+    // NS: maximum drawdown of the cumulative daily revenue — the
+    // worst-case peak-to-trough fall (the risk statistic that reads a
+    // cumulative series, completing q_changepoint's family from the
+    // finance side): running max over the calendar-bounded daily
+    // cumulative, drawdown = peak − current, all exact integer milli;
+    // the max drawdown row is the packed-struct argmax (deepest, ties →
+    // earliest day).
+    "q_drawdown" -> { (s, dir) =>
+      val wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+        .agg(expr("CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)").as("v"))
+        .withColumn("cum", sum("v").over(wc))
+        .withColumn("peak", max("cum").over(wc))
+        .withColumn("dd", col("peak") - col("cum"))
+      daily.agg(count(lit(1)).as("n_days"),
+          max("cum").as("final_cum_milli"),
+          max(struct(col("dd"), (-col("d")).as("nd"), col("d"), col("peak"))).as("m"))
+        .select(col("n_days"), col("final_cum_milli"),
+          col("m.dd").as("max_drawdown_milli"),
+          col("m.d").as("trough_day"),
+          col("m.peak").as("peak_before_milli"),
+          expr("CASE WHEN m.peak > 0 THEN m.dd * 1000000 DIV m.peak " +
+            "ELSE CAST(0 AS BIGINT) END").as("drawdown_ppm"))
+    },
+
     // NS: binary-segmentation changepoint (depth 2) — q_changepoint finds
     // ONE break; real series have several, and binary segmentation is the
     // standard recursion: split at the CUSUM argmax, then re-run within
@@ -1271,6 +1331,56 @@ object TimeSeriesQueries {
         |       CAST(floor(qa.q[i]) AS BIGINT) - CAST(floor(qb.q[i]) AS BIGINT) AS gap_milli
         |FROM x CROSS JOIN qa CROSS JOIN qb
         |ORDER BY p_pct""".stripMargin,
+    // identical span-grid cutoffs and role arithmetic
+    "q_timeseries_cv" ->
+      """WITH days AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |span AS (SELECT CAST(min(d) AS BIGINT) AS d0, CAST(max(d) AS BIGINT) AS d1 FROM days),
+        |folds AS (SELECT CAST(f AS BIGINT) AS fold FROM (VALUES (1), (2), (3), (4)) v(f)),
+        |r AS (
+        |  SELECT f.fold, d.n, d.d,
+        |         s.d0 + (s.d1 - s.d0) * f.fold // 6 AS cutoff
+        |  FROM days d CROSS JOIN span s CROSS JOIN folds f),
+        |roles AS (
+        |  SELECT fold, n, d,
+        |         CASE WHEN d <= cutoff THEN 'train'
+        |              WHEN d <= cutoff + 3 THEN 'test'
+        |              ELSE 'unused' END AS role
+        |  FROM r)
+        |SELECT fold,
+        |       CAST(sum(CASE WHEN role = 'train' THEN n ELSE 0 END) AS BIGINT) AS n_train,
+        |       CAST(sum(CASE WHEN role = 'test' THEN n ELSE 0 END) AS BIGINT) AS n_test,
+        |       CAST(max(CASE WHEN role = 'train' THEN d END) AS BIGINT) AS max_train_d,
+        |       CAST(min(CASE WHEN role = 'test' THEN d END) AS BIGINT) AS min_test_d,
+        |       CAST(max(CASE WHEN role = 'train' THEN d END)
+        |            < min(CASE WHEN role = 'test' THEN d END) AS BIGINT) AS no_leakage
+        |FROM roles WHERE role <> 'unused'
+        |GROUP BY fold ORDER BY fold""".stripMargin,
+    // identical cumulative peaks and packed argmax
+    "q_drawdown" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |c1 AS (SELECT d, CAST(sum(v) OVER (ORDER BY d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM daily),
+        |c AS (SELECT d, cum, CAST(max(cum) OVER (ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+        |      FROM c1),
+        |dd AS (SELECT d, cum, peak, peak - cum AS dd FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(max(cum) AS BIGINT) AS final_cum_milli,
+        |       (max(struct_pack(dd := dd, nd := -d, d := d, peak := peak))).dd AS max_drawdown_milli,
+        |       (max(struct_pack(dd := dd, nd := -d, d := d, peak := peak))).d AS trough_day,
+        |       (max(struct_pack(dd := dd, nd := -d, d := d, peak := peak))).peak AS peak_before_milli,
+        |       CASE WHEN (max(struct_pack(dd := dd, nd := -d, d := d, peak := peak))).peak > 0
+        |         THEN (max(struct_pack(dd := dd, nd := -d, d := d, peak := peak))).dd * 1000000
+        |              // (max(struct_pack(dd := dd, nd := -d, d := d, peak := peak))).peak
+        |         ELSE CAST(0 AS BIGINT) END AS drawdown_ppm
+        |FROM dd""".stripMargin,
     // identical scaled integer cusum, packed argmax and carry algebra
     "q_changepoint_binseg" ->
       """WITH idx AS (

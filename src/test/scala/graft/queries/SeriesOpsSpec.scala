@@ -157,6 +157,38 @@ class SeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_timeseries_cv: every fold is leak-free with growing train mass") {
+    val rows = run("q_timeseries_cv").sortBy(_.getAs[Long]("fold"))
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("no_leakage") == 1L, s"fold ${r.getAs[Long]("fold")} leaks")
+      assert(r.getAs[Long]("n_train") > 0 && r.getAs[Long]("n_test") > 0)
+      assert(r.getAs[Long]("max_train_d") < r.getAs[Long]("min_test_d"))
+    }
+    val train = rows.map(_.getAs[Long]("n_train"))
+    assert(train.zip(train.tail).forall { case (a, b) => a <= b },
+      "expanding window must not shrink")
+  }
+
+  test("q_drawdown: drawdown identities against a driver-side replay") {
+    val r = run("q_drawdown").head
+    val daily = graft.core.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT)").as("d"))
+      .agg(expr("CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)").as("v"))
+      .orderBy("d").collect().map(x => (x.getAs[Long]("d"), x.getAs[Long]("v")))
+    var cum = 0L; var peak = 0L
+    var best = (Long.MinValue, Long.MinValue, 0L) // (dd, -day, peak)
+    daily.foreach { case (d, v) =>
+      cum += v; peak = math.max(peak, cum)
+      val dd = peak - cum
+      if (dd > best._1 || (dd == best._1 && -d > best._2)) best = (dd, -d, peak)
+    }
+    assert(r.getAs[Long]("n_days") == daily.length.toLong)
+    assert(r.getAs[Long]("final_cum_milli") == cum)
+    assert(r.getAs[Long]("max_drawdown_milli") == best._1)
+    assert(r.getAs[Long]("trough_day") == -best._2)
+  }
+
   test("q_changepoint_binseg: level-2 splits nest inside level 1; masses conserve") {
     val rows = run("q_changepoint_binseg")
     val byType = rows.groupBy(_.getAs[String]("event_type"))
