@@ -1,6 +1,6 @@
 package graft.kmeans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables, Vec}
@@ -195,6 +195,51 @@ object KmeansQueries {
         .orderBy("cid")
     },
 
+    // NS: V-measure — homogeneity/completeness/V, the information-
+    // theoretic clustering-vs-truth grade beside q_ari's pair-counting
+    // view: homogeneity = 1 − H(C|K)/H(C), completeness the transpose, V
+    // their harmonic mean. All entropies are EXACT integer sums of
+    // micro-nat cell terms (n·H(C|K)·1e6 = Σ n_ij·round(ln(a_i/n_ij)·1e6)
+    // — one log rounding per BOUNDED contingency cell, the NB scoring
+    // discipline), so the three scores are integer cross-multiplications
+    // in ppm; degenerate single-class/single-cluster partitions pin to
+    // 1e6 by convention on both engines.
+    "q_v_measure" -> { (s, dir) =>
+      val cents = Lloyd.initCentroidsFor(s, dir, K)
+      val asg = Tables.points(s, dir)
+        .withColumn("cid", Lloyd.assignCol(cents, col("coordinates")))
+        .select(col("vec_id"), col("cid"))
+      val lab = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("cls"))
+      val cells = asg.join(lab, "vec_id")
+        .groupBy("cid", "cls").agg(count(lit(1)).as("nij"))
+        .localCheckpoint()
+      val a = cells.groupBy("cid").agg(sum("nij").as("ai"))
+      val b = cells.groupBy("cls").agg(sum("nij").as("bj"))
+      val n = cells.agg(sum("nij").as("n"))
+      def mn(num: String, den: String): Column =
+        expr(s"CAST(round(ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * 1000000) AS BIGINT)")
+      val hck = cells.join(a, "cid")
+        .agg(sum(col("nij") * mn("ai", "nij")).as("hck"))
+      val hkc = cells.join(b, "cls")
+        .agg(sum(col("nij") * mn("bj", "nij")).as("hkc"))
+      val hc = b.crossJoin(broadcast(n))
+        .agg(sum(col("bj") * mn("n", "bj")).as("hc"))
+      val hk = a.crossJoin(broadcast(n))
+        .agg(sum(col("ai") * mn("n", "ai")).as("hk"))
+      hck.crossJoin(broadcast(hkc)).crossJoin(broadcast(hc))
+        .crossJoin(broadcast(hk)).crossJoin(broadcast(n))
+        .select(col("n"),
+          expr("CASE WHEN hc = 0 THEN CAST(1000000 AS BIGINT) " +
+            "ELSE 1000000 - hck * 1000000 DIV hc END").as("homogeneity_ppm"),
+          expr("CASE WHEN hk = 0 THEN CAST(1000000 AS BIGINT) " +
+            "ELSE 1000000 - hkc * 1000000 DIV hk END").as("completeness_ppm"))
+        .withColumn("v_ppm",
+          expr("CASE WHEN homogeneity_ppm + completeness_ppm = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE 2 * homogeneity_ppm * completeness_ppm " +
+            "DIV (homogeneity_ppm + completeness_ppm) END"))
+    },
+
     // NS: Adjusted Rand Index — the chance-corrected clustering-vs-truth
     // agreement grade (does the K-Means geometry recover the labels?),
     // completing the clustering-eval family beside silhouette (internal)
@@ -330,6 +375,41 @@ object KmeansQueries {
       s"""$preludeSql
          |SELECT cid, count(*) AS n, round(sum(d2), 6) AS inertia
          |FROM assign GROUP BY cid ORDER BY cid""".stripMargin,
+    // same contingency table, micro-nat cell logs and integer ratios
+    "q_v_measure" ->
+      s"""$preludeSql,
+         |cells AS (
+         |  SELECT a.cid, CAST(e.label AS BIGINT) AS cls,
+         |         CAST(count(*) AS BIGINT) AS nij
+         |  FROM assign a JOIN embeddings e USING (vec_id)
+         |  GROUP BY 1, 2),
+         |aa AS (SELECT cid, CAST(sum(nij) AS BIGINT) AS ai FROM cells GROUP BY 1),
+         |bb AS (SELECT cls, CAST(sum(nij) AS BIGINT) AS bj FROM cells GROUP BY 1),
+         |nn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cells),
+         |hck AS (SELECT CAST(sum(c.nij * CAST(round(ln(CAST(aa.ai AS DOUBLE)
+         |                 / CAST(c.nij AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS hck
+         |        FROM cells c JOIN aa USING (cid)),
+         |hkc AS (SELECT CAST(sum(c.nij * CAST(round(ln(CAST(bb.bj AS DOUBLE)
+         |                 / CAST(c.nij AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS hkc
+         |        FROM cells c JOIN bb USING (cls)),
+         |hc AS (SELECT CAST(sum(bj * CAST(round(ln(CAST(nn.n AS DOUBLE)
+         |                / CAST(bj AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS hc
+         |       FROM bb CROSS JOIN nn),
+         |hk AS (SELECT CAST(sum(ai * CAST(round(ln(CAST(nn.n AS DOUBLE)
+         |                / CAST(ai AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS hk
+         |       FROM aa CROSS JOIN nn),
+         |sc AS (
+         |  SELECT nn.n,
+         |         CASE WHEN hc.hc = 0 THEN CAST(1000000 AS BIGINT)
+         |              ELSE 1000000 - hck.hck * 1000000 // hc.hc END AS homogeneity_ppm,
+         |         CASE WHEN hk.hk = 0 THEN CAST(1000000 AS BIGINT)
+         |              ELSE 1000000 - hkc.hkc * 1000000 // hk.hk END AS completeness_ppm
+         |  FROM hck CROSS JOIN hkc CROSS JOIN hc CROSS JOIN hk CROSS JOIN nn)
+         |SELECT n, homogeneity_ppm, completeness_ppm,
+         |       CASE WHEN homogeneity_ppm + completeness_ppm = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE 2 * homogeneity_ppm * completeness_ppm
+         |                 // (homogeneity_ppm + completeness_ppm) END AS v_ppm
+         |FROM sc""".stripMargin,
     // same contingency table and pair-count identities
     "q_ari" ->
       s"""$preludeSql,

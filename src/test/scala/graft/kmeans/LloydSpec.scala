@@ -157,4 +157,18 @@ class LloydSpec extends AnyFunSuite {
     // sanity: ARI is bounded by 1 and chance-corrected around 0
     assert(row.getAs[Double]("ari") <= 1.0)
   }
+
+  test("q_v_measure: scores bounded, V is the harmonic mean, conditioning holds") {
+    val r = graft.SparkEntry.queries("q_v_measure")(spark, TestSpark.Sf0001)
+      .collect().head
+    val h = r.getAs[Long]("homogeneity_ppm")
+    val c = r.getAs[Long]("completeness_ppm")
+    val v = r.getAs[Long]("v_ppm")
+    // conditioning can only reduce entropy, so both scores sit in
+    // [0, 1e6] up to one micro-nat rounding grain
+    assert(h >= -5L && h <= 1000000L, s"homogeneity $h")
+    assert(c >= -5L && c <= 1000000L, s"completeness $c")
+    assert(v == 2 * h * c / (h + c), "V must be the harmonic mean")
+    assert(v <= math.max(h, c) && v >= math.min(h, c) - 1)
+  }
 }
