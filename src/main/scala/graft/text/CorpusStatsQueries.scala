@@ -194,6 +194,43 @@ object CorpusStatsQueries {
         .orderBy("source")
     },
 
+    // NS: Dirichlet-smoothed log-odds distinctive terms (Monroe, Colaresi
+    // & Quinn 2008 "Fightin' Words") — the PRINCIPLED version of
+    // q_source_lift's ratio ranking: delta = log-odds(term in source) −
+    // log-odds(term in rest) under an informative Dirichlet prior
+    // (alpha_w proportional to corpus frequency), z = delta/sqrt(var)
+    // with var ≈ 1/(y+a) + 1/(y_rest+a). Counts are EXACT integers from
+    // one (source, term) aggregate; the z statistic is a fixed IEEE tree
+    // over those integers rounded 4dp, ranked per source with total
+    // tie-breaks; top-3 per source over the vocab-bounded frame.
+    "q_log_odds" -> { (s, dir) =>
+      val st = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("source", "term").agg(count(lit(1)).as("y"))
+        .localCheckpoint() // vocab x sources; feeds totals and the z frame
+      val srcTot = st.groupBy("source").agg(sum("y").as("n_src"))
+      val termTot = st.groupBy("term").agg(sum("y").as("y_all"))
+      val corpTot = st.agg(sum("y").as("n_all"))
+      val z = st.join(srcTot, "source").join(termTot, "term")
+        .crossJoin(broadcast(corpTot))
+        // prior alpha_w = 10 * corpus share of the term (A = 10 total)
+        .withColumn("aw", col("y_all").cast("double") * 10.0 / col("n_all").cast("double"))
+        .withColumn("y1", col("y").cast("double") + col("aw"))
+        .withColumn("n1", col("n_src").cast("double") + lit(10.0))
+        .withColumn("y2", (col("y_all") - col("y")).cast("double") + col("aw"))
+        .withColumn("n2", (col("n_all") - col("n_src")).cast("double") + lit(10.0))
+        .withColumn("delta",
+          log(col("y1") / (col("n1") - col("y1"))) - log(col("y2") / (col("n2") - col("y2"))))
+        .withColumn("z", round(col("delta") /
+          sqrt(lit(1.0) / col("y1") + lit(1.0) / col("y2")), 4))
+      z.withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("z").desc, col("y").desc, col("term"))))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk"), col("term"), col("y"), col("z"))
+        .orderBy("source", "rk")
+    },
+
     // NS: boilerplate chunk census — the content-extraction screen (CCNet/
     // RefinedWeb drop lines repeated across many pages of a host). The
     // fixture text has no newlines, so a "line" is a non-overlapping
@@ -400,6 +437,35 @@ object CorpusStatsQueries {
         |         ELSE -((metric_all_milli - metric_without_milli) * 1000000 // metric_all_milli)
         |       END AS delta_ppm
         |FROM m ORDER BY source""".stripMargin,
+    // identical prior and IEEE z tree over the same exact counts
+    "q_log_odds" ->
+      """WITH st AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS y
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE len(term) > 0 GROUP BY 1, 2),
+        |srct AS (SELECT source, CAST(sum(y) AS BIGINT) AS n_src FROM st GROUP BY 1),
+        |tt AS (SELECT term, CAST(sum(y) AS BIGINT) AS y_all FROM st GROUP BY 1),
+        |ct AS (SELECT CAST(sum(y) AS BIGINT) AS n_all FROM st),
+        |z AS (
+        |  SELECT st.source, st.term, st.y,
+        |         round(
+        |           (ln((CAST(st.y AS DOUBLE) + aw) / ((CAST(srct.n_src AS DOUBLE) + 10.0)
+        |                 - (CAST(st.y AS DOUBLE) + aw)))
+        |            - ln((CAST(tt.y_all - st.y AS DOUBLE) + aw)
+        |                 / ((CAST(ct.n_all - srct.n_src AS DOUBLE) + 10.0)
+        |                    - (CAST(tt.y_all - st.y AS DOUBLE) + aw))))
+        |           / sqrt(1.0 / (CAST(st.y AS DOUBLE) + aw)
+        |                  + 1.0 / (CAST(tt.y_all - st.y AS DOUBLE) + aw)), 4) AS z
+        |  FROM st
+        |  JOIN srct USING (source) JOIN tt USING (term) CROSS JOIN ct
+        |  CROSS JOIN LATERAL (SELECT CAST(tt.y_all AS DOUBLE) * 10.0
+        |                             / CAST(ct.n_all AS DOUBLE) AS aw) p),
+        |r AS (SELECT source, term, y, z,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY z DESC, y DESC, term) AS rk
+        |      FROM z)
+        |SELECT source, rk, term, y, z
+        |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
     "q_boilerplate" ->
       """WITH t AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents),

@@ -69,6 +69,19 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("lift_x1e6") >= 1000000L))
   }
 
+  test("q_log_odds: 3 ranked rows per source, z consistent with over-representation") {
+    val rows = run("q_log_odds")
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.values.forall(_.length == 3))
+    bySrc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      val zs = sorted.map(_.getAs[Double]("z"))
+      assert(zs.zip(zs.tail).forall { case (a, b) => a >= b }, "z not descending in rank")
+      // a top distinctive term is genuinely present in the source
+      sorted.foreach(r => assert(r.getAs[Long]("y") > 0))
+    }
+  }
+
   test("q_boilerplate: share identities and the >=3-docs occurrence floor") {
     val rows = run("q_boilerplate")
     assert(rows.nonEmpty)
