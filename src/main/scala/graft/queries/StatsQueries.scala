@@ -529,6 +529,32 @@ object StatsQueries {
             .as("gini"))
     },
 
+    // NS: quantile treatment effects — where in the OUTCOME DISTRIBUTION
+    // does the treatment act? (a mean effect can hide a pure tail
+    // effect): md5-assigned arms at the user grain, p10..p90 of each
+    // arm's outcome in integer milli with type-7 percentiles FLOORED to
+    // the grid (the q_gains_table discipline), QTE per decile = treated −
+    // control in exact integers. Two user-grain aggregates + two
+    // percentile-array folds + a 9-row posexplode.
+    "q_qte" -> { (s, dir) =>
+      val ps = (1 to 9).map(_ / 10.0)
+      val u = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(expr("CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)").as("y"))
+        .withColumn("treated",
+          pmod(graft.text.TextQueries.h32(concat(lit("qte:"), col("user_id"))), lit(2L)))
+      def arm(t: Long, out: String) = u.filter(col("treated") === t)
+        .agg(expr(s"percentile(y, array(${ps.mkString(", ")}))").as(out))
+      arm(1L, "qt").crossJoin(arm(0L, "qc"))
+        .select(posexplode(expr(
+          "transform(qt, (a, i) -> named_struct('t', CAST(floor(a) AS BIGINT), " +
+            "'c', CAST(floor(qc[i]) AS BIGINT)))")).as(Seq("pos", "q")))
+        .select(((col("pos") + 1) * 10).cast("long").as("p_pct"),
+          col("q.t").as("q_treated_milli"), col("q.c").as("q_control_milli"),
+          (col("q.t") - col("q.c")).as("qte_milli"))
+        .orderBy("p_pct")
+    },
+
     // NS: rank correlation — Spearman's rho and Kendall's tau between
     // two rankings of the sources (by token mass vs by doc count): do the
     // two size notions order the corpus the same way? Both statistics
@@ -1444,6 +1470,22 @@ object StatsQueries {
         |       (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS chi2_ppm,
         |       CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 3841459 AS BIGINT) AS srm_alarm
         |FROM c ORDER BY segment""".stripMargin,
+    // same md5 arms, floored percentile grids and integer deltas
+    "q_qte" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS y,
+        |         ('0x' || substr(md5('qte:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS treated
+        |  FROM events GROUP BY user_id),
+        |qt AS (SELECT quantile_cont(y, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |       FROM u WHERE treated = 1),
+        |qc AS (SELECT quantile_cont(y, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |       FROM u WHERE treated = 0),
+        |x AS (SELECT unnest(range(1, 10)) AS i FROM (SELECT 1))
+        |SELECT CAST(i * 10 AS BIGINT) AS p_pct,
+        |       CAST(floor(qt.q[i]) AS BIGINT) AS q_treated_milli,
+        |       CAST(floor(qc.q[i]) AS BIGINT) AS q_control_milli,
+        |       CAST(floor(qt.q[i]) AS BIGINT) - CAST(floor(qc.q[i]) AS BIGINT) AS qte_milli
+        |FROM x CROSS JOIN qt CROSS JOIN qc ORDER BY p_pct""".stripMargin,
     // same tie-free ranks and integer identities
     "q_rank_corr" ->
       """WITH src AS (

@@ -94,6 +94,56 @@ object TimeSeriesQueries {
         .orderBy("t")
     },
 
+    // NS: log-rank test — the hypothesis test q_survival_km plots lead
+    // to ("do the two arms' survival curves differ?"): md5-assigned
+    // variants over the SAME duration/censoring construction, the
+    // classic O−E statistic over the bounded event-time grid (≤31
+    // distinct durations): O = Σ d₁ exact integer, E = Σ d·n₁/n and the
+    // hypergeometric V = Σ d·(n₁/n)(1−n₁/n)(n−d)/(n−1) folded over that
+    // bounded frame (the nDCG small-frame float precedent), chi² =
+    // (O−E)²/V rounded 4dp with the df=1 95% verdict.
+    "q_logrank" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), datediff(to_date(col("ts")), lit("1994-12-26")).as("d"))
+      val mx = e.agg(max("d").as("dmax"))
+      val users = e.groupBy("user_id").agg(min("d").as("d0"), max("d").as("d1"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          least(col("d1") - col("d0"), lit(30)).cast("long").as("t"),
+          (col("d1") > col("dmax") - 7).cast("long").as("censored"))
+        .withColumn("g",
+          pmod(graft.text.TextQueries.h32(concat(lit("lr:"), col("user_id"))), lit(2L)))
+      val ends = users.groupBy("g", "t")
+        .agg(count(lit(1)).as("n_ended"), sum(lit(1L) - col("censored")).as("deaths"))
+      val tGrid = ends.select("t").distinct()
+        .crossJoin(broadcast(s.createDataFrame(Seq(Tuple1(0L), Tuple1(1L))).toDF("g")))
+      val filled = tGrid.join(ends, Seq("g", "t"), "left_outer")
+        .na.fill(0L, Seq("n_ended", "deaths"))
+      val wRisk = Window.partitionBy("g").orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val risk = filled.withColumn("at_risk", sum("n_ended").over(wRisk))
+      val byT = risk.groupBy("t")
+        .agg(sum(when(col("g") === 1, col("at_risk")).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 1, col("deaths")).otherwise(0L)).as("d1"),
+          sum("at_risk").as("n"), sum("deaths").as("d"))
+        .filter(col("d") > 0 && col("n") > 1)
+      def D(c: String) = col(c).cast("double")
+      val terms = byT.agg(
+        sum("d1").as("o1"),
+        sum(D("d") * D("n1") / D("n")).as("e1"),
+        sum(D("d") * (D("n1") / D("n")) * (lit(1.0) - D("n1") / D("n")) *
+          (D("n") - D("d")) / (D("n") - 1.0)).as("v"),
+        count(lit(1)).as("n_times"))
+      terms.select(col("n_times"), col("o1"), round(col("e1"), 4).as("e1"),
+          round(col("v"), 4).as("v"),
+          // a fully-tied duration distribution degenerates V to 0 (the
+          // sf0.001 fixture does) — pin chi2 to 0 instead of NaN
+          when(col("v") <= 0.0, lit(0.0))
+            .otherwise(round((col("o1").cast("double") - col("e1")) *
+              (col("o1").cast("double") - col("e1")) / col("v"), 4)).as("chi2"))
+        .withColumn("curves_differ", (col("chi2") > 3.841459).cast("long"))
+    },
+
     // NS: seasonal-naive forecast BACKTEST — the eval loop q_seasonal_profile
     // feeds (is the hour-of-week baseline actually predictive?): hold out
     // the final 7 calendar days, predict each test (type, dow, hour) cell
@@ -1331,6 +1381,54 @@ object TimeSeriesQueries {
         |       CAST(floor(qa.q[i]) AS BIGINT) - CAST(floor(qb.q[i]) AS BIGINT) AS gap_milli
         |FROM x CROSS JOIN qa CROSS JOIN qb
         |ORDER BY p_pct""".stripMargin,
+    // identical duration/censoring construction and O-E/V folds
+    "q_logrank" ->
+      """WITH e AS (
+        |  SELECT user_id, date_diff('day', DATE '1994-12-26', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |mx AS (SELECT max(d) AS dmax FROM e),
+        |users AS (
+        |  SELECT user_id, least(max(d) - min(d), 30) AS t,
+        |         CAST(max(d) > (SELECT dmax FROM mx) - 7 AS BIGINT) AS censored,
+        |         ('0x' || substr(md5('lr:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS g
+        |  FROM e GROUP BY user_id),
+        |ends AS (SELECT g, t, CAST(count(*) AS BIGINT) AS n_ended,
+        |                CAST(sum(1 - censored) AS BIGINT) AS deaths
+        |         FROM users GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT t FROM ends),
+        |gg AS (SELECT CAST(v AS BIGINT) AS g FROM (VALUES (0), (1)) x(v)),
+        |filled AS (
+        |  SELECT gg.g, grid.t, coalesce(e.n_ended, 0) AS n_ended,
+        |         coalesce(e.deaths, 0) AS deaths
+        |  FROM grid CROSS JOIN gg
+        |  LEFT JOIN ends e ON e.g = gg.g AND e.t = grid.t),
+        |risk AS (
+        |  SELECT g, t, deaths,
+        |         CAST(sum(n_ended) OVER (PARTITION BY g ORDER BY t
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk
+        |  FROM filled),
+        |byt AS (
+        |  SELECT t,
+        |         CAST(sum(CASE WHEN g = 1 THEN at_risk ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN g = 1 THEN deaths ELSE 0 END) AS BIGINT) AS d1,
+        |         CAST(sum(at_risk) AS BIGINT) AS n, CAST(sum(deaths) AS BIGINT) AS d
+        |  FROM risk GROUP BY t
+        |  HAVING sum(deaths) > 0 AND sum(at_risk) > 1),
+        |terms AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_times, CAST(sum(d1) AS BIGINT) AS o1,
+        |         sum(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) AS e1,
+        |         sum(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS v
+        |  FROM byt)
+        |SELECT n_times, o1, round(e1, 4) AS e1, round(v, 4) AS v,
+        |       CASE WHEN v <= 0.0 THEN 0.0
+        |            ELSE round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v, 4)
+        |       END AS chi2,
+        |       CAST(CASE WHEN v <= 0.0 THEN 0.0
+        |                 ELSE round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v, 4)
+        |            END > 3.841459 AS BIGINT) AS curves_differ
+        |FROM terms""".stripMargin,
     // identical span-grid cutoffs and role arithmetic
     "q_timeseries_cv" ->
       """WITH days AS (

@@ -88,6 +88,34 @@ class ExperimentOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_qte: per-arm quantiles monotone; deltas consistent") {
+    val rows = run("q_qte").sortBy(_.getAs[Long]("p_pct"))
+    assert(rows.map(_.getAs[Long]("p_pct")).toSeq == (1 to 9).map(_ * 10L))
+    def mono(c: String) = {
+      val v = rows.map(_.getAs[Long](c))
+      v.zip(v.tail).forall { case (a, b) => a <= b }
+    }
+    assert(mono("q_treated_milli") && mono("q_control_milli"))
+    rows.foreach(r => assert(r.getAs[Long]("qte_milli") ==
+      r.getAs[Long]("q_treated_milli") - r.getAs[Long]("q_control_milli")))
+  }
+
+  test("q_logrank: O bounded by total deaths; V positive; verdict rule") {
+    val r = run("q_logrank").head
+    assert(r.getAs[Long]("n_times") > 0)
+    // the tiny fixture degenerates to a fully-tied duration set (V = 0,
+    // chi2 pinned to 0); on any non-degenerate input V > 0
+    assert(r.getAs[Double]("v") >= 0.0)
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    assert(r.getAs[Long]("curves_differ") ==
+      (if (r.getAs[Double]("chi2") > 3.841459) 1L else 0L))
+    // the hash split carries no real effect: O within a few sigma of E
+    val o = r.getAs[Long]("o1").toDouble
+    val e = r.getAs[Double]("e1")
+    assert(math.abs(o - e) <= 6.0 * math.sqrt(r.getAs[Double]("v")) + 1.0,
+      s"o=$o e=$e v=${r.getAs[Double]("v")}")
+  }
+
   test("q_rank_corr: both coefficients in [-1e6, 1e6] and recompute exactly") {
     val row = run("q_rank_corr").head
     val n = row.getAs[Long]("n")
