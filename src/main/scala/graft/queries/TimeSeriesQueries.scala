@@ -134,11 +134,18 @@ object TimeSeriesQueries {
         sum(D("d") * (D("n1") / D("n")) * (lit(1.0) - D("n1") / D("n")) *
           (D("n") - D("d")) / (D("n") - 1.0)).as("v"),
         count(lit(1)).as("n_times"))
-      terms.select(col("n_times"), col("o1"), round(col("e1"), 4).as("e1"),
-          round(col("v"), 4).as("v"),
+      // totality: a fully-censored cohort (the sf0.001 fixture — every
+      // user active inside dmax−7) leaves ZERO deaths, so the d>0 filter
+      // empties byT and the fold aggregates go NULL. Pin the degenerate
+      // frame to zeros on both engines (the q_benford discipline) so NULL
+      // never escapes and the verdict is a definite 0.
+      terms.select(col("n_times"), coalesce(col("o1"), lit(0L)).as("o1"),
+          round(coalesce(col("e1"), lit(0.0)), 4).as("e1"),
+          round(coalesce(col("v"), lit(0.0)), 4).as("v"),
           // a fully-tied duration distribution degenerates V to 0 (the
-          // sf0.001 fixture does) — pin chi2 to 0 instead of NaN
-          when(col("v") <= 0.0, lit(0.0))
+          // sf0.001 fixture does) — pin chi2 to 0 instead of NaN; the
+          // coalesce also covers the empty-frame NULL v
+          when(coalesce(col("v"), lit(0.0)) <= 0.0, lit(0.0))
             .otherwise(round((col("o1").cast("double") - col("e1")) *
               (col("o1").cast("double") - col("e1")) / col("v"), 4)).as("chi2"))
         .withColumn("curves_differ", (col("chi2") > 3.841459).cast("long"))
@@ -1421,11 +1428,12 @@ object TimeSeriesQueries {
         |             * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
         |             * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS v
         |  FROM byt)
-        |SELECT n_times, o1, round(e1, 4) AS e1, round(v, 4) AS v,
-        |       CASE WHEN v <= 0.0 THEN 0.0
+        |SELECT n_times, coalesce(o1, 0) AS o1,
+        |       round(coalesce(e1, 0.0), 4) AS e1, round(coalesce(v, 0.0), 4) AS v,
+        |       CASE WHEN coalesce(v, 0.0) <= 0.0 THEN 0.0
         |            ELSE round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v, 4)
         |       END AS chi2,
-        |       CAST(CASE WHEN v <= 0.0 THEN 0.0
+        |       CAST(CASE WHEN coalesce(v, 0.0) <= 0.0 THEN 0.0
         |                 ELSE round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v, 4)
         |            END > 3.841459 AS BIGINT) AS curves_differ
         |FROM terms""".stripMargin,

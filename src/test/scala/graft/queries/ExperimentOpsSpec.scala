@@ -100,20 +100,56 @@ class ExperimentOpsSpec extends AnyFunSuite {
       r.getAs[Long]("q_treated_milli") - r.getAs[Long]("q_control_milli")))
   }
 
-  test("q_logrank: O bounded by total deaths; V positive; verdict rule") {
+  test("q_logrank: total over fully-censored input; O/E/V invariants") {
+    // the sf0.001 fixture is FULLY CENSORED: 15 users, every one active
+    // inside dmax−7, so zero deaths survive the d>0 filter and the
+    // operator must emit the pinned degenerate row, never NULLs
     val r = run("q_logrank").head
-    assert(r.getAs[Long]("n_times") > 0)
-    // the tiny fixture degenerates to a fully-tied duration set (V = 0,
-    // chi2 pinned to 0); on any non-degenerate input V > 0
+    val nTimes = r.getAs[Long]("n_times")
     assert(r.getAs[Double]("v") >= 0.0)
     assert(r.getAs[Double]("chi2") >= 0.0)
     assert(r.getAs[Long]("curves_differ") ==
       (if (r.getAs[Double]("chi2") > 3.841459) 1L else 0L))
-    // the hash split carries no real effect: O within a few sigma of E
-    val o = r.getAs[Long]("o1").toDouble
-    val e = r.getAs[Double]("e1")
-    assert(math.abs(o - e) <= 6.0 * math.sqrt(r.getAs[Double]("v")) + 1.0,
-      s"o=$o e=$e v=${r.getAs[Double]("v")}")
+    if (nTimes == 0L) {
+      // degenerate branch: all aggregates pinned to exact zeros
+      assert(r.getAs[Long]("o1") == 0L)
+      assert(r.getAs[Double]("e1") == 0.0)
+      assert(r.getAs[Double]("v") == 0.0)
+      assert(r.getAs[Double]("chi2") == 0.0)
+      assert(r.getAs[Long]("curves_differ") == 0L)
+    } else {
+      // non-degenerate: the hash split carries no real effect, so O
+      // stays within a few sigma of E
+      val o = r.getAs[Long]("o1").toDouble
+      val e = r.getAs[Double]("e1")
+      assert(math.abs(o - e) <= 6.0 * math.sqrt(r.getAs[Double]("v")) + 1.0,
+        s"o=$o e=$e v=${r.getAs[Double]("v")}")
+    }
+  }
+
+  test("q_logrank: non-degenerate branch on a synthetic cohort with deaths") {
+    // synthetic events: 8 users whose last activity ends well before
+    // dmax−7 (deaths) and 4 users active through the end (censored) —
+    // exercises the O−E/V fold the fixture's full censoring never reaches
+    val tmp = java.nio.file.Files.createTempDirectory("logrank_synth").toString
+    val rows = (1 to 12).flatMap { u =>
+      val lastDay = if (u <= 8) 2 + u else 29 // users 1..8 die on day 3..10
+      Seq(0, lastDay).map { day =>
+        (u.toLong * 100 + day,
+         java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"),
+         u.toLong, "click", 1.0, "{}")
+      }
+    }
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = SparkEntry.queries("q_logrank")(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_times") > 0)
+    assert(r.getAs[Long]("o1") > 0)
+    assert(r.getAs[Double]("e1") > 0.0)
+    assert(r.getAs[Double]("v") > 0.0)
+    assert(r.getAs[Long]("curves_differ") ==
+      (if (r.getAs[Double]("chi2") > 3.841459) 1L else 0L))
   }
 
   test("q_rank_corr: both coefficients in [-1e6, 1e6] and recompute exactly") {
