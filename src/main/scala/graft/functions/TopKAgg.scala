@@ -15,6 +15,28 @@ case class ScoredId(id: Long, sim: Double)
   * Ordering: sim descending, id ascending — deterministic ties, matching
   * the oracle's `ORDER BY sim DESC, n_id` window rank.
   */
+/** A distinctive-term candidate: (z-score, raw count, term). */
+case class ScoredTerm(z: Double, y: Long, term: String)
+
+/** Bounded per-group top-k over (z desc, y desc, term asc) — the
+  * [[TopKAgg]] shape specialized to the distinctive-term ranking
+  * (q_log_odds): only k rows per (group, partition) cross the shuffle,
+  * where a per-group rank window would sort each group's whole
+  * vocabulary in a single reducer task.
+  */
+class TopKTermAgg(k: Int) extends Aggregator[ScoredTerm, Seq[ScoredTerm], Seq[ScoredTerm]] {
+  private def trim(s: Seq[ScoredTerm]): Seq[ScoredTerm] =
+    s.sortBy(x => (-x.z, -x.y, x.term)).take(k)
+  override def zero: Seq[ScoredTerm] = Seq.empty
+  override def reduce(b: Seq[ScoredTerm], a: ScoredTerm): Seq[ScoredTerm] = trim(b :+ a)
+  override def merge(b1: Seq[ScoredTerm], b2: Seq[ScoredTerm]): Seq[ScoredTerm] = trim(b1 ++ b2)
+  override def finish(r: Seq[ScoredTerm]): Seq[ScoredTerm] = r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[ScoredTerm]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredTerm]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[ScoredTerm]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredTerm]]()
+}
+
 class TopKAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
   private def trim(s: Seq[ScoredId]): Seq[ScoredId] =
     s.sortBy(x => (-x.sim, x.id)).take(k)

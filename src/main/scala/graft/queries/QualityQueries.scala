@@ -576,21 +576,24 @@ object QualityQueries {
         df.distinct().select(lit(name).as("col_name"), col("v"))
       }.reduce(_ unionByName _)
         .localCheckpoint() // feeds the sketch build AND the exact self-eval
-      val sk = values.select(col("col_name"), h56(col("v")).as("h")).distinct()
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("col_name").orderBy("h")))
-        .filter(col("rk") <= K)
+      // combinable bottom-k sketch build: ≤ K hashes per column per
+      // partition cross the shuffle (a rank window here would sort each
+      // column's whole distinct value domain in a single reducer task)
+      val bottomK = udaf(new graft.functions.BottomKDistinctAgg(K))
+      val sk = values.select(col("col_name"), h56(col("v")).as("h"))
+        .groupBy("col_name").agg(bottomK(col("h")).as("hs"))
+        .select(col("col_name"), explode(col("hs")).as("h"))
         .localCheckpoint() // 128-row-per-column frame; feeds three joins
       val pairs = Seq(("o_orderkey", "l_orderkey"), ("o_custkey", "c_custkey"),
         ("l_partkey", "p_partkey"), ("o_orderkey", "o_custkey"))
       val pairDf = broadcast(s.createDataFrame(pairs).toDF("col_a", "col_b"))
+      // sketch MERGE = k smallest distinct of the two sketches' union —
+      // the same aggregator over the ≤ 2K-row joined frame
       val union = pairDf
         .join(sk.select(col("col_name"), col("h")), col("col_name") === col("col_a") ||
           col("col_name") === col("col_b"))
-        .select(col("col_a"), col("col_b"), col("h")).distinct()
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("col_a", "col_b").orderBy("h")))
-        .filter(col("rk") <= K)
+        .groupBy("col_a", "col_b").agg(bottomK(col("h")).as("hs"))
+        .select(col("col_a"), col("col_b"), explode(col("hs")).as("h"))
       val inA = sk.select(col("col_name").as("col_a"), col("h"), lit(1L).as("in_a"))
       val inB = sk.select(col("col_name").as("col_b"), col("h"), lit(1L).as("in_b"))
       val estim = union

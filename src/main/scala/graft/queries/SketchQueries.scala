@@ -200,11 +200,13 @@ object SketchQueries {
       val sketch = terms.select(col("term"), col("exact"), rowsCol)
         .withColumn("cell", cell(col("term")))
         .groupBy("r", "cell").agg(sum("exact").as("counter"))
+      // TakeOrdered-first (the q_bm25 pattern): the distributed limit
+      // bounds the vocab-sized frame to 10 rows before the rank window
       val top = terms
+        .orderBy(col("exact").desc, col("term")).limit(10)
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("exact").desc, col("term"))))
-        .filter(col("rk") <= 10)
       top.select(col("rk"), col("term"), col("exact"), rowsCol)
         .withColumn("cell", cell(col("term")))
         .join(sketch, Seq("r", "cell"))
@@ -304,7 +306,9 @@ object SketchQueries {
     // union" (the theta-sketch core). Values hash into a 56-bit space
     // (14 md5 hex chars — (k−1)·2^56 ≤ 9.1e18 stays inside BIGINT for
     // k = 64), each group keeps its k = 64 smallest DISTINCT hashes via
-    // one rank window over the deduped (group, hash) frame, and the
+    // the combinable BottomKDistinctAgg (≤ k values per group per
+    // partition cross the shuffle; a rank window here would sort each
+    // group's ENTIRE distinct hash domain in one reducer task), and the
     // estimator (k−1)·2^56 DIV kth_min is EXACT integer arithmetic.
     // Groups with fewer than k distinct values report exactly (the
     // sketch IS the value set there). The __ALL__ row is built by
@@ -313,19 +317,19 @@ object SketchQueries {
     // countDistinct beside the estimate, signed err_ppm.
     "q_kmv_sketch" -> { (s, dir) =>
       val K = 64L
+      val bottomK = udaf(new graft.functions.BottomKDistinctAgg(K.toInt))
       val hashed = Tables.orders(s, dir)
         .select(col("o_orderstatus").as("grp"),
           conv(substring(md5(concat(lit("kmv:"), col("o_custkey"))), 1, 14), 16, 10)
             .cast("long").as("h"))
-        .distinct()
-      val wk = Window.partitionBy("grp").orderBy("h")
-      val sk = hashed.withColumn("rk", row_number().over(wk)).filter(col("rk") <= K)
-        .localCheckpoint() // feeds the per-group estimate AND the merge
-      val merged = sk.select(col("h")).distinct()
-        .withColumn("rk", row_number().over(Window.orderBy("h")))
-        .filter(col("rk") <= K)
-        .withColumn("grp", lit("__ALL__"))
-      val est = sk.select("grp", "h", "rk").unionByName(merged.select("grp", "h", "rk"))
+      // no pre-distinct: the aggregator dedups map-side, so neither the
+      // full (grp, h) domain nor its distinct shuffle ever materializes
+      val sk = hashed.groupBy("grp").agg(bottomK(col("h")).as("hs"))
+        .select(col("grp"), explode(col("hs")).as("h"))
+        .localCheckpoint() // ≤ 64-row-per-group frame; feeds estimate AND merge
+      val merged = sk.groupBy().agg(bottomK(col("h")).as("hs"))
+        .select(lit("__ALL__").as("grp"), explode(col("hs")).as("h"))
+      val est = sk.unionByName(merged)
         .groupBy("grp")
         .agg(max("h").as("kth_min"), count(lit(1)).as("k_used"))
         .withColumn("est",

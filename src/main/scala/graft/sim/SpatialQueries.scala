@@ -105,10 +105,12 @@ object SpatialQueries {
           expr(s"yi DIV ${2 * EpsMicro}").as("gy"))
         .agg(count(lit(1)).as("n"))
       val tot = cells.agg(sum("n").as("n_pts"), count(lit(1)).as("n_cells"))
+      // TakeOrdered-first (the q_bm25 pattern): the occupied-cell frame
+      // grows with N, so bound it to 10 rows before the rank window
       cells.crossJoin(broadcast(tot))
+        .orderBy(col("n").desc, col("gx"), col("gy")).limit(10)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("n").desc, col("gx"), col("gy"))))
-        .filter(col("rk") <= 10)
         .select(col("rk"), col("gx"), col("gy"), col("n"),
           col("n_cells"), expr("n * 1000000 DIV n_pts").as("share_ppm"))
         .orderBy("rk")

@@ -48,10 +48,12 @@ object CorpusStatsQueries {
         .select(explode(split(col("text"), " ")).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy("term").agg(count(lit(1)).as("cnt"))
+      // TakeOrdered-first (the q_bm25 pattern): the distributed limit
+      // bounds the frame to 100 rows before the rank window runs
       val ranked = tc
+        .orderBy(col("cnt").desc, col("term")).limit(100)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("cnt").desc, col("term"))))
-        .filter(col("rk") <= 100)
         .select(log(col("rk").cast("double")).as("x"),
           log(col("cnt").cast("double")).as("y"))
       ranked
@@ -224,10 +226,16 @@ object CorpusStatsQueries {
           log(col("y1") / (col("n1") - col("y1"))) - log(col("y2") / (col("n2") - col("y2"))))
         .withColumn("z", round(col("delta") /
           sqrt(lit(1.0) / col("y1") + lit(1.0) / col("y2")), 4))
-      z.withColumn("rk", row_number().over(Window.partitionBy("source")
-          .orderBy(col("z").desc, col("y").desc, col("term"))))
-        .filter(col("rk") <= 3)
-        .select(col("source"), col("rk"), col("term"), col("y"), col("z"))
+      // per-source top-3 via the bounded TopKTermAgg: 3 rows per source
+      // per partition cross the shuffle, where the per-group rank window
+      // would sort each source's whole vocabulary in one reducer task
+      val topz = udaf(new graft.functions.TopKTermAgg(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredTerm]())
+      z.groupBy("source")
+        .agg(topz(col("z"), col("y"), col("term")).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("source"), (col("pos") + 1).as("rk"),
+          col("t.term").as("term"), col("t.y").as("y"), col("t.z").as("z"))
         .orderBy("source", "rk")
     },
 

@@ -346,10 +346,12 @@ object GraphQueries {
       val a2 = edges.join(h1n.withColumnRenamed("word", "w1"), "w1")
         .groupBy(col("w2").as("word")).agg(sum(expr("c12 * score_x1e6")).as("a"))
       val a2n = norm(a2, "a")
+      // TakeOrdered-first (the q_bm25 pattern): the distributed limit
+      // bounds the word-score frame to 10 rows before the rank window
       def top(df: DataFrame, role: String): DataFrame =
-        df.withColumn("rk", row_number().over(
+        df.orderBy(col("score_x1e6").desc, col("word")).limit(10)
+          .withColumn("rk", row_number().over(
             Window.orderBy(col("score_x1e6").desc, col("word"))))
-          .filter(col("rk") <= 10)
           .select(lit(role).as("role"), col("rk"), col("word"), col("score_x1e6"))
       top(a2n, "auth").unionByName(top(h1n, "hub")).orderBy("role", "rk")
     },

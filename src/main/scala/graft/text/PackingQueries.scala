@@ -88,11 +88,15 @@ object PackingQueries {
     "q_vocab_encode" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // TakeOrdered-first (the q_bm25 pattern): limit() lowers to a
+      // distributed TakeOrderedAndProject, so the id-assigning window
+      // ranks only the VocabSize survivors — a bare global row_number
+      // here would sort the ENTIRE vocabulary in one reducer task
       val vocab = docs.select(explode(col("ws")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word")).limit(VocabSize)
         .withColumn("id",
           row_number().over(Window.orderBy(col("c").desc, col("word"))).cast("long"))
-        .filter(col("id") <= VocabSize)
         .select("word", "id")
       docs
         .select(col("doc_id"),

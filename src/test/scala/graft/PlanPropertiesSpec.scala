@@ -691,4 +691,37 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 2,
       s"user-key shuffle repeated:\n$p")
   }
+
+  test("q_kmv_sketch: no rank window over the distinct hash domain (combinable bottom-k)") {
+    val p = executedPlan("q_kmv_sketch")
+    assert(!p.contains("Window"),
+      s"rank window regressed into the KMV sketch build:\n$p")
+    assert(p.toLowerCase.contains("partial_bottomkdistinctagg"),
+      s"bottom-k aggregate not map-side combined:\n$p")
+  }
+
+  test("q_join_discovery: no rank window over any column's value domain") {
+    val p = executedPlan("q_join_discovery")
+    assert(!p.contains("Window"),
+      s"rank window regressed into the KMV column sketches:\n$p")
+    assert(p.toLowerCase.contains("partial_bottomkdistinctagg"),
+      s"bottom-k aggregate not map-side combined:\n$p")
+  }
+
+  test("q_log_odds: per-source top-3 is the bounded aggregate, not a vocab-wide window") {
+    val p = executedPlan("q_log_odds")
+    assert(!p.contains("Window"),
+      s"per-source rank window regressed (sorts each source's vocab in one task):\n$p")
+    assert(p.toLowerCase.contains("partial_topktermagg"),
+      s"top-k term aggregate not map-side combined:\n$p")
+  }
+
+  test("global top-k sites rank only after a distributed TakeOrdered limit") {
+    for (q <- Seq("q_vocab_encode", "q_zipf_fit", "q_countmin",
+                  "q_hits_rank", "q_grid_density")) {
+      val p = executedPlan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: global sort replaced the distributed top-k limit:\n$p")
+    }
+  }
 }
