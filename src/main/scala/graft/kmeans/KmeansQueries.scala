@@ -230,10 +230,16 @@ object KmeansQueries {
       hck.crossJoin(broadcast(hkc)).crossJoin(broadcast(hc))
         .crossJoin(broadcast(hk)).crossJoin(broadcast(n))
         .select(col("n"),
+          // ratio in DOUBLE over the exact micro-nat BIGINTs: hck = n·H(C|K)·1e6
+          // grows linearly with corpus rows, so the integer form
+          // `hck * 1e6 DIV hc` overflowed BIGINT past ~9.2e12 micro-nats
+          // (~5.7e6 rows at H≈1.6) — silent wrap on Spark, error on DuckDB
           expr("CASE WHEN hc = 0 THEN CAST(1000000 AS BIGINT) " +
-            "ELSE 1000000 - hck * 1000000 DIV hc END").as("homogeneity_ppm"),
+            "ELSE 1000000 - CAST(floor(CAST(hck AS DOUBLE) * 1000000.0 / " +
+            "CAST(hc AS DOUBLE)) AS BIGINT) END").as("homogeneity_ppm"),
           expr("CASE WHEN hk = 0 THEN CAST(1000000 AS BIGINT) " +
-            "ELSE 1000000 - hkc * 1000000 DIV hk END").as("completeness_ppm"))
+            "ELSE 1000000 - CAST(floor(CAST(hkc AS DOUBLE) * 1000000.0 / " +
+            "CAST(hk AS DOUBLE)) AS BIGINT) END").as("completeness_ppm"))
         .withColumn("v_ppm",
           expr("CASE WHEN homogeneity_ppm + completeness_ppm = 0 THEN CAST(0 AS BIGINT) " +
             "ELSE 2 * homogeneity_ppm * completeness_ppm " +
@@ -268,13 +274,19 @@ object KmeansQueries {
         .agg(sum(expr("b * (b - 1) DIV 2")).as("sb"))
       sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
         .withColumn("n2", expr("n * (n - 1) DIV 2"))
+        // the degenerate-denominator guard evaluates on the SAME DOUBLE
+        // expression the ratio divides by: the previous BIGINT guard
+        // product `(sa+sb)*n2 - 2*sa*sb` itself overflowed past ~10x the
+        // stress scale (DuckDB errors, Spark wraps and could misfire the
+        // guard to 0.0) even though the ratio was already IEEE
+        .withColumn("den_d",
+          (col("sa").cast("double") + col("sb").cast("double")) * col("n2").cast("double") -
+            lit(2.0) * col("sa").cast("double") * col("sb").cast("double"))
         .select(col("n"), col("sij"), col("sa"), col("sb"),
-          when(expr("(sa + sb) * n2 - 2 * sa * sb") === 0, lit(0.0))
+          when(col("den_d") === 0.0, lit(0.0))
             .otherwise(round(
               (lit(2.0) * (col("sij").cast("double") * col("n2").cast("double") -
-                col("sa").cast("double") * col("sb").cast("double"))) /
-                ((col("sa") + col("sb")).cast("double") * col("n2").cast("double") -
-                  lit(2.0) * col("sa").cast("double") * col("sb").cast("double")), 6)
+                col("sa").cast("double") * col("sb").cast("double"))) / col("den_d"), 6)
               + lit(0.0))
             .as("ari"))
     }
@@ -401,9 +413,11 @@ object KmeansQueries {
          |sc AS (
          |  SELECT nn.n,
          |         CASE WHEN hc.hc = 0 THEN CAST(1000000 AS BIGINT)
-         |              ELSE 1000000 - hck.hck * 1000000 // hc.hc END AS homogeneity_ppm,
+         |              ELSE 1000000 - CAST(floor(CAST(hck.hck AS DOUBLE) * 1000000.0
+         |                / CAST(hc.hc AS DOUBLE)) AS BIGINT) END AS homogeneity_ppm,
          |         CASE WHEN hk.hk = 0 THEN CAST(1000000 AS BIGINT)
-         |              ELSE 1000000 - hkc.hkc * 1000000 // hk.hk END AS completeness_ppm
+         |              ELSE 1000000 - CAST(floor(CAST(hkc.hkc AS DOUBLE) * 1000000.0
+         |                / CAST(hk.hk AS DOUBLE)) AS BIGINT) END AS completeness_ppm
          |  FROM hck CROSS JOIN hkc CROSS JOIN hc CROSS JOIN hk CROSS JOIN nn)
          |SELECT n, homogeneity_ppm, completeness_ppm,
          |       CASE WHEN homogeneity_ppm + completeness_ppm = 0 THEN CAST(0 AS BIGINT)
@@ -425,12 +439,15 @@ object KmeansQueries {
          |sb AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS sb
          |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS b FROM cells GROUP BY cls))
          |SELECT n, sij.sij, sa.sa, sb.sb,
-         |       CASE WHEN (sa.sa + sb.sb) * (n * (n - 1) // 2) - 2 * sa.sa * sb.sb = 0
+         |       CASE WHEN (CAST(sa.sa AS DOUBLE) + CAST(sb.sb AS DOUBLE))
+         |                   * CAST(n * (n - 1) // 2 AS DOUBLE)
+         |                 - 2.0 * CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE) = 0.0
          |            THEN 0.0
          |            ELSE round(
          |              (2.0 * (CAST(sij.sij AS DOUBLE) * CAST(n * (n - 1) // 2 AS DOUBLE)
          |                      - CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE)))
-         |              / (CAST(sa.sa + sb.sb AS DOUBLE) * CAST(n * (n - 1) // 2 AS DOUBLE)
+         |              / ((CAST(sa.sa AS DOUBLE) + CAST(sb.sb AS DOUBLE))
+         |                   * CAST(n * (n - 1) // 2 AS DOUBLE)
          |                 - 2.0 * CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE)), 6) + 0.0
          |       END AS ari
          |FROM sij CROSS JOIN sa CROSS JOIN sb""".stripMargin

@@ -245,12 +245,13 @@ object TrainQueries {
     // integer sums. Scoring joins the token stream to the 5-row lang
     // frame (linear x5) and left-joins the model — OOV terms coalesce to
     // the per-lang Laplace floor. Argmax per doc is the packed-key max:
-    // scores shift non-negative by 8e9 micro-nats (a doc has <= ~250
-    // tokens and each term's |ln| stays under 20 nats through a 100x
-    // corpus, so scores floor above -5e9; shifted*8 + 7 <= 6.5e10, far
-    // inside BIGINT), pack = shifted*8 + (7-idx) so a tie picks the
-    // lexicographically smallest lang. Output: the (true lang,
-    // predicted lang) confusion census of the test half.
+    // scores shift non-negative by -min(score) — a 1-row broadcast
+    // aggregate, so the shift is total over ANY doc length (a constant
+    // envelope breached by a long-enough doc made packed negative, where
+    // Spark pmod and DuckDB % diverge silently); pack = shifted*8 +
+    // (7-idx) so a tie picks the lexicographically smallest lang.
+    // Output: the (true lang, predicted lang) confusion census of the
+    // test half.
     "q_naive_bayes" -> { (s, dir) =>
       // fixture lang codes, lexically indexed (documented fixture
       // assumption, same class as the hardcoded event_type domains)
@@ -289,10 +290,17 @@ object TrainQueries {
             .otherwise(col("oov_mn")))
         .groupBy("doc_id", "true_lang", "cand")
         .agg((max("prior_mn") + sum("ll_mn")).as("score_mn"))
-      val pred = scored
+      // packed-argmax shift DERIVED from the observed score minimum (a
+      // broadcast 1-row aggregate) instead of a fixed -8e9 envelope: a
+      // doc long enough to breach a constant shift made packed negative,
+      // where Spark's pmod stays non-negative but DuckDB's % goes
+      // negative — a silent cross-engine split. With shift = -min(score)
+      // packed is non-negative for ANY doc length and pmod == % == mod.
+      val shift = scored.agg(greatest(-min(col("score_mn")), lit(0L)).as("shift_mn"))
+      val pred = scored.crossJoin(broadcast(shift))
         .withColumn("idx", expr(langIdx.replace("lang", "cand")))
         .groupBy("doc_id", "true_lang")
-        .agg(max((col("score_mn") + lit(8000000000L)) * 8 + (lit(7) - col("idx")))
+        .agg(max((col("score_mn") + col("shift_mn")) * 8 + (lit(7) - col("idx")))
           .as("packed"))
         .withColumn("pred_idx", lit(7) - pmod(col("packed"), lit(8L)))
         .withColumn("pred_lang",
@@ -527,12 +535,13 @@ object TrainQueries {
         |  FROM tt CROSS JOIN lf
         |  LEFT JOIN model m ON m.lang = lf.cand AND m.term = tt.term
         |  GROUP BY 1, 2, 3),
+        |shift AS (SELECT greatest(-min(score_mn), 0) AS shift_mn FROM sc),
         |pk AS (
         |  SELECT doc_id, true_lang,
-        |         max((score_mn + 8000000000) * 8 + (7 - CASE cand
+        |         max((score_mn + shift_mn) * 8 + (7 - CASE cand
         |           WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
         |           WHEN 'fr' THEN 3 WHEN 'zh' THEN 4 END)) AS packed
-        |  FROM sc GROUP BY 1, 2),
+        |  FROM sc CROSS JOIN shift GROUP BY 1, 2),
         |pred AS (
         |  SELECT true_lang,
         |         CASE 7 - (packed % 8) WHEN 0 THEN 'de' WHEN 1 THEN 'en'

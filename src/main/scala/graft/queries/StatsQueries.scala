@@ -622,11 +622,14 @@ object StatsQueries {
     // sibling (the roc_points-beside-auc pattern): sources ranked by
     // token mass ascending, decile points of (population share,
     // cumulative token share) in exact integer ppm, with the Herfindahl
-    // concentration index beside them (HHI·1e6 = Σ t_g²·1e6 DIV T² —
-    // pure integer; Σ t_g² ≤ 2e21? no: t_g ≤ 2e9 at 10x stress,
-    // squared 4e18 ≤ BIGINT, and the SUM stays under 9.2e18 because
-    // Σ t_g² ≤ T·max(t_g) ≤ 2e10·2e9 bounds only at extreme skew —
-    // fixture masses are ~1e8, Σ t_g² ~ 2e17, safe with margin).
+    // concentration index beside them. HHI forms the RATIO in DOUBLE
+    // over the exact BIGINT sums (the q_ari register-choice discipline):
+    // the previous all-integer `sxx * 1e6 DIV t_all²` overflowed BIGINT
+    // once sxx·1e6 passed 2^63 (~9.2e12 of Σt_g², i.e. well inside a
+    // large-corpus regime) and t_all² overflowed past T~3e9 — DuckDB
+    // raises Out of Range there while non-ANSI Spark wraps silently to a
+    // wrong hhi_ppm. The sums stay exact integers; only the final
+    // division is IEEE, deterministic on both engines, floored to ppm.
     // Registry-bounded frames after one source aggregate.
     "q_lorenz_points" -> { (s, dir) =>
       val src = Tables.documents(s, dir)
@@ -643,7 +646,8 @@ object StatsQueries {
         .withColumn("decile", expr("i * 10 DIV n"))
         .groupBy("decile")
         .agg(max(struct(col("i"), col("cum"))).as("m"),
-          max(expr("sxx * 1000000 DIV (t_all * t_all)")).as("hhi_ppm"),
+          max(expr("CAST(floor(CAST(sxx AS DOUBLE) * 1000000.0 / " +
+            "(CAST(t_all AS DOUBLE) * CAST(t_all AS DOUBLE))) AS BIGINT)")).as("hhi_ppm"),
           max("n").as("n_sources"), max("t_all").as("total_tokens"))
         .filter(col("decile") > 0)
         .select(col("decile"), col("n_sources"), col("total_tokens"),
@@ -1547,7 +1551,8 @@ object StatsQueries {
         |d AS (SELECT i * 10 // n AS decile,
         |             (max(struct_pack(i := i, cum := cum))).i AS mi,
         |             (max(struct_pack(i := i, cum := cum))).cum AS mcum,
-        |             max(sxx * 1000000 // (t_all * t_all)) AS hhi_ppm,
+        |             max(CAST(floor(CAST(sxx AS DOUBLE) * 1000000.0 /
+        |               (CAST(t_all AS DOUBLE) * CAST(t_all AS DOUBLE))) AS BIGINT)) AS hhi_ppm,
         |             max(n) AS n_sources, max(t_all) AS total_tokens
         |      FROM r CROSS JOIN t GROUP BY 1)
         |SELECT decile, n_sources, total_tokens,
@@ -1591,7 +1596,9 @@ object StatsQueries {
         |       CAST(sum(CASE WHEN ev.action = pi.pi_action THEN 1 ELSE 0 END) AS BIGINT)
         |         * 1000000 // count(*) AS match_ppm
         |FROM ev JOIN pi USING (ctx)""".stripMargin,
-    // same bounded pair frame; // floors natively so no shift is needed
+    // same bounded pair frame; BIGINT // truncates toward zero like Spark
+    // DIV (measured — see SCALE.md), so signed slopes need no
+    // symmetric-CASE spelling; flooring would NOT match on negatives
     "q_theil_sen" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,
