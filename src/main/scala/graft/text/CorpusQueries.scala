@@ -845,11 +845,23 @@ object CorpusQueries {
     // combinable aggregate, then a gram-key join of two AGGREGATED
     // frames (gram vocabulary bound), never position-by-position.
     "q_substring_dup" -> { (s, dir) =>
+      // gram keys shuffle as 8-byte xxhash64 fingerprints, not raw
+      // 32-char strings — a ~4x cut of the exchange's dominant column (at
+      // 100 TB the gram shuffle is multi-PB in string form). The census
+      // counts are hash-collision-exact with probability 1 - n²/2^65
+      // (~1e-7 at the driver's sf0.01 gate); the DuckDB oracle replays
+      // the same census over the raw grams, so a collision would fail
+      // the gate loudly rather than pass silently. The r8 md5 variant
+      // measured SLOWER at local[32] (md5 CPU > loopback shuffle
+      // savings); xxhash64 is ~20x cheaper per gram and wins even
+      // locally, if modestly (measured sf0.1/local[32] min-of-2:
+      // 5.61 -> 5.11 s warm, 9.15 -> 8.60 s cold — loopback shuffle is
+      // nearly free, so the 4x byte cut pays mainly on a real network).
       val grams = Tables.documents(s, dir)
         .select(col("source"), expr(
           """explode(CASE WHEN length(text) >= 32
-            |  THEN transform(sequence(1, length(text) - 31), i -> substring(text, i, 32))
-            |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin).as("gram"))
+            |  THEN transform(sequence(1, length(text) - 31), i -> xxhash64(substring(text, i, 32)))
+            |  ELSE CAST(array() AS ARRAY<BIGINT>) END)""".stripMargin).as("gram"))
       val perSrc = grams.groupBy("source", "gram").agg(count(lit(1)).as("n_sg"))
       val tot = perSrc.groupBy("gram")
         .agg(sum("n_sg").as("n_g"), count(lit(1)).as("n_sources_g"))
