@@ -96,10 +96,13 @@ object StatsQueries {
         .withColumn("co", sum("no_").over(w))
         .withColumn("tf", sum("nf").over(Window.partitionBy()))
         .withColumn("tn", sum("no_").over(Window.partitionBy()))
-      c.agg(max("tf").cast("long").as("n_f"),
-          max("tn").cast("long").as("n_o"),
-          round(max(abs(col("cf").cast("double") / col("tf") -
-            col("co").cast("double") / col("tn"))), 6).as("ks"))
+      // totality (the q_logrank discipline): an input with neither F nor O
+      // orders empties the binned frame and the fold's max() aggregates go
+      // NULL — pin them to zeros on both engines so NULL never escapes
+      c.agg(coalesce(max("tf").cast("long"), lit(0L)).as("n_f"),
+          coalesce(max("tn").cast("long"), lit(0L)).as("n_o"),
+          coalesce(round(max(abs(col("cf").cast("double") / col("tf") -
+            col("co").cast("double") / col("tn"))), 6), lit(0.0)).as("ks"))
     },
 
     // NS: ROC AUC of price as a predictor of final-status orders, via the
@@ -117,11 +120,19 @@ object StatsQueries {
         .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
       val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
       val c = g.withColumn("cnb", coalesce(sum("nn").over(w), lit(0L)))
-      c.agg(sum("np").cast("long").as("n_pos"),
-          sum("nn").cast("long").as("n_neg"),
-          round(sum((col("np") * (lit(2) * col("cnb") + col("nn"))).cast("decimal(38,0)"))
-              .cast("double") /
-            (lit(2.0) * sum("np").cast("double") * sum("nn").cast("double")), 6).as("auc"))
+      // totality: a single-class input (no F orders, or only F) zeroes one
+      // side and the U ratio divides by zero — Spark nulls it while DuckDB
+      // may yield inf, a silent cross-engine split. Pin to 0.0, and pin
+      // the empty-input counts to 0 (the q_logrank discipline).
+      c.agg(coalesce(sum("np").cast("long"), lit(0L)).as("n_pos"),
+          coalesce(sum("nn").cast("long"), lit(0L)).as("n_neg"),
+          sum((col("np") * (lit(2) * col("cnb") + col("nn"))).cast("decimal(38,0)"))
+            .as("u2"))
+        .select(col("n_pos"), col("n_neg"),
+          when(col("n_pos") === 0 || col("n_neg") === 0, lit(0.0))
+            .otherwise(round(col("u2").cast("double") /
+              (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+            .as("auc"))
     },
 
     // NS: 2-D skyline (Pareto frontier): lineitems minimizing price while
@@ -1002,8 +1013,11 @@ object StatsQueries {
       val slopes = daily.select(col("d").as("di"), col("y").as("yi"))
         .join(daily.select(col("d").as("dj"), col("y").as("yj")), col("di") < col("dj"))
         .select(expr("(yj - yi) * 1000 DIV (dj - di)").as("slope_milli"))
+      // totality: a single-day calendar empties the pair join — pin the
+      // empty-frame median to 0 so NULL never escapes (q_logrank discipline)
       val sen = slopes.agg(count(lit(1)).as("n_pairs"),
-        expr("CAST(floor(percentile(slope_milli, 0.5)) AS BIGINT)").as("sen_slope_milli"))
+        coalesce(expr("CAST(floor(percentile(slope_milli, 0.5)) AS BIGINT)"), lit(0L))
+          .as("sen_slope_milli"))
       // OLS slope from EXACT BIGINT sufficient stats, not regr_slope —
       // the engines' streaming covariance accumulators disagreed by one
       // ulp at the stress scale; a fixed IEEE tree over exact integers
@@ -1011,11 +1025,17 @@ object StatsQueries {
       val ols = daily
         .agg(count(lit(1)).as("n"), sum("d").as("sd"), sum("y").as("sy"),
           sum(col("d") * col("d")).as("sdd"), sum(col("d") * col("y")).as("sdy"))
+        // totality: one distinct day zeroes the OLS denominator — pin the
+        // undefined slope to 0.0 on both engines (Spark nulls a zero
+        // divide; DuckDB can yield inf — a silent cross-engine split)
+        .withColumn("den_d",
+          col("n").cast("double") * col("sdd").cast("double") -
+            col("sd").cast("double") * col("sd").cast("double"))
         .select(col("n").as("n_days"),
-          round((col("n").cast("double") * col("sdy").cast("double") -
-            col("sd").cast("double") * col("sy").cast("double")) /
-            (col("n").cast("double") * col("sdd").cast("double") -
-              col("sd").cast("double") * col("sd").cast("double")), 6).as("ols_slope"))
+          when(col("den_d") === 0.0, lit(0.0))
+            .otherwise(round((col("n").cast("double") * col("sdy").cast("double") -
+              col("sd").cast("double") * col("sy").cast("double")) / col("den_d"), 6))
+            .as("ols_slope"))
       ols.crossJoin(broadcast(sen))
         .select(col("n_days"), col("n_pairs"), col("sen_slope_milli"), col("ols_slope"))
     }
@@ -1068,8 +1088,9 @@ object StatsQueries {
          |             sum(no_) OVER (ORDER BY bin) AS co,
          |             (SELECT sum(nf) FROM pb) AS tf,
          |             (SELECT sum(no_) FROM pb) AS tn FROM pb)
-         |SELECT CAST(max(tf) AS BIGINT) AS n_f, CAST(max(tn) AS BIGINT) AS n_o,
-         |       round(max(abs(cf::DOUBLE/tf - co::DOUBLE/tn)), 6) AS ks
+         |SELECT coalesce(CAST(max(tf) AS BIGINT), 0) AS n_f,
+         |       coalesce(CAST(max(tn) AS BIGINT), 0) AS n_o,
+         |       coalesce(round(max(abs(cf::DOUBLE/tf - co::DOUBLE/tn)), 6), 0.0) AS ks
          |FROM c""".stripMargin,
     "q_auc" ->
       """WITH s AS (SELECT o_totalprice AS score,
@@ -1080,8 +1101,11 @@ object StatsQueries {
         |             coalesce(sum(nn) OVER (ORDER BY score
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
         |      FROM g)
-        |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
-        |       round(CAST(sum(np * (2*cnb + nn)) AS DOUBLE) / (2.0 * sum(np) * sum(nn)), 6) AS auc
+        |SELECT coalesce(CAST(sum(np) AS BIGINT), 0) AS n_pos,
+        |       coalesce(CAST(sum(nn) AS BIGINT), 0) AS n_neg,
+        |       CASE WHEN coalesce(sum(np), 0) = 0 OR coalesce(sum(nn), 0) = 0 THEN 0.0
+        |            ELSE round(CAST(sum(np * (2*cnb + nn)) AS DOUBLE)
+        |                       / (2.0 * sum(np) * sum(nn)), 6) END AS auc
         |FROM c""".stripMargin,
     "q_skyline" ->
       """WITH g AS (SELECT l_extendedprice AS price, max(l_quantity) AS qty
@@ -1609,17 +1633,20 @@ object StatsQueries {
         |  SELECT (b.y - a.y) * 1000 // (b.d - a.d) AS slope_milli
         |  FROM daily a JOIN daily b ON a.d < b.d),
         |sen AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-        |               CAST(floor(quantile_cont(slope_milli, 0.5)) AS BIGINT) AS sen_slope_milli
+        |               coalesce(CAST(floor(quantile_cont(slope_milli, 0.5)) AS BIGINT), 0)
+        |                 AS sen_slope_milli
         |        FROM sl),
         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS sd,
         |              CAST(sum(y) AS BIGINT) AS sy, CAST(sum(d*d) AS BIGINT) AS sdd,
         |              CAST(sum(d*y) AS BIGINT) AS sdy
         |       FROM daily),
         |ols AS (SELECT n AS n_days,
-        |               round((CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE)
+        |               CASE WHEN CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+        |                         - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) = 0.0 THEN 0.0
+        |                    ELSE round((CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE)
         |                      - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE))
         |                   / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
-        |                      - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)), 6) AS ols_slope
+        |                      - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)), 6) END AS ols_slope
         |        FROM st)
         |SELECT n_days, n_pairs, sen_slope_milli, ols_slope
         |FROM ols CROSS JOIN sen""".stripMargin
