@@ -289,6 +289,48 @@ object KmeansQueries {
                 col("sa").cast("double") * col("sb").cast("double"))) / col("den_d"), 6)
               + lit(0.0))
             .as("ari"))
+    },
+
+    // NS: Gaussian-mixture E-step — the soft-assignment half of EM, the
+    // probabilistic sibling of the hard Lloyd assign: responsibilities
+    // r_ik ∝ exp(−d²_ik/2σ²) over the K init centroids (isotropic σ² = 1,
+    // equal weights). Numerics discipline: each point's K exponentials
+    // stabilize by the row's min d² (so the largest term is exactly 1 and
+    // nothing underflows), quantize INDIVIDUALLY to micro units, and the
+    // softmax normalizes in PURE INTEGER arithmetic (e_micro·1e6 DIV
+    // Σe_micro) — float summation order never exists, so both engines
+    // agree bitwise at any scale. Zero shuffle until the K-row aggregate:
+    // distances are literal-centroid expressions (the assignCol shape).
+    // Output per component: hard-assign count beside the soft mass — the
+    // E-step's own convergence diagnostics.
+    "q_gmm_estep" -> { (s, dir) =>
+      val cents = Lloyd.initCentroidsFor(s, dir, K).sortBy(_.cid)
+      val pts = Tables.points(s, dir)
+      val d2Cols = cents.map { c =>
+        graft.functions.SquaredDistance(col("coordinates"),
+          array(c.coordinates.map(lit).toSeq: _*)).as(s"d2_${c.cid}")
+      }
+      val withD = pts
+        .withColumn("hard", Lloyd.assignCol(cents, col("coordinates")))
+        .select(Seq(col("vec_id"), col("hard")) ++ d2Cols: _*)
+        .withColumn("dmin", least(cents.map(c => col(s"d2_${c.cid}")): _*))
+      val eCols = cents.map(c =>
+        round(exp((col("dmin") - col(s"d2_${c.cid}")) * lit(0.5)) * lit(1000000.0))
+          .cast("long").as(s"e_${c.cid}"))
+      val withE = withD.select(Seq(col("vec_id"), col("hard")) ++ eCols: _*)
+        .withColumn("denom", cents.map(c => col(s"e_${c.cid}")).reduce(_ + _))
+      val stacked = withE.select(col("hard"), col("denom"),
+          explode(array(cents.map(c =>
+            struct(lit(c.cid).as("cid"), col(s"e_${c.cid}").as("e"))): _*)).as("kd"))
+        .select(col("hard"), col("kd.cid").as("cid"),
+          expr("kd.e * 1000000 DIV denom").as("resp_ppm"))
+      stacked.groupBy("cid")
+        .agg(sum(when(col("hard") === col("cid"), 1L).otherwise(0L)).as("n_hard"),
+          sum("resp_ppm").as("resp_mass_ppm"),
+          count(lit(1)).as("n_pts"))
+        .select(col("cid").cast("long").as("cid"), col("n_hard"),
+          col("resp_mass_ppm"), expr("resp_mass_ppm DIV n_pts").as("mean_resp_ppm"))
+        .orderBy("cid")
     }
   )
 
@@ -450,6 +492,31 @@ object KmeansQueries {
          |                   * CAST(n * (n - 1) // 2 AS DOUBLE)
          |                 - 2.0 * CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE)), 6) + 0.0
          |       END AS ari
-         |FROM sij CROSS JOIN sa CROSS JOIN sb""".stripMargin
+         |FROM sij CROSS JOIN sa CROSS JOIN sb""".stripMargin,
+    // identical init centroids and distance folds; per-term micro
+    // quantization BEFORE the integer softmax so no float sum exists
+    "q_gmm_estep" ->
+      s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+         |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, c
+         |         FROM (SELECT vec_id, c FROM pts ORDER BY vec_id LIMIT $K) t),
+         |d AS (SELECT p.vec_id, i.cid,
+         |             list_sum(list_transform(list_zip(p.c, i.c),
+         |               z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+         |      FROM pts p CROSS JOIN init i),
+         |e AS (SELECT vec_id, cid,
+         |             CAST(round(exp((min(d2) OVER (PARTITION BY vec_id) - d2) * 0.5)
+         |               * 1000000.0) AS BIGINT) AS e,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |      FROM d),
+         |r AS (SELECT vec_id, cid, e,
+         |             CAST(sum(e) OVER (PARTITION BY vec_id) AS BIGINT) AS denom,
+         |             max(CASE WHEN rn = 1 THEN cid END) OVER (PARTITION BY vec_id) AS hard
+         |      FROM e)
+         |SELECT CAST(cid AS BIGINT) AS cid,
+         |       CAST(sum(CASE WHEN hard = cid THEN 1 ELSE 0 END) AS BIGINT) AS n_hard,
+         |       CAST(sum(e * 1000000 // denom) AS BIGINT) AS resp_mass_ppm,
+         |       CAST(sum(e * 1000000 // denom) AS BIGINT)
+         |         // CAST(count(*) AS BIGINT) AS mean_resp_ppm
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

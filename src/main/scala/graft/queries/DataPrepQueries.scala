@@ -395,6 +395,47 @@ object DataPrepQueries {
         .orderBy("lang")
     },
 
+    // NS: DoReMi-style mixture reweighting step — the gradient of the
+    // data-mixing loop: score every source by its excess LM loss over the
+    // corpus baseline and upweight the hard ones multiplicatively
+    // (exponentiated-gradient, η = 0.5/nat). The proxy loss is the
+    // unigram cross-entropy in EXACT micro-nat integers (the
+    // q_unigram_logprob ledger: per-token ln p quantized once, per-source
+    // Σ c_sw·lp over the reduced (source, word) frame — exact through
+    // ~4e11 tokens/source, the documented LM-ledger envelope), so
+    // loss/excess are engine-identical BIGINTs. The weight softmax
+    // quantizes each source's exp term to micro units FIRST and
+    // normalizes in pure integer arithmetic (the q_gmm_estep softmax
+    // discipline) — no float summation order exists anywhere. Dataflow:
+    // reduce-to-(source, word) before the vocab join; everything after is
+    // sources-bounded.
+    "q_doremi_step" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val sw = toks.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      val vocab = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+      val tot = vocab.agg(sum("c_w").as("t"))
+      val lm = vocab.crossJoin(broadcast(tot))
+        .select(col("w"), expr(
+          "CAST(round(ln(CAST(c_w AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("lp_mn"))
+      val perSrc = sw.join(lm, "w")
+        .groupBy("source")
+        .agg(sum("c_sw").as("n_tokens"), sum(expr("-c_sw * lp_mn")).as("nll"))
+        .withColumn("loss_mn", expr("nll DIV n_tokens"))
+      val base = perSrc.agg(expr("sum(nll) DIV sum(n_tokens)").as("base_mn"))
+      val scored = perSrc.crossJoin(broadcast(base))
+        .withColumn("excess_mn", greatest(col("loss_mn") - col("base_mn"), lit(0L)))
+        .withColumn("t_micro", expr(
+          "CAST(round(exp(0.5e0 * CAST(excess_mn AS DOUBLE) / 1000000e0) * 1000000e0) AS BIGINT)"))
+      val z = scored.agg(sum("t_micro").as("z_micro"))
+      scored.crossJoin(broadcast(z))
+        .select(col("source"), col("n_tokens"), col("loss_mn"), col("excess_mn"),
+          expr("t_micro * 1000000 DIV z_micro").as("w_ppm"))
+        .orderBy("source")
+    },
+
     // NS: epoch allocation under a token budget — EXACT integer
     // water-filling: every source may contribute up to cap = 4 epochs of
     // its tokens; the budget (2 mean epochs of the corpus) is spent by
@@ -620,6 +661,37 @@ object DataPrepQueries {
           round(col("key") * 1e6, 3).as("es_key_x1e6"))
     },
 
+    // NS: deterministic per-stratum reservoir sample — the reproducible
+    // "give me k uniform rows per group" primitive every debugging /
+    // eval-set / spot-check pipeline needs. Priority = 56-bit md5 hash of
+    // the key (so the sample is a pure function of the data — re-runs,
+    // retries and both engines draw the SAME rows), and the bottom-k
+    // selection is the combinable BottomKDistinctAgg: k hashes per
+    // stratum per partition cross the shuffle, never the stratum (the
+    // per-group rank-window formulation would sort whole strata in one
+    // reducer task). The k-row sketch broadcasts back to fetch row
+    // payloads; the final rank runs over that ≤k-row-per-group frame
+    // only. Hash ties (distinct keys colliding in 56 bits) break on the
+    // key itself, so the output is total-ordered and engine-identical.
+    "q_reservoir_sample" -> { (s, dir) =>
+      val K = 16
+      val bottomK = udaf(new graft.functions.BottomKDistinctAgg(K))
+      val rows = Tables.orders(s, dir)
+        .select(col("o_orderstatus").as("grp"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+        .withColumn("h",
+          conv(substring(md5(concat(lit("rs:"), col("o_orderkey").cast("string"))), 1, 14),
+            16, 10).cast("long"))
+      val sk = rows.groupBy("grp").agg(bottomK(col("h")).as("hs"))
+        .select(col("grp"), explode(col("hs")).as("h"))
+      rows.join(broadcast(sk), Seq("grp", "h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("grp").orderBy(col("h"), col("o_orderkey"))).cast("long"))
+        .filter(col("rk") <= K)
+        .select(col("grp"), col("rk"), col("o_orderkey"), col("price_cents"))
+        .orderBy("grp", "rk")
+    },
+
     // NS: k-anonymity suppression — the privacy transform a training-data
     // release needs beside PII redaction: rows whose quasi-identifier
     // combination (event_type, day, floor(value)) occurs < k times get the
@@ -661,6 +733,39 @@ object DataPrepQueries {
         .agg(count(lit(1)).as("n_groups"), sum("n_rows").as("n_rows"))
         .crossJoin(broadcast(tot))
         .orderBy("l")
+    },
+
+    // NS: t-closeness audit — the third static privacy grade beside
+    // k-anonymity and l-diversity: per QI group, the total-variation
+    // distance between the group's sensitive-attribute distribution and
+    // the global one (a group whose priorities skew far from the corpus
+    // leaks attribute inference even when l-diverse). Dataflow: one
+    // (group × sensitive) cell aggregate, the 5-value sensitive domain
+    // grid-filled so ABSENT cells still contribute |0 − p_global|, then a
+    // bounded per-group fold. Each cell's deviation quantizes to ppm as a
+    // fixed DOUBLE expression floored to BIGINT (deterministic at any
+    // scale — an exact cross-multiplication c_gp·n would overflow BIGINT
+    // past n ~ 3e9, the q_lorenz_points lesson), and the per-group sum is
+    // then pure integer. tv_ppm = Σ_p |p_g(p) − p(p)|·1e6 DIV 2.
+    "q_tclose" -> { (s, dir) =>
+      val rows = Tables.orders(s, dir)
+        .select(col("o_orderstatus"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_orderpriority").as("p"))
+      val cell = rows.groupBy("o_orderstatus", "o_year", "p").agg(count(lit(1)).as("c_gp"))
+      val gTot = cell.groupBy("o_orderstatus", "o_year").agg(sum("c_gp").as("n_g"))
+      val pTot = rows.groupBy("p").agg(count(lit(1)).as("c_p"))
+      val nTot = rows.agg(count(lit(1)).as("n"))
+      val grid = gTot.crossJoin(broadcast(pTot)).crossJoin(broadcast(nTot))
+      val filled = grid.join(cell, Seq("o_orderstatus", "o_year", "p"), "left_outer")
+        .na.fill(0L, Seq("c_gp"))
+        .withColumn("dev_ppm", expr(
+          "CAST(floor(abs(CAST(c_gp AS DOUBLE) / CAST(n_g AS DOUBLE) - " +
+            "CAST(c_p AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+      filled.groupBy("o_orderstatus", "o_year")
+        .agg(max("n_g").as("n_g"), expr("sum(dev_ppm) DIV 2").as("tv_ppm"))
+        .withColumn("t_violation", (col("tv_ppm") > 300000L).cast("long"))
+        .orderBy("o_orderstatus", "o_year")
     },
 
     // NS: differentially-private-style noisy count release — the third
@@ -891,6 +996,32 @@ object DataPrepQueries {
         |       round(pa / z / p, 6) AS boost
         |FROM pa CROSS JOIN z
         |ORDER BY lang""".stripMargin,
+    // identical micro-nat ledger and integer softmax normalization
+    "q_doremi_step" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+        |       FROM toks WHERE len(w) > 0 GROUP BY 1, 2),
+        |vocab AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS t FROM vocab),
+        |lm AS (SELECT w, CAST(round(ln(CAST(c_w AS DOUBLE) / CAST(t AS DOUBLE))
+        |                * 1000000) AS BIGINT) AS lp_mn
+        |       FROM vocab CROSS JOIN tot),
+        |per AS (SELECT sw.source, CAST(sum(c_sw) AS BIGINT) AS n_tokens,
+        |               CAST(sum(-c_sw * lp_mn) AS BIGINT) AS nll
+        |        FROM sw JOIN lm ON lm.w = sw.w GROUP BY 1),
+        |pl AS (SELECT *, nll // n_tokens AS loss_mn FROM per),
+        |base AS (SELECT CAST(sum(nll) AS BIGINT) // CAST(sum(n_tokens) AS BIGINT) AS base_mn
+        |         FROM per),
+        |sc AS (SELECT source, n_tokens, loss_mn,
+        |              greatest(loss_mn - base_mn, 0) AS excess_mn,
+        |              CAST(round(exp(0.5e0 * CAST(greatest(loss_mn - base_mn, 0) AS DOUBLE)
+        |                / 1000000e0) * 1000000e0) AS BIGINT) AS t_micro
+        |       FROM pl CROSS JOIN base),
+        |z AS (SELECT CAST(sum(t_micro) AS BIGINT) AS z_micro FROM sc)
+        |SELECT source, n_tokens, loss_mn, excess_mn,
+        |       t_micro * 1000000 // z_micro AS w_ppm
+        |FROM sc CROSS JOIN z ORDER BY source""".stripMargin,
     // identical integer water-filling replay: same ascending (cap, source)
     // order, same prefix condition, same DIV/mod remainder distribution
     "q_epoch_plan" ->
@@ -1020,6 +1151,20 @@ object DataPrepQueries {
         |k AS (SELECT o_orderkey, w, ln(u) / w AS key FROM t)
         |SELECT o_orderkey, round(w, 2) AS weight, round(key * 1e6, 3) + 0.0 AS es_key_x1e6
         |FROM k ORDER BY round(key, 12) DESC, o_orderkey LIMIT 10""".stripMargin,
+    // identical md5 priorities; the rank over (h, key) reproduces the
+    // bottom-k-distinct + bounded tie-break exactly (the 16th rank's hash
+    // is always inside the 16 smallest distinct hashes)
+    "q_reservoir_sample" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus AS grp, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |         ('0x' || substr(md5('rs:' || CAST(o_orderkey AS VARCHAR)), 1, 14))::BIGINT AS h
+        |  FROM orders),
+        |rk AS (SELECT grp, o_orderkey, price_cents,
+        |              row_number() OVER (PARTITION BY grp ORDER BY h, o_orderkey) AS rk
+        |       FROM r QUALIFY rk <= 16)
+        |SELECT grp, CAST(rk AS BIGINT) AS rk, o_orderkey, price_cents
+        |FROM rk ORDER BY grp, rk""".stripMargin,
     "q_kanon_suppress" ->
       """WITH e AS (SELECT event_id, event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |                  CAST(floor(value) AS BIGINT) AS value_bin FROM events),
@@ -1042,6 +1187,31 @@ object DataPrepQueries {
         |FROM grp CROSS JOIN tot
         |GROUP BY l, min_l, n_groups_below_3
         |ORDER BY l""".stripMargin,
+    // identical cell census, grid fill, and floored per-cell ppm deviation
+    "q_tclose" ->
+      """WITH r AS (SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |                  o_orderpriority AS p FROM orders),
+        |cell AS (SELECT o_orderstatus, o_year, p, CAST(count(*) AS BIGINT) AS c_gp
+        |         FROM r GROUP BY 1, 2, 3),
+        |gt AS (SELECT o_orderstatus, o_year, CAST(sum(c_gp) AS BIGINT) AS n_g
+        |       FROM cell GROUP BY 1, 2),
+        |pt AS (SELECT p, CAST(count(*) AS BIGINT) AS c_p FROM r GROUP BY 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        |filled AS (
+        |  SELECT gt.o_orderstatus, gt.o_year, gt.n_g, pt.c_p, nt.n,
+        |         coalesce(cell.c_gp, 0) AS c_gp
+        |  FROM gt CROSS JOIN pt CROSS JOIN nt
+        |  LEFT JOIN cell ON cell.o_orderstatus = gt.o_orderstatus
+        |    AND cell.o_year = gt.o_year AND cell.p = pt.p),
+        |dev AS (
+        |  SELECT o_orderstatus, o_year, n_g,
+        |         CAST(floor(abs(CAST(c_gp AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |           - CAST(c_p AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS dev_ppm
+        |  FROM filled)
+        |SELECT o_orderstatus, o_year, max(n_g) AS n_g,
+        |       CAST(sum(dev_ppm) AS BIGINT) // 2 AS tv_ppm,
+        |       CAST(CAST(sum(dev_ppm) AS BIGINT) // 2 > 300000 AS BIGINT) AS t_violation
+        |FROM dev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // deterministic md5 noise stand-in, symmetric truncating division
     "q_dp_count" ->
       """WITH c AS (SELECT event_type, count(*) AS n_true FROM events GROUP BY 1),

@@ -348,6 +348,60 @@ object SketchQueries {
                  |  ELSE -((n_exact - est) * 1000000 DIV n_exact) END""".stripMargin)
             .as("err_ppm"))
         .orderBy("grp")
+    },
+
+    // NS: HyperLogLog distinct-count sketch — the fourth mergeable
+    // cardinality summary (FM/PCSA, bitmap, KMV, HLL), and the one
+    // production engines actually ship. m = 64 registers: the 56-bit md5
+    // hash splits into a 6-bit register index and a 50-bit suffix whose
+    // leading-zero rank feeds a per-(group, register) MAX — the fully
+    // combinable aggregate (64 rows per group per partition cross the
+    // shuffle, nothing else; verified identical `bin`/shift/pmod
+    // semantics on both engines). The harmonic-mean denominator
+    // Σ 2^(-M_j) is computed as the EXACT BIGINT Σ 2^(51-M_j) (≤ 64·2^51
+    // < 2^63) so float summation order can never flip a digit; only the
+    // final α·m²/denominator division is IEEE, with the standard
+    // small-range linear-counting correction (E ≤ 2.5m and empty
+    // registers present → m·ln(m/V)). The __ALL__ row MERGES the
+    // per-status registers (pointwise max) — the mergeability under
+    // test. Self-eval: exact countDistinct beside the estimate.
+    "q_hyperloglog" -> { (s, dir) =>
+      val regs0 = Tables.orders(s, dir)
+        .select(col("o_orderstatus").as("grp"),
+          conv(substring(md5(concat(lit("hll:"), col("o_custkey"))), 1, 14), 16, 10)
+            .cast("long").as("h"))
+        .select(col("grp"), pmod(col("h"), lit(64L)).as("j"), expr("h DIV 64").as("w"))
+        .select(col("grp"), col("j"),
+          expr("CASE WHEN w = 0 THEN CAST(51 AS BIGINT) " +
+            "ELSE CAST(51 - length(bin(w)) AS BIGINT) END").as("rho"))
+        .groupBy("grp", "j").agg(max("rho").as("r"))
+      val merged = regs0.groupBy("j").agg(max("r").as("r"))
+        .select(lit("__ALL__").as("grp"), col("j"), col("r"))
+      val regs = regs0.unionByName(merged)
+      val grid = regs.select("grp").distinct()
+        .crossJoin(broadcast(s.range(64).select(col("id").as("j"))))
+      val filled = grid.join(regs, Seq("grp", "j"), "left_outer").na.fill(0L, Seq("r"))
+      val est = filled.groupBy("grp")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - r AS INT))")).as("se"),
+          sum(when(col("r") === 0, 1L).otherwise(0L)).as("n_zero_regs"))
+        .withColumn("raw", expr("0.70936e0 * 4096e0 * 2251799813685248e0 / CAST(se AS DOUBLE)"))
+        .select(col("grp"), col("n_zero_regs"),
+          expr("CAST(round(CASE WHEN raw <= 160.0 AND n_zero_regs > 0 " +
+            "THEN 64.0 * ln(64.0 / CAST(n_zero_regs AS DOUBLE)) ELSE raw END) AS BIGINT)")
+            .as("est"))
+      val exactG = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("grp"))
+        .agg(countDistinct("o_custkey").as("n_exact"))
+      val exactA = Tables.orders(s, dir)
+        .agg(countDistinct("o_custkey").as("n_exact"))
+        .select(lit("__ALL__").as("grp"), col("n_exact"))
+      est.join(exactG.unionByName(exactA), "grp")
+        .select(col("grp"), col("n_exact"), col("n_zero_regs"), col("est"),
+          expr("""CASE WHEN est >= n_exact
+                 |  THEN (est - n_exact) * 1000000 DIV n_exact
+                 |  ELSE -((n_exact - est) * 1000000 DIV n_exact) END""".stripMargin)
+            .as("err_ppm"))
+        .orderBy("grp")
     }
   )
 
@@ -543,7 +597,50 @@ object SketchQueries {
           |         THEN (e2.est - ex.n_exact) * 1000000 // ex.n_exact
           |         ELSE -((ex.n_exact - e2.est) * 1000000 // ex.n_exact) END AS err_ppm
           |FROM e2 JOIN ex ON e2.grp = ex.grp
-          |ORDER BY e2.grp""".stripMargin
+          |ORDER BY e2.grp""".stripMargin,
+      // identical register construction (bin/shift/pmod semantics verified
+      // equal on both engines), exact-integer harmonic denominator
+      "q_hyperloglog" ->
+        """WITH hashed AS (
+          |  SELECT o_orderstatus AS grp,
+          |         ('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)), 1, 14))::BIGINT AS h
+          |  FROM orders),
+          |jr AS (SELECT grp, h % 64 AS j, h // 64 AS w FROM hashed),
+          |r0 AS (SELECT grp, j,
+          |              max(CASE WHEN w = 0 THEN CAST(51 AS BIGINT)
+          |                       ELSE CAST(51 - length(bin(w)) AS BIGINT) END) AS r
+          |       FROM jr GROUP BY 1, 2),
+          |mg AS (SELECT '__ALL__' AS grp, j, max(r) AS r FROM r0 GROUP BY 2),
+          |regs AS (SELECT * FROM r0 UNION ALL SELECT * FROM mg),
+          |grid AS (SELECT g.grp, CAST(gs.j AS BIGINT) AS j
+          |         FROM (SELECT DISTINCT grp FROM regs) g
+          |         CROSS JOIN (SELECT unnest(range(0, 64)) AS j FROM (SELECT 1)) gs),
+          |filled AS (SELECT grid.grp, grid.j, coalesce(regs.r, 0) AS r
+          |           FROM grid LEFT JOIN regs ON regs.grp = grid.grp AND regs.j = grid.j),
+          |est AS (SELECT grp,
+          |               CAST(sum(1::BIGINT << CAST(51 - r AS INTEGER)) AS BIGINT) AS se,
+          |               CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs
+          |        FROM filled GROUP BY 1),
+          |e2 AS (SELECT grp, n_zero_regs,
+          |              0.70936e0 * 4096e0 * 2251799813685248e0 / CAST(se AS DOUBLE) AS raw
+          |       FROM est),
+          |e3 AS (SELECT grp, n_zero_regs,
+          |              CAST(round(CASE WHEN raw <= 160.0 AND n_zero_regs > 0
+          |                   THEN 64.0 * ln(64.0 / CAST(n_zero_regs AS DOUBLE))
+          |                   ELSE raw END) AS BIGINT) AS est
+          |       FROM e2),
+          |ex AS (
+          |  SELECT o_orderstatus AS grp,
+          |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+          |  FROM orders GROUP BY 1
+          |  UNION ALL
+          |  SELECT '__ALL__', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+          |SELECT e3.grp, ex.n_exact, e3.n_zero_regs, e3.est,
+          |       CASE WHEN e3.est >= ex.n_exact
+          |         THEN (e3.est - ex.n_exact) * 1000000 // ex.n_exact
+          |         ELSE -((ex.n_exact - e3.est) * 1000000 // ex.n_exact) END AS err_ppm
+          |FROM e3 JOIN ex ON e3.grp = ex.grp
+          |ORDER BY e3.grp""".stripMargin
     )
   }
 }

@@ -959,6 +959,53 @@ object StatsQueries {
         .orderBy("segment")
     },
 
+    // NS: inverse-propensity-weighted ATE — the observational-causal
+    // estimator beside CUPED (variance reduction), diff-in-diff (parallel
+    // trends) and the off-policy IPS replay: stratify units on a
+    // covariate bucket, ESTIMATE the propensity e_b = n1_b/n_b inside
+    // each stratum, and reweight outcomes by 1/e_b (treated) and
+    // 1/(1−e_b) (control). The algebra collapses per stratum —
+    // Σ_{i∈b,t=1} y_i/e_b = Y1_b·n_b/n1_b — so the whole estimator is a
+    // 5-row bucket aggregate over exact integer sums; each bucket's term
+    // forms in DOUBLE floored to milli (exact cross-multiplication would
+    // overflow past n~3e9) and the final combination is pure integer.
+    // Totality: a stratum missing a treatment arm is SKIPPED and counted
+    // (n_buckets_skipped) rather than dividing by zero. The unadjusted
+    // naive difference rides beside as the confounding self-eval.
+    "q_ipw_ate" -> { (s, dir) =>
+      val y = Tables.orders(s, dir).groupBy("o_custkey").agg(count(lit(1)).as("n_ord"))
+      val units = Tables.customer(s, dir)
+        .select(col("c_custkey"), pmod(col("c_nationkey").cast("long"), lit(5L)).as("b"))
+        .join(y, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("b"),
+          (coalesce(col("n_ord"), lit(0L)) * 1000L).as("y_milli"),
+          pmod(graft.text.TextQueries.h32(
+            concat(lit("ipw:"), col("c_custkey").cast("string"))), lit(2L)).as("t"))
+      val byB = units.groupBy("b").agg(
+        count(lit(1)).as("n_b"),
+        sum("t").as("n1_b"),
+        sum(col("t") * col("y_milli")).as("y1_b"),
+        sum((lit(1L) - col("t")) * col("y_milli")).as("y0_b"))
+      val terms = byB.withColumn("n0_b", col("n_b") - col("n1_b"))
+        .withColumn("skip", (col("n1_b") === 0 || col("n0_b") === 0).cast("long"))
+        .withColumn("t1", when(col("skip") === 1, lit(0L)).otherwise(expr(
+          "CAST(floor(CAST(y1_b AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n1_b AS DOUBLE)) AS BIGINT)")))
+        .withColumn("t0", when(col("skip") === 1, lit(0L)).otherwise(expr(
+          "CAST(floor(CAST(y0_b AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n0_b AS DOUBLE)) AS BIGINT)")))
+      terms.agg(
+          sum("n_b").as("n_units"), sum("n1_b").as("n_treated"),
+          sum("y1_b").as("y1_tot"), sum("y0_b").as("y0_tot"),
+          sum("t1").as("s1"), sum("t0").as("s0"),
+          count(lit(1)).as("n_buckets"), sum("skip").as("n_buckets_skipped"))
+        .select(col("n_units"), col("n_treated"), col("n_buckets"),
+          col("n_buckets_skipped"),
+          expr("CASE WHEN n_treated = 0 OR n_treated = n_units THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST(floor(CAST(y1_tot AS DOUBLE) / CAST(n_treated AS DOUBLE)) - " +
+            "floor(CAST(y0_tot AS DOUBLE) / CAST(n_units - n_treated AS DOUBLE)) AS BIGINT) END")
+            .as("naive_diff_milli"),
+          expr("(s1 - s0) DIV n_units").as("ipw_ate_milli"))
+    },
+
     // NS: off-policy replay evaluation (IPS) — "what would the new
     // policy have earned on the logged traffic?", the counterfactual
     // read every recommender/bandit team runs before an online test.
@@ -1498,6 +1545,45 @@ object StatsQueries {
         |       (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS chi2_ppm,
         |       CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 3841459 AS BIGINT) AS srm_alarm
         |FROM c ORDER BY segment""".stripMargin,
+    // identical stratification, per-bucket DOUBLE-floored IPW terms,
+    // integer combination (BIGINT // truncates toward zero like DIV)
+    "q_ipw_ate" ->
+      """WITH y AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |           FROM orders GROUP BY 1),
+        |u AS (
+        |  SELECT c.c_custkey, CAST(c.c_nationkey AS BIGINT) % 5 AS b,
+        |         coalesce(y.n_ord, 0) * 1000 AS y_milli,
+        |         ('0x' || substr(md5('ipw:' || CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2 AS t
+        |  FROM customer c LEFT JOIN y ON y.o_custkey = c.c_custkey),
+        |bb AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS n_b, CAST(sum(t) AS BIGINT) AS n1_b,
+        |         CAST(sum(t * y_milli) AS BIGINT) AS y1_b,
+        |         CAST(sum((1 - t) * y_milli) AS BIGINT) AS y0_b
+        |  FROM u GROUP BY 1),
+        |terms AS (
+        |  SELECT *, n_b - n1_b AS n0_b,
+        |         CAST(n1_b = 0 OR n_b - n1_b = 0 AS BIGINT) AS skip,
+        |         CASE WHEN n1_b = 0 OR n_b - n1_b = 0 THEN 0
+        |              ELSE CAST(floor(CAST(y1_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |                / CAST(n1_b AS DOUBLE)) AS BIGINT) END AS t1,
+        |         CASE WHEN n1_b = 0 OR n_b - n1_b = 0 THEN 0
+        |              ELSE CAST(floor(CAST(y0_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |                / CAST(n_b - n1_b AS DOUBLE)) AS BIGINT) END AS t0
+        |  FROM bb),
+        |agg AS (
+        |  SELECT CAST(sum(n_b) AS BIGINT) AS n_units, CAST(sum(n1_b) AS BIGINT) AS n_treated,
+        |         CAST(sum(y1_b) AS BIGINT) AS y1_tot, CAST(sum(y0_b) AS BIGINT) AS y0_tot,
+        |         CAST(sum(t1) AS BIGINT) AS s1, CAST(sum(t0) AS BIGINT) AS s0,
+        |         CAST(count(*) AS BIGINT) AS n_buckets,
+        |         CAST(sum(skip) AS BIGINT) AS n_buckets_skipped
+        |  FROM terms)
+        |SELECT n_units, n_treated, n_buckets, n_buckets_skipped,
+        |       CASE WHEN n_treated = 0 OR n_treated = n_units THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(floor(CAST(y1_tot AS DOUBLE) / CAST(n_treated AS DOUBLE))
+        |                 - floor(CAST(y0_tot AS DOUBLE) / CAST(n_units - n_treated AS DOUBLE))
+        |                 AS BIGINT) END AS naive_diff_milli,
+        |       (s1 - s0) // n_units AS ipw_ate_milli
+        |FROM agg""".stripMargin,
     // same md5 arms, floored percentile grids and integer deltas
     "q_qte" ->
       """WITH u AS (
