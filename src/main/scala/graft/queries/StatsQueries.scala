@@ -33,6 +33,26 @@ object StatsQueries {
     */
   val KsBinWidth = 1000.0
 
+  /** q_ab_bayes shared SQL fragments — the SAME strings compile in Spark
+    * (expr) and replay in DuckDB, so both engines walk one IEEE tree.
+    * Posterior: Beta(1+s, 1+n−s) → μ=(s+1)/(n+2), σ²=μ(1−μ)/(n+3);
+    * Φ(z) via the Abramowitz–Stegun 7.1.26 erf polynomial (|ε|<1.5e-7,
+    * far below the ppm quantization), odd-extended for z<0.
+    */
+  def AbMuSql(arm: String): String =
+    s"CAST(s_$arm + 1 AS DOUBLE) / CAST(n_$arm + 2 AS DOUBLE)"
+  val AbZSql: String =
+    "(mu_b - mu_a) / sqrt(mu_a * (1.0e0 - mu_a) / CAST(n_a + 3 AS DOUBLE) " +
+      "+ mu_b * (1.0e0 - mu_b) / CAST(n_b + 3 AS DOUBLE))"
+  val AbXSql: String = "abs(z) / 1.4142135623730951e0"
+  val AbTSql: String = "1.0e0 / (1.0e0 + 0.3275911e0 * x)"
+  val AbEfSql: String =
+    "1.0e0 - t * (0.254829592e0 + t * (-0.284496736e0 + t * (1.421413741e0 " +
+      "+ t * (-1.453152027e0 + t * 1.061405429e0)))) * exp(-x * x)"
+  val AbPSql: String =
+    "CAST(round(0.5e0 * (1.0e0 + CASE WHEN z >= 0.0e0 THEN ef ELSE -ef END) " +
+      "* 1000000) AS BIGINT)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // NS: robust per-group location+spread — exact median and MAD (median
@@ -959,6 +979,37 @@ object StatsQueries {
         .orderBy("segment")
     },
 
+    // NS: Bayesian A/B readout — P(B beats A) from Beta(1+s, 1+f)
+    // posteriors under the normal approximation, the "probability to be
+    // best" number product teams actually read (vs q_ab_ttest's
+    // frequentist t). Φ is evaluated through the Abramowitz–Stegun
+    // 7.1.26 erf polynomial spelled as ONE shared SQL string (identical
+    // literal coefficients, Horner order, e0-suffixed doubles) so both
+    // engines walk the same IEEE tree — no engine-native erf exists in
+    // either. The corpus reduces to four exact integers (per-variant
+    // users and converters) in one combinable aggregate; everything
+    // after is a 1-row fold. Total by construction: zero-user arms fall
+    // back to the prior (μ=1/2, σ²>0), so no divide-by-zero branch.
+    "q_ab_bayes" -> { (s, dir) =>
+      val users = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("v", pmod(graft.text.TextQueries.h32(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+      users.agg(
+          sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("s_a"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("s_b"))
+        .withColumn("mu_a", expr(AbMuSql("a"))).withColumn("mu_b", expr(AbMuSql("b")))
+        .withColumn("z", expr(AbZSql))
+        .withColumn("x", expr(AbXSql)).withColumn("t", expr(AbTSql))
+        .withColumn("ef", expr(AbEfSql))
+        .select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+          expr(AbPSql).as("p_b_beats_a_ppm"))
+        .withColumn("b_wins", (col("p_b_beats_a_ppm") > 950000L).cast("long"))
+    },
+
     // NS: inverse-propensity-weighted ATE — the observational-causal
     // estimator beside CUPED (variance reduction), diff-in-diff (parallel
     // trends) and the off-policy IPS replay: stratify units on a
@@ -1545,6 +1596,28 @@ object StatsQueries {
         |       (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS chi2_ppm,
         |       CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 3841459 AS BIGINT) AS srm_alarm
         |FROM c ORDER BY segment""".stripMargin,
+    // SAME SQL fragments as the Spark side (object-level vals) — one
+    // shared IEEE tree for the erf polynomial on both engines
+    "q_ab_bayes" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         |         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS v
+         |  FROM events GROUP BY user_id),
+         |c AS (
+         |  SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |         CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS s_a,
+         |         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |         CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS s_b
+         |  FROM u),
+         |m AS (SELECT *, ${AbMuSql("a")} AS mu_a, ${AbMuSql("b")} AS mu_b FROM c),
+         |zz AS (SELECT *, $AbZSql AS z FROM m),
+         |xx AS (SELECT *, $AbXSql AS x FROM zz),
+         |tt AS (SELECT *, $AbTSql AS t FROM xx),
+         |ee AS (SELECT *, $AbEfSql AS ef FROM tt)
+         |SELECT n_a, s_a, n_b, s_b, $AbPSql AS p_b_beats_a_ppm,
+         |       CAST($AbPSql > 950000 AS BIGINT) AS b_wins
+         |FROM ee""".stripMargin,
     // identical stratification, per-bucket DOUBLE-floored IPW terms,
     // integer combination (BIGINT // truncates toward zero like DIV)
     "q_ipw_ate" ->

@@ -20,7 +20,69 @@ import graft.core.Tables
   */
 object TimeSeriesQueries {
 
+  /** q_pacf shared SQL fragments — identical strings compile in Spark and
+    * replay in DuckDB (the q_ab_bayes discipline): lag-k Pearson r from
+    * EXACT BIGINT sufficient statistics (the products form in DOUBLE —
+    * register choice, not approximation: n·Σxy would overflow BIGINT once
+    * daily counts pass ~4e8), then the Durbin–Levinson recursion to lag 3
+    * as a fixed IEEE tree with zero-variance/zero-denominator branches
+    * pinned to 0.0 on both engines (the q_logrank totality discipline).
+    */
+  def PacfRSql(k: Int): String = {
+    def D(c: String) = s"CAST($c$k AS DOUBLE)"
+    val vx = s"(${D("n")} * ${D("sxx")} - ${D("sx")} * ${D("sx")})"
+    val vy = s"(${D("n")} * ${D("syy")} - ${D("sy")} * ${D("sy")})"
+    s"CASE WHEN n$k = 0 OR $vx * $vy <= 0.0e0 THEN 0.0e0 " +
+      s"ELSE (${D("n")} * ${D("sxy")} - ${D("sx")} * ${D("sy")}) / sqrt($vx * $vy) END"
+  }
+  val Pacf22Sql: String =
+    "CASE WHEN 1.0e0 - r1 * r1 = 0.0e0 THEN 0.0e0 " +
+      "ELSE (r2 - r1 * r1) / (1.0e0 - r1 * r1) END"
+  val Pacf33Sql: String =
+    "CASE WHEN 1.0e0 - p21 * r1 - p22 * r2 = 0.0e0 THEN 0.0e0 " +
+      "ELSE (r3 - p21 * r2 - p22 * r1) / (1.0e0 - p21 * r1 - p22 * r2) END"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // NS: partial autocorrelation to lag 3 — the AR-order diagnostic
+    // beside q_autocorr's plain ACF (PACF cutting off at p is THE
+    // fingerprint of an AR(p) series; ACF alone can't separate direct
+    // from propagated correlation). The corpus reduces to the daily count
+    // series (calendar-bounded), each lag's Pearson r comes from one
+    // exact-integer pair aggregate, and the Durbin–Levinson recursion is
+    // a fixed 1-row IEEE tree over the three r's — no iteration, no
+    // windows, nothing row-scale past the daily reduce.
+    "q_pacf" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("y"))
+        .withColumn("d", datediff(col("day"), lit("1970-01-01")).cast("long"))
+        .select("d", "y").localCheckpoint() // calendar-bounded; feeds 3 lag joins
+      def lagStats(k: Int) = daily
+        .join(daily.select((col("d") + k).as("d"), col("y").as("yp")), "d")
+        .agg(count(lit(1)).as(s"n$k"),
+          coalesce(sum("y"), lit(0L)).as(s"sx$k"),
+          coalesce(sum("yp"), lit(0L)).as(s"sy$k"),
+          coalesce(sum(col("y") * col("y")), lit(0L)).as(s"sxx$k"),
+          coalesce(sum(col("yp") * col("yp")), lit(0L)).as(s"syy$k"),
+          coalesce(sum(col("y") * col("yp")), lit(0L)).as(s"sxy$k"))
+      daily.agg(count(lit(1)).as("n_days"))
+        .crossJoin(broadcast(lagStats(1)))
+        .crossJoin(broadcast(lagStats(2)))
+        .crossJoin(broadcast(lagStats(3)))
+        .withColumn("r1", expr(PacfRSql(1)))
+        .withColumn("r2", expr(PacfRSql(2)))
+        .withColumn("r3", expr(PacfRSql(3)))
+        .withColumn("p22", expr(Pacf22Sql))
+        .withColumn("p21", expr("r1 - p22 * r1"))
+        .withColumn("p33", expr(Pacf33Sql))
+        .select(col("n_days"),
+          (round(col("r1"), 6) + lit(0.0)).as("acf1"),
+          (round(col("r2"), 6) + lit(0.0)).as("acf2"),
+          (round(col("r3"), 6) + lit(0.0)).as("acf3"),
+          (round(col("r1"), 6) + lit(0.0)).as("pacf1"),
+          (round(col("p22"), 6) + lit(0.0)).as("pacf2"),
+          (round(col("p33"), 6) + lit(0.0)).as("pacf3"))
+    },
 
     // NS: resample to a 1-hour grid per user — the irregular event stream
     // becomes a regular time series: per-hour event counts and last
@@ -1094,6 +1156,37 @@ object TimeSeriesQueries {
         |       round(corr(CAST(n AS DOUBLE), CAST(n_prev AS DOUBLE)), 6) AS acf
         |FROM j GROUP BY lag
         |ORDER BY lag""".stripMargin,
+    // identical exact-integer lag statistics and the same shared DL tree
+    "q_pacf" -> {
+      def lagCte(k: Int) =
+        s"""l$k AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n$k,
+           |         coalesce(CAST(sum(a.y) AS BIGINT), 0) AS sx$k,
+           |         coalesce(CAST(sum(b.y) AS BIGINT), 0) AS sy$k,
+           |         coalesce(CAST(sum(a.y * a.y) AS BIGINT), 0) AS sxx$k,
+           |         coalesce(CAST(sum(b.y * b.y) AS BIGINT), 0) AS syy$k,
+           |         coalesce(CAST(sum(a.y * b.y) AS BIGINT), 0) AS sxy$k
+           |  FROM daily a JOIN daily b ON a.d = b.d + $k)""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+         |         CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+         |${lagCte(1)},
+         |${lagCte(2)},
+         |${lagCte(3)},
+         |rr AS (SELECT n_days, ${PacfRSql(1)} AS r1, ${PacfRSql(2)} AS r2,
+         |              ${PacfRSql(3)} AS r3
+         |       FROM nd CROSS JOIN l1 CROSS JOIN l2 CROSS JOIN l3),
+         |p2 AS (SELECT *, $Pacf22Sql AS p22 FROM rr),
+         |p1 AS (SELECT *, r1 - p22 * r1 AS p21 FROM p2),
+         |p3 AS (SELECT *, $Pacf33Sql AS p33 FROM p1)
+         |SELECT n_days,
+         |       round(r1, 6) + 0.0 AS acf1, round(r2, 6) + 0.0 AS acf2,
+         |       round(r3, 6) + 0.0 AS acf3, round(r1, 6) + 0.0 AS pacf1,
+         |       round(p22, 6) + 0.0 AS pacf2, round(p33, 6) + 0.0 AS pacf3
+         |FROM p3""".stripMargin
+    },
     "q_survival_km" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) - DATE '1994-12-26' AS d FROM events),
         |mx AS (SELECT max(d) AS dmax FROM e),

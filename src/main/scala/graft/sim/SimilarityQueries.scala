@@ -328,6 +328,33 @@ object SimilarityQueries {
             transform(col("q"), v => v.cast("double") / col("scale"))), 6).as("dequant_err"))
         .orderBy("vec_id")
     },
+    // NS: Johnson–Lindenstrauss random projection — the dimensionality
+    // reduction pass ahead of ANN indexing (64-D → 8-D at 8x less index
+    // memory and distance CPU): y_j = Σ_i s_ij·x_i with DETERMINISTIC ±1
+    // signs from md5 parity of (i, j), so the projection matrix is a pure
+    // function of nothing but its coordinates — both engines, every
+    // retry, every cluster size rebuild the identical matrix, and the
+    // Spark side's sign literals CONSTANT-FOLD (the md5s evaluate once at
+    // plan time, zero per-row hash cost). The dot folds are the in-row
+    // sequential Vec.dot (bit-deterministic; list_sum replay). Output at
+    // (vec, dim) grain in milli units; the JL norm-preservation ratio is
+    // spec-verified driver-side.
+    "q_random_projection" -> { (s, dir) =>
+      def sign(i: Int, j: Int): Column =
+        when(pmod(graft.text.TextQueries.h32(lit(s"rp:$i:$j")), lit(2L)) === 1,
+          lit(-1.0)).otherwise(lit(1.0))
+      val projCols = (0 until 8).map { j =>
+        struct(lit(j.toLong).as("j"),
+          round(graft.core.Vec.dot(col("embedding"),
+            array((0 until 64).map(i => sign(i, j)): _*)) * 1000.0)
+            .cast("long").as("y_milli"))
+      }
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), explode(array(projCols: _*)).as("p"))
+        .select(col("vec_id"), col("p.j").as("j"), col("p.y_milli").as("y_milli"))
+        .orderBy("vec_id", "j")
+    },
+
     // Embedding near-dup pairs: adaptive two-level LSH bucket equi-join +
     // exact cosine filter. Level 1 = 8-plane sign bucket; buckets whose
     // population exceeds RefineCap are refined by 8 MORE planes, so one hot
@@ -610,6 +637,22 @@ object SimilarityQueries {
           |             list_zip(c, list_transform(q, v -> CAST(v AS DOUBLE) / scale)),
           |             z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dequant_err
           |FROM q ORDER BY vec_id""".stripMargin,
+      // identical md5-parity sign matrix (built once in a CTE) and the
+      // same sequential dot fold
+      "q_random_projection" ->
+        """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+          |signs AS (
+          |  SELECT CAST(j AS BIGINT) AS j,
+          |         list_transform(range(0, 64), i ->
+          |           CASE WHEN ('0x' || substr(md5('rp:' || CAST(i AS VARCHAR) || ':'
+          |             || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 2 = 1
+          |           THEN -1.0e0 ELSE 1.0e0 END) AS svec
+          |  FROM (SELECT unnest(range(0, 8)) AS j))
+          |SELECT t.vec_id, s.j,
+          |       CAST(round(list_sum(list_transform(list_zip(t.c, s.svec),
+          |         z -> z[1] * z[2])) * 1000.0) AS BIGINT) AS y_milli
+          |FROM t CROSS JOIN signs s
+          |ORDER BY vec_id, j""".stripMargin,
       "q_ann_ivf" -> annIvfSql,
       // mirrors the Spark plan exactly: normalize first, level-1 bucket,
       // refine over-populated buckets with planes 8..15, single dot residual

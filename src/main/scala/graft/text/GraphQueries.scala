@@ -39,6 +39,33 @@ object GraphQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // NS: bipartite projection — collapse the user × event-type incidence
+    // graph onto the type side: co-engagement counts + cosine affinity
+    // cos(a,b) = |U_a ∩ U_b| / √(|U_a|·|U_b|), the one-mode projection
+    // every recommender/affinity analysis starts from. The pair blowup is
+    // C(k,2) per user where k ≤ the TYPE DOMAIN (5), a per-group bound
+    // independent of corpus size (the market-basket argument) — users
+    // never cross-join each other; degrees are a 5-row broadcast. The
+    // affinity forms in DOUBLE floored to ppm (exact cross-mult would
+    // need √ anyway) over exact integer counts.
+    "q_bipartite_projection" -> { (s, dir) =>
+      val inc = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("t")).distinct()
+      val deg = inc.groupBy("t").agg(count(lit(1)).as("d"))
+      val pairs = inc.join(inc.select(col("user_id"), col("t").as("t2")), "user_id")
+        .filter(col("t") < col("t2"))
+        .groupBy(col("t").as("t_a"), col("t2").as("t_b"))
+        .agg(count(lit(1)).as("co_users"))
+      pairs
+        .join(broadcast(deg.select(col("t").as("t_a"), col("d").as("d_a"))), "t_a")
+        .join(broadcast(deg.select(col("t").as("t_b"), col("d").as("d_b"))), "t_b")
+        .select(col("t_a"), col("t_b"), col("co_users"), col("d_a"), col("d_b"),
+          expr("CAST(floor(CAST(co_users AS DOUBLE) * 1000000.0 / " +
+            "(sqrt(CAST(d_a AS DOUBLE)) * sqrt(CAST(d_b AS DOUBLE)))) AS BIGINT)")
+            .as("cosine_ppm"))
+        .orderBy("t_a", "t_b")
+    },
+
     // NS: PageRank, 2 unrolled iterations, on the bigram word graph.
     // Dangling mass (words that only end bigrams) is dropped, the standard
     // simplification, mirrored exactly by the oracle's unrolled CTE chain.
@@ -474,6 +501,20 @@ object GraphQueries {
          |          FROM nodes n CROSS JOIN t LEFT JOIN $c ON $c.word = n.word)""".stripMargin
 
     Map(
+      // identical incidence dedup, bounded pair census, DOUBLE-floored ppm
+      "q_bipartite_projection" ->
+        """WITH inc AS (SELECT DISTINCT user_id, event_type AS t FROM events),
+          |deg AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM inc GROUP BY 1),
+          |pairs AS (
+          |  SELECT a.t AS t_a, b.t AS t_b, CAST(count(*) AS BIGINT) AS co_users
+          |  FROM inc a JOIN inc b ON a.user_id = b.user_id AND a.t < b.t
+          |  GROUP BY 1, 2)
+          |SELECT p.t_a, p.t_b, p.co_users, da.d AS d_a, db.d AS d_b,
+          |       CAST(floor(CAST(p.co_users AS DOUBLE) * 1000000.0
+          |         / (sqrt(CAST(da.d AS DOUBLE)) * sqrt(CAST(db.d AS DOUBLE)))) AS BIGINT)
+          |         AS cosine_ppm
+          |FROM pairs p JOIN deg da ON da.t = p.t_a JOIN deg db ON db.t = p.t_b
+          |ORDER BY t_a, t_b""".stripMargin,
       "q_graph_bfs" ->
         """WITH RECURSIVE
           |w AS (SELECT string_split(text, ' ') AS ws FROM documents),

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Semantic invariants of q_ab_bayes (erf-polynomial Φ), q_pacf
+  * (Durbin–Levinson identities), q_random_projection (JL norm
+  * preservation), and q_bipartite_projection (cosine affinity bounds).
+  */
+class SignalProjectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, TestSpark.Sf0001).collect()
+
+  test("q_ab_bayes: P(B>A) is a probability; erf polynomial matches java erf at the z") {
+    val r = run("q_ab_bayes").head
+    val p = r.getAs[Long]("p_b_beats_a_ppm")
+    assert(p >= 0 && p <= 1000000)
+    assert(r.getAs[Long]("b_wins") == (if (p > 950000) 1L else 0L))
+    // recompute Φ(z) from the four integers with an independent erf
+    // (continued-fraction-free Taylor/complement via java's tanh-free
+    // formula is unavailable in stdlib, so integrate A&S error bound):
+    val (na, sa, nb, sb) = (r.getAs[Long]("n_a"), r.getAs[Long]("s_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("s_b"))
+    val muA = (sa + 1.0) / (na + 2.0); val muB = (sb + 1.0) / (nb + 2.0)
+    val vA = muA * (1 - muA) / (na + 3.0); val vB = muB * (1 - muB) / (nb + 3.0)
+    val z = (muB - muA) / math.sqrt(vA + vB)
+    // independent Φ via the symmetric trapezoid integration of the pdf
+    val step = 1e-4
+    val az = math.abs(z)
+    val integral = (0 until (az / step).toInt).map { i =>
+      val x = i * step + step / 2
+      math.exp(-x * x / 2) * step
+    }.sum / math.sqrt(2 * math.Pi)
+    val phi = if (z >= 0) 0.5 + integral else 0.5 - integral
+    assert(math.abs(p / 1e6 - phi) < 1e-3, s"p=${p / 1e6} phi=$phi z=$z")
+  }
+
+  test("q_pacf: pacf1 == acf1; all coefficients bounded by 1") {
+    val r = run("q_pacf").head
+    assert(r.getAs[Double]("pacf1") == r.getAs[Double]("acf1"))
+    for (c <- Seq("acf1", "acf2", "acf3", "pacf1", "pacf2", "pacf3")) {
+      val v = r.getAs[Double](c)
+      assert(math.abs(v) <= 1.0 + 1e-9, s"$c=$v out of range")
+    }
+    // DL identity: pacf2 = (r2 - r1^2)/(1 - r1^2) over the rounded acfs
+    val r1 = r.getAs[Double]("acf1"); val r2 = r.getAs[Double]("acf2")
+    if (math.abs(1 - r1 * r1) > 1e-9)
+      assert(math.abs(r.getAs[Double]("pacf2") - (r2 - r1 * r1) / (1 - r1 * r1)) < 1e-4)
+  }
+
+  test("q_random_projection: E[||y||^2] tracks 8*||x||^2 (JL norm preservation)") {
+    val rows = run("q_random_projection")
+    assert(rows.length % 8 == 0)
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    import org.apache.spark.sql.functions._
+    val norms = graft.core.Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), graft.core.Vec.dot(col("embedding"), col("embedding")).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // averaged over all vectors the ratio ||y||^2 / (8 ||x||^2) -> 1
+    val ratios = byVec.map { case (v, rs) =>
+      val ny2 = rs.map(r => math.pow(r.getAs[Long]("y_milli") / 1000.0, 2)).sum
+      ny2 / (8.0 * norms(v))
+    }
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.15, s"JL mean norm ratio $mean")
+  }
+
+  test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
+    val rows = run("q_bipartite_projection")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val co = r.getAs[Long]("co_users")
+      val da = r.getAs[Long]("d_a"); val db = r.getAs[Long]("d_b")
+      assert(co <= math.min(da, db))
+      val cos = r.getAs[Long]("cosine_ppm")
+      assert(cos >= 0 && cos <= 1000000, s"cos=$cos")
+      assert(cos == math.floor(co * 1e6 / (math.sqrt(da.toDouble) * math.sqrt(db.toDouble))).toLong)
+    }
+  }
+}
