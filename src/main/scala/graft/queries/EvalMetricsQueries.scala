@@ -238,6 +238,47 @@ object EvalMetricsQueries {
                   (col("n_a") + col("n_b") - 1))))), 6))
     },
 
+    // NS: Wilcoxon signed-rank — the PAIRED nonparametric test completing
+    // the rank-test family beside Mann–Whitney (independent samples):
+    // per-user first-half vs second-half month activity totals, zero
+    // diffs dropped (the standard convention), |diff| quantized to centi
+    // bins so ranks come from a bounded-domain census (the q_mannwhitney
+    // bin discipline — the window walks the bin frame, never the users).
+    // Ranks ride the exact half-rank×2 integer trick (avg tie rank =
+    // 2·cum_before + t + 1, all BIGINT), W⁺×2 is exact, and the
+    // tie-corrected normal z + two-sided p run through the shared
+    // erf-polynomial fragments. Totality: empty or all-tied input pins
+    // z to 0 (p = 1e6).
+    "q_wilcoxon_signed" -> { (s, dir) =>
+      val diffs = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("vm"),
+          (dayofmonth(col("ts")) <= 15).cast("long").as("h1"))
+        .groupBy("user_id")
+        .agg((sum(when(col("h1") === 1, col("vm")).otherwise(0L)) -
+          sum(when(col("h1") === 0, col("vm")).otherwise(0L))).as("diff"))
+        .filter(col("diff") =!= 0)
+        .select(expr("abs(diff) DIV 10").as("vb"),
+          (col("diff") > 0).cast("long").as("pos"))
+      val census = diffs.groupBy("vb")
+        .agg(count(lit(1)).as("n_v"), sum("pos").as("pos_v"))
+      val w = Window.orderBy("vb").rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = census
+        .withColumn("cumb", coalesce(sum("n_v").over(w), lit(0L)))
+        .withColumn("avgrank2", lit(2L) * col("cumb") + col("n_v") + lit(1L))
+      ranked.agg(
+          coalesce(sum("n_v"), lit(0L)).as("n_pairs"),
+          coalesce(sum(expr("pos_v * avgrank2")), lit(0L)).as("w_plus_x2"),
+          coalesce(sum(expr("n_v * n_v * n_v - n_v")), lit(0L)).as("tie3"))
+        .withColumn("z", expr(StatsQueries.WilcoxonZSql))
+        .withColumn("x", expr(StatsQueries.AbXSql))
+        .withColumn("t", expr(StatsQueries.AbTSql))
+        .withColumn("ef", expr(StatsQueries.AbEfSql))
+        .select(col("n_pairs"), col("w_plus_x2"), col("tie3"),
+          expr(StatsQueries.BhPSql).as("p_ppm"))
+        .withColumn("significant", (col("p_ppm") < 50000L).cast("long"))
+    },
+
     // NS: Brown-Forsythe (median-centered Levene) test that quantity
     // spread is equal across return flags — the robust variance-equality
     // gate before pooling strata. Group medians are exact percentiles over
@@ -418,6 +459,35 @@ object EvalMetricsQueries {
         |             (2.0 * sqrt(n_a * n_b / 12.0 *
         |               ((n_a + n_b + 1) - ties / ((n_a + n_b) * (n_a + n_b - 1.0))))), 6) AS z
         |FROM a""".stripMargin,
+    // identical centi-bin rank census and the shared z/p fragments
+    "q_wilcoxon_signed" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
+         |                  THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |         - CAST(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
+         |                  THEN 0 ELSE CAST(round(value * 1000) AS BIGINT) END) AS BIGINT)
+         |           AS diff
+         |  FROM events GROUP BY user_id),
+         |d AS (SELECT abs(diff) // 10 AS vb, CAST(diff > 0 AS BIGINT) AS pos
+         |      FROM u WHERE diff <> 0),
+         |c AS (SELECT vb, CAST(count(*) AS BIGINT) AS n_v, CAST(sum(pos) AS BIGINT) AS pos_v
+         |      FROM d GROUP BY 1),
+         |r AS (SELECT n_v, pos_v,
+         |             coalesce(sum(n_v) OVER (ORDER BY vb
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |      FROM c),
+         |a AS (SELECT coalesce(CAST(sum(n_v) AS BIGINT), 0) AS n_pairs,
+         |             coalesce(CAST(sum(pos_v * (2 * cumb + n_v + 1)) AS BIGINT), 0) AS w_plus_x2,
+         |             coalesce(CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT), 0) AS tie3
+         |      FROM r),
+         |zz AS (SELECT *, ${StatsQueries.WilcoxonZSql} AS z FROM a),
+         |xx AS (SELECT *, ${StatsQueries.AbXSql} AS x FROM zz),
+         |tt AS (SELECT *, ${StatsQueries.AbTSql} AS t FROM xx),
+         |ee AS (SELECT *, ${StatsQueries.AbEfSql} AS ef FROM tt)
+         |SELECT n_pairs, w_plus_x2, tie3, ${StatsQueries.BhPSql} AS p_ppm,
+         |       CAST(${StatsQueries.BhPSql} < 50000 AS BIGINT) AS significant
+         |FROM ee""".stripMargin,
     "q_levene" ->
       """WITH m AS (SELECT l_returnflag, median(l_quantity) AS med FROM lineitem GROUP BY 1),
         |z AS (SELECT l.l_returnflag, abs(l.l_quantity - m.med) AS z

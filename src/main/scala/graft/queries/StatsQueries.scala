@@ -53,6 +53,33 @@ object StatsQueries {
     "CAST(round(0.5e0 * (1.0e0 + CASE WHEN z >= 0.0e0 THEN ef ELSE -ef END) " +
       "* 1000000) AS BIGINT)"
 
+  /** q_bh_fdr shared fragments: pooled two-proportion z (zero-variance or
+    * empty arms pin z to 0.0 — totality) and the two-sided p in ppm,
+    * p = 2(1−Φ(|z|)) = 1 − erf(|z|/√2), reusing the AbX/AbT/AbEf chain.
+    */
+  val BhZSql: String =
+    "CASE WHEN n0 = 0 OR n1 = 0 " +
+      "OR (CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) " +
+      "* (1.0e0 - CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) = 0.0e0 " +
+      "THEN 0.0e0 ELSE " +
+      "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) " +
+      "/ sqrt((CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) " +
+      "* (1.0e0 - CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) " +
+      "* (1.0e0 / CAST(n0 AS DOUBLE) + 1.0e0 / CAST(n1 AS DOUBLE))) END"
+  val BhPSql: String = "CAST(round((1.0e0 - ef) * 1000000) AS BIGINT)"
+
+  /** q_wilcoxon_signed shared fragment: tie-corrected normal z over the
+    * exact half-rank×2 integers (W2 = 2W⁺, E[W2] = n(n+1)/2, Var[W2] =
+    * n(n+1)(2n+1)/6 − Σ(t³−t)/12); empty or fully-tied input pins 0.0.
+    */
+  val WilcoxonZSql: String = {
+    val n = "CAST(n_pairs AS DOUBLE)"
+    val v = s"$n * ($n + 1.0e0) * (2.0e0 * $n + 1.0e0) / 6.0e0 " +
+      "- CAST(tie3 AS DOUBLE) / 12.0e0"
+    s"CASE WHEN n_pairs = 0 OR $v <= 0.0e0 THEN 0.0e0 " +
+      s"ELSE (CAST(w_plus_x2 AS DOUBLE) - $n * ($n + 1.0e0) / 2.0e0) / sqrt($v) END"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // NS: robust per-group location+spread — exact median and MAD (median
@@ -95,6 +122,47 @@ object StatsQueries {
           max("n").cast("long").as("n"),
           round(sum((col("obs") - exp_) * (col("obs") - exp_) / exp_), 6).as("chi2"),
           ((countDistinct("seg") - 1) * (countDistinct("pri") - 1)).as("dof"))
+    },
+
+    // NS: Benjamini–Hochberg FDR correction over a FAMILY of segment
+    // tests — the multiple-comparisons discipline every segment-sliced
+    // experiment readout needs (5 segments at α=0.05 each ≈ 23% false
+    // alarm without it). Per event-type segment: a two-proportion z-test
+    // of conversion (value > 2.5) between md5 split arms, p = 2(1−Φ(|z|))
+    // through the SHARED erf-polynomial fragments (the q_ab_bayes tree),
+    // then the BH step-up rule over the 5-row family: rank by p, reject
+    // ranks ≤ k* where k* = max{i : p_i ≤ i·α/m} — thresholds are exact
+    // integer ppm (i·α·1e6 DIV m). Every window runs on the 5-row family
+    // frame (bounded domain); the corpus reduces in ONE combinable agg.
+    // Totality: a zero-variance arm pins z to 0 (p = 1e6, never rejected).
+    "q_bh_fdr" -> { (s, dir) =>
+      val alphaPpmOverM = 10000L // α=0.05, m=5 → i·α·1e6/m = i·10000
+      val seg = Tables.events(s, dir)
+        .select(col("event_type").as("segment"), col("user_id"),
+          (col("value") > 2.5).cast("long").as("conv"))
+        .withColumn("v", pmod(graft.text.TextQueries.h32(
+          concat(col("segment"), lit("|bh:"), col("user_id").cast("string"))), lit(2L)))
+        .groupBy("segment")
+        .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("s0"),
+          sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("s1"))
+      val withP = seg
+        .withColumn("z", expr(BhZSql))
+        .withColumn("x", expr(AbXSql)).withColumn("t", expr(AbTSql))
+        .withColumn("ef", expr(AbEfSql))
+        .withColumn("p_ppm", expr(BhPSql))
+      val ranked = withP
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("p_ppm"), col("segment"))).cast("long"))
+        .withColumn("thr_ppm", col("rk") * alphaPpmOverM)
+      val kStar = ranked.agg(
+        coalesce(max(when(col("p_ppm") <= col("thr_ppm"), col("rk"))), lit(0L)).as("k_star"))
+      ranked.crossJoin(broadcast(kStar))
+        .select(col("segment"), col("n0"), col("n1"), col("s0"), col("s1"),
+          col("p_ppm"), col("rk"), col("thr_ppm"),
+          (col("rk") <= col("k_star")).cast("long").as("rejected"))
+        .orderBy("rk")
     },
 
     // NS: two-sample Kolmogorov–Smirnov distance between the price
@@ -1596,6 +1664,33 @@ object StatsQueries {
         |       (n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS chi2_ppm,
         |       CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) > 3841459 AS BIGINT) AS srm_alarm
         |FROM c ORDER BY segment""".stripMargin,
+    // SAME z/p fragments as Spark; BH step-up over the 5-row family
+    "q_bh_fdr" ->
+      s"""WITH e AS (
+         |  SELECT event_type AS segment, user_id,
+         |         CAST(value > 2.5 AS BIGINT) AS conv,
+         |         ('0x' || substr(md5(event_type || '|bh:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS v
+         |  FROM events),
+         |seg AS (
+         |  SELECT segment,
+         |         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS s0,
+         |         CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS s1
+         |  FROM e GROUP BY 1),
+         |zz AS (SELECT *, $BhZSql AS z FROM seg),
+         |xx AS (SELECT *, $AbXSql AS x FROM zz),
+         |tt AS (SELECT *, $AbTSql AS t FROM xx),
+         |ee AS (SELECT *, $AbEfSql AS ef FROM tt),
+         |pp AS (SELECT *, $BhPSql AS p_ppm FROM ee),
+         |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p_ppm, segment) AS BIGINT) AS rk
+         |       FROM pp),
+         |th AS (SELECT *, rk * 10000 AS thr_ppm FROM rk),
+         |ks AS (SELECT coalesce(max(CASE WHEN p_ppm <= thr_ppm THEN rk END), 0) AS k_star
+         |       FROM th)
+         |SELECT segment, n0, n1, s0, s1, p_ppm, rk, thr_ppm,
+         |       CAST(rk <= k_star AS BIGINT) AS rejected
+         |FROM th CROSS JOIN ks ORDER BY rk""".stripMargin,
     // SAME SQL fragments as the Spark side (object-level vals) — one
     // shared IEEE tree for the erf polynomial on both engines
     "q_ab_bayes" ->

@@ -68,6 +68,34 @@ class SignalProjectionSpec extends AnyFunSuite {
     assert(math.abs(mean - 1.0) < 0.15, s"JL mean norm ratio $mean")
   }
 
+  test("q_bh_fdr: step-up rule — rejections form a prefix of the p-ranked family") {
+    val rows = run("q_bh_fdr").sortBy(_.getAs[Long]("rk"))
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("thr_ppm") == r.getAs[Long]("rk") * 10000L)
+      val p = r.getAs[Long]("p_ppm"); assert(p >= 0 && p <= 1000000)
+    }
+    // BH rejects exactly ranks 1..k*, k* = max rank with p <= thr
+    val kStar = rows.filter(r => r.getAs[Long]("p_ppm") <= r.getAs[Long]("thr_ppm"))
+      .map(_.getAs[Long]("rk")).sorted.lastOption.getOrElse(0L)
+    rows.foreach(r => assert(r.getAs[Long]("rejected") ==
+      (if (r.getAs[Long]("rk") <= kStar) 1L else 0L)))
+    // p-values ascend with rank
+    val ps = rows.map(_.getAs[Long]("p_ppm"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q_wilcoxon_signed: W in range; null-ish split keeps p off the floor") {
+    val r = run("q_wilcoxon_signed").head
+    val n = r.getAs[Long]("n_pairs")
+    val w2 = r.getAs[Long]("w_plus_x2")
+    // 0 <= W+ <= n(n+1)/2, so 0 <= W2 <= n(n+1)
+    assert(w2 >= 0 && w2 <= n * (n + 1), s"w2=$w2 n=$n")
+    val p = r.getAs[Long]("p_ppm")
+    assert(p >= 0 && p <= 1000000)
+    assert(r.getAs[Long]("significant") == (if (p < 50000) 1L else 0L))
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
