@@ -68,6 +68,22 @@ object StatsQueries {
       "* (1.0e0 / CAST(n0 AS DOUBLE) + 1.0e0 / CAST(n1 AS DOUBLE))) END"
   val BhPSql: String = "CAST(round((1.0e0 - ef) * 1000000) AS BIGINT)"
 
+  /** q_covariate_balance shared fragment: standardized mean difference in
+    * milli from exact per-arm (n, Σx, Σx²) — sample variances via the
+    * (Σx² − (Σx)²/n)/(n−1) identity formed in DOUBLE over the exact
+    * BIGINTs; empty arms or zero pooled variance pin to 0 (totality).
+    */
+  val SmdSql: String = {
+    def m(i: Int) = s"(CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE))"
+    def v(i: Int) =
+      s"((CAST(q$i AS DOUBLE) - CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) " +
+        s"/ CAST(n$i AS DOUBLE)) / (CAST(n$i AS DOUBLE) - 1.0e0))"
+    s"CASE WHEN n0 < 2 OR n1 < 2 OR (${v(0)} + ${v(1)}) / 2.0e0 <= 0.0e0 " +
+      "THEN CAST(0 AS BIGINT) " +
+      s"ELSE CAST(floor((${m(1)} - ${m(0)}) / sqrt((${v(0)} + ${v(1)}) / 2.0e0) " +
+      "* 1000.0e0) AS BIGINT) END"
+  }
+
   /** q_wilcoxon_signed shared fragment: tie-corrected normal z over the
     * exact half-rank×2 integers (W2 = 2W⁺, E[W2] = n(n+1)/2, Var[W2] =
     * n(n+1)(2n+1)/6 − Σ(t³−t)/12); empty or fully-tied input pins 0.0.
@@ -1125,6 +1141,69 @@ object StatsQueries {
           expr("(s1 - s0) DIV n_units").as("ipw_ate_milli"))
     },
 
+    // NS: UCB1 bandit allocation plan — the exploration/exploitation
+    // step a feedback-loop pipeline runs between off-policy replay
+    // (q_policy_replay grades a FIXED policy) and the next traffic
+    // split: per arm, mean reward + the √(2·ln N / n) exploration bonus,
+    // next batch to the argmax. Rewards reduce to exact integers in one
+    // combinable aggregate; the bonus is a fixed IEEE tree floored to
+    // milli; the argmax is a bounded rank over the 5-row arm frame with
+    // a total (score, arm) tie-break. Totality: an unpulled arm (n = 0)
+    // gets an infinite-bonus stand-in via a pinned +1e9 milli score.
+    "q_ucb_plan" -> { (s, dir) =>
+      val arms = Tables.events(s, dir)
+        .groupBy(col("event_type").as("arm"))
+        .agg(count(lit(1)).as("n_pulls"),
+          sum((col("value") > 2.5).cast("long")).as("n_rewards"))
+      val tot = arms.agg(sum("n_pulls").as("n_total"))
+      val scored = arms.crossJoin(broadcast(tot))
+        .withColumn("mean_milli",
+          expr("n_rewards * 1000 DIV n_pulls"))
+        .withColumn("ucb_milli", expr(
+          "CASE WHEN n_pulls = 0 THEN CAST(1000000000 AS BIGINT) " +
+            "ELSE mean_milli + CAST(floor(sqrt(2.0e0 * ln(CAST(n_total AS DOUBLE)) " +
+            "/ CAST(n_pulls AS DOUBLE)) * 1000.0e0) AS BIGINT) END"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("ucb_milli").desc, col("arm"))).cast("long"))
+        .select(col("arm"), col("n_pulls"), col("n_rewards"),
+          col("mean_milli"), col("ucb_milli"),
+          (col("rk") === 1).cast("long").as("chosen"))
+        .orderBy("arm")
+    },
+
+    // NS: covariate-balance diagnostics — the table every q_ipw_ate
+    // readout must publish beside the estimate: standardized mean
+    // difference (SMD) per covariate between the hash-assigned arms,
+    // |SMD| < 0.1 = balanced (the standard epidemiology rule). Each
+    // covariate reduces to exact per-arm (n, Σx, Σx²) in ONE combinable
+    // aggregate over the unit frame; SMD is a fixed IEEE tree over those
+    // six integers floored to milli. Zero-variance covariates pin to 0.
+    "q_covariate_balance" -> { (s, dir) =>
+      val y = Tables.orders(s, dir).groupBy("o_custkey").agg(count(lit(1)).as("n_ord"))
+      val units = Tables.customer(s, dir)
+        .join(y, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(
+          pmod(graft.text.TextQueries.h32(
+            concat(lit("ipw:"), col("c_custkey").cast("string"))), lit(2L)).as("t"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("acctbal_cents"),
+          col("c_nationkey").cast("long").as("nationkey"),
+          coalesce(col("n_ord"), lit(0L)).as("n_orders"))
+      val covs = Seq("acctbal_cents", "nationkey", "n_orders")
+      covs.map { c =>
+        units.agg(
+            lit(c).as("covariate"),
+            sum(when(col("t") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("t") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("t") === 0, col(c)).otherwise(0L)).as("s0"),
+            sum(when(col("t") === 1, col(c)).otherwise(0L)).as("s1"),
+            sum(when(col("t") === 0, col(c) * col(c)).otherwise(0L)).as("q0"),
+            sum(when(col("t") === 1, col(c) * col(c)).otherwise(0L)).as("q1"))
+          .select(col("covariate"), col("n0"), col("n1"), expr(SmdSql).as("smd_milli"))
+          .withColumn("balanced", (abs(col("smd_milli")) < 100L).cast("long"))
+      }.reduce(_ unionByName _).orderBy("covariate")
+    },
+
     // NS: off-policy replay evaluation (IPS) — "what would the new
     // policy have earned on the logged traffic?", the counterfactual
     // read every recommender/bandit team runs before an online test.
@@ -1713,6 +1792,53 @@ object StatsQueries {
          |SELECT n_a, s_a, n_b, s_b, $AbPSql AS p_b_beats_a_ppm,
          |       CAST($AbPSql > 950000 AS BIGINT) AS b_wins
          |FROM ee""".stripMargin,
+    // identical exact arm reductions, DOUBLE-floored milli bonus, bounded rank
+    "q_ucb_plan" ->
+      """WITH arms AS (
+        |  SELECT event_type AS arm, CAST(count(*) AS BIGINT) AS n_pulls,
+        |         CAST(sum(CAST(value > 2.5 AS BIGINT)) AS BIGINT) AS n_rewards
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS n_total FROM arms),
+        |sc AS (
+        |  SELECT arm, n_pulls, n_rewards, n_rewards * 1000 // n_pulls AS mean_milli,
+        |         CASE WHEN n_pulls = 0 THEN CAST(1000000000 AS BIGINT)
+        |              ELSE n_rewards * 1000 // n_pulls
+        |                + CAST(floor(sqrt(2.0e0 * ln(CAST(n_total AS DOUBLE))
+        |                  / CAST(n_pulls AS DOUBLE)) * 1000.0e0) AS BIGINT) END AS ucb_milli
+        |  FROM arms CROSS JOIN tot),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY ucb_milli DESC, arm) AS rk FROM sc)
+        |SELECT arm, n_pulls, n_rewards, mean_milli, ucb_milli,
+        |       CAST(rk = 1 AS BIGINT) AS chosen
+        |FROM rk ORDER BY arm""".stripMargin,
+    // same unit frame as q_ipw_ate; the shared SMD fragment
+    "q_covariate_balance" -> {
+      def covSql(c: String) =
+        s"""SELECT '$c' AS covariate,
+           |       CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           |       CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |       CAST(sum(CASE WHEN t = 0 THEN $c ELSE 0 END) AS BIGINT) AS s0,
+           |       CAST(sum(CASE WHEN t = 1 THEN $c ELSE 0 END) AS BIGINT) AS s1,
+           |       CAST(sum(CASE WHEN t = 0 THEN $c * $c ELSE 0 END) AS BIGINT) AS q0,
+           |       CAST(sum(CASE WHEN t = 1 THEN $c * $c ELSE 0 END) AS BIGINT) AS q1
+           |FROM u""".stripMargin
+      s"""WITH y AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+         |           FROM orders GROUP BY 1),
+         |u AS (
+         |  SELECT ('0x' || substr(md5('ipw:' || CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2 AS t,
+         |         CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         |         CAST(c.c_nationkey AS BIGINT) AS nationkey,
+         |         coalesce(y.n_ord, 0) AS n_orders
+         |  FROM customer c LEFT JOIN y ON y.o_custkey = c.c_custkey),
+         |covs AS (
+         |  ${covSql("acctbal_cents")}
+         |  UNION ALL
+         |  ${covSql("nationkey")}
+         |  UNION ALL
+         |  ${covSql("n_orders")})
+         |SELECT covariate, n0, n1, $SmdSql AS smd_milli,
+         |       CAST(abs($SmdSql) < 100 AS BIGINT) AS balanced
+         |FROM covs ORDER BY covariate""".stripMargin
+    },
     // identical stratification, per-bucket DOUBLE-floored IPW terms,
     // integer combination (BIGINT // truncates toward zero like DIV)
     "q_ipw_ate" ->

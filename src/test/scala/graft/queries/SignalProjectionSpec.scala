@@ -96,6 +96,32 @@ class SignalProjectionSpec extends AnyFunSuite {
     assert(r.getAs[Long]("significant") == (if (p < 50000) 1L else 0L))
   }
 
+  test("q_ucb_plan: exactly one chosen arm, and it maximizes (ucb, arm) order") {
+    val rows = run("q_ucb_plan")
+    assert(rows.map(_.getAs[Long]("chosen")).sum == 1L)
+    val best = rows.maxBy(r => (r.getAs[Long]("ucb_milli"), r.getAs[String]("arm")))(
+      Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+    assert(best.getAs[Long]("chosen") == 1L,
+      s"chosen arm must be the (ucb desc, arm asc) argmax")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ucb_milli") >= r.getAs[Long]("mean_milli"))
+      assert(r.getAs[Long]("mean_milli") >= 0 && r.getAs[Long]("mean_milli") <= 1000)
+    }
+  }
+
+  test("q_covariate_balance: md5 randomization balances every covariate") {
+    val rows = run("q_covariate_balance")
+    assert(rows.map(_.getAs[String]("covariate")).sorted.toSeq ==
+      Seq("acctbal_cents", "n_orders", "nationkey"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("balanced") ==
+        (if (math.abs(r.getAs[Long]("smd_milli")) < 100) 1L else 0L))
+      // a hash split carries no real confounding: |SMD| < 0.35 at n=150
+      assert(math.abs(r.getAs[Long]("smd_milli")) < 350,
+        s"${r.getAs[String]("covariate")} smd=${r.getAs[Long]("smd_milli")}")
+    }
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
