@@ -641,6 +641,32 @@ object DataPrepQueries {
         .orderBy("c_custkey")
     },
 
+    // NS: cross-source quantile normalization — map each document's
+    // length onto the GLOBAL length distribution through its within-
+    // source decile (y = G⁻¹(F_source(x)) at decile resolution), the
+    // normalization that makes length-based quality thresholds
+    // comparable across sources with wildly different length profiles.
+    // Both grids are bounded aggregates (9 source boundaries, 10 global
+    // mid-decile values) broadcast onto a narrow per-row bucket fold —
+    // the corpus itself never shuffles. Exact percentile over the
+    // integer n_chars domain (the q_quantiles parity surface).
+    "q_quantile_normalize" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val srcGrid = d.groupBy("source").agg(
+        expr("percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("sb"))
+      val globGrid = d.agg(
+        expr("percentile(n_chars, array(0.05,0.15,0.25,0.35,0.45,0.55,0.65,0.75,0.85,0.95))")
+          .as("gb"))
+      d.join(broadcast(srcGrid), "source").crossJoin(broadcast(globGrid))
+        .withColumn("bucket", expr(
+          "aggregate(sb, CAST(0 AS BIGINT), (acc, x) -> " +
+            "acc + CASE WHEN CAST(n_chars AS DOUBLE) > x THEN 1 ELSE 0 END)"))
+        .withColumn("norm_milli", expr(
+          "CAST(round(element_at(gb, CAST(bucket + 1 AS INT)) * 1000) AS BIGINT)"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("bucket"), col("norm_milli"))
+        .orderBy("doc_id")
+    },
+
     // NS: weighted sampling without replacement (Efraimidis–Spirakis):
     // per-row key ln(u)/w with u derived from an md5 hash — NO RNG, so the
     // sample is reproducible across engines, retries, and cluster sizes —
@@ -1151,6 +1177,26 @@ object DataPrepQueries {
         |k AS (SELECT o_orderkey, w, ln(u) / w AS key FROM t)
         |SELECT o_orderkey, round(w, 2) AS weight, round(key * 1e6, 3) + 0.0 AS es_key_x1e6
         |FROM k ORDER BY round(key, 12) DESC, o_orderkey LIMIT 10""".stripMargin,
+    // identical decile grids (quantile_cont == percentile interpolation)
+    // and the same per-row bucket fold
+    "q_quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |sg AS (SELECT source,
+        |              quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS sb
+        |       FROM d GROUP BY 1),
+        |gg AS (SELECT quantile_cont(n_chars,
+        |              [0.05,0.15,0.25,0.35,0.45,0.55,0.65,0.75,0.85,0.95]) AS gb
+        |       FROM d),
+        |b AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |         CAST(list_sum(list_transform(sg.sb, x ->
+        |           CASE WHEN CAST(d.n_chars AS DOUBLE) > x THEN 1 ELSE 0 END)) AS BIGINT)
+        |           AS bucket,
+        |         gg.gb AS gb
+        |  FROM d JOIN sg USING (source) CROSS JOIN gg)
+        |SELECT doc_id, source, n_chars, bucket,
+        |       CAST(round(gb[CAST(bucket + 1 AS INTEGER)] * 1000) AS BIGINT) AS norm_milli
+        |FROM b ORDER BY doc_id""".stripMargin,
     // identical md5 priorities; the rank over (h, key) reproduces the
     // bottom-k-distinct + bounded tie-break exactly (the 16th rank's hash
     // is always inside the 16 smallest distinct hashes)

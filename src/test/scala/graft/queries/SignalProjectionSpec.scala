@@ -122,6 +122,23 @@ class SignalProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_quantile_normalize: buckets in 0..9 and monotone with n_chars inside a source") {
+    val rows = run("q_quantile_normalize")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 9, s"bucket=$b")
+    }
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("n_chars"))
+      val bs = sorted.map(_.getAs[Long]("bucket"))
+      assert(bs.zip(bs.tail).forall { case (a, b) => a <= b },
+        "bucket must be monotone in n_chars within a source")
+      val ns = sorted.map(_.getAs[Long]("norm_milli"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a <= b },
+        "normalized value must be monotone too")
+    }
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
