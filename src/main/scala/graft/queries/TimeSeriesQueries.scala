@@ -727,6 +727,47 @@ object TimeSeriesQueries {
         .orderBy("event_type")
     },
 
+    // NS: Page–Hinkley drift detector — the sequential mean-shift monitor
+    // beside the retrospective changepoint scans (q_changepoint runs the
+    // CUSUM argmax AFTER the fact; PH is what a training-data freshness
+    // monitor evaluates ONLINE): PH_t = Σ(x_i − x̄_i − δ) against its
+    // running minimum, alarm when the gap exceeds λ. EXACT integers
+    // end-to-end: the only division is the running-mean milli
+    // quantization (s·1000 DIV n, non-negative so trunc == floor on both
+    // engines), so the fold state — cumsum, PH, min-PH, alarm count — is
+    // BIGINT and engine-identical. Same dataflow as q_ses_forecast: the
+    // corpus reduces to the calendar-bounded per-type daily series, and
+    // the sequential recursion runs INSIDE the row as an aggregate HOF;
+    // the oracle replays it as a recursive CTE. δ = 0.05, λ = 5 (milli).
+    "q_page_hinkley" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("series"))
+        .withColumn("fold", expr(
+          """aggregate(series,
+            |  named_struct('s', CAST(0 AS BIGINT), 'n', CAST(0 AS BIGINT),
+            |               'ph', CAST(0 AS BIGINT), 'mn', CAST(0 AS BIGINT),
+            |               'al', CAST(0 AS BIGINT)),
+            |  (acc, e) -> named_struct(
+            |    's',  acc.s + e.x,
+            |    'n',  acc.n + 1,
+            |    'ph', acc.ph + (e.x * 1000 - ((acc.s + e.x) * 1000 DIV (acc.n + 1)) - 50),
+            |    'mn', least(acc.mn,
+            |            acc.ph + (e.x * 1000 - ((acc.s + e.x) * 1000 DIV (acc.n + 1)) - 50)),
+            |    'al', acc.al + CASE WHEN
+            |            acc.ph + (e.x * 1000 - ((acc.s + e.x) * 1000 DIV (acc.n + 1)) - 50)
+            |            - least(acc.mn,
+            |                acc.ph + (e.x * 1000 - ((acc.s + e.x) * 1000 DIV (acc.n + 1)) - 50))
+            |            > 5000 THEN 1 ELSE 0 END))""".stripMargin))
+        .select(col("event_type"), col("fold.n").as("n_days"),
+          col("fold.ph").as("ph_milli"), col("fold.mn").as("min_ph_milli"),
+          col("fold.al").as("n_alarms"))
+        .withColumn("drift", (col("n_alarms") > 0).cast("long"))
+        .orderBy("event_type")
+    },
+
     // NS: Holt linear-trend smoothing (alpha = beta = 1/2) — q_ses's
     // trending sibling, EXACT in integers: the dyadic parameters make
     // both recursions single halvings, and because the TREND can go
@@ -1439,6 +1480,36 @@ object TimeSeriesQueries {
         |         FROM f)
         |SELECT event_type, CAST(i AS BIGINT) AS n_days, s AS level, sae,
         |       CASE WHEN i > 1 THEN sae * 1000 // (i - 1) ELSE CAST(0 AS BIGINT) END AS mae_milli
+        |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // identical integer PH recursion replayed as a recursive CTE (the
+    // base row IS the fold's first step from the zero state: term at
+    // n=1 is always −δ, so ph1 = −50 and mn1 = least(0, −50))
+    "q_page_hinkley" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                 CAST(count(*) AS BIGINT) AS x
+        |          FROM events GROUP BY 1, 2),
+        |rd AS (SELECT event_type, x,
+        |              row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |       FROM daily),
+        |f(event_type, i, s, ph, mn, al) AS (
+        |  SELECT event_type, i, x, CAST(-50 AS BIGINT), CAST(-50 AS BIGINT),
+        |         CAST(0 AS BIGINT)
+        |  FROM rd WHERE i = 1
+        |  UNION ALL
+        |  SELECT event_type, i, s, ph, least(f_mn, ph) AS mn,
+        |         f_al + CASE WHEN ph - least(f_mn, ph) > 5000 THEN 1 ELSE 0 END
+        |  FROM (
+        |    SELECT rd.event_type, rd.i, f.s + rd.x AS s,
+        |           f.ph + (rd.x * 1000 - ((f.s + rd.x) * 1000 // rd.i) - 50) AS ph,
+        |           f.mn AS f_mn, f.al AS f_al
+        |    FROM f JOIN rd ON rd.event_type = f.event_type AND rd.i = f.i + 1) step),
+        |last AS (SELECT event_type, i, ph, mn, al,
+        |                row_number() OVER (PARTITION BY event_type ORDER BY i DESC) AS rk
+        |         FROM f)
+        |SELECT event_type, CAST(i AS BIGINT) AS n_days, ph AS ph_milli,
+        |       mn AS min_ph_milli, al AS n_alarms,
+        |       CAST(al > 0 AS BIGINT) AS drift
         |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin,
     // identical signed truncating halving (BIGINT // truncates like DIV)
     "q_holt_forecast" ->

@@ -139,6 +139,19 @@ class SignalProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_page_hinkley: PH ledger identities — min <= ph, alarms consistent with drift") {
+    val rows = run("q_page_hinkley")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_ph_milli") <= r.getAs[Long]("ph_milli"))
+      assert(r.getAs[Long]("min_ph_milli") <= 0) // PH_0 = 0 is in the min
+      assert(r.getAs[Long]("n_alarms") >= 0)
+      assert(r.getAs[Long]("drift") ==
+        (if (r.getAs[Long]("n_alarms") > 0) 1L else 0L))
+      assert(r.getAs[Long]("n_days") > 0)
+    }
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
