@@ -291,6 +291,46 @@ object KmeansQueries {
             .as("ari"))
     },
 
+    // NS: elbow scan for K selection — the "which K" answer the whole
+    // K-Means family presupposes: SSE(k) for k = 1..K over PREFIX
+    // centroid sets in ONE corpus pass (per row, the running min d² over
+    // the first k centroids is a least() chain — no per-k rescans), each
+    // prefix min micro-quantized so the SSE ledger is an exact BIGINT
+    // sum, then the kneedle rule (max distance to the (1,SSE₁)–(K,SSE_K)
+    // chord) in pure integer cross-multiplication over the 5-row curve.
+    "q_elbow_scan" -> { (s, dir) =>
+      val cents = Lloyd.initCentroidsFor(s, dir, K).sortBy(_.cid)
+      val d2Cols = cents.map { c =>
+        graft.functions.SquaredDistance(col("coordinates"),
+          array(c.coordinates.map(lit).toSeq: _*)).as(s"d2_${c.cid}")
+      }
+      val prefixCols = (1 to K).map { k =>
+        val ds = cents.take(k).map(c => col(s"d2_${c.cid}"))
+        val m = if (ds.length == 1) ds.head else least(ds: _*)
+        struct(lit(k.toLong).as("k"),
+          round(m * lit(1000000.0)).cast("long").as("m_micro"))
+      }
+      val sse = Tables.points(s, dir)
+        .select(d2Cols: _*)
+        .select(explode(array(prefixCols: _*)).as("p"))
+        .select(col("p.k").as("k"), col("p.m_micro").as("m_micro"))
+        .groupBy("k").agg(sum("m_micro").as("sse_micro"))
+      val ends = sse.agg(
+        max(when(col("k") === 1, col("sse_micro"))).as("sse1"),
+        max(when(col("k") === K, col("sse_micro"))).as("sseK"))
+      val scored = sse.crossJoin(broadcast(ends))
+        // kneedle: distance to chord ∝ |(sse1−sseK)·(k−1) − (K−1)·(sse1−sse_k)|
+        .withColumn("knee_score", abs((col("sse1") - col("sseK")) * (col("k") - 1) -
+          lit((K - 1).toLong) * (col("sse1") - col("sse_micro"))))
+      scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("knee_score").desc, col("k"))))
+        .select(col("k"), col("sse_micro"), col("knee_score"),
+          (col("rk") === 1).cast("long").as("is_knee"))
+        .orderBy("k")
+    },
+
     // NS: Gaussian-mixture E-step — the soft-assignment half of EM, the
     // probabilistic sibling of the hard Lloyd assign: responsibilities
     // r_ik ∝ exp(−d²_ik/2σ²) over the K init centroids (isotropic σ² = 1,
@@ -493,6 +533,33 @@ object KmeansQueries {
          |                 - 2.0 * CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE)), 6) + 0.0
          |       END AS ari
          |FROM sij CROSS JOIN sa CROSS JOIN sb""".stripMargin,
+    // identical prefix-min micro ledger and integer kneedle rule
+    "q_elbow_scan" ->
+      s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+         |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, c
+         |         FROM (SELECT vec_id, c FROM pts ORDER BY vec_id LIMIT $K) t),
+         |d AS (SELECT p.vec_id, i.cid,
+         |             list_sum(list_transform(list_zip(p.c, i.c),
+         |               z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+         |      FROM pts p CROSS JOIN init i),
+         |ks AS (SELECT CAST(k AS BIGINT) AS k
+         |       FROM (SELECT unnest(range(1, ${K + 1})) AS k)),
+         |pm AS (SELECT d.vec_id, ks.k,
+         |              CAST(round(min(d.d2) * 1000000.0) AS BIGINT) AS m_micro
+         |       FROM d JOIN ks ON d.cid <= ks.k
+         |       GROUP BY 1, 2),
+         |sse AS (SELECT k, CAST(sum(m_micro) AS BIGINT) AS sse_micro
+         |        FROM pm GROUP BY 1),
+         |ends AS (SELECT max(CASE WHEN k = 1 THEN sse_micro END) AS sse1,
+         |                max(CASE WHEN k = $K THEN sse_micro END) AS sseK
+         |         FROM sse),
+         |sc AS (SELECT k, sse_micro,
+         |              abs((sse1 - sseK) * (k - 1) - ${K - 1} * (sse1 - sse_micro))
+         |                AS knee_score
+         |       FROM sse CROSS JOIN ends),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY knee_score DESC, k) AS rk FROM sc)
+         |SELECT k, sse_micro, knee_score, CAST(rk = 1 AS BIGINT) AS is_knee
+         |FROM rk ORDER BY k""".stripMargin,
     // identical init centroids and distance folds; per-term micro
     // quantization BEFORE the integer softmax so no float sum exists
     "q_gmm_estep" ->

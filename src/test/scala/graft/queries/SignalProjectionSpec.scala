@@ -152,6 +152,18 @@ class SignalProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_elbow_scan: SSE non-increasing in k; exactly one knee at neither endpoint score rule") {
+    val rows = run("q_elbow_scan").sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == (1L to 5L))
+    val sses = rows.map(_.getAs[Long]("sse_micro"))
+    assert(sses.zip(sses.tail).forall { case (a, b) => a >= b },
+      "adding a centroid can never increase SSE")
+    assert(rows.map(_.getAs[Long]("is_knee")).sum == 1L)
+    // endpoints have chord distance 0 by construction
+    assert(rows.head.getAs[Long]("knee_score") == 0L)
+    assert(rows.last.getAs[Long]("knee_score") == 0L)
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
