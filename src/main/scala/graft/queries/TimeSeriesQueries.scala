@@ -727,6 +727,34 @@ object TimeSeriesQueries {
         .orderBy("event_type")
     },
 
+    // NS: Hampel filter — the ROLLING robust outlier screen beside the
+    // global-MAD q_anomaly_robust (a level-shifted series makes global
+    // MAD blind; the ±3-day local window keeps the fence adaptive):
+    // per (type, day), the window's lower median and lower-median MAD
+    // from the SORTED collected window array — order-free by
+    // construction (sort_array on both engines), EXACT integers
+    // end-to-end, flag |x − med|·10⁴ > 44478·mad (3·1.4826 in the
+    // integer grid). The window frame is the calendar-bounded daily
+    // series, never the corpus.
+    "q_hampel" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      // lower median of a sorted integer array (exact, odd or even size)
+      def loMed(arr: String): String =
+        s"element_at($arr, CAST((size($arr) + 1) DIV 2 AS INT))"
+      daily
+        .withColumn("win", sort_array(collect_list("x").over(w)))
+        .withColumn("med", expr(loMed("win")))
+        .withColumn("devs", expr("sort_array(transform(win, v -> abs(v - med)))"))
+        .withColumn("mad", expr(loMed("devs")))
+        .select(col("event_type"), col("day"), col("x"), col("med"), col("mad"),
+          (abs(col("x") - col("med")) * 10000L > col("mad") * 44478L)
+            .cast("long").as("outlier"))
+        .orderBy("event_type", "day")
+    },
+
     // NS: Page–Hinkley drift detector — the sequential mean-shift monitor
     // beside the retrospective changepoint scans (q_changepoint runs the
     // CUSUM argmax AFTER the fact; PH is what a training-data freshness
@@ -1481,6 +1509,21 @@ object TimeSeriesQueries {
         |SELECT event_type, CAST(i AS BIGINT) AS n_days, s AS level, sae,
         |       CASE WHEN i > 1 THEN sae * 1000 // (i - 1) ELSE CAST(0 AS BIGINT) END AS mae_milli
         |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // identical sorted-window medians (lower-median convention, exact ints)
+    "q_hampel" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      CAST(count(*) AS BIGINT) AS x
+        |               FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, x,
+        |             list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win
+        |      FROM daily),
+        |m AS (SELECT *, win[(len(win) + 1) // 2] AS med FROM w),
+        |d AS (SELECT *, list_sort(list_transform(win, v -> abs(v - med))) AS devs FROM m),
+        |f AS (SELECT *, devs[(len(devs) + 1) // 2] AS mad FROM d)
+        |SELECT event_type, day, x, med, mad,
+        |       CAST(abs(x - med) * 10000 > mad * 44478 AS BIGINT) AS outlier
+        |FROM f ORDER BY event_type, day""".stripMargin,
     // identical integer PH recursion replayed as a recursive CTE (the
     // base row IS the fold's first step from the zero state: term at
     // n=1 is always −δ, so ph1 = −50 and mn1 = least(0, −50))

@@ -164,6 +164,25 @@ class SignalProjectionSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("knee_score") == 0L)
   }
 
+  test("q_hampel: med/mad recompute exactly from the +-3-day window") {
+    val rows = run("q_hampel")
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("day").getTime)
+      val xs = sorted.map(_.getAs[Long]("x"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val win = xs.slice(math.max(0, i - 3), math.min(xs.length, i + 4)).sorted
+        val med = win((win.length + 1) / 2 - 1)
+        val devs = win.map(v => math.abs(v - med)).sorted
+        val mad = devs((devs.length + 1) / 2 - 1)
+        assert(r.getAs[Long]("med") == med, s"med at $i")
+        assert(r.getAs[Long]("mad") == mad, s"mad at $i")
+        assert(r.getAs[Long]("outlier") ==
+          (if (math.abs(r.getAs[Long]("x") - med) * 10000L > mad * 44478L) 1L else 0L))
+      }
+    }
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)

@@ -158,6 +158,14 @@ ALTERNATES = {"q_dedup_components": _alt_dedup_components,
 # query names — pairs with Verify's name-filter arg for fast iteration on
 # new keys without re-running the whole surface.
 ONLY = None
+# --resume-log <file>: skip keys already recorded as PASS in a previous
+# (killed) run's log — dev convenience for the long stress compares
+DONE = set()
+if "--resume-log" in sys.argv:
+    with open(sys.argv[sys.argv.index("--resume-log") + 1]) as f:
+        for line in f:
+            if line.startswith("PASS "):
+                DONE.add(line.split()[1].rstrip(":"))
 if "--only" in sys.argv:
     ONLY = sys.argv[sys.argv.index("--only") + 1].split(",")
 
@@ -165,6 +173,8 @@ fail = 0
 skipped = []
 for name, sql in sorted(oracle.items()):
     if ONLY is not None and not any(s in name for s in ONLY):
+        continue
+    if name in DONE:
         continue
     try:
         exp, timed_out = run_oracle(sql)
