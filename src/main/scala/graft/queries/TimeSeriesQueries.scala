@@ -727,6 +727,40 @@ object TimeSeriesQueries {
         .orderBy("event_type")
     },
 
+    // NS: spectral power at the daily/weekly frequencies — the DFT-bin
+    // complement of q_autocorr's lag view (ACF says "correlated at lag
+    // 24"; the Goertzel bin says HOW MUCH of the signal's mass is the
+    // 24h cycle): C = Σx_t·cos(2πt/P), S = Σx_t·sin(2πt/P) for
+    // P ∈ {24, 168}. Numerics: the hourly series collapses to the
+    // PHASE census first (Σx per t mod P — ≤192 rows), each phase's
+    // cos/sin quantizes ONCE to micro units, and the dot products are
+    // EXACT BIGINTs (envelope: hourly mass × 1e6 × calendar < 2^63
+    // through ~1e9 events/hour on a year span); only the final
+    // amplitude sqrt is IEEE. share_ppm = amplitude / total mass.
+    "q_spectral_power" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("hi"))
+        .agg(count(lit(1)).as("x"))
+      Seq(24L, 168L).map { p =>
+        hourly.groupBy(pmod(col("hi"), lit(p)).as("k"))
+          .agg(sum("x").as("xk"))
+          .select(col("k"), col("xk"),
+            expr(s"CAST(round(cos(6.283185307179586e0 * CAST(k AS DOUBLE) / ${p}.0e0) " +
+              "* 1000000) AS BIGINT)").as("ck"),
+            expr(s"CAST(round(sin(6.283185307179586e0 * CAST(k AS DOUBLE) / ${p}.0e0) " +
+              "* 1000000) AS BIGINT)").as("sk"))
+          .agg(sum("xk").as("n_events"),
+            sum(expr("xk * ck")).as("c_sum"), sum(expr("xk * sk")).as("s_sum"))
+          .select(lit(p).as("period"), col("n_events"), col("c_sum"), col("s_sum"),
+            expr("CAST(floor(sqrt(CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE) " +
+              "+ CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE)) / 1000.0e0) AS BIGINT)")
+              .as("amp_milli"),
+            expr("CAST(floor(sqrt(CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE) " +
+              "+ CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE)) " +
+              "/ CAST(n_events AS DOUBLE)) AS BIGINT)").as("share_ppm"))
+      }.reduce(_ unionByName _).orderBy("period")
+    },
+
     // NS: Hampel filter — the ROLLING robust outlier screen beside the
     // global-MAD q_anomaly_robust (a level-shifted series makes global
     // MAD blind; the ±3-day local window keeps the fence adaptive):
@@ -1509,6 +1543,37 @@ object TimeSeriesQueries {
         |SELECT event_type, CAST(i AS BIGINT) AS n_days, s AS level, sae,
         |       CASE WHEN i > 1 THEN sae * 1000 // (i - 1) ELSE CAST(0 AS BIGINT) END AS mae_milli
         |FROM last WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // identical phase census, once-per-phase micro trig, exact dots
+    "q_spectral_power" -> {
+      def bin(p: Long) =
+        s"""SELECT $p AS period, n_events, c_sum, s_sum,
+           |       CAST(floor(sqrt(CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE)
+           |         + CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE)) / 1000.0e0) AS BIGINT)
+           |         AS amp_milli,
+           |       CAST(floor(sqrt(CAST(c_sum AS DOUBLE) * CAST(c_sum AS DOUBLE)
+           |         + CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+           |         / CAST(n_events AS DOUBLE)) AS BIGINT) AS share_ppm
+           |FROM (
+           |  SELECT CAST(sum(xk) AS BIGINT) AS n_events,
+           |         CAST(sum(xk * ck) AS BIGINT) AS c_sum,
+           |         CAST(sum(xk * sk) AS BIGINT) AS s_sum
+           |  FROM (
+           |    SELECT xk,
+           |           CAST(round(cos(6.283185307179586e0 * CAST(k AS DOUBLE) / ${p}.0e0)
+           |             * 1000000) AS BIGINT) AS ck,
+           |           CAST(round(sin(6.283185307179586e0 * CAST(k AS DOUBLE) / ${p}.0e0)
+           |             * 1000000) AS BIGINT) AS sk
+           |    FROM (SELECT hi % $p AS k, CAST(sum(x) AS BIGINT) AS xk
+           |          FROM hourly GROUP BY 1)))""".stripMargin
+      s"""WITH hourly AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hi,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1)
+         |${bin(24)}
+         |UNION ALL
+         |${bin(168)}
+         |ORDER BY period""".stripMargin
+    },
     // identical sorted-window medians (lower-median convention, exact ints)
     "q_hampel" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -183,6 +183,18 @@ class SignalProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_spectral_power: amplitude bounded by total mass; both periods present") {
+    val rows = run("q_spectral_power")
+    assert(rows.map(_.getAs[Long]("period")).sorted.toSeq == Seq(24L, 168L))
+    rows.foreach { r =>
+      // |Σ x e^{iωt}| <= Σ x, so share <= 1e6 and amp <= n * 1000 milli
+      assert(r.getAs[Long]("share_ppm") >= 0 &&
+        r.getAs[Long]("share_ppm") <= 1000000)
+      assert(r.getAs[Long]("amp_milli") <= r.getAs[Long]("n_events") * 1000L)
+      assert(r.getAs[Long]("n_events") > 0)
+    }
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
