@@ -470,6 +470,44 @@ object StatsQueries {
         .orderBy("bin")
     },
 
+    // NS: isotonic calibration (pool-adjacent-violators) — the monotone
+    // recalibration map q_calibration_bins only MEASURES the need for:
+    // iso(i) = max_{j≤i} min_{k≥i} rate(j..k), the closed max–min form of
+    // PAV, evaluated over the 10-bin frame via prefix sums + a ≤550-row
+    // bounded range join (no iterative pooling, no sequential state).
+    // Range rates form in DOUBLE over exact prefix integers; min/max are
+    // exact comparisons; the ONE floor-to-ppm happens at the end — so
+    // both engines agree bitwise and the output is guaranteed monotone
+    // by construction (spec-pinned).
+    "q_isotonic_calibrate" -> { (s, dir) =>
+      val bins = Tables.orders(s, dir)
+        .select(least(expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 5000000"),
+          lit(9L)).as("bin"),
+          (col("o_orderstatus") === "F").cast("long").as("pos"))
+        .groupBy("bin").agg(count(lit(1)).as("n_b"), sum("pos").as("pos_b"))
+      val wOrd = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+      val pre = bins
+        .withColumn("cn", sum("n_b").over(wOrd))
+        .withColumn("cp", sum("pos_b").over(wOrd))
+        .localCheckpoint() // ≤10 rows; feeds three self-joins
+      val lo = pre.select(col("bin").as("j"), (col("cn") - col("n_b")).as("cn_lo"),
+        (col("cp") - col("pos_b")).as("cp_lo"))
+      val hi = pre.select(col("bin").as("k"), col("cn").as("cn_hi"), col("cp").as("cp_hi"))
+      val ranges = lo.crossJoin(hi).filter(col("j") <= col("k"))
+        .withColumn("rate", (col("cp_hi") - col("cp_lo")).cast("double") /
+          (col("cn_hi") - col("cn_lo")).cast("double"))
+      val iso = pre.select(col("bin")).crossJoin(ranges)
+        .filter(col("j") <= col("bin") && col("k") >= col("bin"))
+        .groupBy("bin", "j").agg(min("rate").as("minr"))
+        .groupBy("bin").agg(max("minr").as("iso_rate"))
+        .select(col("bin"),
+          expr("CAST(floor(iso_rate * 1000000.0e0) AS BIGINT)").as("iso_ppm"))
+      pre.select(col("bin"), col("n_b"), col("pos_b"),
+          expr("pos_b * 1000000 DIV n_b").as("raw_ppm"))
+        .join(iso, "bin")
+        .orderBy("bin")
+    },
+
     // NS: Welch two-sample t-test (unequal variances) — the A/B-test
     // decision statistic beside q_chi_square (categorical) and q_ks_test
     // (distributional): does the purchase cohort's value differ from the
@@ -1792,6 +1830,31 @@ object StatsQueries {
          |SELECT n_a, s_a, n_b, s_b, $AbPSql AS p_b_beats_a_ppm,
          |       CAST($AbPSql > 950000 AS BIGINT) AS b_wins
          |FROM ee""".stripMargin,
+    // identical prefix sums and the same max-min range-rate evaluation
+    "q_isotonic_calibrate" ->
+      """WITH b AS (
+        |  SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 5000000, 9) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n_b,
+        |         CAST(sum(CAST(o_orderstatus = 'F' AS BIGINT)) AS BIGINT) AS pos_b
+        |  FROM orders GROUP BY 1),
+        |pre AS (SELECT bin, n_b, pos_b,
+        |               CAST(sum(n_b) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |               CAST(sum(pos_b) OVER (ORDER BY bin) AS BIGINT) AS cp
+        |        FROM b),
+        |lo AS (SELECT bin AS j, cn - n_b AS cn_lo, cp - pos_b AS cp_lo FROM pre),
+        |hi AS (SELECT bin AS k, cn AS cn_hi, cp AS cp_hi FROM pre),
+        |ranges AS (
+        |  SELECT j, k, CAST(cp_hi - cp_lo AS DOUBLE) / CAST(cn_hi - cn_lo AS DOUBLE) AS rate
+        |  FROM lo CROSS JOIN hi WHERE j <= k),
+        |mm AS (SELECT p.bin, r.j, min(r.rate) AS minr
+        |       FROM pre p JOIN ranges r ON r.j <= p.bin AND r.k >= p.bin
+        |       GROUP BY 1, 2),
+        |iso AS (SELECT bin, CAST(floor(max(minr) * 1000000.0e0) AS BIGINT) AS iso_ppm
+        |        FROM mm GROUP BY 1)
+        |SELECT pre.bin, pre.n_b, pre.pos_b,
+        |       pre.pos_b * 1000000 // pre.n_b AS raw_ppm, iso.iso_ppm
+        |FROM pre JOIN iso USING (bin)
+        |ORDER BY bin""".stripMargin,
     // identical exact arm reductions, DOUBLE-floored milli bonus, bounded rank
     "q_ucb_plan" ->
       """WITH arms AS (

@@ -195,6 +195,23 @@ class SignalProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_isotonic_calibrate: iso curve is monotone and mass-preserving-ish vs raw") {
+    val rows = run("q_isotonic_calibrate").sortBy(_.getAs[Long]("bin"))
+    val isos = rows.map(_.getAs[Long]("iso_ppm"))
+    assert(isos.zip(isos.tail).forall { case (a, b) => a <= b },
+      s"PAV output must be monotone: ${isos.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("iso_ppm") >= 0 && r.getAs[Long]("iso_ppm") <= 1000000)
+      assert(r.getAs[Long]("raw_ppm") >= 0 && r.getAs[Long]("raw_ppm") <= 1000000)
+    }
+    // PAV preserves the weighted mean up to ppm flooring
+    val n = rows.map(_.getAs[Long]("n_b")).sum
+    val rawMass = rows.map(r => r.getAs[Long]("pos_b")).sum * 1000000L
+    val isoMass = rows.map(r => r.getAs[Long]("n_b") * r.getAs[Long]("iso_ppm")).sum
+    assert(math.abs(isoMass - rawMass) <= n * 2L,
+      s"weighted iso mass $isoMass vs raw $rawMass (n=$n)")
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
