@@ -212,6 +212,36 @@ object MLQueries {
     // (64-term fold, wobble ~1e-13) so the χ²_{0.99,64}=93.2169 threshold
     // compare is decided on identical values. Output is the one-row
     // census: count, outliers, ppm, max/mean d².
+    // NS: one Weiszfeld step toward the GEOMETRIC median of the embedding
+    // cloud — the robust centroid (the mean chases outliers; the geometric
+    // median is the L1-optimal prototype, and Weiszfeld is its classic
+    // fixed-point iteration m' = Σx/d / Σ1/d). Numerics: the start point
+    // is the per-dim mean rounded at 7 (the q_mahalanobis prototype
+    // discipline — rounding sits 9 decades above avg's reorder wobble),
+    // each row's distance is the deterministic in-row fold, and the two
+    // reweighted sums quantize PER ROW to micro units so the corpus-scale
+    // sums are exact integers with no float order anywhere. The d-row
+    // result is a combinable aggregate; nothing row-scale after.
+    "q_weiszfeld_step" -> { (s, dir) =>
+      val pts = Tables.points(s, dir)
+      val mean = pts.select(posexplode(col("coordinates")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(round(avg("v"), 7).as("m"))
+        .orderBy("pos").collect().map(_.getDouble(1)) // 64 values, Lloyd-init-style
+      val mArr = array(mean.map(lit).toSeq: _*)
+      pts
+        .withColumn("d",
+          greatest(graft.core.Vec.dist(col("coordinates"), mArr), lit(1e-9)))
+        .select(posexplode(col("coordinates")).as(Seq("pos", "xv")), col("d"))
+        .select(col("pos").cast("long").as("pos"),
+          expr("CAST(round(xv / d * 1000000) AS BIGINT)").as("t_micro"),
+          expr("CAST(round(1.0e0 / d * 1000000) AS BIGINT)").as("w_micro"))
+        .groupBy("pos").agg(sum("t_micro").as("st"), sum("w_micro").as("sw"))
+        .select(col("pos"), col("st"), col("sw"),
+          expr("CAST(floor(CAST(st AS DOUBLE) * 1000.0e0 / CAST(sw AS DOUBLE)) AS BIGINT)")
+            .as("new_center_milli"))
+        .orderBy("pos")
+    },
+
     "q_mahalanobis" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val xl = emb.select(col("vec_id"),
@@ -440,6 +470,29 @@ object MLQueries {
       |v2 AS (SELECT pos, round(w / nrm, 7) AS v FROM w2 CROSS JOIN n2)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // identical rounded-mean start, in-row distance fold, per-row micro
+    // quantization, exact integer sums
+    "q_weiszfeld_step" ->
+      """WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+        |mean AS (SELECT CAST(u.i - 1 AS BIGINT) AS pos, round(avg(c[u.i]), 7) AS m
+        |         FROM pts, UNNEST(generate_series(1, len(c))) AS u(i)
+        |         GROUP BY 1),
+        |marr AS (SELECT list(m ORDER BY pos) AS m FROM mean),
+        |dd AS (SELECT vec_id, c,
+        |              greatest(sqrt(list_sum(list_transform(list_zip(c, marr.m),
+        |                z -> (z[1]-z[2])*(z[1]-z[2])))), 1e-9) AS d
+        |       FROM pts CROSS JOIN marr),
+        |t AS (SELECT CAST(u.i - 1 AS BIGINT) AS pos,
+        |             CAST(round(c[u.i] / d * 1000000) AS BIGINT) AS t_micro,
+        |             CAST(round(1.0e0 / d * 1000000) AS BIGINT) AS w_micro
+        |      FROM dd, UNNEST(generate_series(1, len(c))) AS u(i)),
+        |a AS (SELECT pos, CAST(sum(t_micro) AS BIGINT) AS st,
+        |             CAST(sum(w_micro) AS BIGINT) AS sw
+        |      FROM t GROUP BY 1)
+        |SELECT pos, st, sw,
+        |       CAST(floor(CAST(st AS DOUBLE) * 1000.0e0 / CAST(sw AS DOUBLE)) AS BIGINT)
+        |         AS new_center_milli
+        |FROM a ORDER BY pos""".stripMargin,
     "q_negative_sampling" ->
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |p AS (SELECT doc_id, k, n_docs,

@@ -238,6 +238,34 @@ object EvalMetricsQueries {
                   (col("n_a") + col("n_b") - 1))))), 6))
     },
 
+    // NS: Matthews correlation coefficient — the single-number binary
+    // grade that stays honest under class imbalance (accuracy and F1
+    // both saturate when one class dominates; MCC is the full-matrix
+    // correlation). Binarized from the same md5-flip labeled frame as
+    // the confusion family (positive = label < 5), the four cells reduce
+    // in ONE combinable aggregate, and the ratio is a fixed IEEE tree —
+    // each √ factor taken separately so no product overflows — rounded
+    // 6dp; an absent class pins MCC to 0.0 (totality).
+    "q_mcc_eval" -> { (s, dir) =>
+      val b = labeled(s, dir)
+        .select((col("actual") < 5).cast("long").as("y"),
+          (col("pred") < 5).cast("long").as("p"))
+      b.agg(
+          sum(expr("y * p")).as("tp"),
+          sum(expr("(1 - y) * p")).as("fp"),
+          sum(expr("y * (1 - p)")).as("fn"),
+          sum(expr("(1 - y) * (1 - p)")).as("tn"))
+        .withColumn("den_d", expr(
+          "sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE)) * " +
+            "sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE))"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("den_d") === 0.0, lit(0.0))
+            .otherwise(round((col("tp").cast("double") * col("tn").cast("double") -
+              col("fp").cast("double") * col("fn").cast("double")) / col("den_d"), 6)
+              + lit(0.0))
+            .as("mcc"))
+    },
+
     // NS: Wilcoxon signed-rank — the PAIRED nonparametric test completing
     // the rank-test family beside Mann–Whitney (independent samples):
     // per-user first-half vs second-half month activity totals, zero
@@ -459,6 +487,29 @@ object EvalMetricsQueries {
         |             (2.0 * sqrt(n_a * n_b / 12.0 *
         |               ((n_a + n_b + 1) - ties / ((n_a + n_b) * (n_a + n_b - 1.0))))), 6) AS z
         |FROM a""".stripMargin,
+    // identical binarization and the same per-factor-sqrt IEEE tree
+    "q_mcc_eval" ->
+      """WITH l AS (
+        |  SELECT label::BIGINT AS actual,
+        |         CASE WHEN ('0x' || substr(md5('pred:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+        |              THEN (label + 1 + ('0x' || substr(md5('tgt:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 9) % 10
+        |              ELSE label::BIGINT END AS pred
+        |  FROM embeddings),
+        |b AS (SELECT CAST(actual < 5 AS BIGINT) AS y, CAST(pred < 5 AS BIGINT) AS p FROM l),
+        |c AS (SELECT CAST(sum(y * p) AS BIGINT) AS tp,
+        |             CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+        |             CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+        |             CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn
+        |      FROM b),
+        |d AS (SELECT *, sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+        |               * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE)) AS den_d
+        |      FROM c)
+        |SELECT tp, fp, fn, tn,
+        |       CASE WHEN den_d = 0.0 THEN 0.0
+        |            ELSE round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        |                        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) / den_d, 6) + 0.0
+        |       END AS mcc
+        |FROM d""".stripMargin,
     // identical centi-bin rank census and the shared z/p fragments
     "q_wilcoxon_signed" ->
       s"""WITH u AS (

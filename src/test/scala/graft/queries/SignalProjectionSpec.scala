@@ -212,6 +212,34 @@ class SignalProjectionSpec extends AnyFunSuite {
       s"weighted iso mass $isoMass vs raw $rawMass (n=$n)")
   }
 
+  test("q_mcc_eval: cells partition the corpus; MCC recomputes exactly and is in [-1, 1]") {
+    val r = run("q_mcc_eval").head
+    val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+    val n = graft.core.Tables.embeddings(spark, TestSpark.Sf0001).count()
+    assert(tp + fp + fn + tn == n)
+    val mcc = r.getAs[Double]("mcc")
+    assert(mcc >= -1.0 && mcc <= 1.0)
+    val den = math.sqrt((tp + fp).toDouble) * math.sqrt((tp + fn).toDouble) *
+      math.sqrt((tn + fp).toDouble) * math.sqrt((tn + fn).toDouble)
+    if (den > 0)
+      assert(math.abs(mcc - (tp.toDouble * tn - fp.toDouble * fn) / den) < 1e-6)
+    // 80% of predictions are unflipped, so MCC must be strongly positive
+    assert(mcc > 0.4, s"mcc=$mcc")
+  }
+
+  test("q_weiszfeld_step: the step moves toward data (new center inside the coord envelope)") {
+    val rows = run("q_weiszfeld_step")
+    assert(rows.length == 64)
+    assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until 64L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sw") > 0)
+      // weights are per-row micro units: sw <= n * 1e6 / min_dist envelope sanity
+      val c = r.getAs[Long]("new_center_milli")
+      assert(math.abs(c) < 5000, s"pos=${r.getAs[Long]("pos")} center=$c out of envelope")
+    }
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
