@@ -350,6 +350,42 @@ object SketchQueries {
         .orderBy("grp")
     },
 
+    // NS: join-size forecast from Count-Min inner products — the planner
+    // primitive beside q_selfjoin_forecast (pair mass of ONE table) and
+    // q_shuffle_forecast (reducer load): |A ⋈ B| on a key = Σ_v f_A(v)·
+    // f_B(v), estimated as the MIN over hash rows of the sketch inner
+    // product Σ_c A_rc·B_rc — an upper bound per row (collisions only
+    // add), so min is the classic CM estimate and est ≥ exact always.
+    // Both sketches build in one combinable aggregate each (3×64 cells
+    // cross the shuffle, never the keys); the exact Σ f_A·f_B self-eval
+    // reduces both sides to key counts BEFORE the join. All integers.
+    "q_join_size_est" -> { (s, dir) =>
+      val rowsCol = explode(array(Seq(0L, 1L, 2L).map(lit): _*)).as("r")
+      def cell(key: Column): Column =
+        pmod(TextQueries.h32(concat(lit("cm"), col("r"), lit(":"), key)), lit(64L))
+      def sketch(df: DataFrame, key: String, side: String): DataFrame =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
+          .select(col("k"), col("f"), rowsCol)
+          .withColumn("cell", cell(col("k").cast("string")))
+          .groupBy("r", "cell").agg(sum("f").as(s"f_$side"))
+      val sa = sketch(Tables.orders(s, dir), "o_custkey", "a")
+      val sb = sketch(Tables.customer(s, dir), "c_custkey", "b")
+      val est = sa.join(sb, Seq("r", "cell"))
+        .groupBy("r").agg(sum(expr("f_a * f_b")).as("ip"))
+        .agg(min("ip").as("est_join_rows"))
+      val fa = Tables.orders(s, dir).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("fa"))
+      val fb = Tables.customer(s, dir).groupBy(col("c_custkey").as("k"))
+        .agg(count(lit(1)).as("fb"))
+      val exact = fa.join(fb, "k").agg(sum(expr("fa * fb")).as("n_exact"))
+      est.crossJoin(broadcast(exact))
+        .select(col("n_exact"), col("est_join_rows"),
+          // ratio in DOUBLE over the exact BIGINTs (the r9 overflow
+          // discipline: the ×1e6 cross-mult would pass 2^63 at ~1e12 rows)
+          expr("CAST(floor(CAST(est_join_rows - n_exact AS DOUBLE) * 1000000.0e0 " +
+            "/ CAST(n_exact AS DOUBLE)) AS BIGINT)").as("over_ppm"))
+    },
+
     // NS: HyperLogLog distinct-count sketch — the fourth mergeable
     // cardinality summary (FM/PCSA, bitmap, KMV, HLL), and the one
     // production engines actually ship. m = 64 registers: the 56-bit md5
@@ -598,6 +634,34 @@ object SketchQueries {
           |         ELSE -((ex.n_exact - e2.est) * 1000000 // ex.n_exact) END AS err_ppm
           |FROM e2 JOIN ex ON e2.grp = ex.grp
           |ORDER BY e2.grp""".stripMargin,
+      // identical CM cells (same md5 grid as q_countmin), exact inner
+      // products, min across rows, DOUBLE-floored over_ppm
+      "q_join_size_est" ->
+        """WITH fa0 AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS f
+          |            FROM orders GROUP BY 1),
+          |fb0 AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS f
+          |        FROM customer GROUP BY 1),
+          |rows3 AS (SELECT CAST(r AS BIGINT) AS r FROM (VALUES (0), (1), (2)) v(r)),
+          |sa AS (SELECT r,
+          |              ('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':'
+          |                || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 64 AS cell,
+          |              CAST(sum(f) AS BIGINT) AS f_a
+          |       FROM fa0 CROSS JOIN rows3 GROUP BY 1, 2),
+          |sb AS (SELECT r,
+          |              ('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':'
+          |                || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 64 AS cell,
+          |              CAST(sum(f) AS BIGINT) AS f_b
+          |       FROM fb0 CROSS JOIN rows3 GROUP BY 1, 2),
+          |ip AS (SELECT sa.r, CAST(sum(sa.f_a * sb.f_b) AS BIGINT) AS ip
+          |       FROM sa JOIN sb ON sa.r = sb.r AND sa.cell = sb.cell
+          |       GROUP BY 1),
+          |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM ip),
+          |ex AS (SELECT CAST(sum(fa0.f * fb0.f) AS BIGINT) AS n_exact
+          |       FROM fa0 JOIN fb0 USING (k))
+          |SELECT n_exact, est_join_rows,
+          |       CAST(floor(CAST(est_join_rows - n_exact AS DOUBLE) * 1000000.0e0
+          |         / CAST(n_exact AS DOUBLE)) AS BIGINT) AS over_ppm
+          |FROM est CROSS JOIN ex""".stripMargin,
       // identical register construction (bin/shift/pmod semantics verified
       // equal on both engines), exact-integer harmonic denominator
       "q_hyperloglog" ->

@@ -328,6 +328,45 @@ object SimilarityQueries {
             transform(col("q"), v => v.cast("double") / col("scale"))), 6).as("dequant_err"))
         .orderBy("vec_id")
     },
+    // NS: recommendation-list diversity eval — the beyond-accuracy grades
+    // a retrieval stack publishes beside recall: catalog COVERAGE (how
+    // much of the corpus ever gets recommended) and intra-list diversity
+    // (mean pairwise 1−cos inside each query's top-3 — a list of
+    // near-duplicates scores high on recall and zero on ILD). Top-3 via
+    // the bounded TopKAgg (k rows per query per partition); the pair
+    // stage is C(3,2) per query over the ≤30-row rec frame; pair
+    // distances micro-quantize per pair so the ILD mean is exact
+    // integer arithmetic.
+    "q_rec_diversity" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+      val topk = udaf(new graft.functions.TopKAgg(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.ScoredId]())
+      val recs = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(Vec.cosine(col("embedding"), col("q")), 9).as("sim"))
+        .groupBy("q_id").agg(topk(col("n_id"), col("sim")).as("nn"))
+        .select(col("q_id"), explode(col("nn")).as("n"))
+        .select(col("q_id"), col("n.id").as("n_id"))
+        .localCheckpoint() // ≤ 30 rows; feeds the pair stage and the census
+      val pairs = recs.join(recs.select(col("q_id"), col("n_id").as("m_id")), "q_id")
+        .filter(col("n_id") < col("m_id"))
+      val pairD = pairs
+        .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("va")), "n_id")
+        .join(emb.select(col("vec_id").as("m_id"), col("embedding").as("vb")), "m_id")
+        .select(round((lit(1.0) - Vec.cosine(col("va"), col("vb"))) * lit(1000000.0))
+          .cast("long").as("d_micro"))
+        .agg(count(lit(1)).as("n_pairs"), sum("d_micro").as("d_sum"))
+      val census = recs.agg(countDistinct("q_id").as("n_queries"),
+        count(lit(1)).as("n_recs"), countDistinct("n_id").as("n_distinct_recs"))
+      val corpus = emb.agg(count(lit(1)).as("n_corpus"))
+      census.crossJoin(broadcast(corpus)).crossJoin(broadcast(pairD))
+        .select(col("n_queries"), col("n_recs"), col("n_distinct_recs"),
+          expr("n_distinct_recs * 1000000 DIV n_corpus").as("coverage_ppm"),
+          expr("d_sum DIV n_pairs").as("ild_micro"))
+    },
+
     // NS: Johnson–Lindenstrauss random projection — the dimensionality
     // reduction pass ahead of ANN indexing (64-D → 8-D at 8x less index
     // memory and distance CPU): y_j = Σ_i s_ij·x_i with DETERMINISTIC ±1
@@ -637,6 +676,32 @@ object SimilarityQueries {
           |             list_zip(c, list_transform(q, v -> CAST(v AS DOUBLE) / scale)),
           |             z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dequant_err
           |FROM q ORDER BY vec_id""".stripMargin,
+      // identical top-3 (rounded-sim rank), pair stage, micro ILD ledger
+      "q_rec_diversity" ->
+        """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+          |q AS (SELECT vec_id AS q_id, c AS qc FROM t WHERE vec_id < 10),
+          |s AS (SELECT q.q_id, t.vec_id AS n_id,
+          |             round(list_dot_product(t.c, q.qc) /
+          |                   (sqrt(list_dot_product(t.c, t.c)) * sqrt(list_dot_product(q.qc, q.qc))), 9) AS sim
+          |      FROM t CROSS JOIN q WHERE t.vec_id <> q.q_id),
+          |r AS (SELECT q_id, n_id FROM s
+          |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 3),
+          |p AS (SELECT a.q_id, a.n_id, b.n_id AS m_id
+          |      FROM r a JOIN r b ON a.q_id = b.q_id AND a.n_id < b.n_id),
+          |pd AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+          |              CAST(sum(CAST(round((1.0 - list_dot_product(ta.c, tb.c) /
+          |                (sqrt(list_dot_product(ta.c, ta.c)) * sqrt(list_dot_product(tb.c, tb.c))))
+          |                * 1000000.0) AS BIGINT)) AS BIGINT) AS d_sum
+          |       FROM p JOIN t ta ON ta.vec_id = p.n_id JOIN t tb ON tb.vec_id = p.m_id),
+          |cen AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+          |               CAST(count(*) AS BIGINT) AS n_recs,
+          |               CAST(count(DISTINCT n_id) AS BIGINT) AS n_distinct_recs
+          |        FROM r),
+          |co AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM t)
+          |SELECT n_queries, n_recs, n_distinct_recs,
+          |       n_distinct_recs * 1000000 // n_corpus AS coverage_ppm,
+          |       d_sum // n_pairs AS ild_micro
+          |FROM cen CROSS JOIN co CROSS JOIN pd""".stripMargin,
       // identical md5-parity sign matrix (built once in a CTE) and the
       // same sequential dot fold
       "q_random_projection" ->

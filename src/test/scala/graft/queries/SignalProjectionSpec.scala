@@ -240,6 +240,31 @@ class SignalProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_size_est: CM inner product upper-bounds the exact join size") {
+    val r = run("q_join_size_est").head
+    assert(r.getAs[Long]("est_join_rows") >= r.getAs[Long]("n_exact"),
+      "each CM row only ADDS collision mass, so min over rows is still an upper bound")
+    assert(r.getAs[Long]("over_ppm") >= 0)
+    // exact join size on an FK key = number of orders with a matching customer
+    val orders = graft.core.Tables.orders(spark, TestSpark.Sf0001)
+    val cust = graft.core.Tables.customer(spark, TestSpark.Sf0001)
+    val exact = orders.join(cust,
+      orders("o_custkey") === cust("c_custkey")).count()
+    assert(r.getAs[Long]("n_exact") == exact)
+  }
+
+  test("q_rec_diversity: coverage and ILD land in their defining ranges") {
+    val r = run("q_rec_diversity").head
+    assert(r.getAs[Long]("n_queries") == 10)
+    assert(r.getAs[Long]("n_recs") == 30)
+    val dis = r.getAs[Long]("n_distinct_recs")
+    assert(dis >= 3 && dis <= 30)
+    assert(r.getAs[Long]("coverage_ppm") >= 0 && r.getAs[Long]("coverage_ppm") <= 1000000)
+    // 1 - cos in [0, 2] so the micro mean is in [0, 2e6]
+    val ild = r.getAs[Long]("ild_micro")
+    assert(ild >= 0 && ild <= 2000000, s"ild=$ild")
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
