@@ -291,6 +291,46 @@ object KmeansQueries {
             .as("ari"))
     },
 
+    // NS: clustering stability — rerun the assignment under a SECOND
+    // deterministic init (points ranked K+1..2K by vec_id, disjoint from
+    // the first-K init) and grade agreement with ARI over the K×K
+    // contingency table: a geometry that genuinely clusters survives an
+    // init perturbation (ARI → 1); a degenerate one reshuffles (→ 0).
+    // The clustering-eval family's robustness panel beside silhouette /
+    // inertia / ARI-vs-truth. Same scale shape as q_ari: two zero-shuffle
+    // literal-centroid assigns, ONE bounded contingency aggregate, exact
+    // pair-count BIGINTs, IEEE ratio with the DOUBLE-denominator guard.
+    "q_cluster_stability" -> { (s, dir) =>
+      val centsA = Lloyd.initCentroidsFor(s, dir, K)
+      val alt = Tables.points(s, dir).orderBy("vec_id").limit(2 * K)
+        .collect().drop(K).take(K).zipWithIndex
+        .map { case (r, i) => Centroid(i + 1, r.getSeq[Double](1).toArray) }
+        .toSeq
+      val cells = Tables.points(s, dir)
+        .withColumn("ca", Lloyd.assignCol(centsA, col("coordinates")))
+        .withColumn("cb", Lloyd.assignCol(alt, col("coordinates")))
+        .groupBy("ca", "cb").agg(count(lit(1)).as("nij"))
+        .localCheckpoint() // K×K-bounded; feeds three pair-count folds
+      val sij = cells.agg(sum(expr("nij * (nij - 1) DIV 2")).as("sij"),
+        sum("nij").as("n"))
+      val sa = cells.groupBy("ca").agg(sum("nij").as("a"))
+        .agg(sum(expr("a * (a - 1) DIV 2")).as("sa"))
+      val sb = cells.groupBy("cb").agg(sum("nij").as("b"))
+        .agg(sum(expr("b * (b - 1) DIV 2")).as("sb"))
+      sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .withColumn("n2", expr("n * (n - 1) DIV 2"))
+        .withColumn("den_d",
+          (col("sa").cast("double") + col("sb").cast("double")) * col("n2").cast("double") -
+            lit(2.0) * col("sa").cast("double") * col("sb").cast("double"))
+        .select(col("n"),
+          when(col("den_d") === 0.0, lit(0.0))
+            .otherwise(round(
+              (lit(2.0) * (col("sij").cast("double") * col("n2").cast("double") -
+                col("sa").cast("double") * col("sb").cast("double"))) / col("den_d"), 6)
+              + lit(0.0))
+            .as("stability_ari"))
+    },
+
     // NS: elbow scan for K selection — the "which K" answer the whole
     // K-Means family presupposes: SSE(k) for k = 1..K over PREFIX
     // centroid sets in ONE corpus pass (per row, the running min d² over
@@ -532,6 +572,49 @@ object KmeansQueries {
          |                   * CAST(n * (n - 1) // 2 AS DOUBLE)
          |                 - 2.0 * CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE)), 6) + 0.0
          |       END AS ari
+         |FROM sij CROSS JOIN sa CROSS JOIN sb""".stripMargin,
+    // same two deterministic inits (first K / next K by vec_id), argmin
+    // tie-breaks, contingency folds, and the DOUBLE-denominator guard
+    "q_cluster_stability" ->
+      s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+         |inita AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, c
+         |          FROM (SELECT vec_id, c FROM pts ORDER BY vec_id LIMIT $K) t),
+         |initb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, c
+         |          FROM (SELECT vec_id, c FROM pts ORDER BY vec_id LIMIT $K OFFSET $K) t),
+         |aa AS (
+         |  SELECT vec_id, cid AS ca FROM (
+         |    SELECT p.vec_id, i.cid,
+         |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |             list_sum(list_transform(list_zip(p.c, i.c),
+         |               z -> (z[1]-z[2])*(z[1]-z[2]))), i.cid) AS rn
+         |    FROM pts p CROSS JOIN inita i) r WHERE rn = 1),
+         |bb AS (
+         |  SELECT vec_id, cid AS cb FROM (
+         |    SELECT p.vec_id, i.cid,
+         |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |             list_sum(list_transform(list_zip(p.c, i.c),
+         |               z -> (z[1]-z[2])*(z[1]-z[2]))), i.cid) AS rn
+         |    FROM pts p CROSS JOIN initb i) r WHERE rn = 1),
+         |cells AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS nij
+         |          FROM aa JOIN bb USING (vec_id) GROUP BY 1, 2),
+         |sij AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sij,
+         |               CAST(sum(nij) AS BIGINT) AS n FROM cells),
+         |sa AS (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS sa
+         |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS a FROM cells GROUP BY ca)),
+         |sb AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS sb
+         |       FROM (SELECT CAST(sum(nij) AS BIGINT) AS b FROM cells GROUP BY cb))
+         |SELECT n,
+         |       CASE WHEN (CAST(sa.sa AS DOUBLE) + CAST(sb.sb AS DOUBLE))
+         |                   * CAST(n * (n - 1) // 2 AS DOUBLE)
+         |                 - 2.0 * CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE) = 0.0
+         |            THEN 0.0
+         |            ELSE round(
+         |              (2.0 * (CAST(sij.sij AS DOUBLE) * CAST(n * (n - 1) // 2 AS DOUBLE)
+         |                      - CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE)))
+         |              / ((CAST(sa.sa AS DOUBLE) + CAST(sb.sb AS DOUBLE))
+         |                   * CAST(n * (n - 1) // 2 AS DOUBLE)
+         |                 - 2.0 * CAST(sa.sa AS DOUBLE) * CAST(sb.sb AS DOUBLE)), 6) + 0.0
+         |       END AS stability_ari
          |FROM sij CROSS JOIN sa CROSS JOIN sb""".stripMargin,
     // identical prefix-min micro ledger and integer kneedle rule
     "q_elbow_scan" ->

@@ -243,6 +243,32 @@ object TextQueries {
         .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
         .orderBy("canonical_id")
     },
+
+    // NS: dedup savings ledger — the number a curation run actually
+    // reports upward: how many TRAINING TOKENS does exact dedup remove?
+    // Per content-hash group, the removed mass is the group's token sum
+    // minus the kept copy's tokens (min-doc_id canonical, the
+    // q_dedup_exact policy — kept tokens selected by the same
+    // min(struct) argmin, so duplicate bodies never shuffle). One hash
+    // aggregate; savings ratio DOUBLE-floored to ppm over exact sums.
+    "q_dedup_savings" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(md5(col("text")).as("h"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+      val grp = d.groupBy("h").agg(
+        count(lit(1)).as("n_copies"),
+        sum("toks").as("tok_sum"),
+        min(struct(col("doc_id"), col("toks"))).as("kept"))
+      grp.agg(
+          count(lit(1)).as("n_groups"),
+          sum("n_copies").as("n_docs"),
+          sum(expr("n_copies - 1")).as("n_dup_docs"),
+          sum("tok_sum").as("tokens_total"),
+          sum(expr("tok_sum - kept.toks")).as("tokens_removed"))
+        .withColumn("savings_ppm", expr(
+          "CAST(floor(CAST(tokens_removed AS DOUBLE) * 1000000.0e0 " +
+            "/ CAST(tokens_total AS DOUBLE)) AS BIGINT)"))
+    },
     // NS: survivorship dedup — the OTHER canonical-pick policy: among
     // near-identical normalized texts keep the RICHEST copy (max n_chars,
     // lowest doc_id on ties) instead of min-id. One min(struct) aggregate:
@@ -599,6 +625,25 @@ object TextQueries {
       "q_dedup_exact" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
           |FROM documents GROUP BY content_hash ORDER BY canonical_id""".stripMargin,
+      // identical min-struct canonical pick and the DOUBLE-floored ratio
+      "q_dedup_savings" ->
+        """WITH d AS (SELECT md5(text) AS h, doc_id,
+          |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          |           FROM documents),
+          |g AS (SELECT h, CAST(count(*) AS BIGINT) AS n_copies,
+          |             CAST(sum(toks) AS BIGINT) AS tok_sum,
+          |             (min(struct_pack(doc_id := doc_id, toks := toks))).toks AS kept_toks
+          |      FROM d GROUP BY 1),
+          |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+          |             CAST(sum(n_copies) AS BIGINT) AS n_docs,
+          |             CAST(sum(n_copies - 1) AS BIGINT) AS n_dup_docs,
+          |             CAST(sum(tok_sum) AS BIGINT) AS tokens_total,
+          |             CAST(sum(tok_sum - kept_toks) AS BIGINT) AS tokens_removed
+          |      FROM g)
+          |SELECT n_groups, n_docs, n_dup_docs, tokens_total, tokens_removed,
+          |       CAST(floor(CAST(tokens_removed AS DOUBLE) * 1000000.0e0
+          |         / CAST(tokens_total AS DOUBLE)) AS BIGINT) AS savings_ppm
+          |FROM a""".stripMargin,
       "q_dedup_survivor" ->
         """WITH n AS (SELECT doc_id, n_chars,
           |                  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS content_hash

@@ -265,6 +265,28 @@ class SignalProjectionSpec extends AnyFunSuite {
     assert(ild >= 0 && ild <= 2000000, s"ild=$ild")
   }
 
+  test("q_dedup_savings: ledger identities over the exact-dup census") {
+    val r = run("q_dedup_savings").head
+    assert(r.getAs[Long]("n_docs") ==
+      graft.core.Tables.documents(spark, TestSpark.Sf0001).count())
+    assert(r.getAs[Long]("n_dup_docs") ==
+      r.getAs[Long]("n_docs") - r.getAs[Long]("n_groups"))
+    assert(r.getAs[Long]("tokens_removed") >= 0)
+    assert(r.getAs[Long]("tokens_removed") < r.getAs[Long]("tokens_total"))
+    val sp = r.getAs[Long]("savings_ppm")
+    assert(sp >= 0 && sp < 1000000)
+    assert(sp == math.floor(r.getAs[Long]("tokens_removed").toDouble * 1e6 /
+      r.getAs[Long]("tokens_total")).toLong)
+  }
+
+  test("q_cluster_stability: ARI in [-1, 1] over the full point count") {
+    val r = run("q_cluster_stability").head
+    assert(r.getAs[Long]("n") ==
+      graft.core.Tables.points(spark, TestSpark.Sf0001).count())
+    val ari = r.getAs[Double]("stability_ari")
+    assert(ari >= -1.0 && ari <= 1.0, s"ari=$ari")
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
