@@ -40,6 +40,70 @@ object QualityQueries {
     // dims; the orders edge reduces lineitem to distinct keys first so the
     // big-big join carries keys, not rows). The union is a 5-row report:
     // the certification a pipeline gates a snapshot on.
+    // NS: capture–recapture (Lincoln–Petersen) population estimate — "how
+    // big is the TRUE document universe two independent crawls are
+    // sampling?", the coverage question a corpus acquisition pipeline
+    // asks before claiming completeness. Two deterministic md5 "capture"
+    // samples (p₁=30%, p₂=40%, independent salts); N̂ = n₁·n₂/m with the
+    // Chapman small-sample correction ((n₁+1)(n₂+1)/(m+1) − 1), both as
+    // exact integer cross-multiplications (magnitudes n² ≤ 2.5e9 at
+    // fixture, DIV-safe through ~3e9 docs — beyond that the DOUBLE-floor
+    // discipline applies; the Chapman form divides by m+1 so it is total
+    // even at zero overlap). Self-eval: the true N rides beside.
+    "q_capture_recapture" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("in1", (pmod(TextQueries.h32(
+          concat(lit("cap1:"), col("doc_id").cast("string"))), lit(100L)) < 30).cast("long"))
+        .withColumn("in2", (pmod(TextQueries.h32(
+          concat(lit("cap2:"), col("doc_id").cast("string"))), lit(100L)) < 40).cast("long"))
+      d.agg(count(lit(1)).as("n_true"),
+          sum("in1").as("n1"), sum("in2").as("n2"),
+          sum(col("in1") * col("in2")).as("m"))
+        .select(col("n_true"), col("n1"), col("n2"), col("m"),
+          expr("CASE WHEN m = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n1 * n2 DIV m END").as("lp_est"),
+          expr("(n1 + 1) * (n2 + 1) DIV (m + 1) - 1").as("chapman_est"))
+        .withColumn("err_ppm", expr(
+          "CAST(floor(abs(CAST(chapman_est - n_true AS DOUBLE)) * 1000000.0e0 " +
+            "/ CAST(n_true AS DOUBLE)) AS BIGINT)"))
+    },
+
+    // NS: deletion-impact census — the GDPR/right-to-be-forgotten
+    // planning query: if this user cohort is erased, how many rows
+    // cascade across the schema's FK paths? A deterministic md5 10%
+    // cohort of customers, counted through customer → orders → lineitem
+    // with reduce-before-join discipline (orders collapse to per-cust
+    // counts; lineitem collapses to per-ORDER counts and joins the
+    // affected ORDER set — the fact table never joins customers
+    // directly). Output: affected entities and row counts per table,
+    // plus the cascade share of each table in ppm.
+    "q_deletion_impact" -> { (s, dir) =>
+      val cohort = Tables.customer(s, dir)
+        .select(col("c_custkey"))
+        .filter(pmod(TextQueries.h32(
+          concat(lit("del:"), col("c_custkey").cast("string"))), lit(100L)) < 10)
+      val ordImpact = Tables.orders(s, dir)
+        .join(broadcast(cohort), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+        .localCheckpoint() // affected-order set; feeds count AND lineitem probe
+      val liPerOrder = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_li"))
+      val liImpact = liPerOrder
+        .join(ordImpact, col("l_orderkey") === col("o_orderkey"))
+        .agg(coalesce(sum("n_li"), lit(0L)).as("li_rows"))
+      val totals = Tables.customer(s, dir).agg(count(lit(1)).as("n_cust"))
+        .crossJoin(Tables.orders(s, dir).agg(count(lit(1)).as("n_ord")))
+        .crossJoin(Tables.lineitem(s, dir).agg(count(lit(1)).as("n_li_tot")))
+      cohort.agg(count(lit(1)).as("cohort_custs"))
+        .crossJoin(broadcast(ordImpact.agg(count(lit(1)).as("ord_rows"))))
+        .crossJoin(broadcast(liImpact))
+        .crossJoin(broadcast(totals))
+        .select(col("cohort_custs"), col("ord_rows"), col("li_rows"),
+          expr("cohort_custs * 1000000 DIV n_cust").as("cust_share_ppm"),
+          expr("ord_rows * 1000000 DIV n_ord").as("ord_share_ppm"),
+          expr("li_rows * 1000000 DIV n_li_tot").as("li_share_ppm"))
+    },
+
     "q_fk_audit" -> { (s, dir) =>
       def edge(name: String, child: DataFrame, key: String,
                parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
@@ -666,6 +730,43 @@ object QualityQueries {
           |       CAST(n_tokens * 1000000 // g_tokens AS BIGINT) AS share_ppm
           |FROM per CROSS JOIN tot
           |ORDER BY stage""".stripMargin,
+      // identical md5 captures and integer estimators (Chapman total at m=0)
+      "q_capture_recapture" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |         CAST(('0x' || substr(md5('cap1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 30 AS BIGINT) AS in1,
+          |         CAST(('0x' || substr(md5('cap2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 40 AS BIGINT) AS in2
+          |  FROM documents),
+          |a AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+          |             CAST(sum(in1) AS BIGINT) AS n1, CAST(sum(in2) AS BIGINT) AS n2,
+          |             CAST(sum(in1 * in2) AS BIGINT) AS m
+          |      FROM d)
+          |SELECT n_true, n1, n2, m,
+          |       CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE n1 * n2 // m END AS lp_est,
+          |       (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman_est,
+          |       CAST(floor(abs(CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true AS DOUBLE))
+          |         * 1000000.0e0 / CAST(n_true AS DOUBLE)) AS BIGINT) AS err_ppm
+          |FROM a""".stripMargin,
+      // identical cohort, reduce-before-join cascade counts
+      "q_deletion_impact" ->
+        """WITH cohort AS (
+          |  SELECT c_custkey FROM customer
+          |  WHERE ('0x' || substr(md5('del:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 10),
+          |oi AS (SELECT o_orderkey FROM orders JOIN cohort ON o_custkey = c_custkey),
+          |lpo AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_li
+          |        FROM lineitem GROUP BY 1),
+          |li AS (SELECT coalesce(CAST(sum(n_li) AS BIGINT), 0) AS li_rows
+          |       FROM lpo JOIN oi ON l_orderkey = o_orderkey),
+          |t AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_cust,
+          |             (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_ord,
+          |             (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_li_tot),
+          |c AS (SELECT CAST(count(*) AS BIGINT) AS cohort_custs FROM cohort),
+          |o AS (SELECT CAST(count(*) AS BIGINT) AS ord_rows FROM oi)
+          |SELECT cohort_custs, ord_rows, li_rows,
+          |       cohort_custs * 1000000 // n_cust AS cust_share_ppm,
+          |       ord_rows * 1000000 // n_ord AS ord_share_ppm,
+          |       li_rows * 1000000 // n_li_tot AS li_share_ppm
+          |FROM c CROSS JOIN o CROSS JOIN li CROSS JOIN t""".stripMargin,
       "q_fk_audit" ->
         """WITH a AS (
           |  SELECT 'events.user_id->customer' AS fk, count(*) AS n_child,

@@ -287,6 +287,38 @@ class SignalProjectionSpec extends AnyFunSuite {
     assert(ari >= -1.0 && ari <= 1.0, s"ari=$ari")
   }
 
+  test("q_capture_recapture: Chapman estimate lands near the true universe") {
+    val r = run("q_capture_recapture").head
+    val n = r.getAs[Long]("n_true")
+    assert(r.getAs[Long]("m") <= math.min(r.getAs[Long]("n1"), r.getAs[Long]("n2")))
+    // Chapman is near-unbiased: within 35% of truth at n=500 docs
+    val ch = r.getAs[Long]("chapman_est")
+    assert(math.abs(ch - n).toDouble / n < 0.35, s"chapman=$ch true=$n")
+    assert(r.getAs[Long]("err_ppm") ==
+      math.floor(math.abs(ch - n).toDouble * 1e6 / n).toLong)
+  }
+
+  test("q_deletion_impact: cascade counts recompute exactly") {
+    val r = run("q_deletion_impact").head
+    import org.apache.spark.sql.functions._
+    val cohort = graft.core.Tables.customer(spark, TestSpark.Sf0001)
+      .filter(pmod(graft.text.TextQueries.h32(
+        concat(lit("del:"), col("c_custkey").cast("string"))), lit(100L)) < 10)
+      .select("c_custkey")
+    val orders = graft.core.Tables.orders(spark, TestSpark.Sf0001)
+    val oi = orders.join(cohort, orders("o_custkey") === cohort("c_custkey"))
+    assert(r.getAs[Long]("cohort_custs") == cohort.count())
+    assert(r.getAs[Long]("ord_rows") == oi.count())
+    val li = graft.core.Tables.lineitem(spark, TestSpark.Sf0001)
+      .join(oi.select("o_orderkey"), li_cond(spark)).count()
+    assert(r.getAs[Long]("li_rows") == li)
+  }
+
+  private def li_cond(s: org.apache.spark.sql.SparkSession) = {
+    import org.apache.spark.sql.functions.col
+    col("l_orderkey") === col("o_orderkey")
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
