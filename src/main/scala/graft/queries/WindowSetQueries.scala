@@ -296,6 +296,48 @@ object WindowSetQueries {
         .orderBy("cohort_h", "offset_h")
     },
 
+    // NS: retention-curve decay fit — the MODEL on top of
+    // q_cohort_retention's raw counts: pooled day-offset retention
+    // r(d) = active(d)/cohort, ln-linearized and OLS-fit over the
+    // bounded offset grid (d = 1..7) to an exponential decay, reported
+    // as slope (micro-nats/day) and half-life. Numerics: each offset's
+    // ln(r) quantizes to micro-nats (the LM-ledger discipline) so the
+    // OLS sufficient statistics are EXACT BIGINTs over a ≤7-row frame;
+    // the slope is one IEEE ratio with the zero-denominator pin, and a
+    // non-decaying curve (slope ≥ 0) pins half-life to 0 with a flag
+    // rather than a negative estimate (totality).
+    "q_retention_fit" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("c0"))
+      val active = ev.join(cohort, "user_id")
+        .select(col("user_id"), datediff(col("day"), col("c0")).cast("long").as("d"))
+        .filter(col("d") >= 1 && col("d") <= 7).distinct()
+      val n0 = cohort.agg(count(lit(1)).as("n0"))
+      val pts = active.groupBy("d").agg(count(lit(1)).as("n_d"))
+        .crossJoin(broadcast(n0))
+        .select(col("d"), expr(
+          "CAST(round(ln(CAST(n_d AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("y"))
+      val sums = pts.agg(count(lit(1)).as("n"),
+        coalesce(sum("d"), lit(0L)).as("sd"), coalesce(sum("y"), lit(0L)).as("sy"),
+        coalesce(sum(col("d") * col("d")), lit(0L)).as("sdd"),
+        coalesce(sum(col("d") * col("y")), lit(0L)).as("sdy"))
+      sums.crossJoin(broadcast(n0))
+        .withColumn("den_d", expr(
+          "CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)"))
+        .withColumn("slope_d", expr(
+          "CASE WHEN den_d = 0.0e0 THEN 0.0e0 " +
+            "ELSE (CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE) " +
+            "- CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE)) / den_d END"))
+        .select(col("n0").as("cohort_users"), col("n").as("n_points"),
+          expr("CAST(floor(slope_d) AS BIGINT)").as("slope_micro_per_day"),
+          expr("CASE WHEN slope_d >= 0.0e0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST(floor(0.6931471805599453e0 / (-slope_d / 1000000.0e0) " +
+            "* 1000.0e0) AS BIGINT) END").as("half_life_milli_days"),
+          expr("CAST(slope_d >= 0.0e0 AS BIGINT)").as("no_decay"))
+    },
+
     // NS: top user journeys — the most common opening 3-step event-type
     // paths ("what do users actually do first"), the path-level read
     // beside q_markov_transitions' aggregate transition matrix: each
@@ -700,6 +742,39 @@ object WindowSetQueries {
         |       count(DISTINCT user_id) AS n_users
         |FROM o WHERE offset_h <= 3
         |GROUP BY cohort_h, offset_h ORDER BY cohort_h, offset_h""".stripMargin,
+    // identical micro-nat ln ledger, exact OLS sums, guarded IEEE slope
+    "q_retention_fit" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS c0 FROM e GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, e.day - c.c0 AS d
+        |        FROM e JOIN c ON e.user_id = c.user_id
+        |        WHERE e.day - c.c0 BETWEEN 1 AND 7),
+        |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM c),
+        |pts AS (SELECT CAST(d AS BIGINT) AS d,
+        |               CAST(round(ln(CAST(count(*) AS DOUBLE) / CAST(n0.n0 AS DOUBLE))
+        |                 * 1000000) AS BIGINT) AS y
+        |        FROM act CROSS JOIN n0 GROUP BY d, n0.n0),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             coalesce(CAST(sum(d) AS BIGINT), 0) AS sd,
+        |             coalesce(CAST(sum(y) AS BIGINT), 0) AS sy,
+        |             coalesce(CAST(sum(d * d) AS BIGINT), 0) AS sdd,
+        |             coalesce(CAST(sum(d * y) AS BIGINT), 0) AS sdy
+        |      FROM pts),
+        |sl AS (SELECT n,
+        |              CASE WHEN CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+        |                        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) = 0.0e0 THEN 0.0e0
+        |                   ELSE (CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE)
+        |                         - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                        / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+        |                           - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) END AS slope_d
+        |       FROM s)
+        |SELECT n0.n0 AS cohort_users, sl.n AS n_points,
+        |       CAST(floor(slope_d) AS BIGINT) AS slope_micro_per_day,
+        |       CASE WHEN slope_d >= 0.0e0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(floor(0.6931471805599453e0 / (-slope_d / 1000000.0e0)
+        |              * 1000.0e0) AS BIGINT) END AS half_life_milli_days,
+        |       CAST(slope_d >= 0.0e0 AS BIGINT) AS no_decay
+        |FROM sl CROSS JOIN n0""".stripMargin,
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

@@ -319,6 +319,20 @@ class SignalProjectionSpec extends AnyFunSuite {
     col("l_orderkey") === col("o_orderkey")
   }
 
+  test("q_retention_fit: half-life consistent with the fitted slope; flags coherent") {
+    val r = run("q_retention_fit").head
+    assert(r.getAs[Long]("cohort_users") > 0)
+    val slope = r.getAs[Long]("slope_micro_per_day")
+    val hl = r.getAs[Long]("half_life_milli_days")
+    if (r.getAs[Long]("no_decay") == 1L) assert(hl == 0L)
+    else {
+      assert(slope < 0)
+      // hl ~ ln2 / |slope in nats| within the floor quantization
+      val expect = math.floor(0.6931471805599453 / (-slope / 1e6) * 1000).toLong
+      assert(math.abs(hl - expect) <= 1000, s"hl=$hl expect~$expect")
+    }
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
