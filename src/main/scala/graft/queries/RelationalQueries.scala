@@ -1095,6 +1095,26 @@ object RelationalQueries {
     // the hottest key's row share, and a max/avg skew ratio — all exact
     // integer arithmetic, so the salting decision is reproducible. The
     // only window runs over the tiny histogram, never the key table.
+    // NS: skew-salting PLAN — the prescriptive step after q_skew_census's
+    // diagnosis: for the top-5 hottest join keys, the salt factor that
+    // levels each one to the per-reducer target (total rows DIV 32
+    // tasks, floored at 1): salt = ceil(freq / target) as exact integer
+    // (f + t − 1) DIV t. The census is the same distinct-frequency
+    // reduce; the hot-key pick is TakeOrdered (distributed top-k), and
+    // everything after runs on 5 rows. This is the table q_salted_join's
+    // explode factor should be read from at 100 TB, made queryable.
+    "q_salt_plan" -> { (s, dir) =>
+      val freq = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("f"))
+      val target = freq.agg(expr("greatest(sum(f) DIV 32, CAST(1 AS BIGINT))").as("t"))
+      freq.orderBy(col("f").desc, col("o_custkey")).limit(5)
+        .crossJoin(broadcast(target))
+        .select(col("o_custkey").as("hot_key"), col("f").as("freq"), col("t").as("target_rows"),
+          expr("(f + t - 1) DIV t").as("salt_factor"))
+        .withColumn("needs_salt", (col("salt_factor") > 1L).cast("long"))
+        .orderBy(col("freq").desc, col("hot_key"))
+    },
+
     "q_skew_census" -> { (s, dir) =>
       val hist = Tables.orders(s, dir)
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("f"))
@@ -1960,6 +1980,17 @@ object RelationalQueries {
         |       CAST(sum(n) // count(DISTINCT (k1, k2)) AS BIGINT) AS rpr_status,
         |       CAST(sum(n) // count(*) AS BIGINT) AS rpr_day
         |FROM g""".stripMargin,
+    // identical census, TakeOrdered hot keys, exact integer ceil
+    "q_salt_plan" ->
+      """WITH freq AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS f
+        |              FROM orders GROUP BY 1),
+        |t AS (SELECT greatest(CAST(sum(f) AS BIGINT) // 32, 1) AS t FROM freq),
+        |hot AS (SELECT o_custkey, f FROM freq ORDER BY f DESC, o_custkey LIMIT 5)
+        |SELECT hot.o_custkey AS hot_key, hot.f AS freq, t.t AS target_rows,
+        |       (hot.f + t.t - 1) // t.t AS salt_factor,
+        |       CAST((hot.f + t.t - 1) // t.t > 1 AS BIGINT) AS needs_salt
+        |FROM hot CROSS JOIN t
+        |ORDER BY freq DESC, hot_key""".stripMargin,
     "q_skew_census" ->
       """WITH freq AS (SELECT o_custkey, count(*) AS f FROM orders GROUP BY 1),
         |hist AS (SELECT f, count(*) AS nk FROM freq GROUP BY 1),

@@ -243,6 +243,32 @@ object GraphQueries {
     // Same bounded-histogram double collapse as q_skew_census: edges →
     // per-node degree (first shuffle) → (degree → n_nodes) histogram
     // (distinct degrees, bounded) → exact integer census columns.
+    // NS: directed reciprocity of the bigram word digraph — "does A→B
+    // imply B→A?", the one-number directionality grade beside
+    // assortativity and the degree census (language is strongly
+    // directional; a reciprocity collapse/spike flags templated or
+    // shuffled text). Distinct self-loop-free edges, the reverse test is
+    // ONE equi-join of the vocab-bounded edge frame against its swapped
+    // self (never the corpus), exact integer ppm.
+    "q_graph_reciprocity" -> { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val bigrams = when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val e = Tables.documents(s, dir)
+        .select(ws.as("ws")).select(explode(bigrams).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= col("w2")).distinct()
+        .localCheckpoint() // vocab²-bounded edge frame; probed against itself
+      val recip = e.join(e.select(col("w2").as("w1"), col("w1").as("w2")), Seq("w1", "w2"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+        .select(col("n_edges"), col("n_recip"),
+          expr("n_recip DIV 2").as("n_mutual_pairs"),
+          expr("n_recip * 1000000 DIV n_edges").as("reciprocity_ppm"))
+    },
+
     "q_degree_census" -> { (s, dir) =>
       val edges = TextQueries.simhashPairsFor(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -501,6 +527,18 @@ object GraphQueries {
          |          FROM nodes n CROSS JOIN t LEFT JOIN $c ON $c.word = n.word)""".stripMargin
 
     Map(
+      // identical distinct loop-free edges and the swapped-self equi-join
+      "q_graph_reciprocity" ->
+        """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+          |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+          |              i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b FROM w),
+          |e AS (SELECT DISTINCT b.w1 AS w1, b.w2 AS w2 FROM bg WHERE b.w1 <> b.w2),
+          |r AS (SELECT CAST(count(*) AS BIGINT) AS n_recip
+          |      FROM e a JOIN e b ON a.w1 = b.w2 AND a.w2 = b.w1),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+          |SELECT n_edges, n_recip, n_recip // 2 AS n_mutual_pairs,
+          |       n_recip * 1000000 // n_edges AS reciprocity_ppm
+          |FROM n CROSS JOIN r""".stripMargin,
       // identical incidence dedup, bounded pair census, DOUBLE-floored ppm
       "q_bipartite_projection" ->
         """WITH inc AS (SELECT DISTINCT user_id, event_type AS t FROM events),

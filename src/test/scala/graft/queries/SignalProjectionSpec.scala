@@ -333,6 +333,29 @@ class SignalProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_salt_plan: salt factors are the exact integer ceil and cover the hottest keys") {
+    val rows = run("q_salt_plan")
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("freq"); val t = r.getAs[Long]("target_rows")
+      val sf = r.getAs[Long]("salt_factor")
+      assert(sf == (f + t - 1) / t)
+      assert(sf >= 1)
+      assert(r.getAs[Long]("needs_salt") == (if (sf > 1) 1L else 0L))
+    }
+    val fs = rows.map(_.getAs[Long]("freq"))
+    assert(fs.zip(fs.tail).forall { case (a, b) => a >= b }, "hot keys ranked by freq")
+  }
+
+  test("q_graph_reciprocity: reciprocity in [0, 1e6]; mutual pairs = recip/2") {
+    val r = run("q_graph_reciprocity").head
+    val (ne, nr) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_recip"))
+    assert(nr >= 0 && nr <= ne)
+    assert(nr % 2 == 0, "reciprocal edges come in pairs")
+    assert(r.getAs[Long]("n_mutual_pairs") == nr / 2)
+    assert(r.getAs[Long]("reciprocity_ppm") == nr * 1000000L / ne)
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
