@@ -40,6 +40,35 @@ object QualityQueries {
     // dims; the orders edge reduces lineitem to distinct keys first so the
     // big-big join carries keys, not rows). The union is a 5-row report:
     // the certification a pipeline gates a snapshot on.
+    // NS: code-vs-prose screen — the corpus router every mixed-crawl
+    // pipeline needs before language-specific processing (code wants a
+    // different tokenizer, dedup granularity and quality rubric than
+    // prose): per-doc symbol and digit densities via the replace-diff
+    // length trick (NO per-char explode — the q_char_entropy discipline),
+    // thresholded to a code_like verdict, reported as a per-source
+    // census with integer-exact mean densities. One narrow map + one
+    // combinable aggregate.
+    "q_code_detect" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("source"),
+          length(col("text")).cast("long").as("len"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[;{}()=<>\\[\\]]", ""))).cast("long")
+            .as("n_sym"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("n_dig"))
+        .withColumn("sym_ppm", expr("n_sym * 1000000 DIV greatest(len, 1)"))
+        .withColumn("dig_ppm", expr("n_dig * 1000000 DIV greatest(len, 1)"))
+        .withColumn("code_like",
+          (col("sym_ppm") > 20000L || col("dig_ppm") > 300000L).cast("long"))
+      d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("code_like").as("n_code_like"),
+          expr("sum(sym_ppm) DIV count(1)").as("mean_sym_ppm"),
+          expr("sum(dig_ppm) DIV count(1)").as("mean_dig_ppm"))
+        .withColumn("code_share_ppm", expr("n_code_like * 1000000 DIV n_docs"))
+        .orderBy("source")
+    },
+
     // NS: capture–recapture (Lincoln–Petersen) population estimate — "how
     // big is the TRUE document universe two independent crawls are
     // sampling?", the coverage question a corpus acquisition pipeline
@@ -730,6 +759,27 @@ object QualityQueries {
           |       CAST(n_tokens * 1000000 // g_tokens AS BIGINT) AS share_ppm
           |FROM per CROSS JOIN tot
           |ORDER BY stage""".stripMargin,
+      // identical replace-diff densities and integer thresholds
+      "q_code_detect" ->
+        """WITH d AS (
+          |  SELECT source, CAST(len(text) AS BIGINT) AS len,
+          |         CAST(len(text) - len(regexp_replace(text, '[;{}()=<>\[\]]', '', 'g')) AS BIGINT) AS n_sym,
+          |         CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_dig
+          |  FROM documents),
+          |p AS (SELECT source,
+          |             n_sym * 1000000 // greatest(len, 1) AS sym_ppm,
+          |             n_dig * 1000000 // greatest(len, 1) AS dig_ppm
+          |      FROM d),
+          |f AS (SELECT source, sym_ppm, dig_ppm,
+          |             CAST(sym_ppm > 20000 OR dig_ppm > 300000 AS BIGINT) AS code_like
+          |      FROM p)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(code_like) AS BIGINT) AS n_code_like,
+          |       CAST(sum(sym_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_sym_ppm,
+          |       CAST(sum(dig_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_dig_ppm,
+          |       CAST(sum(code_like) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+          |         AS code_share_ppm
+          |FROM f GROUP BY source ORDER BY source""".stripMargin,
       // identical md5 captures and integer estimators (Chapman total at m=0)
       "q_capture_recapture" ->
         """WITH d AS (

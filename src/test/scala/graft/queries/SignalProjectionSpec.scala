@@ -356,6 +356,20 @@ class SignalProjectionSpec extends AnyFunSuite {
     assert(r.getAs[Long]("reciprocity_ppm") == nr * 1000000L / ne)
   }
 
+  test("q_code_detect: densities bounded; share consistent with flags") {
+    val rows = run("q_code_detect")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mean_sym_ppm") >= 0 && r.getAs[Long]("mean_sym_ppm") <= 1000000)
+      assert(r.getAs[Long]("mean_dig_ppm") >= 0 && r.getAs[Long]("mean_dig_ppm") <= 1000000)
+      assert(r.getAs[Long]("n_code_like") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("code_share_ppm") ==
+        r.getAs[Long]("n_code_like") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+    // the analytics-words fixture is prose: nothing should flag as code
+    assert(rows.map(_.getAs[Long]("n_code_like")).sum == 0L)
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
