@@ -574,6 +574,42 @@ object CorpusQueries {
     // the plan must degrade to a shuffle join at scale. AQE still picks
     // broadcast at fixture scale from runtime stats; the single-row totals
     // are the only forced broadcasts. Final top-k is TakeOrderedAndProject.
+    // NS: corpus entropy rate — H(W₂|W₁) of the bigram model vs the
+    // unigram entropy H(W₁): the information-theoretic pair every LM
+    // data report leads with (how much does ONE word of context buy?).
+    // Ledger discipline: every ln quantizes once per (bounded) vocab or
+    // bigram row to micro-nats, weighted sums are EXACT BIGINTs over the
+    // census frames (c·ln ratios, never float accumulation), and the
+    // final normalizations are integer DIV. H_cond ≤ H_uni is the
+    // spec-pinned information inequality.
+    "q_ngram_entropy_rate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(words.as("ws"))
+      val bigrams = when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val bg = docs.select(explode(bigrams).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint() // vocab²-bounded; feeds both entropies
+      val c1 = bg.groupBy("w1").agg(sum("c12").as("c1"))
+      val n = bg.agg(sum("c12").as("n"))
+      val hCond = bg.join(c1, "w1")
+        .agg(sum(expr(
+          "c12 * CAST(round(ln(CAST(c1 AS DOUBLE) / CAST(c12 AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .as("hc_num"))
+      val hUni = c1.crossJoin(broadcast(n))
+        .agg(sum(expr(
+          "c1 * CAST(round(ln(CAST(n AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .as("hu_num"))
+      n.crossJoin(broadcast(hCond)).crossJoin(broadcast(hUni))
+        .crossJoin(broadcast(bg.agg(count(lit(1)).as("n_bigram_types"))))
+        .select(col("n").as("n_bigrams"), col("n_bigram_types"),
+          expr("hu_num DIV n").as("h_unigram_micronat"),
+          expr("hc_num DIV n").as("h_cond_micronat"),
+          expr("(hu_num DIV n) - (hc_num DIV n)").as("info_gain_micronat"))
+    },
+
     "q_bigram_pmi" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), words.as("ws"))
       val bigrams = when(size(col("ws")) >= 2,
@@ -1285,6 +1321,27 @@ object CorpusQueries {
           |FROM scored
           |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) = 1
           |ORDER BY doc_id""".stripMargin,
+      // identical micro-nat ledgers over the same bigram census
+      "q_ngram_entropy_rate" ->
+        """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+          |bg0 AS (SELECT unnest(list_transform(range(1, len(ws)),
+          |               i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b FROM w),
+          |bg AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+          |       FROM bg0 GROUP BY 1, 2),
+          |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+          |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bg),
+          |hc AS (SELECT CAST(sum(bg.c12 * CAST(round(ln(CAST(c1.c1 AS DOUBLE)
+          |                / CAST(bg.c12 AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS hc_num
+          |       FROM bg JOIN c1 USING (w1)),
+          |hu AS (SELECT CAST(sum(c1.c1 * CAST(round(ln(CAST(n.n AS DOUBLE)
+          |                / CAST(c1.c1 AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS hu_num
+          |       FROM c1 CROSS JOIN n),
+          |bt AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM bg)
+          |SELECT n.n AS n_bigrams, bt.n_bigram_types,
+          |       hu_num // n.n AS h_unigram_micronat,
+          |       hc_num // n.n AS h_cond_micronat,
+          |       (hu_num // n.n) - (hc_num // n.n) AS info_gain_micronat
+          |FROM n CROSS JOIN hc CROSS JOIN hu CROSS JOIN bt""".stripMargin,
       "q_bigram_pmi" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           |uni AS (SELECT word, count(*) AS c

@@ -370,6 +370,16 @@ class SignalProjectionSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_code_like")).sum == 0L)
   }
 
+  test("q_ngram_entropy_rate: conditioning can only reduce entropy (H(W2|W1) <= H(W1))") {
+    val r = run("q_ngram_entropy_rate").head
+    val hu = r.getAs[Long]("h_unigram_micronat")
+    val hc = r.getAs[Long]("h_cond_micronat")
+    assert(hu > 0 && hc >= 0)
+    assert(hc <= hu, s"information inequality violated: hc=$hc hu=$hu")
+    assert(r.getAs[Long]("info_gain_micronat") == hu - hc)
+    assert(r.getAs[Long]("n_bigram_types") <= r.getAs[Long]("n_bigrams"))
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
