@@ -27,6 +27,36 @@ object EventQueries {
         .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("w_start", "event_type")
     },
+    // NS: streaming volume-anomaly monitor — per (type, 1-hour window),
+    // flag counts deviating > 3σ from the EXPANDING history of prior
+    // windows (the alert form a foreachBatch monitor keeps as running
+    // (n, Σx, Σx²) state — exactly the cumulative frame here, so batch
+    // and stream agree). All state is exact integers over window-summary
+    // rows (thousands/year, never events); the 3σ test cross-multiplies
+    // to (x·n − S)² > 9(n·Q − S²), compared in DOUBLE over the exact
+    // BIGINTs (squares pass 2^63 at ~1e5 windows × 1e9 counts — the
+    // register-choice discipline). Windows with < 3 prior observations
+    // never alarm (totality).
+    "q_stream_anomaly" -> { (s, dir) =>
+      val wc = Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("x"))
+      val prior = Window.partitionBy("event_type").orderBy("w_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      wc.withColumn("n_p", count(lit(1)).over(prior))
+        .withColumn("s_p", coalesce(sum("x").over(prior), lit(0L)))
+        .withColumn("q_p", coalesce(sum(col("x") * col("x")).over(prior), lit(0L)))
+        .filter(col("n_p") >= 3)
+        .select(col("event_type"), col("w_start"), col("x"), col("n_p"),
+          expr("s_p * 1000 DIV n_p").as("mean_milli"),
+          expr("CAST((CAST(x AS DOUBLE) * CAST(n_p AS DOUBLE) - CAST(s_p AS DOUBLE)) " +
+            "* (CAST(x AS DOUBLE) * CAST(n_p AS DOUBLE) - CAST(s_p AS DOUBLE)) > " +
+            "9.0e0 * (CAST(n_p AS DOUBLE) * CAST(q_p AS DOUBLE) " +
+            "- CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE)) AS BIGINT)").as("anomaly"))
+        .orderBy("event_type", "w_start")
+    },
+
     // NS: streaming distribution-drift monitor — per 1-hour window, the
     // total-variation distance of the event-type mix vs the PREVIOUS
     // observed window: the alert that catches an upstream producer change
@@ -417,6 +447,26 @@ object EventQueries {
         |FROM est
         |ORDER BY w_start""".stripMargin,
     // same grid completion + per-type lag + exact integer TV fold
+    // identical expanding integer state and the DOUBLE-compared 3-sigma test
+    "q_stream_anomaly" ->
+      """WITH wc AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        |                   event_type, CAST(count(*) AS BIGINT) AS x
+        |            FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, w_start, x,
+        |             CAST(count(*) OVER w AS BIGINT) AS n_p,
+        |             coalesce(CAST(sum(x) OVER w AS BIGINT), 0) AS s_p,
+        |             coalesce(CAST(sum(x * x) OVER w AS BIGINT), 0) AS q_p
+        |      FROM wc
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY w_start
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, w_start, x, n_p,
+        |       s_p * 1000 // n_p AS mean_milli,
+        |       CAST((CAST(x AS DOUBLE) * CAST(n_p AS DOUBLE) - CAST(s_p AS DOUBLE))
+        |         * (CAST(x AS DOUBLE) * CAST(n_p AS DOUBLE) - CAST(s_p AS DOUBLE)) >
+        |         9.0e0 * (CAST(n_p AS DOUBLE) * CAST(q_p AS DOUBLE)
+        |         - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE)) AS BIGINT) AS anomaly
+        |FROM p WHERE n_p >= 3
+        |ORDER BY event_type, w_start""".stripMargin,
     "q_stream_drift" ->
       """WITH wc AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
         |                   event_type, count(*) AS c

