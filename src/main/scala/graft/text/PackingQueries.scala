@@ -82,6 +82,31 @@ object PackingQueries {
     // an id sequence with OOV = 0. The global row_number ranks the aggregated
     // word counts (vocab-sized, NOT corpus-sized); the id table broadcasts.
     // token_ids is emitted as a comma-joined STRING (not array<bigint>):
+    // NS: prefix-cache benefit census — the KV-cache planning number an
+    // inference/training-serving stack wants from its corpus: how much
+    // token mass is shared 8-token prefixes? Docs group by their opening
+    // 8 tokens (shorter docs by their full text); each group of n docs
+    // re-computes the prefix ONCE, so cacheable mass = Σ(n−1)·len_p.
+    // One hash aggregate over (prefix → count) — prefix strings shuffle
+    // once, bounded by DISTINCT prefixes; ratio DOUBLE-floored to ppm.
+    "q_prefix_cache_plan" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("n_toks"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("prefix"))
+        .withColumn("len_p", least(col("n_toks"), lit(8L)))
+      val grp = d.groupBy("prefix").agg(
+        count(lit(1)).as("n_docs"), max("len_p").as("len_p"), sum("n_toks").as("toks"))
+      grp.agg(
+          count(lit(1)).as("n_prefixes"),
+          sum("n_docs").as("n_docs"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared_prefixes"),
+          sum("toks").as("tokens_total"),
+          sum(expr("(n_docs - 1) * len_p")).as("tokens_cacheable"))
+        .withColumn("cache_ppm", expr(
+          "CAST(floor(CAST(tokens_cacheable AS DOUBLE) * 1000000.0e0 " +
+            "/ CAST(tokens_total AS DOUBLE)) AS BIGINT)"))
+    },
+
     // the verification harness canonicalizes result frames by sorting all
     // columns, which array cells cannot survive — the string form carries
     // identical information and hashes/sorts everywhere.
@@ -113,6 +138,27 @@ object PackingQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical 8-token prefixes (array_to_string == concat_ws) and ledger
+    "q_prefix_cache_plan" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |         array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+        |  FROM documents),
+        |d2 AS (SELECT n_toks, prefix, least(n_toks, 8) AS len_p FROM d),
+        |g AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(max(len_p) AS BIGINT) AS len_p,
+        |             CAST(sum(n_toks) AS BIGINT) AS toks
+        |      FROM d2 GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_prefixes,
+        |             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |             CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_prefixes,
+        |             CAST(sum(toks) AS BIGINT) AS tokens_total,
+        |             CAST(sum((n_docs - 1) * len_p) AS BIGINT) AS tokens_cacheable
+        |      FROM g)
+        |SELECT n_prefixes, n_docs, n_shared_prefixes, tokens_total, tokens_cacheable,
+        |       CAST(floor(CAST(tokens_cacheable AS DOUBLE) * 1000000.0e0
+        |         / CAST(tokens_total AS DOUBLE)) AS BIGINT) AS cache_ppm
+        |FROM a""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH d AS (SELECT source, doc_id,
          |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

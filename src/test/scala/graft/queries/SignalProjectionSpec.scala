@@ -399,6 +399,20 @@ class SignalProjectionSpec extends AnyFunSuite {
     assert(rate < 0.10, s"alarm rate $rate")
   }
 
+  test("q_prefix_cache_plan: ledger identities over the prefix census") {
+    val r = run("q_prefix_cache_plan").head
+    assert(r.getAs[Long]("n_docs") ==
+      graft.core.Tables.documents(spark, TestSpark.Sf0001).count())
+    assert(r.getAs[Long]("n_prefixes") <= r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("n_shared_prefixes") <= r.getAs[Long]("n_prefixes"))
+    val cacheable = r.getAs[Long]("tokens_cacheable")
+    assert(cacheable >= 0 && cacheable <= r.getAs[Long]("tokens_total"))
+    // cacheable mass is bounded by 8 tokens per non-canonical doc
+    assert(cacheable <= (r.getAs[Long]("n_docs") - r.getAs[Long]("n_prefixes")) * 8L)
+    assert(r.getAs[Long]("cache_ppm") == math.floor(
+      cacheable.toDouble * 1e6 / r.getAs[Long]("tokens_total")).toLong)
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
