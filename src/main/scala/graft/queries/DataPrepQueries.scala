@@ -687,6 +687,48 @@ object DataPrepQueries {
           round(col("key") * 1e6, 3).as("es_key_x1e6"))
     },
 
+    // NS: Neyman allocation — the OPTIMAL stratified sampling plan (the
+    // prescriptive step after q_group_sample's uniform strata): allocate
+    // a 1000-doc eval budget across sources ∝ N_h·σ_h, which minimizes
+    // the estimator variance at fixed budget. σ_h comes from exact
+    // per-stratum (n, Σx, Σx²) BIGINTs (x = n_chars); weights and
+    // fractional parts are fixed IEEE trees over those integers; the
+    // integer allocation floors each share and hands the remainder to
+    // the largest fractional parts (rank over the 20-row source frame,
+    // total tie-break) so Σ alloc == budget EXACTLY. Zero-variance or
+    // empty strata weight 0 (total).
+    "q_neyman_alloc" -> { (s, dir) =>
+      val budget = 1000L
+      val st = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_h"), sum("n_chars").as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .withColumn("w", expr(
+          "CASE WHEN n_h < 2 THEN 0.0e0 ELSE CAST(n_h AS DOUBLE) * " +
+            "sqrt(greatest((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) " +
+            "/ CAST(n_h AS DOUBLE)) / (CAST(n_h AS DOUBLE) - 1.0e0), 0.0e0)) END"))
+      // per-stratum weights quantize to micro BEFORE the total (a float
+      // Σw would be summation-order-dependent); base/remainder are then
+      // pure integer: base = B·w DIV W, remainder ranks exact
+      val stq = st.withColumn("w_micro", expr("CAST(round(w * 1000000.0e0) AS BIGINT)"))
+      val tot = stq.agg(sum("w_micro").as("w_tot"))
+      val sc = stq.crossJoin(broadcast(tot))
+        .withColumn("base", expr(
+          s"CASE WHEN w_tot <= 0 THEN CAST(0 AS BIGINT) " +
+            s"ELSE $budget * w_micro DIV w_tot END"))
+        .withColumn("rem", expr(
+          s"CASE WHEN w_tot <= 0 THEN CAST(0 AS BIGINT) " +
+            s"ELSE ($budget * w_micro) % w_tot END"))
+      val used = sc.agg(sum("base").as("used"))
+      sc.crossJoin(broadcast(used))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+        .select(col("source"), col("n_h"), col("base"), col("rk"),
+          (col("base") + when(col("rk") <= lit(budget) - col("used"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy("source")
+    },
+
     // NS: deterministic per-stratum reservoir sample — the reproducible
     // "give me k uniform rows per group" primitive every debugging /
     // eval-set / spot-check pipeline needs. Priority = 56-bit md5 hash of
@@ -1197,6 +1239,31 @@ object DataPrepQueries {
         |SELECT doc_id, source, n_chars, bucket,
         |       CAST(round(gb[CAST(bucket + 1 AS INTEGER)] * 1000) AS BIGINT) AS norm_milli
         |FROM b ORDER BY doc_id""".stripMargin,
+    // identical micro weight ledger, integer base/remainder allocation
+    "q_neyman_alloc" ->
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+        |                   CAST(sum(n_chars) AS BIGINT) AS sx,
+        |                   CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |            FROM documents GROUP BY 1),
+        |w AS (SELECT *, CASE WHEN n_h < 2 THEN 0.0e0 ELSE CAST(n_h AS DOUBLE) *
+        |          sqrt(greatest((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |          / CAST(n_h AS DOUBLE)) / (CAST(n_h AS DOUBLE) - 1.0e0), 0.0e0)) END AS w
+        |      FROM st),
+        |q AS (SELECT *, CAST(round(w * 1000000.0e0) AS BIGINT) AS w_micro FROM w),
+        |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_tot FROM q),
+        |sc AS (SELECT source, n_h, w_micro, t.w_tot,
+        |              CASE WHEN t.w_tot <= 0 THEN 0
+        |                   ELSE 1000 * w_micro // t.w_tot END AS base,
+        |              CASE WHEN t.w_tot <= 0 THEN 0
+        |                   ELSE (1000 * w_micro) % t.w_tot END AS rem
+        |       FROM q CROSS JOIN t),
+        |u AS (SELECT CAST(sum(base) AS BIGINT) AS used FROM sc),
+        |rk AS (SELECT sc.*, u.used,
+        |              CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+        |       FROM sc CROSS JOIN u)
+        |SELECT source, n_h, CAST(base AS BIGINT) AS base, rk,
+        |       CAST(base + CASE WHEN rk <= 1000 - used THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk ORDER BY source""".stripMargin,
     // identical md5 priorities; the rank over (h, key) reproduces the
     // bottom-k-distinct + bounded tie-break exactly (the 16th rank's hash
     // is always inside the 16 smallest distinct hashes)

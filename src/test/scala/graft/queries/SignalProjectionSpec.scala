@@ -413,6 +413,17 @@ class SignalProjectionSpec extends AnyFunSuite {
       cacheable.toDouble * 1e6 / r.getAs[Long]("tokens_total")).toLong)
   }
 
+  test("q_neyman_alloc: allocations sum exactly to the budget and respect base+1 structure") {
+    val rows = run("q_neyman_alloc")
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000L,
+      "largest-remainder allocation must hit the budget exactly")
+    rows.foreach { r =>
+      val diff = r.getAs[Long]("alloc") - r.getAs[Long]("base")
+      assert(diff == 0L || diff == 1L)
+      assert(r.getAs[Long]("alloc") >= 0)
+    }
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
