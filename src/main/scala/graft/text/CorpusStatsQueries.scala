@@ -39,6 +39,34 @@ object CorpusStatsQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // NS: Hill tail-index of the document-length distribution — the
+    // heavy-tail diagnostic beside the Zipf fit (α answers "how fast do
+    // giant documents thin out?", which sets truncation budgets and
+    // straggler risk for packing/sharding): α̂ = 1/mean(ln(x_i/x_{k+1}))
+    // over the top-k order statistics. Top-101 via the distributed
+    // TakeOrdered (total (length, id) order), each log-ratio quantizes
+    // once to micro-nats so the mean is exact integer arithmetic, and
+    // α_milli = 1e9 DIV mean_mn is pure integer; a degenerate all-equal
+    // tail (mean 0) pins α to 0 (totality).
+    "q_hill_tail" -> { (s, dir) =>
+      val top = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(101)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      val xk = top.filter(col("rk") === 101).select(col("n_chars").as("xk"))
+      top.filter(col("rk") <= 100).crossJoin(broadcast(xk))
+        .select(expr(
+          "CAST(round(ln(CAST(n_chars AS DOUBLE) / CAST(xk AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("t"))
+        .agg(count(lit(1)).as("k_top"), coalesce(sum("t"), lit(0L)).as("sum_mn"))
+        .select(col("k_top"), col("sum_mn"),
+          expr("CASE WHEN k_top = 0 THEN CAST(0 AS BIGINT) ELSE sum_mn DIV k_top END")
+            .as("mean_mn"))
+        .withColumn("alpha_milli", expr(
+          "CASE WHEN mean_mn <= 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE 1000000000 DIV mean_mn END"))
+    },
+
     // NS: Zipf rank-frequency fit — ln(freq) regressed on ln(rank) over
     // the top-100 terms. Corpus collapses to term counts first (vocab-
     // bounded), the rank window runs over that frame only, and the fit
@@ -350,6 +378,26 @@ object CorpusStatsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical top-101 order statistics and micro-nat ledger
+    "q_hill_tail" ->
+      """WITH top AS (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents QUALIFY rk <= 101),
+        |xk AS (SELECT n_chars AS xk FROM top WHERE rk = 101),
+        |t AS (SELECT CAST(round(ln(CAST(top.n_chars AS DOUBLE) / CAST(xk.xk AS DOUBLE))
+        |               * 1000000) AS BIGINT) AS t
+        |      FROM top CROSS JOIN xk WHERE rk <= 100),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k_top,
+        |             coalesce(CAST(sum(t) AS BIGINT), 0) AS sum_mn
+        |      FROM t),
+        |m AS (SELECT k_top, sum_mn,
+        |             CASE WHEN k_top = 0 THEN 0 ELSE sum_mn // k_top END AS mean_mn
+        |      FROM a)
+        |SELECT k_top, sum_mn, CAST(mean_mn AS BIGINT) AS mean_mn,
+        |       CASE WHEN mean_mn <= 0 THEN CAST(0 AS BIGINT)
+        |            ELSE 1000000000 // mean_mn END AS alpha_milli
+        |FROM m""".stripMargin,
     "q_zipf_fit" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),

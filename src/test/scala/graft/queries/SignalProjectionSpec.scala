@@ -424,6 +424,16 @@ class SignalProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("q_hill_tail: alpha positive on a non-degenerate tail; identity with mean") {
+    val r = run("q_hill_tail").head
+    assert(r.getAs[Long]("k_top") == 100)
+    val mean = r.getAs[Long]("mean_mn")
+    assert(mean == r.getAs[Long]("sum_mn") / 100)
+    if (mean > 0)
+      assert(r.getAs[Long]("alpha_milli") == 1000000000L / mean)
+    assert(r.getAs[Long]("alpha_milli") >= 0)
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
