@@ -39,6 +39,36 @@ object CorpusStatsQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // NS: cross-source vocabulary overlap — the pairwise lexical-Jaccard
+    // matrix over sources ("which feeds speak the same language?"), the
+    // source-level complement of doc-level cross-source dedup: per-word
+    // pair blowup is C(sources sharing the word, 2) ≤ C(20,2) — bounded
+    // by the SOURCE DOMAIN per word (the market-basket argument), so the
+    // word join never goes quadratic in the corpus. Exact integer
+    // Jaccard ppm over the (source, word) distinct census; top-10 pairs
+    // via TakeOrdered with a total tie-break.
+    "q_vocab_overlap" -> { (s, dir) =>
+      val sv = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+        .localCheckpoint() // (source, word) census; feeds sizes AND pairs
+      val sizes = sv.groupBy("source").agg(count(lit(1)).as("v"))
+      val pairs = sv.join(sv.select(col("source").as("s2"), col("w")), "w")
+        .filter(col("source") < col("s2"))
+        .groupBy(col("source").as("s_a"), col("s2").as("s_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(broadcast(sizes.select(col("source").as("s_a"), col("v").as("v_a"))), "s_a")
+        .join(broadcast(sizes.select(col("source").as("s_b"), col("v").as("v_b"))), "s_b")
+        .select(col("s_a"), col("s_b"), col("inter"), col("v_a"), col("v_b"),
+          expr("inter * 1000000 DIV (v_a + v_b - inter)").as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("s_a"), col("s_b"))
+        .limit(10)
+        .withColumn("rk", row_number().over(Window.orderBy(
+          col("jaccard_ppm").desc, col("s_a"), col("s_b"))).cast("long"))
+        .orderBy("rk")
+    },
+
     // NS: Hill tail-index of the document-length distribution — the
     // heavy-tail diagnostic beside the Zipf fit (α answers "how fast do
     // giant documents thin out?", which sets truncation budgets and
@@ -378,6 +408,26 @@ object CorpusStatsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical distinct census, bounded word join, exact Jaccard, top-10
+    "q_vocab_overlap" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM sv GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS s_a, b.source AS s_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.s_a, p.s_b, p.inter, sa.v AS v_a, sb.v AS v_b,
+        |         p.inter * 1000000 // (sa.v + sb.v - p.inter) AS jaccard_ppm
+        |  FROM pairs p JOIN sizes sa ON sa.source = p.s_a
+        |  JOIN sizes sb ON sb.source = p.s_b),
+        |t AS (SELECT *, row_number() OVER (ORDER BY jaccard_ppm DESC, s_a, s_b) AS rn
+        |      FROM j QUALIFY rn <= 10)
+        |SELECT s_a, s_b, inter, v_a, v_b, jaccard_ppm, CAST(rn AS BIGINT) AS rk
+        |FROM t ORDER BY rk""".stripMargin,
     // identical top-101 order statistics and micro-nat ledger
     "q_hill_tail" ->
       """WITH top AS (

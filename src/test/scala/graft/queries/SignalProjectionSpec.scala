@@ -434,6 +434,22 @@ class SignalProjectionSpec extends AnyFunSuite {
     assert(r.getAs[Long]("alpha_milli") >= 0)
   }
 
+  test("q_vocab_overlap: Jaccard bounds and descending rank order") {
+    val rows = run("q_vocab_overlap").sortBy(_.getAs[Long]("rk"))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val inter = r.getAs[Long]("inter")
+      assert(inter <= math.min(r.getAs[Long]("v_a"), r.getAs[Long]("v_b")))
+      val j = r.getAs[Long]("jaccard_ppm")
+      assert(j >= 0 && j <= 1000000)
+      assert(j == inter * 1000000L /
+        (r.getAs[Long]("v_a") + r.getAs[Long]("v_b") - inter))
+      assert(r.getAs[String]("s_a") < r.getAs[String]("s_b"))
+    }
+    val js = rows.map(_.getAs[Long]("jaccard_ppm"))
+    assert(js.zip(js.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q_bipartite_projection: cosine bounded by min-degree geometry; co_users <= degrees") {
     val rows = run("q_bipartite_projection")
     assert(rows.nonEmpty)
