@@ -290,6 +290,10 @@ object TrainQueries {
             .otherwise(col("oov_mn")))
         .groupBy("doc_id", "true_lang", "cand")
         .agg((max("prior_mn") + sum("ll_mn")).as("score_mn"))
+        // materialized ONCE: both the shift aggregate and the argmax read
+        // this frame — without the checkpoint the token x 5-lang scoring
+        // join executes twice (the r9 bench regression, 1.39 -> 2.22 s)
+        .localCheckpoint()
       // packed-argmax shift DERIVED from the observed score minimum (a
       // broadcast 1-row aggregate) instead of a fixed -8e9 envelope: a
       // doc long enough to breach a constant shift made packed negative,

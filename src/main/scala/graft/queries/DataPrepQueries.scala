@@ -701,8 +701,13 @@ object DataPrepQueries {
       val budget = 1000L
       val st = Tables.documents(s, dir)
         .groupBy("source")
+        // sxx in exact DECIMAL(38,0): a BIGINT Σx² wraps silently on Spark
+        // (vs error on DuckDB) past ~9e8 100k-char docs — well inside the
+        // 100 TB envelope; decimal keeps the sum exact (and thus the
+        // derived IEEE weights engine-identical) to 1e38
         .agg(count(lit(1)).as("n_h"), sum("n_chars").as("sx"),
-          sum(col("n_chars") * col("n_chars")).as("sxx"))
+          sum(col("n_chars").cast("decimal(19,0)") *
+            col("n_chars").cast("decimal(19,0)")).as("sxx"))
         .withColumn("w", expr(
           "CASE WHEN n_h < 2 THEN 0.0e0 ELSE CAST(n_h AS DOUBLE) * " +
             "sqrt(greatest((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) " +
@@ -724,7 +729,11 @@ object DataPrepQueries {
         .withColumn("rk", row_number().over(
           Window.orderBy(col("rem").desc, col("source"))).cast("long"))
         .select(col("source"), col("n_h"), col("base"), col("rk"),
-          (col("base") + when(col("rk") <= lit(budget) - col("used"), 1L).otherwise(0L))
+          // remainder bonus gated on w_tot > 0: a zero-weight plan (every
+          // stratum n_h<2 or zero variance) must allocate 0 everywhere,
+          // not leak budget 1-per-stratum through rk <= budget - 0
+          (col("base") + when(col("w_tot") > 0 &&
+            col("rk") <= lit(budget) - col("used"), 1L).otherwise(0L))
             .as("alloc"))
         .orderBy("source")
     },
@@ -1243,7 +1252,7 @@ object DataPrepQueries {
     "q_neyman_alloc" ->
       """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_h,
         |                   CAST(sum(n_chars) AS BIGINT) AS sx,
-        |                   CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |                   sum(CAST(n_chars AS DECIMAL(19,0)) * CAST(n_chars AS DECIMAL(19,0))) AS sxx
         |            FROM documents GROUP BY 1),
         |w AS (SELECT *, CASE WHEN n_h < 2 THEN 0.0e0 ELSE CAST(n_h AS DOUBLE) *
         |          sqrt(greatest((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
@@ -1262,7 +1271,7 @@ object DataPrepQueries {
         |              CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
         |       FROM sc CROSS JOIN u)
         |SELECT source, n_h, CAST(base AS BIGINT) AS base, rk,
-        |       CAST(base + CASE WHEN rk <= 1000 - used THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |       CAST(base + CASE WHEN w_tot > 0 AND rk <= 1000 - used THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM rk ORDER BY source""".stripMargin,
     // identical md5 priorities; the rank over (h, key) reproduces the
     // bottom-k-distinct + bounded tie-break exactly (the 16th rank's hash

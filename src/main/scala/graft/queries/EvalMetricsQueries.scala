@@ -297,7 +297,14 @@ object EvalMetricsQueries {
       ranked.agg(
           coalesce(sum("n_v"), lit(0L)).as("n_pairs"),
           coalesce(sum(expr("pos_v * avgrank2")), lit(0L)).as("w_plus_x2"),
-          coalesce(sum(expr("n_v * n_v * n_v - n_v")), lit(0L)).as("tie3"))
+          // tie3 accumulates in DOUBLE: a centi bin with >= ~2.1e6 tied
+          // pairs would overflow the BIGINT n_v^3 (silent wrap on Spark,
+          // error on DuckDB — a cross-engine split); it only feeds the
+          // IEEE variance /12, so double is the right register. Each
+          // per-bin term is an exact integer below 2^53, so the sum is
+          // order-independent at any realistic tie mass.
+          coalesce(sum(expr("CAST(n_v AS DOUBLE) * n_v * n_v - n_v")),
+            lit(0.0)).as("tie3"))
         .withColumn("z", expr(StatsQueries.WilcoxonZSql))
         .withColumn("x", expr(StatsQueries.AbXSql))
         .withColumn("t", expr(StatsQueries.AbTSql))
@@ -530,7 +537,7 @@ object EvalMetricsQueries {
          |      FROM c),
          |a AS (SELECT coalesce(CAST(sum(n_v) AS BIGINT), 0) AS n_pairs,
          |             coalesce(CAST(sum(pos_v * (2 * cumb + n_v + 1)) AS BIGINT), 0) AS w_plus_x2,
-         |             coalesce(CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT), 0) AS tie3
+         |             coalesce(sum(CAST(n_v AS DOUBLE) * n_v * n_v - n_v), 0.0) AS tie3
          |      FROM r),
          |zz AS (SELECT *, ${StatsQueries.WilcoxonZSql} AS z FROM a),
          |xx AS (SELECT *, ${StatsQueries.AbXSql} AS x FROM zz),

@@ -85,16 +85,23 @@ object QualityQueries {
           concat(lit("cap1:"), col("doc_id").cast("string"))), lit(100L)) < 30).cast("long"))
         .withColumn("in2", (pmod(TextQueries.h32(
           concat(lit("cap2:"), col("doc_id").cast("string"))), lit(100L)) < 40).cast("long"))
+      // coalesce: on an EMPTY universe sum() is NULL on both engines —
+      // pin the capture counts to 0 so the estimates stay total
       d.agg(count(lit(1)).as("n_true"),
-          sum("in1").as("n1"), sum("in2").as("n2"),
-          sum(col("in1") * col("in2")).as("m"))
+          coalesce(sum("in1"), lit(0L)).as("n1"),
+          coalesce(sum("in2"), lit(0L)).as("n2"),
+          coalesce(sum(col("in1") * col("in2")), lit(0L)).as("m"))
         .select(col("n_true"), col("n1"), col("n2"), col("m"),
           expr("CASE WHEN m = 0 THEN CAST(0 AS BIGINT) " +
             "ELSE n1 * n2 DIV m END").as("lp_est"),
           expr("(n1 + 1) * (n2 + 1) DIV (m + 1) - 1").as("chapman_est"))
+        // n_true = 0 pins err_ppm to 0 (totality): unguarded, Spark's 0/0
+        // yields NULL while DuckDB's produces NaN and the BIGINT cast
+        // errors — the cross-engine-split class DegenerateInputsSpec polices
         .withColumn("err_ppm", expr(
-          "CAST(floor(abs(CAST(chapman_est - n_true AS DOUBLE)) * 1000000.0e0 " +
-            "/ CAST(n_true AS DOUBLE)) AS BIGINT)"))
+          "CASE WHEN n_true = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST(floor(abs(CAST(chapman_est - n_true AS DOUBLE)) * 1000000.0e0 " +
+            "/ CAST(n_true AS DOUBLE)) AS BIGINT) END"))
     },
 
     // NS: deletion-impact census — the GDPR/right-to-be-forgotten
@@ -647,13 +654,16 @@ object QualityQueries {
     // NS: join-candidate discovery via KMV value sketches (the Aurum /
     // data-catalog primitive: "which column pairs join?"). Each key
     // column's DISTINCT value set reduces to its k = 128 smallest 56-bit
-    // md5 hashes (one rank window over the deduped (column, hash) frame);
-    // a pair's Jaccard is then estimated INSIDE the union sketch — the k
-    // smallest of A ∪ B, counting members of both — so columns are
-    // compared through 128-row frames, never value-by-value (the whole
-    // point at 100 TB: catalog discovery over sketches, not data). The
-    // exact Jaccard (affordable at fixture scale) rides beside it as the
-    // self-eval; verdict = estimate >= 0.5.
+    // md5 hashes via the combinable BottomKDistinctAgg (no pre-distinct:
+    // the aggregator absorbs duplicates map-side, so raw columns never
+    // shuffle); a pair's Jaccard is then estimated INSIDE the union
+    // sketch — the k smallest of A ∪ B, counting members of both — so
+    // columns are compared through 128-row frames, never value-by-value
+    // (the whole point at 100 TB: catalog discovery over sketches, not
+    // data). The binomial error bound sqrt(j(1−j)/k) rides beside the
+    // estimate; the exact-Jaccard recall check is spec-only
+    // (ProfilingOpsSpec, sf0.001) — fixture-scale work the operator must
+    // not pay. Verdict = estimate >= 0.5.
     "q_join_discovery" -> { (s, dir) =>
       val K = 128
       def h56(c: Column): Column =
@@ -666,9 +676,8 @@ object QualityQueries {
         ("l_partkey", Tables.lineitem(s, dir).select(col("l_partkey").as("v"))),
         ("p_partkey", Tables.part(s, dir).select(col("p_partkey").as("v"))))
       val values = colFrames.map { case (name, df) =>
-        df.distinct().select(lit(name).as("col_name"), col("v"))
+        df.select(lit(name).as("col_name"), col("v"))
       }.reduce(_ unionByName _)
-        .localCheckpoint() // feeds the sketch build AND the exact self-eval
       // combinable bottom-k sketch build: ≤ K hashes per column per
       // partition cross the shuffle (a rank window here would sort each
       // column's whole distinct value domain in a single reducer task)
@@ -689,7 +698,7 @@ object QualityQueries {
         .select(col("col_a"), col("col_b"), explode(col("hs")).as("h"))
       val inA = sk.select(col("col_name").as("col_a"), col("h"), lit(1L).as("in_a"))
       val inB = sk.select(col("col_name").as("col_b"), col("h"), lit(1L).as("in_b"))
-      val estim = union
+      union
         .join(inA, Seq("col_a", "h"), "left_outer")
         .join(inB, Seq("col_b", "h"), "left_outer")
         .groupBy("col_a", "col_b")
@@ -697,19 +706,12 @@ object QualityQueries {
           sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
             .as("k_both"))
         .withColumn("jaccard_est_ppm", expr("k_both * 1000000 DIV k_union"))
-      val va = values.select(col("col_name").as("col_a"), col("v"))
-      val vb = values.select(col("col_name").as("col_b"), col("v"))
-      val exact = pairDf.join(va, "col_a").join(vb, Seq("col_b", "v"))
-        .groupBy("col_a", "col_b").agg(count(lit(1)).as("n_inter"))
-      val sizes = values.groupBy("col_name").agg(count(lit(1)).as("n"))
-      estim
-        .join(exact, Seq("col_a", "col_b"), "left_outer")
-        .join(sizes.select(col("col_name").as("col_a"), col("n").as("n_a")), "col_a")
-        .join(sizes.select(col("col_name").as("col_b"), col("n").as("n_b")), "col_b")
-        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("jaccard_err_ppm", expr(
+          "CAST(floor(sqrt((CAST(k_both AS DOUBLE) / CAST(k_union AS DOUBLE)) * " +
+            "(1.0e0 - CAST(k_both AS DOUBLE) / CAST(k_union AS DOUBLE)) " +
+            "/ CAST(k_union AS DOUBLE)) * 1000000.0e0) AS BIGINT)"))
         .select(col("col_a"), col("col_b"), col("k_union"), col("k_both"),
-          col("jaccard_est_ppm"),
-          expr("n_inter * 1000000 DIV (n_a + n_b - n_inter)").as("jaccard_exact_ppm"),
+          col("jaccard_est_ppm"), col("jaccard_err_ppm"),
           (col("jaccard_est_ppm") >= 500000L).cast("long").as("join_candidate"))
         .orderBy("col_a", "col_b")
     }
@@ -788,14 +790,16 @@ object QualityQueries {
           |         CAST(('0x' || substr(md5('cap2:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 40 AS BIGINT) AS in2
           |  FROM documents),
           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
-          |             CAST(sum(in1) AS BIGINT) AS n1, CAST(sum(in2) AS BIGINT) AS n2,
-          |             CAST(sum(in1 * in2) AS BIGINT) AS m
+          |             coalesce(CAST(sum(in1) AS BIGINT), 0) AS n1,
+          |             coalesce(CAST(sum(in2) AS BIGINT), 0) AS n2,
+          |             coalesce(CAST(sum(in1 * in2) AS BIGINT), 0) AS m
           |      FROM d)
           |SELECT n_true, n1, n2, m,
           |       CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE n1 * n2 // m END AS lp_est,
           |       (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS chapman_est,
-          |       CAST(floor(abs(CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true AS DOUBLE))
-          |         * 1000000.0e0 / CAST(n_true AS DOUBLE)) AS BIGINT) AS err_ppm
+          |       CASE WHEN n_true = 0 THEN CAST(0 AS BIGINT)
+          |            ELSE CAST(floor(abs(CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true AS DOUBLE))
+          |              * 1000000.0e0 / CAST(n_true AS DOUBLE)) AS BIGINT) END AS err_ppm
           |FROM a""".stripMargin,
       // identical cohort, reduce-before-join cascade counts
       "q_deletion_impact" ->
@@ -1124,23 +1128,14 @@ object QualityQueries {
           |  FROM un u
           |  LEFT JOIN sk a ON a.col_name = u.col_a AND a.h = u.h
           |  LEFT JOIN sk b ON b.col_name = u.col_b AND b.h = u.h
-          |  GROUP BY u.col_a, u.col_b),
-          |sizes AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY 1),
-          |inter AS (
-          |  SELECT p.col_a, p.col_b, CAST(count(*) AS BIGINT) AS n_inter
-          |  FROM pairs p
-          |  JOIN vals va ON va.col_name = p.col_a
-          |  JOIN vals vb ON vb.col_name = p.col_b AND vb.v = va.v
-          |  GROUP BY p.col_a, p.col_b)
+          |  GROUP BY u.col_a, u.col_b)
           |SELECT e.col_a, e.col_b, e.k_union, e.k_both,
           |       e.k_both * 1000000 // e.k_union AS jaccard_est_ppm,
-          |       coalesce(i.n_inter, 0) * 1000000
-          |         // (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard_exact_ppm,
+          |       CAST(floor(sqrt((CAST(e.k_both AS DOUBLE) / CAST(e.k_union AS DOUBLE)) *
+          |         (1.0e0 - CAST(e.k_both AS DOUBLE) / CAST(e.k_union AS DOUBLE))
+          |         / CAST(e.k_union AS DOUBLE)) * 1000000.0e0) AS BIGINT) AS jaccard_err_ppm,
           |       CAST(e.k_both * 1000000 // e.k_union >= 500000 AS BIGINT) AS join_candidate
           |FROM est e
-          |LEFT JOIN inter i ON i.col_a = e.col_a AND i.col_b = e.col_b
-          |JOIN sizes sa ON sa.col_name = e.col_a
-          |JOIN sizes sb ON sb.col_name = e.col_b
           |ORDER BY e.col_a, e.col_b""".stripMargin
     )
   }

@@ -152,7 +152,6 @@ object StatsQueries {
     // frame (bounded domain); the corpus reduces in ONE combinable agg.
     // Totality: a zero-variance arm pins z to 0 (p = 1e6, never rejected).
     "q_bh_fdr" -> { (s, dir) =>
-      val alphaPpmOverM = 10000L // α=0.05, m=5 → i·α·1e6/m = i·10000
       val seg = Tables.events(s, dir)
         .select(col("event_type").as("segment"), col("user_id"),
           (col("value") > 2.5).cast("long").as("conv"))
@@ -168,10 +167,16 @@ object StatsQueries {
         .withColumn("x", expr(AbXSql)).withColumn("t", expr(AbTSql))
         .withColumn("ef", expr(AbEfSql))
         .withColumn("p_ppm", expr(BhPSql))
+      // m is the OBSERVED family size (count over the bounded segment
+      // frame), not a hardcoded 5: if the event_type domain ever grows,
+      // BH's i·α/m thresholds must grow with it or FDR control is
+      // statistically wrong (and engine-consistent, so no oracle catches
+      // it). α=0.05 → α·1e6 = 50000; thr is exact integer ppm.
       val ranked = withP
         .withColumn("rk", row_number().over(
           Window.orderBy(col("p_ppm"), col("segment"))).cast("long"))
-        .withColumn("thr_ppm", col("rk") * alphaPpmOverM)
+        .withColumn("m", count(lit(1)).over(Window.partitionBy()).cast("long"))
+        .withColumn("thr_ppm", expr("rk * 50000 DIV m"))
       val kStar = ranked.agg(
         coalesce(max(when(col("p_ppm") <= col("thr_ppm"), col("rk"))), lit(0L)).as("k_star"))
       ranked.crossJoin(broadcast(kStar))
@@ -1235,8 +1240,17 @@ object StatsQueries {
             sum(when(col("t") === 1, 1L).otherwise(0L)).as("n1"),
             sum(when(col("t") === 0, col(c)).otherwise(0L)).as("s0"),
             sum(when(col("t") === 1, col(c)).otherwise(0L)).as("s1"),
-            sum(when(col("t") === 0, col(c) * col(c)).otherwise(0L)).as("q0"),
-            sum(when(col("t") === 1, col(c) * col(c)).otherwise(0L)).as("q1"))
+            // Σx² in exact DECIMAL(38,0): BIGINT wraps silently on Spark
+            // past ~9e6 customers at acctbal_cents ~1e12/row (DuckDB
+            // errors — a cross-engine split below the design scale);
+            // decimal keeps the sums exact to 1e38 so the IEEE SMD tree
+            // stays engine-identical
+            sum(when(col("t") === 0,
+              col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("q0"),
+            sum(when(col("t") === 1,
+              col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("q1"))
           .select(col("covariate"), col("n0"), col("n1"), expr(SmdSql).as("smd_milli"))
           .withColumn("balanced", (abs(col("smd_milli")) < 100L).cast("long"))
       }.reduce(_ unionByName _).orderBy("covariate")
@@ -1802,7 +1816,7 @@ object StatsQueries {
          |pp AS (SELECT *, $BhPSql AS p_ppm FROM ee),
          |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p_ppm, segment) AS BIGINT) AS rk
          |       FROM pp),
-         |th AS (SELECT *, rk * 10000 AS thr_ppm FROM rk),
+         |th AS (SELECT *, rk * 50000 // (count(*) OVER ()) AS thr_ppm FROM rk),
          |ks AS (SELECT coalesce(max(CASE WHEN p_ppm <= thr_ppm THEN rk END), 0) AS k_star
          |       FROM th)
          |SELECT segment, n0, n1, s0, s1, p_ppm, rk, thr_ppm,
@@ -1881,8 +1895,8 @@ object StatsQueries {
            |       CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
            |       CAST(sum(CASE WHEN t = 0 THEN $c ELSE 0 END) AS BIGINT) AS s0,
            |       CAST(sum(CASE WHEN t = 1 THEN $c ELSE 0 END) AS BIGINT) AS s1,
-           |       CAST(sum(CASE WHEN t = 0 THEN $c * $c ELSE 0 END) AS BIGINT) AS q0,
-           |       CAST(sum(CASE WHEN t = 1 THEN $c * $c ELSE 0 END) AS BIGINT) AS q1
+           |       sum(CASE WHEN t = 0 THEN CAST($c AS DECIMAL(19,0)) * CAST($c AS DECIMAL(19,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS q0,
+           |       sum(CASE WHEN t = 1 THEN CAST($c AS DECIMAL(19,0)) * CAST($c AS DECIMAL(19,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS q1
            |FROM u""".stripMargin
       s"""WITH y AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
          |           FROM orders GROUP BY 1),

@@ -31,6 +31,22 @@ class DegenerateInputsSpec extends AnyFunSuite {
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority", "o_clerk", "o_shippriority", "o_comment")
       .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    // singleton strata: every source has n_h = 1 < 2, so every Neyman
+    // weight is 0 — the zero-weight allocation plan
+    Seq((1L, "alpha beta", "en", "webA", 10L), (2L, "gamma delta", "en", "webB", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  // an EMPTY documents table (schema present, zero rows) — the n_true = 0
+  // degenerate case for the capture–recapture error readout
+  private lazy val emptyDocsDir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("degen_empty").toString
+    import spark.implicits._
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     tmp
   }
 
@@ -49,4 +65,23 @@ class DegenerateInputsSpec extends AnyFunSuite {
     test(s"$q emits no NULL cells on the adversarially degenerate fixture") {
       assertTotal(q)
     }
+
+  test("q_neyman_alloc: a zero-weight plan allocates 0 everywhere (budget not leaked)") {
+    val rows = SparkEntry.queries("q_neyman_alloc")(spark, dir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("base") == 0L)
+      assert(r.getAs[Long]("alloc") == 0L,
+        s"zero-weight stratum ${r.getAs[String]("source")} got alloc ${r.getAs[Long]("alloc")}")
+    }
+  }
+
+  test("q_capture_recapture: empty universe pins err_ppm to 0, no NULL/NaN escape") {
+    val rows = SparkEntry.queries("q_capture_recapture")(spark, emptyDocsDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    (0 until r.length).foreach(i => assert(!r.isNullAt(i),
+      s"NULL escaped in ${r.schema.fieldNames(i)}"))
+    assert(r.getAs[Long]("n_true") == 0L && r.getAs[Long]("err_ppm") == 0L)
+  }
 }

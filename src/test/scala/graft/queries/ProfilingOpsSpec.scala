@@ -85,10 +85,32 @@ class ProfilingOpsSpec extends AnyFunSuite {
     for (p <- Seq(("o_custkey", "c_custkey"), ("l_partkey", "p_partkey"))) {
       assert(byPair(p).getAs[Long]("join_candidate") == 1L, s"$p not flagged")
     }
+    // exact-Jaccard recall check lives HERE, at sf0.001 — the registered
+    // query emits only the sketch + binomial error bound (the exact pair
+    // join is fixture-scale work a catalog sweep must not pay at 100 TB)
+    import graft.core.Tables
+    def vals(colName: String): Set[Long] = {
+      val (tbl, c) = colName match {
+        case "o_orderkey" => (Tables.orders(spark, TestSpark.Sf0001), "o_orderkey")
+        case "o_custkey"  => (Tables.orders(spark, TestSpark.Sf0001), "o_custkey")
+        case "c_custkey"  => (Tables.customer(spark, TestSpark.Sf0001), "c_custkey")
+        case "l_orderkey" => (Tables.lineitem(spark, TestSpark.Sf0001), "l_orderkey")
+        case "l_partkey"  => (Tables.lineitem(spark, TestSpark.Sf0001), "l_partkey")
+        case "p_partkey"  => (Tables.part(spark, TestSpark.Sf0001), "p_partkey")
+      }
+      tbl.selectExpr(s"CAST($c AS BIGINT) AS v").distinct().collect()
+        .map(_.getAs[Long]("v")).toSet
+    }
     rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("col_a"), r.getAs[String]("col_b"))
+      val (sa, sb) = (vals(a), vals(b))
+      val exactPpm = sa.intersect(sb).size.toLong * 1000000L / sa.union(sb).size
       // k = 128 bounds the KMV Jaccard deviation well inside 15 points
-      val diff = math.abs(r.getAs[Long]("jaccard_est_ppm") - r.getAs[Long]("jaccard_exact_ppm"))
-      assert(diff <= 150000L, s"${r.getAs[String]("col_a")}/${r.getAs[String]("col_b")}: $diff")
+      val diff = math.abs(r.getAs[Long]("jaccard_est_ppm") - exactPpm)
+      assert(diff <= 150000L, s"$a/$b: est ${r.getAs[Long]("jaccard_est_ppm")} vs exact $exactPpm")
+      // the published error bound is sane: non-negative, < half a point of k=128
+      val err = r.getAs[Long]("jaccard_err_ppm")
+      assert(err >= 0L && err <= 1000000L / 22, s"$a/$b err bound $err")
     }
   }
 }
