@@ -716,6 +716,10 @@ object DataPrepQueries {
       // Σw would be summation-order-dependent); base/remainder are then
       // pure integer: base = B·w DIV W, remainder ranks exact
       val stq = st.withColumn("w_micro", expr("CAST(round(w * 1000000.0e0) AS BIGINT)"))
+        // materialized ONCE (a ~sources-row frame): it feeds both the
+        // w_tot aggregate and the allocation join — un-checkpointed, the
+        // full documents aggregate executes twice (two corpus passes)
+        .localCheckpoint()
       val tot = stq.agg(sum("w_micro").as("w_tot"))
       val sc = stq.crossJoin(broadcast(tot))
         .withColumn("base", expr(

@@ -724,4 +724,49 @@ class PlanPropertiesSpec extends AnyFunSuite {
         s"$q: global sort replaced the distributed top-k limit:\n$p")
     }
   }
+
+  test("q_hill_tail: top-k order statistics via TakeOrdered, zero key shuffles") {
+    val p = executedPlan("q_hill_tail")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"order statistics no longer TakeOrdered-first:\n$p")
+    // the whole query is two bounded TakeOrdered reads + a scalar fold —
+    // any hash exchange means a corpus-scale shuffle crept in
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"key shuffle crept into the tail-index fold:\n$p")
+  }
+
+  test("q_vocab_overlap: pair matrix rides the checkpointed word frame; top-10 is TakeOrdered") {
+    val p = executedPlan("q_vocab_overlap")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort leaked in:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"word frame not checkpointed — the corpus tokenization would replay per consumer:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the bounded word-pair join fell back to SMJ:\n$p")
+  }
+
+  test("q_neyman_alloc: ONE corpus pass — the allocation reads the checkpointed strata frame") {
+    val p = executedPlan("q_neyman_alloc")
+    assert(p.contains("Scan ExistingRDD"),
+      s"strata frame not checkpointed:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"documents re-scanned past the strata checkpoint (double corpus pass):\n$p")
+  }
+
+  test("q_prefix_cache_plan: two-level aggregate only — no window, text-only scan") {
+    val p = executedPlan("q_prefix_cache_plan")
+    assert(!p.contains("Window"), s"window crept into the prefix census:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"missing partial aggregation stages:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      s"prefix census reads more than text:\n$p")
+  }
+
+  test("q_join_size_est: sketch cells broadcast (no SMJ), every aggregate map-side combined") {
+    val p = executedPlan("q_join_size_est")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 192-cell sketch join fell back to SMJ:\n$p")
+    assert(!p.contains("Window"), s"window crept into the CM-sketch fold:\n$p")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"sketch aggregates not combined map-side:\n$p")
+  }
 }
