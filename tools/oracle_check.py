@@ -30,10 +30,16 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# --verify-timeout <sec>: the Spark dump needs far more than the default
+# at the synthetic-sf1 stress fixture (424 queries x stress rows ~ 1h+)
+VERIFY_TIMEOUT = 1200.0
+if "--verify-timeout" in sys.argv:
+    VERIFY_TIMEOUT = float(sys.argv[sys.argv.index("--verify-timeout") + 1])
+
 if "--skip-verify" not in sys.argv:
     r = subprocess.run(
         ["sbt", f'runMain graft.Verify {SF_DIR} {OUT}'],
-        cwd="/root/repo", capture_output=True, text=True, timeout=1200)
+        cwd="/root/repo", capture_output=True, text=True, timeout=VERIFY_TIMEOUT)
     sys.stdout.write(r.stdout[-3000:])
     if r.returncode != 0:
         sys.stderr.write(r.stderr[-3000:])
