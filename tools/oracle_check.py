@@ -157,8 +157,58 @@ def _alt_split_leakage():
     return g.astype({c: "int64" for c in g.columns})
 
 
+def _alt_graph_triangles():
+    """Degree-ordered triangle census via the numpy 'forward' algorithm —
+    an independent replay of the operator's semantics over the SAME
+    byte-verified q_simhash_pairs edge dump the CC alternates consume.
+    The SQL wedge join is ~1.4e9 intermediate rows at stress (times out /
+    OOMs DuckDB 1.0); here each oriented edge (u,v) contributes
+    |out(u) ∩ out(v)| via one vectorized searchsorted, so the cost is
+    O(m · avg-outdeg · log) with no wedge materialization."""
+    e = con.sql(f"SELECT doc_a AS a, doc_b AS b FROM "
+                f"read_parquet('{OUT}/q_simhash_pairs/*.parquet')").df()
+    a = e["a"].to_numpy(np.int64)
+    b = e["b"].to_numpy(np.int64)
+    n_edges = len(a)
+    verts, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+    n_nodes = len(verts)
+    deg = dict(zip(verts.tolist(), counts.tolist()))
+    da = np.fromiter((deg[x] for x in a.tolist()), np.int64, n_edges)
+    db = np.fromiter((deg[x] for x in b.tolist()), np.int64, n_edges)
+    # orient from the (degree, id)-smaller endpoint (the operator's rule)
+    fwd = (da < db) | ((da == db) & (a < b))
+    src = np.where(fwd, a, b)
+    dst = np.where(fwd, b, a)
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    bounds = np.searchsorted(src, verts)
+    out = {}
+    for i, v in enumerate(verts.tolist()):
+        lo = bounds[i]
+        hi = bounds[i + 1] if i + 1 < len(verts) else n_edges
+        if hi > lo:
+            out[v] = np.sort(dst[lo:hi])
+    odeg = np.fromiter((len(out.get(v, ())) for v in verts.tolist()),
+                       np.int64, n_nodes)
+    n_wedges = int((odeg * (odeg - 1) // 2).sum())
+    tri = 0
+    for u, v in zip(src.tolist(), dst.tolist()):
+        ou = out.get(u)
+        ov = out.get(v)
+        if ou is None or ov is None:
+            continue
+        idx = np.searchsorted(ou, ov)
+        idx[idx >= len(ou)] = len(ou) - 1
+        tri += int((ou[idx] == ov).sum())
+    closure = round(tri / max(n_wedges, 1), 6)
+    return pd.DataFrame({"n_nodes": [n_nodes], "n_edges": [n_edges],
+                         "n_wedges": [n_wedges], "n_triangles": [tri],
+                         "closure": [closure]})
+
+
 ALTERNATES = {"q_dedup_components": _alt_dedup_components,
-              "q_split_leakage": _alt_split_leakage}
+              "q_split_leakage": _alt_split_leakage,
+              "q_graph_triangles": _alt_graph_triangles}
 
 # Optional dev filter (--only <substr>[,<substr>...]): check only matching
 # query names — pairs with Verify's name-filter arg for fast iteration on
@@ -186,7 +236,7 @@ for name, sql in sorted(oracle.items()):
         exp, timed_out = run_oracle(sql)
         if timed_out and name in ALTERNATES and \
                 os.path.isdir(f"{OUT}/q_simhash_pairs"):
-            print(f"ALT  {name}: SQL replay timed out; python union-find "
+            print(f"ALT  {name}: SQL replay timed out; independent python "
                   f"alternate over the certified simhash edge set")
             exp, timed_out = ALTERNATES[name](), False
         if timed_out:
