@@ -769,4 +769,80 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") && p.contains("partial_count"),
       s"sketch aggregates not combined map-side:\n$p")
   }
+
+  test("q_rec_diversity: multi-count census is ONE Expand pass, corpus count scans zero columns") {
+    val p = executedPlan("q_rec_diversity")
+    assert(p.contains("Expand"),
+      s"grouped multi-count no longer fused into one Expand pass:\n$p")
+    assert(!p.contains("Window"), s"window crept into the diversity census:\n$p")
+    assert(p.contains("ReadSchema: struct<>"),
+      s"the corpus size count reads data columns instead of row-count metadata:\n$p")
+  }
+
+  test("q_dedup_savings: one documents scan, two-level aggregate, min(struct) canonical pick") {
+    val p = executedPlan("q_dedup_savings")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"documents scanned more than once:\n$p")
+    assert(p.contains("partial_min(struct"),
+      s"canonical-survivor pick not a combinable min(struct):\n$p")
+    assert(!p.contains("Window"), s"window crept into the savings ledger:\n$p")
+  }
+
+  test("q_cluster_stability: all three ARI sums read the checkpointed contingency (no corpus rescan)") {
+    val p = executedPlan("q_cluster_stability")
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 3,
+      s"contingency not checkpointed per consumer:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"corpus re-scanned past the contingency checkpoint:\n$p")
+  }
+
+  test("q_capture_recapture: one doc_id-only scan, one combinable aggregate, nothing else") {
+    val p = executedPlan("q_capture_recapture")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"capture samples read more than doc_id:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"documents scanned more than once:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"the one-aggregate estimate grew a join or window:\n$p")
+  }
+
+  test("q_code_detect: replace-diff densities in one scan — no Generate, map-side combined") {
+    val p = executedPlan("q_code_detect")
+    assert(!p.contains("Generate"),
+      s"per-char explode regressed into the symbol census:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"per-source census not combined map-side:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"),
+      s"code detector reads more than (text, source):\n$p")
+  }
+
+  test("q_reservoir_sample: rank is WindowGroupLimit-pushed below the shuffle; payload joins the broadcast sketch") {
+    val p = executedPlan("q_reservoir_sample")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"per-partition rank-limit pushdown lost — whole strata would sort in one task:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"k-row sketch no longer broadcasts back for payload fetch:\n$p")
+  }
+
+  test("q_salt_plan: top-5 hot keys via TakeOrdered, no window") {
+    val p = executedPlan("q_salt_plan")
+    assert(p.contains("TakeOrderedAndProject(limit=5"),
+      s"hot-key pick fell back to a global sort or window:\n$p")
+    assert(!p.contains("Window"), s"window crept into the salt plan:\n$p")
+  }
+
+  test("q_deletion_impact: lineitem collapses to per-order counts BEFORE joining the order set") {
+    val p = executedPlan("q_deletion_impact")
+    val agg = p.indexOf("HashAggregate(keys=[l_orderkey")
+    assert(agg >= 0, s"per-order lineitem collapse missing:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"cascade census fell back to a shuffle join:\n$p")
+  }
+
+  test("q_hyperloglog: register fold is windowless and map-side combined") {
+    val p = executedPlan("q_hyperloglog")
+    assert(!p.contains("Window"), s"window crept into the HLL register fold:\n$p")
+    assert(p.contains("partial_sum"),
+      s"register aggregation not combined map-side:\n$p")
+  }
 }
