@@ -202,6 +202,45 @@ object QualityQueries {
         .orderBy("source")
     },
 
+    // NS: quality-proportional rejection sampling — the CCNet/Gopher-style
+    // corpus downsampler: each document is kept with probability equal to
+    // its quality score, implemented as the pure integer-threshold variate
+    // pmod(h32("rej:" || doc_id), 1e6) < quality_ppm (the SCALE.md design
+    // rule: no RNG, no sampling state — re-runs, retries and both engines
+    // keep the SAME documents, and acceptance is a per-row FILTER that
+    // fuses into the scan, zero shuffle before the census). Quality is the
+    // q_text_quality formula in EXACT integer ppm: least(n_words,100) ·
+    // (n_words − n_stop) · 10000 DIV n_words (≤ 1e6 by construction;
+    // empty docs pin 0). The per-source census publishes the observed
+    // acceptance beside the planned rate Σq DIV n — the in-band self-eval
+    // a sampler ships with (observed ≈ expected is the operator's
+    // correctness claim at any scale).
+    "q_rejection_sample" -> { (s, dir) =>
+      val w = split(col("text"), " ")
+      val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+      val scored = Tables.documents(s, dir)
+        .withColumn("n_words", size(w).cast("long"))
+        .withColumn("n_stop",
+          size(filter(w, x => array_contains(stop, x))).cast("long"))
+        .withColumn("q_ppm", expr(
+          "CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE least(n_words, 100) * (n_words - n_stop) * 10000 DIV n_words END"))
+        .withColumn("accept",
+          (pmod(TextQueries.h32(concat(lit("rej:"), col("doc_id").cast("string"))),
+            lit(1000000L)) < col("q_ppm")).cast("long"))
+      scored.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("accept").as("n_accepted"),
+          sum("q_ppm").as("q_sum"),
+          sum("n_chars").as("chars_total"),
+          sum(col("accept") * col("n_chars")).as("chars_kept"))
+        .select(col("source"), col("n_docs"), col("n_accepted"),
+          expr("n_accepted * 1000000 DIV n_docs").as("accept_ppm"),
+          expr("q_sum DIV n_docs").as("expected_ppm"),
+          col("chars_total"), col("chars_kept"))
+        .orderBy("source")
+    },
+
     // NS: deterministic stratified train/val/test split (80/10/10 by hashed
     // doc_id) with per-(lang, split) counts and within-stratum shares. The
     // split is a pure row-local hash — reproducible across engines, runs,
@@ -859,6 +898,28 @@ object QualityQueries {
           |       CAST(sum(r1*r2*r3*r4) AS BIGINT) AS pass_all,
           |       CAST((sum(r1*r2*r3*r4) * 1000000) // count(*) AS BIGINT) AS yield_ppm
           |FROM g GROUP BY source ORDER BY source""".stripMargin,
+      // identical integer quality ppm, identical md5 threshold draw
+      "q_rejection_sample" ->
+        """WITH t AS (SELECT doc_id, source, n_chars,
+          |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          |                  CAST(len(list_filter(string_split(text, ' '),
+          |                       w -> list_contains(['the','a','of','and','to','in'], w))) AS BIGINT) AS n_stop
+          |           FROM documents),
+          |q AS (SELECT source, n_chars,
+          |             CASE WHEN n_words = 0 THEN 0
+          |                  ELSE least(n_words, 100) * (n_words - n_stop) * 10000 // n_words
+          |             END AS q_ppm,
+          |             ('0x' || substr(md5('rej:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS h
+          |      FROM t),
+          |a AS (SELECT source, n_chars, q_ppm,
+          |             CASE WHEN h < q_ppm THEN 1 ELSE 0 END AS accept FROM q)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(accept) AS BIGINT) AS n_accepted,
+          |       CAST(sum(accept) * 1000000 // count(*) AS BIGINT) AS accept_ppm,
+          |       CAST(sum(q_ppm) // count(*) AS BIGINT) AS expected_ppm,
+          |       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+          |       CAST(sum(accept * n_chars) AS BIGINT) AS chars_kept
+          |FROM a GROUP BY source ORDER BY source""".stripMargin,
       "q_stratified_split" ->
         """WITH t AS (SELECT lang,
           |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h

@@ -205,4 +205,33 @@ class StatsQualitySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_sum"), s"no map-side reduction before the AUC window:\n$p")
   }
+
+  test("q_rejection_sample: rates bounded, observed tracks planned, kept mass <= total") {
+    val rows = run("q_rejection_sample")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, acc) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_accepted"))
+      assert(acc >= 0L && acc <= n)
+      val (obs, exp) = (r.getAs[Long]("accept_ppm"), r.getAs[Long]("expected_ppm"))
+      assert(obs >= 0L && obs <= 1000000L && exp >= 0L && exp <= 1000000L)
+      // the sampler's correctness claim: observed acceptance is a
+      // binomial draw around the planned rate — allow ~4 sigma at the
+      // fixture's per-source n plus quantization slack
+      val sigmaPpm = math.sqrt(exp.toDouble * (1000000.0 - exp) / 1000000.0 / n) * 1000.0
+      assert(math.abs(obs - exp) <= 4 * sigmaPpm + 20000,
+        s"${r.getAs[String]("source")}: obs $obs vs planned $exp (n=$n)")
+      assert(r.getAs[Long]("chars_kept") <= r.getAs[Long]("chars_total"))
+    }
+  }
+
+  test("q_rejection_sample: acceptance fuses into ONE scan, census map-side combined") {
+    val p = SparkEntry.queries("q_rejection_sample")(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"documents scanned more than once:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"the per-row threshold draw grew a window or join:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"source census not combined map-side:\n$p")
+  }
 }
