@@ -328,6 +328,66 @@ object SimilarityQueries {
             transform(col("q"), v => v.cast("double") / col("scale"))), 6).as("dequant_err"))
         .orderBy("vec_id")
     },
+    // NS: Matryoshka truncation quality — the dimension-budget planning
+    // read for MRL-style embeddings (serve the first d dims at 1/8 the
+    // index memory and distance CPU — IF the prefix carries the signal).
+    // Per budget d in {8, 16, 32}: (a) the energy-retention census
+    // ||x[1:d]||²/||x||² in integer ppm per vector (zero vectors pin 1e6;
+    // both quotient operands are the in-row sequential Vec.dot fold, so
+    // the IEEE division is engine-identical), and (b) recall@1 vs the
+    // full-dimension ranking over 5 probe vectors — the broadcast probe ×
+    // corpus pass computes all four cosines at once (one pass, probes
+    // broadcast, the corpus never shuffles; ties broken (sim desc, id)
+    // via the certified packed struct-max). The budget grid is the knob a
+    // 100 TB ANN deployment sweeps before picking its serving dimension.
+    "q_mrl_trunc" -> { (s, dir) =>
+      val budgets = Seq(8, 16, 32)
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      def cosAt(a: Column, b: Column, d: Int): Column = {
+        val (sa, sb) = (slice(a, 1, d), slice(b, 1, d))
+        Vec.dot(sa, sb) / greatest(Vec.norm(sa) * Vec.norm(sb), lit(1e-12))
+      }
+      // (a) energy retention: one narrow pass; budgets unfold via stack
+      val energies = emb.select(
+        (Vec.dot(col("embedding"), col("embedding")).as("e_full") +:
+          budgets.map(d =>
+            Vec.dot(slice(col("embedding"), 1, d), slice(col("embedding"), 1, d))
+              .as(s"e_$d"))): _*)
+      val retain = energies
+        .select(expr(s"stack(${budgets.length}, " +
+          budgets.map(d => s"${d}L, e_$d").mkString(", ") + ") AS (d, e_d)"), col("e_full"))
+        .select(col("d"), expr(
+          "CASE WHEN e_full <= 0.0e0 THEN CAST(1000000 AS BIGINT) " +
+            "ELSE CAST(floor(e_d / e_full * 1000000.0e0) AS BIGINT) END").as("r_ppm"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_vecs"), sum("r_ppm").as("r_sum"),
+          min("r_ppm").as("min_retained_ppm"))
+        .select(col("d"), expr("r_sum DIV n_vecs").as("mean_retained_ppm"),
+          col("min_retained_ppm"))
+      // (b) recall@1 per budget vs the full-d top neighbor
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+      val top1 = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .select(Seq(col("q_id"), col("vec_id").as("n_id"),
+          round(cosAt(col("embedding"), col("q"), 64), 9).as("sim_full")) ++
+          budgets.map(d => round(cosAt(col("embedding"), col("q"), d), 9).as(s"sim_$d")): _*)
+        .groupBy("q_id")
+        .agg(max(struct(col("sim_full"), (-col("n_id")).as("nid"))).as("t_full"),
+          budgets.map(d =>
+            max(struct(col(s"sim_$d"), (-col("n_id")).as("nid"))).as(s"t_$d")): _*)
+      val recall = top1
+        .select(expr(s"stack(${budgets.length}, " +
+          budgets.map(d => s"${d}L, CAST(t_$d.nid = t_full.nid AS BIGINT)").mkString(", ") +
+          ") AS (d, hit)"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_queries"), sum("hit").as("recall1_hits"))
+      retain.join(recall, "d")
+        .select(col("d"), col("mean_retained_ppm"), col("min_retained_ppm"),
+          col("recall1_hits"), col("n_queries"),
+          expr("recall1_hits * 1000000 DIV n_queries").as("recall1_ppm"))
+        .orderBy("d")
+    },
+
     // NS: recommendation-list diversity eval — the beyond-accuracy grades
     // a retrieval stack publishes beside recall: catalog COVERAGE (how
     // much of the corpus ever gets recommended) and intra-list diversity
@@ -676,6 +736,56 @@ object SimilarityQueries {
           |             list_zip(c, list_transform(q, v -> CAST(v AS DOUBLE) / scale)),
           |             z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dequant_err
           |FROM q ORDER BY vec_id""".stripMargin,
+      // identical in-row energy folds, slices, rounded-9 cosines, and the
+      // struct_pack max replaying the packed (sim desc, id asc) argmax
+      "q_mrl_trunc" ->
+        """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),
+          |en AS (SELECT list_sum(list_transform(c, x -> x*x)) AS e_full,
+          |              list_sum(list_transform(c[1:8],  x -> x*x)) AS e_8,
+          |              list_sum(list_transform(c[1:16], x -> x*x)) AS e_16,
+          |              list_sum(list_transform(c[1:32], x -> x*x)) AS e_32
+          |       FROM t),
+          |ru AS (SELECT 8 AS d, e_8 AS e_d, e_full FROM en
+          |       UNION ALL SELECT 16, e_16, e_full FROM en
+          |       UNION ALL SELECT 32, e_32, e_full FROM en),
+          |rt AS (SELECT CAST(d AS BIGINT) AS d,
+          |              CAST(count(*) AS BIGINT) AS n_vecs,
+          |              CAST(sum(CASE WHEN e_full <= 0.0e0 THEN 1000000
+          |                            ELSE CAST(floor(e_d / e_full * 1000000.0e0) AS BIGINT) END) AS BIGINT) AS r_sum,
+          |              CAST(min(CASE WHEN e_full <= 0.0e0 THEN 1000000
+          |                            ELSE CAST(floor(e_d / e_full * 1000000.0e0) AS BIGINT) END) AS BIGINT) AS min_retained_ppm
+          |       FROM ru GROUP BY 1),
+          |q AS (SELECT vec_id AS q_id, c AS qc FROM t WHERE vec_id < 5),
+          |s AS (SELECT q.q_id, t.vec_id AS n_id,
+          |             round(list_sum(list_transform(list_zip(t.c, q.qc), z -> z[1]*z[2])) /
+          |                   greatest(sqrt(list_sum(list_transform(t.c, x -> x*x))) *
+          |                            sqrt(list_sum(list_transform(q.qc, x -> x*x))), 1e-12), 9) AS sim_full,
+          |             round(list_sum(list_transform(list_zip(t.c[1:8], q.qc[1:8]), z -> z[1]*z[2])) /
+          |                   greatest(sqrt(list_sum(list_transform(t.c[1:8], x -> x*x))) *
+          |                            sqrt(list_sum(list_transform(q.qc[1:8], x -> x*x))), 1e-12), 9) AS sim_8,
+          |             round(list_sum(list_transform(list_zip(t.c[1:16], q.qc[1:16]), z -> z[1]*z[2])) /
+          |                   greatest(sqrt(list_sum(list_transform(t.c[1:16], x -> x*x))) *
+          |                            sqrt(list_sum(list_transform(q.qc[1:16], x -> x*x))), 1e-12), 9) AS sim_16,
+          |             round(list_sum(list_transform(list_zip(t.c[1:32], q.qc[1:32]), z -> z[1]*z[2])) /
+          |                   greatest(sqrt(list_sum(list_transform(t.c[1:32], x -> x*x))) *
+          |                            sqrt(list_sum(list_transform(q.qc[1:32], x -> x*x))), 1e-12), 9) AS sim_32
+          |      FROM t CROSS JOIN q WHERE t.vec_id <> q.q_id),
+          |tp AS (SELECT q_id,
+          |              max(struct_pack(s := sim_full, nid := -n_id)) AS t_full,
+          |              max(struct_pack(s := sim_8,  nid := -n_id)) AS t_8,
+          |              max(struct_pack(s := sim_16, nid := -n_id)) AS t_16,
+          |              max(struct_pack(s := sim_32, nid := -n_id)) AS t_32
+          |       FROM s GROUP BY q_id),
+          |rc AS (SELECT 8 AS d, CAST(t_8.nid = t_full.nid AS BIGINT) AS hit FROM tp
+          |       UNION ALL SELECT 16, CAST(t_16.nid = t_full.nid AS BIGINT) FROM tp
+          |       UNION ALL SELECT 32, CAST(t_32.nid = t_full.nid AS BIGINT) FROM tp),
+          |rca AS (SELECT CAST(d AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS n_queries,
+          |               CAST(sum(hit) AS BIGINT) AS recall1_hits
+          |        FROM rc GROUP BY 1)
+          |SELECT rt.d, r_sum // n_vecs AS mean_retained_ppm, min_retained_ppm,
+          |       recall1_hits, n_queries,
+          |       recall1_hits * 1000000 // n_queries AS recall1_ppm
+          |FROM rt JOIN rca ON rt.d = rca.d ORDER BY rt.d""".stripMargin,
       // identical top-3 (rounded-sim rank), pair stage, micro ILD ledger
       "q_rec_diversity" ->
         """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings),

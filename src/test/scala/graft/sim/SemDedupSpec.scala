@@ -140,4 +140,35 @@ class SemDedupSpec extends AnyFunSuite {
     // the ~2% rate is actually planted somewhere in the corpus
     assert(rows.map(_.getAs[Long]("n_corrupt")).sum > 0)
   }
+
+  test("q_mrl_trunc: retention monotone in the budget, recall bounded, 5 probes per row") {
+    val rows = SimilarityQueries.queries("q_mrl_trunc")(spark, TestSpark.Sf0001)
+      .collect().sortBy(_.getAs[Long]("d"))
+    assert(rows.map(_.getAs[Long]("d")).toSeq == Seq(8L, 16L, 32L))
+    // prefix energy is monotone per vector, so both retention stats must
+    // be monotone non-decreasing in d and bounded by 1e6
+    val means = rows.map(_.getAs[Long]("mean_retained_ppm"))
+    val mins = rows.map(_.getAs[Long]("min_retained_ppm"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b }, means.mkString(","))
+    assert(mins.zip(mins.tail).forall { case (a, b) => a <= b }, mins.mkString(","))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_retained_ppm") <= r.getAs[Long]("mean_retained_ppm"))
+      assert(r.getAs[Long]("mean_retained_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_queries") == 5L)
+      val hits = r.getAs[Long]("recall1_hits")
+      assert(hits >= 0L && hits <= 5L)
+      assert(r.getAs[Long]("recall1_ppm") == hits * 1000000L / 5L)
+    }
+  }
+
+  test("q_mrl_trunc plan: probes broadcast, corpus never shuffle-joins, aggs combined") {
+    val p = SimilarityQueries.queries("q_mrl_trunc")(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffle-join crept in:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"census aggregates not combined map-side:\n$p")
+    assert(!p.contains("Window"), s"window crept into the budget sweep:\n$p")
+  }
 }
