@@ -213,7 +213,7 @@ object KmeansQueries {
         .select(col("vec_id"), col("label").cast("long").as("cls"))
       val cells = asg.join(lab, "vec_id")
         .groupBy("cid", "cls").agg(count(lit(1)).as("nij"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val a = cells.groupBy("cid").agg(sum("nij").as("ai"))
       val b = cells.groupBy("cls").agg(sum("nij").as("bj"))
       val n = cells.agg(sum("nij").as("n"))
@@ -265,7 +265,7 @@ object KmeansQueries {
         .select(col("vec_id"), col("label").cast("long").as("cls"))
       val cells = asg.join(lab, "vec_id")
         .groupBy("cid", "cls").agg(count(lit(1)).as("nij"))
-        .localCheckpoint() // K×L-bounded; feeds three pair-count folds
+        .localCheckpoint(eager = false) // K×L-bounded; feeds three pair-count folds
       val sij = cells.agg(sum(expr("nij * (nij - 1) DIV 2")).as("sij"),
         sum("nij").as("n"))
       val sa = cells.groupBy("cid").agg(sum("nij").as("a"))
@@ -310,7 +310,7 @@ object KmeansQueries {
         .withColumn("ca", Lloyd.assignCol(centsA, col("coordinates")))
         .withColumn("cb", Lloyd.assignCol(alt, col("coordinates")))
         .groupBy("ca", "cb").agg(count(lit(1)).as("nij"))
-        .localCheckpoint() // K×K-bounded; feeds three pair-count folds
+        .localCheckpoint(eager = false) // K×K-bounded; feeds three pair-count folds
       val sij = cells.agg(sum(expr("nij * (nij - 1) DIV 2")).as("sij"),
         sum("nij").as("n"))
       val sa = cells.groupBy("ca").agg(sum("nij").as("a"))

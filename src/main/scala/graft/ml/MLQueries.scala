@@ -44,7 +44,7 @@ object MLQueries {
       }
       val v0 = mu.select(col("pos"), lit(0.125).as("v"))
       val v2 = step(step(v0).select("pos", "v"))
-      v2.join(mu, "pos").select("pos", "mu", "v", "nrm").localCheckpoint()
+      v2.join(mu, "pos").select("pos", "mu", "v", "nrm").localCheckpoint(eager = false)
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -132,7 +132,7 @@ object MLQueries {
       // materialization cannot move the hash.
       val xl = emb.select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       def coordsOf(pid: DataFrame): DataFrame =
         xl.join(broadcast(pid), xl("vec_id") === pid("pid"))
           .select(col("pos"), col("x").as("c"))
@@ -140,7 +140,7 @@ object MLQueries {
         xl.join(cv, "pos").groupBy("vec_id")
           .agg(round(sum((col("x") - col("c")) * (col("x") - col("c"))), 7).as("d2"))
       val seed = emb.agg(min("vec_id").as("pid"))
-      var mind = d2To(coordsOf(seed)).localCheckpoint()
+      var mind = d2To(coordsOf(seed)).localCheckpoint(eager = false)
       var picks = seed.select(lit(0L).as("rank"), col("pid").as("vec_id"),
         lit(null).cast("double").as("picked_d2"))
       for (r <- 1 to 4) {
@@ -153,7 +153,7 @@ object MLQueries {
           .withColumnRenamed("d2", "d2_new")
         mind = mind.join(dNew, "vec_id")
           .select(col("vec_id"), least(col("d2"), col("d2_new")).as("d2"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       // NOTE: picked_d2/coverage are ALREADY on the 1e-7 grid — a second
       // round to 6 dp would hit exact-half ties where Spark (HALF_UP on

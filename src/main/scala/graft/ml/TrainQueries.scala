@@ -152,10 +152,10 @@ object TrainQueries {
         .groupBy(col("user_id"), col("event_type").as("item"))
         .agg(expr("CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)").as("r_milli"))
         .withColumn("v0", lit(1000L))
-        .localCheckpoint() // feeds the u-solve, the v-solve and the residual pass
+        .localCheckpoint(eager = false) // feeds the u-solve, the v-solve and the residual pass
       val u = r.groupBy("user_id")
         .agg(expr("CAST(sum(r_milli * v0) DIV (sum(v0 * v0) DIV 1000) AS BIGINT)").as("u_milli"))
-      val ru = r.join(u, "user_id").localCheckpoint()
+      val ru = r.join(u, "user_id").localCheckpoint(eager = false)
       val v1 = ru.groupBy("item")
         .agg(expr("CAST(sum(r_milli * u_milli) DIV (sum(u_milli * u_milli) DIV 1000) AS BIGINT)")
           .as("v1_milli"))
@@ -264,7 +264,7 @@ object TrainQueries {
         .select(col("lang"), explode(split(col("text"), " ")).as("term"))
         .filter(length(col("term")) > 0)
       val model = trainTok.groupBy("lang", "term").agg(count(lit(1)).as("c"))
-        .localCheckpoint() // feeds totals, vocab and the scoring join
+        .localCheckpoint(eager = false) // feeds totals, vocab and the scoring join
       val langTotals = model.groupBy("lang").agg(sum("c").as("t_l"))
       val vocab = model.select("term").distinct().agg(count(lit(1)).as("v"))
       val priors = docs.filter(col("is_train") === 1)
@@ -293,7 +293,7 @@ object TrainQueries {
         // materialized ONCE: both the shift aggregate and the argmax read
         // this frame — without the checkpoint the token x 5-lang scoring
         // join executes twice (the r9 bench regression, 1.39 -> 2.22 s)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // packed-argmax shift DERIVED from the observed score minimum (a
       // broadcast 1-row aggregate) instead of a fixed -8e9 envelope: a
       // doc long enough to breach a constant shift made packed negative,

@@ -719,7 +719,7 @@ object DataPrepQueries {
         // materialized ONCE (a ~sources-row frame): it feeds both the
         // w_tot aggregate and the allocation join — un-checkpointed, the
         // full documents aggregate executes twice (two corpus passes)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val tot = stq.agg(sum("w_micro").as("w_tot"))
       val sc = stq.crossJoin(broadcast(tot))
         .withColumn("base", expr(

@@ -297,14 +297,19 @@ object EvalMetricsQueries {
       ranked.agg(
           coalesce(sum("n_v"), lit(0L)).as("n_pairs"),
           coalesce(sum(expr("pos_v * avgrank2")), lit(0L)).as("w_plus_x2"),
-          // tie3 accumulates in DOUBLE: a centi bin with >= ~2.1e6 tied
-          // pairs would overflow the BIGINT n_v^3 (silent wrap on Spark,
-          // error on DuckDB — a cross-engine split); it only feeds the
-          // IEEE variance /12, so double is the right register. Each
-          // per-bin term is an exact integer below 2^53, so the sum is
-          // order-independent at any realistic tie mass.
-          coalesce(sum(expr("CAST(n_v AS DOUBLE) * n_v * n_v - n_v")),
-            lit(0.0)).as("tie3"))
+          // tie3 accumulates in exact DECIMAL(38,0) (the q_neyman_alloc /
+          // q_covariate_balance Σx² register): a DOUBLE sum loses exactness
+          // past 2^53 total tie mass, reintroducing partition-order-
+          // dependent partials vs DuckDB's sequential sum. Three 12-digit
+          // factors keep every engine's intermediate width ≤ 38 (DuckDB
+          // hard-caps multiply width at w1+w2); a single centi bin would
+          // need 1e12 tied pairs to overflow the factor cast — far past
+          // the 100 TB envelope. CAST to DOUBLE happens once, at the end.
+          coalesce(sum(expr(
+            "CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0)) * " +
+              "CAST(n_v AS DECIMAL(12,0)) - n_v")),
+            expr("CAST(0 AS DECIMAL(38,0))")).as("tie3d"))
+        .withColumn("tie3", col("tie3d").cast("double"))
         .withColumn("z", expr(StatsQueries.WilcoxonZSql))
         .withColumn("x", expr(StatsQueries.AbXSql))
         .withColumn("t", expr(StatsQueries.AbTSql))
@@ -537,7 +542,8 @@ object EvalMetricsQueries {
          |      FROM c),
          |a AS (SELECT coalesce(CAST(sum(n_v) AS BIGINT), 0) AS n_pairs,
          |             coalesce(CAST(sum(pos_v * (2 * cumb + n_v + 1)) AS BIGINT), 0) AS w_plus_x2,
-         |             coalesce(sum(CAST(n_v AS DOUBLE) * n_v * n_v - n_v), 0.0) AS tie3
+         |             coalesce(CAST(sum(CAST(n_v AS DECIMAL(12,0)) * CAST(n_v AS DECIMAL(12,0))
+         |                               * CAST(n_v AS DECIMAL(12,0)) - n_v) AS DOUBLE), 0.0) AS tie3
          |      FROM r),
          |zz AS (SELECT *, ${StatsQueries.WilcoxonZSql} AS z FROM a),
          |xx AS (SELECT *, ${StatsQueries.AbXSql} AS x FROM zz),

@@ -121,7 +121,7 @@ object QualityQueries {
       val ordImpact = Tables.orders(s, dir)
         .join(broadcast(cohort), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"))
-        .localCheckpoint() // affected-order set; feeds count AND lineitem probe
+        .localCheckpoint(eager = false) // affected-order set; feeds count AND lineitem probe
       val liPerOrder = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_li"))
       val liImpact = liPerOrder
@@ -615,7 +615,7 @@ object QualityQueries {
       val r = Tables.events(s, dir)
         .groupBy(col("user_id"), col("event_type").as("item"))
         .agg(expr("CAST(sum(CAST(round(value * 10) AS BIGINT)) AS BIGINT)").as("r"))
-        .localCheckpoint() // feeds norms and the pair join
+        .localCheckpoint(eager = false) // feeds norms and the pair join
       val norms = r.groupBy("item").agg(sum(col("r") * col("r")).as("n2"))
       val pairs = r.as("x").join(r.as("y"), "user_id")
         .filter(col("x.item") < col("y.item"))
@@ -724,7 +724,7 @@ object QualityQueries {
       val sk = values.select(col("col_name"), h56(col("v")).as("h"))
         .groupBy("col_name").agg(bottomK(col("h")).as("hs"))
         .select(col("col_name"), explode(col("hs")).as("h"))
-        .localCheckpoint() // 128-row-per-column frame; feeds three joins
+        .localCheckpoint(eager = false) // 128-row-per-column frame; feeds three joins
       val pairs = Seq(("o_orderkey", "l_orderkey"), ("o_custkey", "c_custkey"),
         ("l_partkey", "p_partkey"), ("o_orderkey", "o_custkey"))
       val pairDf = broadcast(s.createDataFrame(pairs).toDF("col_a", "col_b"))

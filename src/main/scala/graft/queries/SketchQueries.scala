@@ -193,7 +193,7 @@ object SketchQueries {
       val terms = Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("term"))
         .groupBy("term").agg(count(lit(1)).as("exact"))
-        .localCheckpoint() // vocab-bounded; feeds both the build and the probe
+        .localCheckpoint(eager = false) // vocab-bounded; feeds both the build and the probe
       val rowsCol = explode(array(Seq(0L, 1L, 2L).map(lit): _*)).as("r")
       def cell(term: Column): Column =
         pmod(TextQueries.h32(concat(lit("cm"), col("r"), lit(":"), term)), lit(64L))
@@ -326,7 +326,7 @@ object SketchQueries {
       // full (grp, h) domain nor its distinct shuffle ever materializes
       val sk = hashed.groupBy("grp").agg(bottomK(col("h")).as("hs"))
         .select(col("grp"), explode(col("hs")).as("h"))
-        .localCheckpoint() // ≤ 64-row-per-group frame; feeds estimate AND merge
+        .localCheckpoint(eager = false) // ≤ 64-row-per-group frame; feeds estimate AND merge
       val merged = sk.groupBy().agg(bottomK(col("h")).as("hs"))
         .select(lit("__ALL__").as("grp"), explode(col("hs")).as("h"))
       val est = sk.unionByName(merged)

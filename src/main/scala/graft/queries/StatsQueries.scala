@@ -494,7 +494,7 @@ object StatsQueries {
       val pre = bins
         .withColumn("cn", sum("n_b").over(wOrd))
         .withColumn("cp", sum("pos_b").over(wOrd))
-        .localCheckpoint() // ≤10 rows; feeds three self-joins
+        .localCheckpoint(eager = false) // ≤10 rows; feeds three self-joins
       val lo = pre.select(col("bin").as("j"), (col("cn") - col("n_b")).as("cn_lo"),
         (col("cp") - col("pos_b")).as("cp_lo"))
       val hi = pre.select(col("bin").as("k"), col("cn").as("cn_hi"), col("cp").as("cp_hi"))
@@ -561,7 +561,7 @@ object StatsQueries {
       val items = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nOrders = items.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
       val freq = items.groupBy("pk").agg(count(lit(1)).as("n_single"))
       val pairs = items.select(col("ok"), col("pk").as("pa"))
@@ -730,7 +730,7 @@ object StatsQueries {
           Window.orderBy(col("tokens").desc, col("source"))).cast("long"))
         .withColumn("r_doc", row_number().over(
           Window.orderBy(col("docs").desc, col("source"))).cast("long"))
-        .localCheckpoint() // registry-bounded; feeds rho fold + pair join
+        .localCheckpoint(eager = false) // registry-bounded; feeds rho fold + pair join
       val rho = src
         .agg(count(lit(1)).as("n"),
           sum((col("r_tok") - col("r_doc")) * (col("r_tok") - col("r_doc"))).as("sd2"))
@@ -854,7 +854,7 @@ object StatsQueries {
           sum(when(dayofmonth(col("ts")) > 15, 1L).otherwise(0L)).as("post"))
         .withColumn("variant",
           pmod(graft.text.TextQueries.h32(concat(lit("ab:"), col("user_id"))), lit(2L)))
-        .localCheckpoint() // user-grain frame feeds both the pooled fold and the per-variant agg
+        .localCheckpoint(eager = false) // user-grain frame feeds both the pooled fold and the per-variant agg
       val g = byUser.agg(count(lit(1)).as("n"),
         sum("pre").as("sp"), sum("post").as("so"),
         sum(col("pre") * col("pre")).as("spp"),
@@ -1306,7 +1306,7 @@ object StatsQueries {
         .groupBy(to_date(col("ts")).as("day"))
         .agg(expr("CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)").as("y"))
         .withColumn("d", datediff(col("day"), lit("1970-01-01")).cast("long"))
-        .localCheckpoint() // bounded frame; feeds both sides of the pair join
+        .localCheckpoint(eager = false) // bounded frame; feeds both sides of the pair join
       val slopes = daily.select(col("d").as("di"), col("y").as("yi"))
         .join(daily.select(col("d").as("dj"), col("y").as("yj")), col("di") < col("dj"))
         .select(expr("(yj - yi) * 1000 DIV (dj - di)").as("slope_milli"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,7 +56,7 @@ object TimeSeriesQueries {
       val daily = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("y"))
         .withColumn("d", datediff(col("day"), lit("1970-01-01")).cast("long"))
-        .select("d", "y").localCheckpoint() // calendar-bounded; feeds 3 lag joins
+        .select("d", "y").localCheckpoint(eager = false) // calendar-bounded; feeds 3 lag joins
       def lagStats(k: Int) = daily
         .join(daily.select((col("d") + k).as("d"), col("y").as("yp")), "d")
         .agg(count(lit(1)).as(s"n$k"),
@@ -507,11 +507,16 @@ object TimeSeriesQueries {
 
     // NS: RFM user segmentation — recency (hours since last event),
     // frequency (event count), monetary (value sum) + quintile scores.
-    // One user-key aggregate + a broadcast 1-row reference time; the
-    // ntile windows run over the per-user frame (O(users), not events) —
-    // at 1e9 users the scale path is broadcast percentile boundaries (the
-    // q_percentile_bucket shape) instead of a global ntile sort. Scores
-    // order by ROUNDED monetary so float-sum noise can't flip a quintile.
+    // One user-key aggregate + a broadcast 1-row reference time; quintile
+    // assignment is the q_percentile_bucket shape — ONE exact-percentile
+    // boundary aggregate broadcast back onto the per-user frame, scored by
+    // when-chains — not a global ntile sort (three single-reducer
+    // O(users)-row sorts at 1e9 users). The boundary aggregate's state is
+    // a value→count map bounded by the QUANTIZED score domains (calendar
+    // hours since last event, Zipf-bounded per-user counts, whole currency
+    // units), never by user count. Boundary ties get equal scores (the
+    // value-boundary semantics, re-oracled with the plan change; ntile
+    // would split equal values across quintiles by position).
     "q_rfm" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val tref = ev.agg(max(unix_micros(col("ts"))).as("t_ref"))
@@ -522,15 +527,26 @@ object TimeSeriesQueries {
         .crossJoin(broadcast(tref))
         .withColumn("recency_h",
           round((col("t_ref") - col("t_last")).cast("double") / lit(3600000000.0d), 6))
-      base
-        .withColumn("r_score", ntile(5).over(
-          Window.orderBy(col("t_last").desc, col("user_id"))).cast("long"))
-        .withColumn("f_score", ntile(5).over(
-          Window.orderBy(col("frequency").desc, col("user_id"))).cast("long"))
-        .withColumn("m_score", ntile(5).over(
-          Window.orderBy(col("monetary").desc, col("user_id"))).cast("long"))
-        .select("user_id", "recency_h", "frequency", "monetary",
-          "r_score", "f_score", "m_score")
+        .withColumn("r_q", expr("(t_ref - t_last) DIV 3600000000"))
+        .withColumn("m_q", expr("CAST(round(monetary) AS BIGINT)"))
+      val bounds = base.agg(
+        expr("percentile(r_q, array(0.2, 0.4, 0.6, 0.8))").as("qr"),
+        expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").as("qf"),
+        expr("percentile(m_q, array(0.2, 0.4, 0.6, 0.8))").as("qm"))
+      // score 1 = best quintile: LOW recency / HIGH frequency / HIGH spend
+      def scoreAsc(v: Column, q: Column): Column =
+        when(v.cast("double") <= q(0), 1L).when(v.cast("double") <= q(1), 2L)
+          .when(v.cast("double") <= q(2), 3L).when(v.cast("double") <= q(3), 4L)
+          .otherwise(5L)
+      def scoreDesc(v: Column, q: Column): Column =
+        when(v.cast("double") >= q(3), 1L).when(v.cast("double") >= q(2), 2L)
+          .when(v.cast("double") >= q(1), 3L).when(v.cast("double") >= q(0), 4L)
+          .otherwise(5L)
+      base.crossJoin(broadcast(bounds))
+        .select(col("user_id"), col("recency_h"), col("frequency"), col("monetary"),
+          scoreAsc(col("r_q"), col("qr")).as("r_score"),
+          scoreDesc(col("frequency"), col("qf")).as("f_score"),
+          scoreDesc(col("m_q"), col("qm")).as("m_score"))
         .orderBy("user_id")
     },
 
@@ -904,7 +920,7 @@ object TimeSeriesQueries {
       val days = Tables.events(s, dir)
         .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint() // calendar-bounded; feeds span and the fold cross
+        .localCheckpoint(eager = false) // calendar-bounded; feeds span and the fold cross
       val span = days.agg(min("d").as("d0"), max("d").as("d1"))
       val folds = broadcast(s.createDataFrame(Seq(1L, 2L, 3L, 4L).map(Tuple1(_)))
         .toDF("fold"))
@@ -969,7 +985,7 @@ object TimeSeriesQueries {
         .agg(count(lit(1)).as("x"))
         .withColumn("i", row_number().over(wi).cast("long"))
         .withColumn("cum", sum("x").over(wi.rowsBetween(Window.unboundedPreceding, 0)))
-        .localCheckpoint() // calendar-bounded frame; feeds both levels
+        .localCheckpoint(eager = false) // calendar-bounded frame; feeds both levels
       val tot = idx.groupBy("event_type").agg(max("i").as("n"), sum("x").as("t"))
       val sc1 = idx.join(broadcast(tot), "event_type")
         .filter(col("i") < col("n"))
@@ -1020,7 +1036,7 @@ object TimeSeriesQueries {
         .withColumn("how", expr("((hi DIV 24 + 4) % 7) * 24 + hi % 24"))
         .groupBy("event_type", "how")
         .agg(expr("sum(x) * 1000 DIV count(1)").as("g"))
-        .localCheckpoint() // bounded grid; root of the 4-step median chain
+        .localCheckpoint(eager = false) // bounded grid; root of the 4-step median chain
       def rowMed(df: DataFrame, v: String, out: String) =
         df.groupBy("event_type")
           .agg(expr(s"CAST(floor(percentile($v, 0.5)) AS BIGINT)").as(out))
@@ -1482,14 +1498,30 @@ object TimeSeriesQueries {
         |ref AS (SELECT max(tus) AS t_ref FROM e),
         |b AS (SELECT user_id, max(tus) AS t_last, count(*) AS frequency,
         |             round(sum(value), 6) AS monetary
-        |      FROM e GROUP BY user_id)
-        |SELECT user_id,
-        |       round(CAST(t_ref - t_last AS DOUBLE) / 3600000000.0, 6) AS recency_h,
-        |       frequency, monetary,
-        |       CAST(ntile(5) OVER (ORDER BY t_last DESC, user_id) AS BIGINT) AS r_score,
-        |       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
-        |       CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
-        |FROM b CROSS JOIN ref ORDER BY user_id""".stripMargin,
+        |      FROM e GROUP BY user_id),
+        |b2 AS (SELECT user_id, frequency, monetary,
+        |              round(CAST(t_ref - t_last AS DOUBLE) / 3600000000.0, 6) AS recency_h,
+        |              (t_ref - t_last) // 3600000000 AS r_q,
+        |              CAST(round(monetary) AS BIGINT) AS m_q
+        |       FROM b CROSS JOIN ref),
+        |q AS (SELECT quantile_cont(r_q, [0.2, 0.4, 0.6, 0.8]) AS qr,
+        |             quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS qf,
+        |             quantile_cont(m_q, [0.2, 0.4, 0.6, 0.8]) AS qm
+        |      FROM b2)
+        |SELECT user_id, recency_h, frequency, monetary,
+        |       CAST(CASE WHEN CAST(r_q AS DOUBLE) <= qr[1] THEN 1
+        |                 WHEN CAST(r_q AS DOUBLE) <= qr[2] THEN 2
+        |                 WHEN CAST(r_q AS DOUBLE) <= qr[3] THEN 3
+        |                 WHEN CAST(r_q AS DOUBLE) <= qr[4] THEN 4 ELSE 5 END AS BIGINT) AS r_score,
+        |       CAST(CASE WHEN CAST(frequency AS DOUBLE) >= qf[4] THEN 1
+        |                 WHEN CAST(frequency AS DOUBLE) >= qf[3] THEN 2
+        |                 WHEN CAST(frequency AS DOUBLE) >= qf[2] THEN 3
+        |                 WHEN CAST(frequency AS DOUBLE) >= qf[1] THEN 4 ELSE 5 END AS BIGINT) AS f_score,
+        |       CAST(CASE WHEN CAST(m_q AS DOUBLE) >= qm[4] THEN 1
+        |                 WHEN CAST(m_q AS DOUBLE) >= qm[3] THEN 2
+        |                 WHEN CAST(m_q AS DOUBLE) >= qm[2] THEN 3
+        |                 WHEN CAST(m_q AS DOUBLE) >= qm[1] THEN 4 ELSE 5 END AS BIGINT) AS m_score
+        |FROM b2 CROSS JOIN q ORDER BY user_id""".stripMargin,
     "q_decay_agg" ->
       """WITH e AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
         |m AS (SELECT max(tus) AS t_max FROM e)

@@ -175,7 +175,7 @@ object WindowSetQueries {
     "q_audience_overlap" -> { (s, dir) =>
       val ut = Tables.events(s, dir)
         .select(col("user_id").as("u"), col("event_type").as("t")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val sizes = ut.groupBy("t").agg(count(lit(1)).as("n"))
       val pairs = ut.select(col("u"), col("t").as("ta"))
         .join(ut.select(col("u"), col("t").as("tb")), "u")
@@ -415,7 +415,7 @@ object WindowSetQueries {
           struct((col("t1") + 1).as("t"), lit(-1L).as("delta")))).as("e"))
         .select(col("e.t").as("t"), col("e.delta").as("delta"))
         .withColumn("hour", expr("t DIV 3600000000"))
-        .localCheckpoint() // feeds the carry frame and the in-hour window
+        .localCheckpoint(eager = false) // feeds the carry frame and the in-hour window
       val carry = deltas.groupBy("hour").agg(sum("delta").as("h_total"),
           count(lit(1)).as("n_deltas"))
         .withColumn("carry_in", coalesce(sum("h_total").over(
@@ -558,7 +558,7 @@ object WindowSetQueries {
         // |types|^2-bounded; materialized so the totals branch and the
         // join don't each replay the user-key window over the corpus
         // (plan-pinned: exactly one user_id shuffle)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val totals = trans.groupBy("cur").agg(sum("n").as("n_cur"))
       trans.join(broadcast(totals), "cur")
         .select(col("cur"), col("nxt"), col("n"),
@@ -577,7 +577,7 @@ object WindowSetQueries {
       val du = Tables.events(s, dir)
         .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"),
           col("user_id")).distinct()
-        .localCheckpoint() // feeds sizes and both sides of the shift join
+        .localCheckpoint(eager = false) // feeds sizes and both sides of the shift join
       val sizes = du.groupBy("d").agg(count(lit(1)).as("dau"))
       val both = du.select(col("d"), col("user_id"))
         .join(du.select((col("d") - 1).as("d"), col("user_id")), Seq("d", "user_id"))

@@ -92,7 +92,7 @@ object SimilarityQueries {
   def annCandidates(s: SparkSession, dir: String, method: String): DataFrame = {
     val key = if (method == "exact") "q_topk_similar" else s"q_ann_$method"
     graft.text.ArtifactMemo.memo(annCandCache, s"ann_$method", s, s"$dir#$method") {
-      queries(key)(s, dir).localCheckpoint()
+      queries(key)(s, dir).localCheckpoint(eager = false)
     }
   }
 
@@ -367,9 +367,14 @@ object SimilarityQueries {
       // (b) recall@1 per budget vs the full-d top neighbor
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q"))
+      // sim_full over the UNSLICED arrays (matches the oracle's unsliced
+      // list cosine) — no hardcoded full dimension to drift from the
+      // fixture; slicing past length would silently shorten, not error
+      def cosFull(a: Column, b: Column): Column =
+        Vec.dot(a, b) / greatest(Vec.norm(a) * Vec.norm(b), lit(1e-12))
       val top1 = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
         .select(Seq(col("q_id"), col("vec_id").as("n_id"),
-          round(cosAt(col("embedding"), col("q"), 64), 9).as("sim_full")) ++
+          round(cosFull(col("embedding"), col("q")), 9).as("sim_full")) ++
           budgets.map(d => round(cosAt(col("embedding"), col("q"), d), 9).as(s"sim_$d")): _*)
         .groupBy("q_id")
         .agg(max(struct(col("sim_full"), (-col("n_id")).as("nid"))).as("t_full"),
@@ -409,7 +414,7 @@ object SimilarityQueries {
         .groupBy("q_id").agg(topk(col("n_id"), col("sim")).as("nn"))
         .select(col("q_id"), explode(col("nn")).as("n"))
         .select(col("q_id"), col("n.id").as("n_id"))
-        .localCheckpoint() // ≤ 30 rows; feeds the pair stage and the census
+        .localCheckpoint(eager = false) // ≤ 30 rows; feeds the pair stage and the census
       val pairs = recs.join(recs.select(col("q_id"), col("n_id").as("m_id")), "q_id")
         .filter(col("n_id") < col("m_id"))
       val pairD = pairs

@@ -70,7 +70,7 @@ object SpatialQueries {
     // generator's clusters. No all-pairs anywhere: candidates come from
     // the 3x3 cell join, the role joins are id-keyed.
     "q_dbscan_core" -> { (s, dir) =>
-      val pairs = nbrPairs(s, dir).localCheckpoint()
+      val pairs = nbrPairs(s, dir).localCheckpoint(eager = false)
       val nbrs = pairs.groupBy(col("a_id").as("vec_id"))
         .agg(count(lit(1)).as("n_nbrs"))
       val roles = pts(s, dir).select("vec_id", "label")

@@ -159,7 +159,7 @@ object EventQueries {
       val v = Tables.events(s, dir)
         .select(window(col("ts"), "1 hour").getField("start").as("w_start"),
           expr("CAST(round(value * 1000) AS BIGINT)").as("v"))
-        .localCheckpoint() // feeds the sketch and the exact baseline
+        .localCheckpoint(eager = false) // feeds the sketch and the exact baseline
       val hist = v
         .withColumn("b", length(conv(col("v"), 10, 2)).cast("long"))
         .withColumn("bucket",

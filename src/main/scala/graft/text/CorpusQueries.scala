@@ -129,7 +129,7 @@ object CorpusQueries {
         .select(col("doc_id"),
           transform(array_distinct(TextQueries.shingles3(col("ws"))),
             x => TextQueries.h32(x)).as("hs"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val evalSet = hashed.filter(col("doc_id") < EvalDocs)
         .select(explode(col("hs")).as("h")).distinct()
       hashed.filter(col("doc_id") >= EvalDocs)
@@ -371,7 +371,7 @@ object CorpusQueries {
         .crossJoin(broadcast(total))
         .groupBy("doc_id", "source")
         .agg(round(avg(-log(col("c") / col("t"))) * 1e6).cast("long").as("nll_u"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val bySrc = perDoc.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("nll_u").as("sum_u"))
         .withColumn("thr_u", expr("sum_u DIV n_docs"))
@@ -591,7 +591,7 @@ object CorpusQueries {
       val bg = docs.select(explode(bigrams).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .localCheckpoint() // vocab²-bounded; feeds both entropies
+        .localCheckpoint(eager = false) // vocab²-bounded; feeds both entropies
       val c1 = bg.groupBy("w1").agg(sum("c12").as("c1"))
       val n = bg.agg(sum("c12").as("n"))
       val hCond = bg.join(c1, "w1")
@@ -780,7 +780,7 @@ object CorpusQueries {
       val bg = docs.select(explode(bigrams).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val ctx = bg.groupBy("w1").agg(sum("c").as("ctot"), count(lit(1)).as("nfollow"))
       val cont = bg.groupBy("w2").agg(count(lit(1)).as("ncont"))
       val btot = bg.agg(count(lit(1)).cast("double").as("bt"))
@@ -838,12 +838,12 @@ object CorpusQueries {
       // barrier — without it Catalyst infers size(ps)>0 from the pair
       // Generate and pushes it below the word aggregate, inlining the
       // symbol-split expression per CORPUS word (5x split per raw token)
-      val v0 = bpeVocab(s, dir).localCheckpoint()
-      val t1 = bpeTop1(bpePairCounts(v0)).localCheckpoint()
+      val v0 = bpeVocab(s, dir).localCheckpoint(eager = false)
+      val t1 = bpeTop1(bpePairCounts(v0)).localCheckpoint(eager = false)
       val v1 = bpeMerge(v0, t1)
-      val t2 = bpeTop1(bpePairCounts(v1)).localCheckpoint()
+      val t2 = bpeTop1(bpePairCounts(v1)).localCheckpoint(eager = false)
       val v2 = bpeMerge(v1, t2)
-      val t3 = bpeTop1(bpePairCounts(v2)).localCheckpoint()
+      val t3 = bpeTop1(bpePairCounts(v2)).localCheckpoint(eager = false)
       t1.withColumn("round", lit(1L))
         .union(t2.withColumn("round", lit(2L)))
         .union(t3.withColumn("round", lit(3L)))

@@ -51,7 +51,7 @@ object CorpusStatsQueries {
       val sv = Tables.documents(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0).distinct()
-        .localCheckpoint() // (source, word) census; feeds sizes AND pairs
+        .localCheckpoint(eager = false) // (source, word) census; feeds sizes AND pairs
       val sizes = sv.groupBy("source").agg(count(lit(1)).as("v"))
       val pairs = sv.join(sv.select(col("source").as("s2"), col("w")), "w")
         .filter(col("source") < col("s2"))
@@ -268,7 +268,7 @@ object CorpusStatsQueries {
         .select(col("source"), explode(split(col("text"), " ")).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy("source", "term").agg(count(lit(1)).as("y"))
-        .localCheckpoint() // vocab x sources; feeds totals and the z frame
+        .localCheckpoint(eager = false) // vocab x sources; feeds totals and the z frame
       val srcTot = st.groupBy("source").agg(sum("y").as("n_src"))
       val termTot = st.groupBy("term").agg(sum("y").as("y_all"))
       val corpTot = st.agg(sum("y").as("n_all"))

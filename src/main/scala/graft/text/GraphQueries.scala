@@ -128,11 +128,11 @@ object GraphQueries {
       val pairs = Tables.documents(s, dir)
         .select(ws.as("ws")).select(explode(bigrams).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      pairs.distinct().localCheckpoint().createOrReplaceTempView("bfs_edges_v")
+      pairs.distinct().localCheckpoint(eager = false).createOrReplaceTempView("bfs_edges_v")
       pairs.groupBy("w1").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w1")).limit(1)
         .select(col("w1").as("word"))
-        .localCheckpoint().createOrReplaceTempView("bfs_seed_v")
+        .localCheckpoint(eager = false).createOrReplaceTempView("bfs_seed_v")
       s.sql("""WITH RECURSIVE
               |bfs(word, hop) AS (
               |  SELECT word, 0 AS hop FROM bfs_seed_v
@@ -260,7 +260,7 @@ object GraphQueries {
         .select(ws.as("ws")).select(explode(bigrams).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .filter(col("w1") =!= col("w2")).distinct()
-        .localCheckpoint() // vocab²-bounded edge frame; probed against itself
+        .localCheckpoint(eager = false) // vocab²-bounded edge frame; probed against itself
       val recip = e.join(e.select(col("w2").as("w1"), col("w1").as("w2")), Seq("w1", "w2"))
       e.agg(count(lit(1)).as("n_edges"))
         .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
@@ -300,7 +300,7 @@ object GraphQueries {
       val seeds = docs
         .filter(pmod(TextQueries.h32(concat(lit("lps:"), col("doc_id"))), lit(10)) === 0)
         .select(col("doc_id").as("b"), col("source").as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val e = TextQueries.simhashPairsFor(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -347,7 +347,7 @@ object GraphQueries {
       val K = 3L
       val e0 = TextQueries.simhashPairsFor(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       def degrees(e: DataFrame): DataFrame =
         e.select(col("a").as("v")).union(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("d"))
@@ -357,8 +357,8 @@ object GraphQueries {
           .join(keep.select(col("v").as("b")), "b")
           .select("a", "b")
       }
-      val e1 = peel(e0).localCheckpoint()
-      val e2 = peel(e1).localCheckpoint()
+      val e1 = peel(e0).localCheckpoint(eager = false)
+      val e2 = peel(e1).localCheckpoint(eager = false)
       def census(e: DataFrame, tag: String): DataFrame =
         e.select(col("a").as("v")).union(e.select(col("b").as("v")))
           .agg(countDistinct("v").as(s"n_$tag"),
@@ -387,7 +387,7 @@ object GraphQueries {
         .select(ws.as("ws")).select(explode(bigrams).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .localCheckpoint() // vocab-bounded; feeds all three propagations
+        .localCheckpoint(eager = false) // vocab-bounded; feeds all three propagations
       def norm(df: DataFrame, c: String): DataFrame =
         df.crossJoin(broadcast(df.agg(max(c).as("mx"))))
           .select(col("word"), expr(s"$c * 1000000 DIV mx").as("score_x1e6"))
@@ -395,7 +395,7 @@ object GraphQueries {
       val a1n = norm(a1, "a")
       val h1 = edges.join(a1n.withColumnRenamed("word", "w2"), "w2")
         .groupBy(col("w1").as("word")).agg(sum(expr("c12 * score_x1e6")).as("h"))
-      val h1n = norm(h1, "h").localCheckpoint() // reused: a2 propagation + hub top-10
+      val h1n = norm(h1, "h").localCheckpoint(eager = false) // reused: a2 propagation + hub top-10
       val a2 = edges.join(h1n.withColumnRenamed("word", "w1"), "w1")
         .groupBy(col("w2").as("word")).agg(sum(expr("c12 * score_x1e6")).as("a"))
       val a2n = norm(a2, "a")
@@ -428,7 +428,7 @@ object GraphQueries {
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
         .join(docs.select(col("doc_id").as("a"), col("source").as("ca")), "a")
         .join(docs.select(col("doc_id").as("b"), col("source").as("cb")), "b")
-        .localCheckpoint() // feeds m, m_c and d_c
+        .localCheckpoint(eager = false) // feeds m, m_c and d_c
       val m = e.agg(count(lit(1)).as("m"))
       val mc = e.filter(col("ca") === col("cb"))
         .groupBy(col("ca").as("community")).agg(count(lit(1)).as("m_c"))
@@ -462,7 +462,7 @@ object GraphQueries {
     "q_assortativity" -> { (s, dir) =>
       val e = TextQueries.simhashPairsFor(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .localCheckpoint() // feeds the degree agg and the orientation union
+        .localCheckpoint(eager = false) // feeds the degree agg and the orientation union
       val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       val both = e.select(col("a"), col("b"))
@@ -496,7 +496,7 @@ object GraphQueries {
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
         .join(docs.select(col("doc_id").as("a"), col("source").as("ca")), "a")
         .join(docs.select(col("doc_id").as("b"), col("source").as("cb")), "b")
-        .localCheckpoint() // feeds m, vol and cut
+        .localCheckpoint(eager = false) // feeds m, vol and cut
       val m = e.agg(count(lit(1)).as("m"))
       val vol = e.select(col("ca").as("community"))
         .union(e.select(col("cb").as("community")))

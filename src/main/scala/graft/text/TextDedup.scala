@@ -39,7 +39,7 @@ object TextDedup {
   def minhashCandidatesFor(s: org.apache.spark.sql.SparkSession,
                            dir: String): DataFrame =
     ArtifactMemo.memo(candCache, "minhash_candidates", s, dir) {
-      minhashCandidates(TextQueries.minhashSigsFor(s, dir)).localCheckpoint()
+      minhashCandidates(TextQueries.minhashSigsFor(s, dir)).localCheckpoint(eager = false)
     }
 
   /** Candidate pairs from a pre-computed [[bandedWithSize]] frame — split
@@ -82,9 +82,9 @@ object TextDedup {
       .agg(md5(concat_ws(",",
         transform(array_sort(collect_list(struct(col("j"), col("minhash")))),
           x => x.getField("minhash").cast("string")))).as("band_key"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val census = banded.groupBy("band", "band_key").agg(count(lit(1)).as("n_bucket"))
-    banded.join(census, Seq("band", "band_key")).localCheckpoint()
+    banded.join(census, Seq("band", "band_key")).localCheckpoint(eager = false)
   }
 
   /** The band buckets [[minhashCandidates]] would drop at `maxBucketSize` —
@@ -151,9 +151,9 @@ object TextDedup {
                                     maxIter: Int = 50): (DataFrame, Int, Boolean) = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("component"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Fixpoint detection without a per-round join: labels only ever
     // DECREASE (min-propagation is monotone), so the label sum is a strict
     // progress measure — unchanged sum == fixpoint. Decimal sum: immune to
@@ -181,7 +181,7 @@ object TextDedup {
       val stepped = labels.select(col("doc_id").as("doc_id"), col("component").as("component"))
         .unionByName(fromNbr)
         .groupBy("doc_id").agg(min("component").as("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // pointer-jump step: also adopt the label OF my current label
       // (component ids are node ids, so label(label) is a valid lookup).
       // Halves the remaining path distance every round -> O(log diameter)

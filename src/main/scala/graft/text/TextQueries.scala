@@ -77,7 +77,7 @@ object TextQueries {
         .select(col("doc_id"), transform(shingles3(col("ws")), x => h32(x)).as("hs"))
         .select(col("doc_id"), explode(array(sigs: _*)).as("sig"))
         .select(col("doc_id"), col("sig.j").as("j"), col("sig.minhash").as("minhash"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
 
   // (context incarnation, sfDir) -> per-doc distinct 3-gram shingle sets
@@ -98,7 +98,7 @@ object TextQueries {
           size(col("ws")).cast("long").as("n_words"),
           element_at(col("ws"), 1).as("first_word"),
           array_distinct(shingles3(col("ws"))).as("sh"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
 
   // (context incarnation, sfDir) -> simhash near-dup edge set (Hamming<=3).
@@ -114,7 +114,7 @@ object TextQueries {
   def simhashPairsFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     ArtifactMemo.memo(simhashPairCache, "simhash_pairs", s, dir) {
       TextDedup.simhashNearPairs(queries("q_dedup_simhash")(s, dir), maxHamming = 3)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
 
   // (context incarnation, sfDir) -> converged component labels over the
@@ -131,7 +131,7 @@ object TextQueries {
     ArtifactMemo.memo(ccCache, "component_labels", s, dir) {
       val docs = Tables.documents(s, dir).select("doc_id")
       val edges = simhashPairsFor(s, dir).select("doc_a", "doc_b")
-      TextDedup.connectedComponents(docs, edges).localCheckpoint()
+      TextDedup.connectedComponents(docs, edges).localCheckpoint(eager = false)
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

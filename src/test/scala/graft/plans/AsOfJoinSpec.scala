@@ -126,4 +126,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(
       1L -> None, 2L -> Some(20L), 3L -> Some(30L), 4L -> None))
   }
+
+  test("skew: one key owning 200k right / 50k left rows merges correctly in O(1) state") {
+    // The scale claim under test: ALL of a hot key's rows land in one
+    // partition (ClusteredDistribution), but the merge holds exactly one
+    // saved (key, value) pair + a one-row lookahead — the skew cost is
+    // borne by the spill-capable SortExec below, never by operator state.
+    // Hot key 7: right rows (rt = 1..200000, rv = rt); left rows t = 4i,
+    // so the expected match is rv == t exactly. Cold key 9 rides the same
+    // run to prove the saved-pair state does not leak across keys inside
+    // the shared partition stream.
+    import org.apache.spark.sql.functions._
+    val left = spark.range(1, 50001)
+      .select(col("id").as("lid"), lit(7L).as("k"), (col("id") * 4).as("t"))
+      .union(spark.range(1, 101)
+        .select((col("id") + 100000).as("lid"), lit(9L).as("k"), (col("id") * 2).as("t")))
+      .toDF("lid", "k", "t")
+    val right = spark.range(1, 200001)
+      .select(lit(7L).as("rk"), col("id").as("rt"), col("id").as("rv"))
+      .union(spark.range(1, 1001)
+        .select(lit(9L).as("rk"), (col("id") * 2).as("rt"), col("id").as("rv")))
+      .toDF("rk", "rt", "rv")
+    val out = AsOfJoin(left, "k", "t", right, "rk", "rt", "rv", "v")
+    val bad = out.filter(
+      (col("k") === 7 && (col("v").isNull || col("v") =!= col("t"))) ||
+      (col("k") === 9 && (col("v").isNull || col("v") =!= col("t") / 2))).count()
+    assert(bad === 0L, "hot-key or cold-key as-of matches wrong under skew")
+    assert(out.count() === 50100L)
+  }
 }
