@@ -893,15 +893,38 @@ object CorpusQueries {
       // locally, if modestly (measured sf0.1/local[32] min-of-2:
       // 5.61 -> 5.11 s warm, 9.15 -> 8.60 s cold — loopback shuffle is
       // nearly free, so the 4x byte cut pays mainly on a real network).
+      // ONE corpus pass, ZERO joins (r11): the r10 shape joined the
+      // (source, gram) census back to a per-gram total frame, which (a)
+      // re-ran the scan+explode+hash for the second aggregate and (b) let
+      // the planner BROADCAST the per-gram frame — a frame that scales
+      // with the gram VOCABULARY, i.e. with the corpus (an OOM at 100 TB,
+      // and a 30 MB hashed-relation build at sf0.1). Instead the per-gram
+      // aggregate carries its per-source breakdown as a collect_list of
+      // (source, n_sg) structs — bounded by the SOURCE REGISTRY (a gram
+      // appears in at most #sources list entries), never by occurrence
+      // count — and explodes it back out, so gram totals meet their
+      // source rows without any join or second scan.
+      // Measured sf0.1/local[32] warm: 5.08 -> 1.54 s.
       val grams = Tables.documents(s, dir)
         .select(col("source"), expr(
           """explode(CASE WHEN length(text) >= 32
             |  THEN transform(sequence(1, length(text) - 31), i -> xxhash64(substring(text, i, 32)))
             |  ELSE CAST(array() AS ARRAY<BIGINT>) END)""".stripMargin).as("gram"))
-      val perSrc = grams.groupBy("source", "gram").agg(count(lit(1)).as("n_sg"))
-      val tot = perSrc.groupBy("gram")
-        .agg(sum("n_sg").as("n_g"), count(lit(1)).as("n_sources_g"))
-      perSrc.join(tot, "gram")
+      // one explicit hash exchange on gram serves BOTH aggregate levels:
+      // hashpartitioning(gram) satisfies the (source, gram) clustering too,
+      // so neither groupBy adds its own shuffle — and map-side partial
+      // aggregation would not have compressed anything anyway (grams are
+      // mostly unique, so the pre-agged exchange carries the same rows).
+      val perSrc = grams.repartition(col("gram"))
+        .groupBy("source", "gram").agg(count(lit(1)).as("n_sg"))
+      val byGram = perSrc.groupBy("gram")
+        .agg(collect_list(struct(col("source"), col("n_sg"))).as("srcs"),
+          sum("n_sg").as("n_g"), count(lit(1)).as("n_sources_g"))
+      byGram
+        .select(col("n_g"), col("n_sources_g"),
+          explode(col("srcs")).as("sc"))
+        .select(col("sc.source").as("source"), col("sc.n_sg").as("n_sg"),
+          col("n_g"), col("n_sources_g"))
         .groupBy("source")
         .agg(sum("n_sg").as("n_positions"),
           sum(when(col("n_g") > 1, col("n_sg")).otherwise(0L)).as("n_dup_positions"),

@@ -622,12 +622,23 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"the totals join must broadcast (types-bounded frame):\n$p")
   }
 
-  test("q_substring_dup: gram census is map-side combined before its shuffle") {
+  test("q_substring_dup: ONE corpus pass, ONE gram exchange, join-free census") {
     val p = executedPlan("q_substring_dup")
-    assert(p.contains("partial_count"),
-      s"the (source, gram) aggregate reaches the shuffle uncombined:\n$p")
-    assert(!p.contains("Window"),
-      s"no window belongs in the census:\n$p")
+    // r11 shape: the per-gram aggregate carries its per-source breakdown
+    // as a registry-bounded collect_list and explodes it back — no join
+    // (the r10 join-back broadcast a gram-VOCABULARY-sized frame: an OOM
+    // at 100 TB) and no second scan of documents.
+    def occurrences(needle: String): Int =
+      p.sliding(needle.length).count(_ == needle)
+    assert(occurrences("Scan parquet") === 1,
+      s"documents scanned more than once:\n$p")
+    assert(!p.contains("Join"), s"the census must be join-free:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in the census:\n$p")
+    // exactly one exchange carries gram rows (both aggregate levels share
+    // hashpartitioning(gram)); the only other exchange is the final
+    // sources-sized ORDER BY
+    assert(occurrences("Exchange hashpartitioning(gram") === 1,
+      s"gram rows should cross exactly one exchange:\n$p")
   }
 
   test("q_policy_replay: the policy argmax is a narrow map — no join, one agg") {
