@@ -42,7 +42,8 @@ object SparkEntry {
       multimodal.BlobQueries.queries ++
       ml.MLQueries.queries ++
       ml.TrainQueries.queries ++
-      core.Sinks.queries
+      core.Sinks.queries ++
+      sources.TimeTravel.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -71,5 +72,6 @@ object SparkEntry {
       multimodal.BlobQueries.oracleSql ++
       ml.MLQueries.oracleSql ++
       ml.TrainQueries.oracleSql ++
-      core.Sinks.oracleSql
+      core.Sinks.oracleSql ++
+      sources.TimeTravel.oracleSql
 }

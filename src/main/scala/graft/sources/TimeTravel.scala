@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Iceberg-style snapshot / time-travel read surface (SURVEY.md §2.1):
+  * a table is a MANIFEST (version -> data-file list + per-file column
+  * stats), not a directory listing. Two properties carried over from the
+  * table-format designs (Iceberg/Delta), re-expressed with plain parquet +
+  * a JSON manifest so both engines can replay every byte:
+  *
+  *   - snapshot isolation by manifest sharing: version 2 = version 1's
+  *     data files + an appended file; nothing is rewritten, and reading
+  *     version 1 after the append returns exactly the old rows.
+  *   - planning cost is O(manifest), not O(objects): the reader never
+  *     lists the data directory; at 100 TB / millions of files the
+  *     manifest read (and the file-level min/max prune below) IS the
+  *     scan-planning story, replacing a multi-minute object-store listing.
+  *
+  * Snapshot planning (manifest filter + file pruning) happens driver-side
+  * over a frame bounded by the FILE COUNT — the same place Iceberg's
+  * planner runs — never over data rows.
+  *
+  * The fixture table splits `orders` at X = max(o_orderkey) DIV 2: the
+  * initial load (snap_lo: keys <= X) is version 1; version 2 appends
+  * snap_hi (keys > X) and re-lists snap_lo in its manifest. X, the split
+  * membership, and every census are pure functions of the input, so the
+  * DuckDB oracle recomputes both snapshots without seeing the files.
+  */
+object TimeTravel {
+
+  private def baseDir(name: String): String = {
+    val d = new java.io.File(s"target/sink_tmp/$name")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  private val ManifestSchema = "version LONG, path STRING, min_key LONG, max_key LONG"
+
+  /** Build (overwrite) the two-snapshot table for the fixture at `dir`;
+    * returns the base path. Per-file min/max stats are TRUE stats computed
+    * from the written halves (one bounded 2-row aggregate), as a table
+    * format's writer records them.
+    */
+  def build(s: SparkSession, dir: String): String = {
+    val base = baseDir(s"timetravel_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val orders = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val x = orders.agg(expr("max(o_orderkey) DIV 2").as("x"))
+      .collect()(0).getLong(0)
+    val lo = s"$base/data/snap_lo"
+    val hi = s"$base/data/snap_hi"
+    orders.filter(col("o_orderkey") <= x).write.mode(SaveMode.Overwrite).parquet(lo)
+    orders.filter(col("o_orderkey") > x).write.mode(SaveMode.Overwrite).parquet(hi)
+    val stats = orders
+      .groupBy((col("o_orderkey") <= x).as("is_lo"))
+      .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (loMn, loMx) = stats(true)
+    val (hiMn, hiMx) = stats(false)
+    // version 2 SHARES snap_lo — the append rewrites nothing
+    val manifest = Seq(
+      (1L, lo, loMn, loMx),
+      (2L, lo, loMn, loMx),
+      (2L, hi, hiMn, hiMx))
+    import s.implicits._
+    manifest.toDF("version", "path", "min_key", "max_key")
+      .coalesce(1).write.mode(SaveMode.Overwrite).json(s"$base/manifest")
+    base
+  }
+
+  /** Driver-side snapshot planning: the file list for `version`, read from
+    * the persisted manifest (never from a directory listing). The collect
+    * is bounded by the manifest's file count — the planner's frame.
+    */
+  private def planSnapshot(s: SparkSession, base: String, version: Long,
+                           minKeyAtLeast: Option[Long] = None): Seq[(String, Long, Long)] =
+    s.read.schema(ManifestSchema).json(s"$base/manifest")
+      .filter(col("version") === version)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      .filter { case (_, _, mx) => minKeyAtLeast.forall(lo => mx >= lo) }
+      .toSeq.sortBy(_._1)
+
+  private def census(df: DataFrame, tag: Long): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_cents"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .select(lit(tag).as("version"), col("n_rows"), col("sum_cents"),
+        col("min_key"), col("max_key"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // NS: time travel — census of version 1 read AFTER version 2 was
+    // appended, beside version 2's. Version 1's files were shared, not
+    // rewritten, so its census equals the pre-append table exactly
+    // (snapshot isolation); the oracle recomputes both from `orders`.
+    "q_time_travel" -> { (s, dir) =>
+      val base = build(s, dir)
+      def readV(v: Long): DataFrame =
+        s.read.parquet(planSnapshot(s, base, v).map(_._1): _*)
+      census(readV(1L), 1L).union(census(readV(2L), 2L)).orderBy("version")
+    },
+
+    // NS: manifest-stats file pruning — the Iceberg/Delta data-skipping
+    // move: a predicate on the stats column drops whole FILES at plan
+    // time (max_key < lo), before any parquet footer is opened. The
+    // census carries the planner's own numbers (files total vs scanned)
+    // as oracle-pinned literals, so a pruning regression goes hash-red.
+    "q_manifest_prune" -> { (s, dir) =>
+      val base = build(s, dir)
+      val x = Tables.orders(s, dir)
+        .agg(expr("max(o_orderkey) DIV 2").as("x")).collect()(0).getLong(0)
+      val all = planSnapshot(s, base, 2L)
+      val kept = planSnapshot(s, base, 2L, minKeyAtLeast = Some(x + 1))
+      s.read.parquet(kept.map(_._1): _*)
+        .filter(col("o_orderkey") > x)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_cents"))
+        .select(lit(all.length.toLong).as("n_files_total"),
+          lit(kept.length.toLong).as("n_files_scanned"),
+          col("n_rows"), col("sum_cents"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_time_travel" ->
+      """WITH x AS (SELECT max(o_orderkey) // 2 AS xk FROM orders),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+        |              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |              min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |       FROM orders, x WHERE o_orderkey <= xk),
+        |v2 AS (SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_rows,
+        |              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |              min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |       FROM orders)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version""".stripMargin,
+    "q_manifest_prune" ->
+      """WITH x AS (SELECT max(o_orderkey) // 2 AS xk FROM orders)
+        |SELECT CAST(2 AS BIGINT) AS n_files_total,
+        |       CAST(1 AS BIGINT) AS n_files_scanned,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders, x WHERE o_orderkey > xk""".stripMargin
+  )
+}

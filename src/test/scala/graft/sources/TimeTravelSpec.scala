@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** The snapshot/time-travel read surface: isolation (version 1 survives
+  * the append byte-for-byte), append sharing (nothing rewritten), and
+  * manifest-stats file pruning (the pruned file never reaches the scan).
+  */
+class TimeTravelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("snapshot isolation: version 1 read AFTER the append equals the pre-append table") {
+    val rows = SparkEntry.queries("q_time_travel")(spark, TestSpark.Sf0001)
+      .orderBy("version").collect()
+    assert(rows.length === 2)
+    val (v1, v2) = (rows(0), rows(1))
+    // expected: v1 = keys <= max/2 of orders, v2 = the whole table
+    val o = graft.core.Tables.orders(spark, TestSpark.Sf0001)
+    val x = o.agg(expr("max(o_orderkey) DIV 2")).collect()(0).getLong(0)
+    val exp1 = o.filter(col("o_orderkey") <= x).count()
+    val exp2 = o.count()
+    assert(v1.getAs[Long]("n_rows") === exp1, "version 1 leaked appended rows")
+    assert(v2.getAs[Long]("n_rows") === exp2)
+    assert(v1.getAs[Long]("max_key") <= x, "version 1 sees keys above the split")
+    assert(v2.getAs[Long]("max_key") > x)
+    // the append added rows without touching v1's mass
+    assert(v2.getAs[Long]("sum_cents") > v1.getAs[Long]("sum_cents"))
+  }
+
+  test("manifest pruning: the below-range file never reaches the parquet scan") {
+    val df = SparkEntry.queries("q_manifest_prune")(spark, TestSpark.Sf0001)
+    // inputFiles is the scan's real file list (the plan's Location string
+    // truncates); the pruned half must not appear at all
+    val files = df.inputFiles
+    assert(files.exists(_.contains("snap_hi")), s"kept file missing: ${files.toSeq}")
+    assert(!files.exists(_.contains("snap_lo")),
+      s"pruned file still listed — file-level stats pruning regressed: ${files.toSeq}")
+    val r = df.collect()(0)
+    assert(r.getAs[Long]("n_files_total") === 2L)
+    assert(r.getAs[Long]("n_files_scanned") === 1L)
+    assert(r.getAs[Long]("n_rows") > 0L)
+  }
+
+  test("version 2 SHARES version 1's data file in the manifest (append rewrites nothing)") {
+    val base = TimeTravel.build(spark, TestSpark.Sf0001)
+    val m = spark.read
+      .schema("version LONG, path STRING, min_key LONG, max_key LONG")
+      .json(s"$base/manifest").collect()
+    val v1Paths = m.filter(_.getLong(0) == 1L).map(_.getString(1)).toSet
+    val v2Paths = m.filter(_.getLong(0) == 2L).map(_.getString(1)).toSet
+    assert(v1Paths.subsetOf(v2Paths), "append must re-list v1's files, not rewrite them")
+    assert(v2Paths.size === v1Paths.size + 1)
+    // per-file stats are real envelopes: disjoint halves split at X
+    val loMax = m.filter(r => r.getLong(0) == 2L && r.getString(1).contains("snap_lo"))
+      .head.getLong(3)
+    val hiMin = m.filter(r => r.getString(1).contains("snap_hi")).head.getLong(2)
+    assert(loMax < hiMin, "file stats overlap — the prune would be unsound")
+  }
+}
