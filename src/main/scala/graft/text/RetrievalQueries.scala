@@ -180,12 +180,16 @@ object RetrievalQueries {
         (0 until n).map(i => (col(s"tf$i") > 0).cast("long")).reduce(_ + _).as("rel"))
       def gain(relCol: Column, rankCol: Column): Column =
         (pow(lit(2.0), relCol.cast("double")) - 1.0) / log2(rankCol.cast("double") + 1.0)
-      val top = scored.groupBy("k1_x100", "b_x100")
+      // the broadcast hint rides the <=40-row TOP side (4 configs x top-10),
+      // NOT rel: rel carries one row per DOCUMENT, so hinting it overrides
+      // statistics with a corpus-scaled broadcast (caught by
+      // BroadcastDomainLintSpec, r11)
+      val top = broadcast(scored.groupBy("k1_x100", "b_x100")
         .agg(topk(col("doc_id"), col("bm25")).as("nn"))
         .select(col("k1_x100"), col("b_x100"), posexplode(col("nn")).as(Seq("pos", "e")))
         .select(col("k1_x100"), col("b_x100"), (col("pos") + 1).cast("long").as("r"),
-          col("e.id").as("doc_id"))
-        .join(broadcast(rel), "doc_id")
+          col("e.id").as("doc_id")))
+        .join(rel, "doc_id")
       val dcg = top.groupBy("k1_x100", "b_x100")
         .agg(count(lit(1)).as("n_ranked"), sum(gain(col("rel"), col("r"))).as("dcg"))
       val ideal = rel.filter(col("rel") > 0)
