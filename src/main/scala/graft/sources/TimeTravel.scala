@@ -47,8 +47,8 @@ object TimeTravel {
   def build(s: SparkSession, dir: String): String = {
     val base = baseDir(s"timetravel_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val orders = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
-    val x = orders.agg(expr("max(o_orderkey) DIV 2").as("x"))
-      .collect()(0).getLong(0)
+    val xRow = orders.agg(expr("max(o_orderkey) DIV 2").as("x")).collect()(0)
+    val x = if (xRow.isNullAt(0)) 0L else xRow.getLong(0)
     val lo = s"$base/data/snap_lo"
     val hi = s"$base/data/snap_hi"
     orders.filter(col("o_orderkey") <= x).write.mode(SaveMode.Overwrite).parquet(lo)
@@ -57,8 +57,11 @@ object TimeTravel {
       .groupBy((col("o_orderkey") <= x).as("is_lo"))
       .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
       .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val (loMn, loMx) = stats(true)
-    val (hiMn, hiMx) = stats(false)
+    // an empty half gets the INVERTED envelope (0, -1): max_key < any
+    // predicate bound, so the pruner always drops the empty file — the
+    // totality edge for a 1-row (or empty) table
+    val (loMn, loMx) = stats.getOrElse(true, (0L, -1L))
+    val (hiMn, hiMx) = stats.getOrElse(false, (0L, -1L))
     // version 2 SHARES snap_lo — the append rewrites nothing
     val manifest = Seq(
       (1L, lo, loMn, loMx),
@@ -114,7 +117,13 @@ object TimeTravel {
         .agg(expr("max(o_orderkey) DIV 2").as("x")).collect()(0).getLong(0)
       val all = planSnapshot(s, base, 2L)
       val kept = planSnapshot(s, base, 2L, minKeyAtLeast = Some(x + 1))
-      s.read.parquet(kept.map(_._1): _*)
+      // every file pruned (degenerate 1-row table: the hi half is empty
+      // and carries the inverted envelope): keep the read total with a
+      // provably-empty scan instead of a zero-path reader error
+      val src =
+        if (kept.nonEmpty) s.read.parquet(kept.map(_._1): _*)
+        else s.read.parquet(all.map(_._1): _*).filter(lit(false))
+      src
         .filter(col("o_orderkey") > x)
         .agg(count(lit(1)).as("n_rows"),
           sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_cents"))

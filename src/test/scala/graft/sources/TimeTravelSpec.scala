@@ -59,4 +59,22 @@ class TimeTravelSpec extends AnyFunSuite {
     val hiMin = m.filter(r => r.getString(1).contains("snap_hi")).head.getLong(2)
     assert(loMax < hiMin, "file stats overlap — the prune would be unsound")
   }
+
+  test("totality: a 1-row table (empty lo half) builds, reads and prunes without error") {
+    // max DIV 2 = 0 < the only key, so snap_lo is EMPTY: its manifest
+    // entry must carry the inverted envelope and both queries stay total
+    val tmp = java.nio.file.Files.createTempDirectory("tt_degen").toString
+    import spark.implicits._
+    Seq((1L, 10L, "P", 100.25, "1994-01-02", "1-URGENT", "c1", 0L, "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "o_clerk", "o_shippriority", "o_comment")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val tt = SparkEntry.queries("q_time_travel")(spark, tmp).orderBy("version").collect()
+    assert(tt.length === 2)
+    assert(tt(0).getAs[Long]("n_rows") === 0L, "v1 over the empty half must census 0")
+    assert(tt(1).getAs[Long]("n_rows") === 1L)
+    val mp = SparkEntry.queries("q_manifest_prune")(spark, tmp).collect()(0)
+    assert(mp.getAs[Long]("n_rows") === 1L)
+    assert(mp.getAs[Long]("n_files_scanned") === 1L, "the empty lo file must be pruned")
+  }
 }
