@@ -29,7 +29,7 @@ class BroadcastDomainLintSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private val DataScaledKey =
-    """(?i)^(doc_id|user_id|vec_id|event_id|o_orderkey|l_orderkey|gram|shingle)$""".r
+    """(?i)^(doc_id|user_id|vec_id|event_id|o_orderkey|l_orderkey|o_custkey|c_custkey|p_partkey|s_suppkey|l_partkey|l_suppkey|gram|shingle)$""".r
 
   private val FactTables = Seq("lineitem", "orders", "events", "documents", "embeddings")
 
