@@ -62,11 +62,21 @@ object TimeTravel {
     // totality edge for a 1-row (or empty) table
     val (loMn, loMx) = stats.getOrElse(true, (0L, -1L))
     val (hiMn, hiMx) = stats.getOrElse(false, (0L, -1L))
-    // version 2 SHARES snap_lo — the append rewrites nothing
+    // version 2 SHARES snap_lo — the append rewrites nothing; version 3
+    // is a COMPACTION: the whole table rewritten as one file, leaving
+    // snap_lo/snap_hi referenced only by the older snapshots (the input
+    // frame for q_snapshot_expire's orphan census)
+    val all = s"$base/data/snap_all"
+    orders.write.mode(SaveMode.Overwrite).parquet(all)
+    val allRow = orders.agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+      .collect()(0)
+    val (allMn, allMx) =
+      if (allRow.isNullAt(0)) (0L, -1L) else (allRow.getLong(0), allRow.getLong(1))
     val manifest = Seq(
       (1L, lo, loMn, loMx),
       (2L, lo, loMn, loMx),
-      (2L, hi, hiMn, hiMx))
+      (2L, hi, hiMn, hiMx),
+      (3L, all, allMn, allMx))
     import s.implicits._
     manifest.toDF("version", "path", "min_key", "max_key")
       .coalesce(1).write.mode(SaveMode.Overwrite).json(s"$base/manifest")
@@ -130,6 +140,38 @@ object TimeTravel {
         .select(lit(all.length.toLong).as("n_files_total"),
           lit(kept.length.toLong).as("n_files_scanned"),
           col("n_rows"), col("sum_cents"))
+    },
+
+    // NS: snapshot-expiry orphan census — the table-maintenance read every
+    // iceberg-style layout needs before a GC pass: per data FILE, how many
+    // snapshots reference it and whether the LATEST snapshot still does
+    // (live = 0 means expiring the old snapshots orphans the file and its
+    // bytes are reclaimable). Version 3 is a compaction rewrite, so the
+    // pre-compaction halves are exactly the orphan set. Reference counts
+    // ride the manifest frame (bounded by file count); per-file row counts
+    // are one count(*) scan per file — the verification read a GC tool
+    // does before deleting, and the only data-scaled work here.
+    "q_snapshot_expire" -> { (s, dir) =>
+      val base = build(s, dir)
+      val m = s.read.schema(ManifestSchema).json(s"$base/manifest")
+        .withColumn("file", element_at(split(col("path"), "/"), -1))
+      val latest = m.agg(max("version")).collect()(0).getLong(0)
+      val refs = m.groupBy("file")
+        .agg(count(lit(1)).as("n_versions"),
+          max((col("version") === latest).cast("long")).as("live"))
+      // manifest-bounded driver loop: one row-count read per data file
+      val counts = m.select("file", "path").distinct().collect()
+        .map(r => s.read.parquet(r.getString(1))
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(r.getString(0)).as("file"), col("n_rows")))
+        .reduce(_ union _)
+      refs.join(counts, "file")
+        .select(col("file"), col("n_versions"), col("live"),
+          col("n_rows"),
+          // reclaimable = the file's rows become unreferenced once every
+          // version below the latest is expired
+          when(col("live") === 0, col("n_rows")).otherwise(0L).as("n_rows_freed"))
+        .orderBy("file")
     }
   )
 
@@ -151,6 +193,26 @@ object TimeTravel {
         |       CAST(1 AS BIGINT) AS n_files_scanned,
         |       count(*) AS n_rows,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM orders, x WHERE o_orderkey > xk""".stripMargin
+        |FROM orders, x WHERE o_orderkey > xk""".stripMargin,
+    // the file layout is a pure function of orders and the split point:
+    // snap_lo (keys <= xk) referenced by v1+v2 and orphaned by the v3
+    // compaction, snap_hi (keys > xk) referenced by v2 and orphaned,
+    // snap_all (the compaction) live
+    "q_snapshot_expire" ->
+      """WITH x AS (SELECT max(o_orderkey) // 2 AS xk FROM orders),
+        |c AS (SELECT count(*) AS n_all,
+        |             CAST(sum(CASE WHEN o_orderkey <= xk THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
+        |      FROM orders, x)
+        |SELECT t.file, t.n_versions, t.live, t.n_rows,
+        |       CASE WHEN t.live = 0 THEN t.n_rows ELSE CAST(0 AS BIGINT) END AS n_rows_freed
+        |FROM (SELECT 'snap_all' AS file, CAST(1 AS BIGINT) AS n_versions,
+        |             CAST(1 AS BIGINT) AS live, (SELECT n_all FROM c) AS n_rows
+        |      UNION ALL
+        |      SELECT 'snap_hi', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        |             (SELECT n_all - n_lo FROM c)
+        |      UNION ALL
+        |      SELECT 'snap_lo', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        |             (SELECT n_lo FROM c)) t
+        |ORDER BY t.file""".stripMargin
   )
 }

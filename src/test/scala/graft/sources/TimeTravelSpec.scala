@@ -60,6 +60,24 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(loMax < hiMin, "file stats overlap — the prune would be unsound")
   }
 
+  test("snapshot expiry: the compaction orphans exactly the pre-compaction halves") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_snapshot_expire")(spark, TestSpark.Sf0001)
+      .orderBy("file").collect()
+    assert(rows.map(_.getAs[String]("file")).toSeq === Seq("snap_all", "snap_hi", "snap_lo"))
+    val byFile = rows.map(r => r.getAs[String]("file") -> r).toMap
+    assert(byFile("snap_all").getAs[Long]("live") === 1L)
+    assert(byFile("snap_lo").getAs[Long]("live") === 0L)
+    assert(byFile("snap_hi").getAs[Long]("live") === 0L)
+    assert(byFile("snap_lo").getAs[Long]("n_versions") === 2L, "v1 AND v2 reference snap_lo")
+    // conservation: the compacted file holds every row the orphans held
+    assert(byFile("snap_all").getAs[Long]("n_rows") ===
+      byFile("snap_lo").getAs[Long]("n_rows") + byFile("snap_hi").getAs[Long]("n_rows"))
+    assert(byFile("snap_all").getAs[Long]("n_rows_freed") === 0L)
+    assert(byFile("snap_lo").getAs[Long]("n_rows_freed") ===
+      byFile("snap_lo").getAs[Long]("n_rows"))
+  }
+
   test("totality: a 1-row table (empty lo half) builds, reads and prunes without error") {
     // max DIV 2 = 0 < the only key, so snap_lo is EMPTY: its manifest
     // entry must carry the inverted envelope and both queries stay total
