@@ -39,12 +39,24 @@ object TimeTravel {
 
   private val ManifestSchema = "version LONG, path STRING, min_key LONG, max_key LONG"
 
+  // one snapshot-table build per (session, fixture) — the table format's
+  // files PERSIST; a query re-writing them per invocation would model the
+  // wrong thing and bill the write to every reader. Cold cost is
+  // attributed through ArtifactMemo's artifact_build_s bench line.
+  private val buildCache =
+    new java.util.concurrent.ConcurrentHashMap[graft.text.ArtifactMemo.Key, String]()
+
+  def build(s: SparkSession, dir: String): String =
+    graft.text.ArtifactMemo.memoAny(buildCache, "timetravel", s, dir) {
+      buildUncached(s, dir)
+    }
+
   /** Build (overwrite) the two-snapshot table for the fixture at `dir`;
     * returns the base path. Per-file min/max stats are TRUE stats computed
     * from the written halves (one bounded 2-row aggregate), as a table
     * format's writer records them.
     */
-  def build(s: SparkSession, dir: String): String = {
+  def buildUncached(s: SparkSession, dir: String): String = {
     val base = baseDir(s"timetravel_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val orders = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
     val xRow = orders.agg(expr("max(o_orderkey) DIV 2").as("x")).collect()(0)

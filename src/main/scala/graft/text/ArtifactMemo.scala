@@ -37,17 +37,24 @@ object ArtifactMemo {
     s.sparkContext.applicationId + "@" + s.sparkContext.startTime
 
   def memo(cache: ConcurrentHashMap[Key, DataFrame], label: String,
-           s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+           s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    memoAny(cache, label, s, dir)(build)
+
+  /** Same memo for non-DataFrame artifacts (e.g. an on-disk table layout's
+    * base PATH): identical keying, eviction, and cold-build accounting.
+    */
+  def memoAny[A](cache: ConcurrentHashMap[Key, A], label: String,
+                 s: SparkSession, dir: String)(build: => A): A = {
     val ck = ctxKey(s)
     cache.keySet.removeIf(k => k._1 != ck)
     var built = false
     val t0 = System.nanoTime()
-    val df = cache.computeIfAbsent((ck, dir), _ => { built = true; build })
+    val v = cache.computeIfAbsent((ck, dir), _ => { built = true; build })
     if (built) {
       val dt = System.nanoTime() - t0
       coldNanos.addAndGet(dt)
       System.err.println(f"[memo] $label%-18s cold build ${dt / 1e9}%6.2f s  ($dir)")
     }
-    df
+    v
   }
 }
