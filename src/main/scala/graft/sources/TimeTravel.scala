@@ -37,7 +37,21 @@ object TimeTravel {
     d.getAbsolutePath
   }
 
-  private val ManifestSchema = "version LONG, path STRING, min_key LONG, max_key LONG"
+  /** Layout name for a fixture dir: sanitized for the filesystem PLUS a
+    * hash of the raw path — sanitization alone maps distinct dirs (e.g.
+    * `/data/sf0.1` vs `/data/sf0_1`) onto one layout while the build memo
+    * keys by the raw dir, silently mixing snapshots across fixtures.
+    */
+  private def layoutName(dir: String): String = {
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"timetravel_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$h"
+  }
+
+  // n_rows recorded at write time (a table format's writer reads it off
+  // the parquet footer) makes GC/CDF maintenance censuses pure manifest
+  // queries — zero data reads at 100 TB.
+  private val ManifestSchema =
+    "version LONG, path STRING, min_key LONG, max_key LONG, n_rows LONG"
 
   // one snapshot-table build per (session, fixture) — the table format's
   // files PERSIST; a query re-writing them per invocation would model the
@@ -57,7 +71,7 @@ object TimeTravel {
     * format's writer records them.
     */
   def buildUncached(s: SparkSession, dir: String): String = {
-    val base = baseDir(s"timetravel_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val base = baseDir(layoutName(dir))
     val orders = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
     val xRow = orders.agg(expr("max(o_orderkey) DIV 2").as("x")).collect()(0)
     val x = if (xRow.isNullAt(0)) 0L else xRow.getLong(0)
@@ -67,30 +81,33 @@ object TimeTravel {
     orders.filter(col("o_orderkey") > x).write.mode(SaveMode.Overwrite).parquet(hi)
     val stats = orders
       .groupBy((col("o_orderkey") <= x).as("is_lo"))
-      .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
-      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"),
+        count(lit(1)).as("cnt"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
     // an empty half gets the INVERTED envelope (0, -1): max_key < any
     // predicate bound, so the pruner always drops the empty file — the
     // totality edge for a 1-row (or empty) table
-    val (loMn, loMx) = stats.getOrElse(true, (0L, -1L))
-    val (hiMn, hiMx) = stats.getOrElse(false, (0L, -1L))
+    val (loMn, loMx, loN) = stats.getOrElse(true, (0L, -1L, 0L))
+    val (hiMn, hiMx, hiN) = stats.getOrElse(false, (0L, -1L, 0L))
     // version 2 SHARES snap_lo — the append rewrites nothing; version 3
     // is a COMPACTION: the whole table rewritten as one file, leaving
     // snap_lo/snap_hi referenced only by the older snapshots (the input
     // frame for q_snapshot_expire's orphan census)
     val all = s"$base/data/snap_all"
     orders.write.mode(SaveMode.Overwrite).parquet(all)
-    val allRow = orders.agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
-      .collect()(0)
+    val allRow = orders.agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"),
+      count(lit(1)).as("cnt")).collect()(0)
     val (allMn, allMx) =
       if (allRow.isNullAt(0)) (0L, -1L) else (allRow.getLong(0), allRow.getLong(1))
+    val allN = allRow.getLong(2)
     val manifest = Seq(
-      (1L, lo, loMn, loMx),
-      (2L, lo, loMn, loMx),
-      (2L, hi, hiMn, hiMx),
-      (3L, all, allMn, allMx))
+      (1L, lo, loMn, loMx, loN),
+      (2L, lo, loMn, loMx, loN),
+      (2L, hi, hiMn, hiMx, hiN),
+      (3L, all, allMn, allMx, allN))
     import s.implicits._
-    manifest.toDF("version", "path", "min_key", "max_key")
+    manifest.toDF("version", "path", "min_key", "max_key", "n_rows")
       .coalesce(1).write.mode(SaveMode.Overwrite).json(s"$base/manifest")
     base
   }
@@ -135,8 +152,11 @@ object TimeTravel {
     // as oracle-pinned literals, so a pruning regression goes hash-red.
     "q_manifest_prune" -> { (s, dir) =>
       val base = build(s, dir)
-      val x = Tables.orders(s, dir)
-        .agg(expr("max(o_orderkey) DIV 2").as("x")).collect()(0).getLong(0)
+      // same null guard as the build path: an empty orders table yields a
+      // NULL max and the recompute must not NPE
+      val xRow = Tables.orders(s, dir)
+        .agg(expr("max(o_orderkey) DIV 2").as("x")).collect()(0)
+      val x = if (xRow.isNullAt(0)) 0L else xRow.getLong(0)
       val all = planSnapshot(s, base, 2L)
       val kept = planSnapshot(s, base, 2L, minKeyAtLeast = Some(x + 1))
       // every file pruned (degenerate 1-row table: the hi half is empty
@@ -145,6 +165,9 @@ object TimeTravel {
       val src =
         if (kept.nonEmpty) s.read.parquet(kept.map(_._1): _*)
         else s.read.parquet(all.map(_._1): _*).filter(lit(false))
+      // the pinned 2/1 oracle literals assume a positive-key fixture
+      // (TPC-H o_orderkey >= 1): the lo half is then non-empty, so exactly
+      // one of two files survives the prune
       src
         .filter(col("o_orderkey") > x)
         .agg(count(lit(1)).as("n_rows"),
@@ -159,31 +182,49 @@ object TimeTravel {
     // snapshots reference it and whether the LATEST snapshot still does
     // (live = 0 means expiring the old snapshots orphans the file and its
     // bytes are reclaimable). Version 3 is a compaction rewrite, so the
-    // pre-compaction halves are exactly the orphan set. Reference counts
-    // ride the manifest frame (bounded by file count); per-file row counts
-    // are one count(*) scan per file — the verification read a GC tool
-    // does before deleting, and the only data-scaled work here.
+    // pre-compaction halves are exactly the orphan set. Per-file row
+    // counts come straight off the MANIFEST (recorded at write time, the
+    // way a table format's writer reads them from the parquet footer), so
+    // the whole census is a pure manifest query: ZERO data-file reads,
+    // O(manifest) work at any table size. Plan-pinned (TimeTravelSpec
+    // asserts no data file reaches the scan).
     "q_snapshot_expire" -> { (s, dir) =>
       val base = build(s, dir)
       val m = s.read.schema(ManifestSchema).json(s"$base/manifest")
         .withColumn("file", element_at(split(col("path"), "/"), -1))
       val latest = m.agg(max("version")).collect()(0).getLong(0)
-      val refs = m.groupBy("file")
+      m.groupBy("file")
         .agg(count(lit(1)).as("n_versions"),
-          max((col("version") === latest).cast("long")).as("live"))
-      // manifest-bounded driver loop: one row-count read per data file
-      val counts = m.select("file", "path").distinct().collect()
-        .map(r => s.read.parquet(r.getString(1))
-          .agg(count(lit(1)).as("n_rows"))
-          .select(lit(r.getString(0)).as("file"), col("n_rows")))
-        .reduce(_ union _)
-      refs.join(counts, "file")
-        .select(col("file"), col("n_versions"), col("live"),
-          col("n_rows"),
+          max((col("version") === latest).cast("long")).as("live"),
+          // every version lists the same bytes for a shared file, so the
+          // per-file count is version-invariant; max is the safe fold
+          max("n_rows").as("n_rows"))
+        .select(col("file"), col("n_versions"), col("live"), col("n_rows"),
           // reclaimable = the file's rows become unreferenced once every
           // version below the latest is expired
           when(col("live") === 0, col("n_rows")).otherwise(0L).as("n_rows_freed"))
         .orderBy("file")
+    },
+
+    // NS: incremental / change-data-feed read — "give me the rows version
+    // 2 added over version 1" answered from the manifest DIFF: the files
+    // v2 lists that v1 does not ARE the appended slice (append-only
+    // snapshots never rewrite), so the reader scans ONLY those files in
+    // one multi-path read. Never a data-side anti-join of two snapshot
+    // reads — at 100 TB the CDC consumer pays for the appended bytes, not
+    // the table. Files-read count rides the output as an oracle-pinned
+    // literal (1: the fixture append is one file).
+    "q_snapshot_changes" -> { (s, dir) =>
+      val base = build(s, dir)
+      val v1 = planSnapshot(s, base, 1L).map(_._1).toSet
+      val added = planSnapshot(s, base, 2L).map(_._1).filterNot(v1)
+      s.read.parquet(added: _*)
+        .agg(count(lit(1)).as("n_rows_added"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_cents"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .select(lit(1L).as("version_from"), lit(2L).as("version_to"),
+          lit(added.length.toLong).as("n_files_read"),
+          col("n_rows_added"), col("sum_cents"), col("min_key"), col("max_key"))
     }
   )
 
@@ -225,6 +266,17 @@ object TimeTravel {
         |      UNION ALL
         |      SELECT 'snap_lo', CAST(2 AS BIGINT), CAST(0 AS BIGINT),
         |             (SELECT n_lo FROM c)) t
-        |ORDER BY t.file""".stripMargin
+        |ORDER BY t.file""".stripMargin,
+    // the appended slice is exactly the hi half (keys > xk); n_files_read
+    // is pinned to 1 (the fixture append writes one file)
+    "q_snapshot_changes" ->
+      """WITH x AS (SELECT max(o_orderkey) // 2 AS xk FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version_from,
+        |       CAST(2 AS BIGINT) AS version_to,
+        |       CAST(1 AS BIGINT) AS n_files_read,
+        |       count(*) AS n_rows_added,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders, x WHERE o_orderkey > xk""".stripMargin
   )
 }

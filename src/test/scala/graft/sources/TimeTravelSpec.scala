@@ -62,8 +62,14 @@ class TimeTravelSpec extends AnyFunSuite {
 
   test("snapshot expiry: the compaction orphans exactly the pre-compaction halves") {
     import org.apache.spark.sql.functions._
-    val rows = SparkEntry.queries("q_snapshot_expire")(spark, TestSpark.Sf0001)
-      .orderBy("file").collect()
+    val df = SparkEntry.queries("q_snapshot_expire")(spark, TestSpark.Sf0001)
+    // plan pin (the r11 scale-killer): the GC census is a PURE manifest
+    // query — per-file row counts come from the manifest, so no data file
+    // may reach any scan (the r11 shape read every data file)
+    val dataFiles = df.inputFiles.filter(_.contains("/data/"))
+    assert(dataFiles.isEmpty,
+      s"expiry census must read ONLY the manifest, not data files: ${dataFiles.toSeq}")
+    val rows = df.orderBy("file").collect()
     assert(rows.map(_.getAs[String]("file")).toSeq === Seq("snap_all", "snap_hi", "snap_lo"))
     val byFile = rows.map(r => r.getAs[String]("file") -> r).toMap
     assert(byFile("snap_all").getAs[Long]("live") === 1L)
@@ -76,6 +82,35 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(byFile("snap_all").getAs[Long]("n_rows_freed") === 0L)
     assert(byFile("snap_lo").getAs[Long]("n_rows_freed") ===
       byFile("snap_lo").getAs[Long]("n_rows"))
+  }
+
+  test("manifest carries write-time row counts that conserve across the compaction") {
+    val base = TimeTravel.build(spark, TestSpark.Sf0001)
+    val m = spark.read
+      .schema("version LONG, path STRING, min_key LONG, max_key LONG, n_rows LONG")
+      .json(s"$base/manifest").collect()
+    def nRows(frag: String) =
+      m.filter(_.getString(1).contains(frag)).map(_.getLong(4)).distinct
+    assert(nRows("snap_lo").length === 1, "shared file must list one count in every version")
+    assert(nRows("snap_all").head === nRows("snap_lo").head + nRows("snap_hi").head,
+      "compacted file must hold every row of the halves")
+    val expected = graft.core.Tables.orders(spark, TestSpark.Sf0001).count()
+    assert(nRows("snap_all").head === expected, "manifest count must match true file count")
+  }
+
+  test("snapshot changes: the CDF read scans ONLY the appended file") {
+    val df = SparkEntry.queries("q_snapshot_changes")(spark, TestSpark.Sf0001)
+    // plan pin: the manifest diff selects exactly the v2-added file; the
+    // shared v1 file and the compaction file must never reach the scan
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("snap_hi")),
+      s"CDF read must scan only the appended file: ${files.toSeq}")
+    val r = df.collect()(0)
+    val o = graft.core.Tables.orders(spark, TestSpark.Sf0001)
+    val x = o.agg(expr("max(o_orderkey) DIV 2")).collect()(0).getLong(0)
+    assert(r.getAs[Long]("n_rows_added") === o.filter(col("o_orderkey") > x).count())
+    assert(r.getAs[Long]("n_files_read") === 1L)
+    assert(r.getAs[Long]("min_key") === x + 1)
   }
 
   test("totality: a 1-row table (empty lo half) builds, reads and prunes without error") {
@@ -94,5 +129,11 @@ class TimeTravelSpec extends AnyFunSuite {
     val mp = SparkEntry.queries("q_manifest_prune")(spark, tmp).collect()(0)
     assert(mp.getAs[Long]("n_rows") === 1L)
     assert(mp.getAs[Long]("n_files_scanned") === 1L, "the empty lo file must be pruned")
+    // the maintenance reads stay total too: the empty half censuses 0
+    val se = SparkEntry.queries("q_snapshot_expire")(spark, tmp).orderBy("file").collect()
+    assert(se.map(r => r.getAs[String]("file") -> r.getAs[Long]("n_rows")).toMap ===
+      Map("snap_all" -> 1L, "snap_hi" -> 1L, "snap_lo" -> 0L))
+    val sc = SparkEntry.queries("q_snapshot_changes")(spark, tmp).collect()(0)
+    assert(sc.getAs[Long]("n_rows_added") === 1L)
   }
 }
