@@ -56,8 +56,26 @@ object Bench {
       System.err.println(f"[bench p$n] $name%-22s ${sec}%8.2f s  gc=${(gcMillis - g0) / 1000.0}%6.2f s")
       name -> sec
     }
+    // self-calibration: a fixed, plan-independent compute kernel timed
+    // before and after the passes. Box contention inflates it in direct
+    // proportion, so a degraded run is flagged INSIDE the artifact (the
+    // r11 driver bench ran uniformly ~1.37x a quiet box and the forensics
+    // took a round of cross-referencing to reconstruct). Quiet-box
+    // reference value for this kernel is recorded in STATUS.md.
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      // per-row murmur + widened sum: |sum| <= 2e8 * 2^31 < Long.Max, so
+      // the kernel stays ANSI-safe at any box speed
+      spark.range(200L * 1000 * 1000)
+        .selectExpr("sum(cast(hash(id) as bigint))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibBefore = math.min(calib(), calib())
     val p1 = pass(1).toMap
     val results = pass(2).map { case (name, sec) => name -> math.min(sec, p1(name)) }
+    val calibAfter = math.min(calib(), calib())
+    val calibJson =
+      f""""calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f"""
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -72,7 +90,7 @@ object Bench {
     // driver parses its contract line from a size-capped stdout tail, and
     // the full 191-query map (~6 KB) does not fit that cap
     val fullLine =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","artifact_build_s":$artifactS,"queries":${jmap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","artifact_build_s":$artifactS,$calibJson,"queries":${jmap(results)},"sf":"$sfDir"}"""
     println(fullLine)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_queries.json"),
@@ -81,7 +99,7 @@ object Bench {
     // contract line LAST and compact: all contract fields, but `queries`
     // holds only the 15 slowest (the tail the judge reads for stragglers)
     val top = results.sortBy(-_._2).take(15)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"max_s":$maxS,"artifact_build_s":$artifactS,"queries":${jmap(top)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"max_s":$maxS,"artifact_build_s":$artifactS,$calibJson,"queries":${jmap(top)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
