@@ -584,7 +584,11 @@ object DataPrepQueries {
     // to a per-row bucket assignment, then per-bucket stats. Two narrow
     // passes + one K-group shuffle at any scale.
     "q_percentile_bucket" -> { (s, dir) =>
-      val b = Tables.orders(s, dir)
+      // r12: the exact-percentile partial state (value->count map) builds
+      // in the scan stage — fan the single price column out so 32 partials
+      // build in parallel and merge (identity at scale splits)
+      val b = graft.core.Par.fanOutIfCompact(
+          Tables.orders(s, dir).select("o_totalprice"), col("o_totalprice"))
         .agg(expr("percentile(o_totalprice, 0.25)").as("q1"),
           expr("percentile(o_totalprice, 0.5)").as("q2"),
           expr("percentile(o_totalprice, 0.75)").as("q3"))

@@ -658,7 +658,12 @@ object QualityQueries {
         val stackArgs = pairs.zipWithIndex
           .map { case ((a, b), i) => s"'$table', '$a', '$b', da_$i, dab_$i" }
           .mkString(", ")
-        df.agg(aggs.head, aggs.tail: _*)
+        // r12: the multi-DISTINCT Expand (x2·pairs rows) and its partial
+        // aggregate run in the scan stage — fan the narrow key columns out
+        // first so the expansion parallelizes (identity at scale splits)
+        val keyCols = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(col)
+        val src = graft.core.Par.fanOutIfCompact(df.select(keyCols: _*), keyCols: _*)
+        src.agg(aggs.head, aggs.tail: _*)
           .select(expr(s"stack(${pairs.length}, $stackArgs) " +
             "AS (table_name, lhs, rhs, n_lhs, n_pair)"))
       }
@@ -679,7 +684,11 @@ object QualityQueries {
         cols.flatMap(c => Seq(
           countDistinct(col(c)).as(s"d_$c"),
           sum(col(c).isNull.cast("long")).as(s"z_$c")))
-      val one = Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*)
+      // r12: 6 DISTINCT columns expand every row x7 in the scan stage —
+      // fan out the projected keys first (identity at scale splits)
+      val one = graft.core.Par.fanOutIfCompact(
+        Tables.orders(s, dir).select(cols.map(col): _*),
+        col("o_orderkey")).agg(aggs.head, aggs.tail: _*)
       val stackArgs = cols.map(c => s"'$c', d_$c, z_$c").mkString(", ")
       one.select(col("n_rows"),
           expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_distinct, n_null)"))
@@ -714,9 +723,12 @@ object QualityQueries {
         ("l_orderkey", Tables.lineitem(s, dir).select(col("l_orderkey").as("v"))),
         ("l_partkey", Tables.lineitem(s, dir).select(col("l_partkey").as("v"))),
         ("p_partkey", Tables.part(s, dir).select(col("p_partkey").as("v"))))
-      val values = colFrames.map { case (name, df) =>
+      // r12: each union branch's partial bottom-k runs in its scan stage
+      // (one task per compact fixture file) — fan the narrow value rows
+      // out so the md5 sketch build parallelizes (identity at scale)
+      val values = graft.core.Par.fanOutIfCompact(colFrames.map { case (name, df) =>
         df.select(lit(name).as("col_name"), col("v"))
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _), col("col_name"), col("v"))
       // combinable bottom-k sketch build: ≤ K hashes per column per
       // partition cross the shuffle (a rank window here would sort each
       // column's whole distinct value domain in a single reducer task)

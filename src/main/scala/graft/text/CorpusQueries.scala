@@ -124,7 +124,8 @@ object CorpusQueries {
       // 2-3x per row (measured 8.6 s for the 20-doc eval side alone at
       // sf0.1 vs ~1 s for the whole hash pass). What is materialized is
       // sketch rows — ~50 longs/doc — never document bodies.
-      val hashed = Tables.documents(s, dir)
+      val hashed = graft.core.Par.fanOutIfCompact( // r12: parallelize shingle+hash
+          Tables.documents(s, dir).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"), words.as("ws"))
         .select(col("doc_id"),
           transform(array_distinct(TextQueries.shingles3(col("ws"))),
@@ -175,7 +176,10 @@ object CorpusQueries {
     // groups by chunk hash exactly like the fixed-width path, so the two
     // operators are directly comparable.
     "q_dedup_cdc" -> { (s, dir) =>
-      val wordsExp = Tables.documents(s, dir)
+      // r12 fan-out: the posexplode + per-word hash otherwise run in the
+      // single-split scan task (identity at scale splits)
+      val wordsExp = graft.core.Par.fanOutIfCompact(
+          Tables.documents(s, dir).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
         .withColumn("bnd", (pmod(TextQueries.h32(concat(lit("cdc:"), col("w"))),
           lit(8L)) === 0L).cast("long"))
@@ -695,7 +699,11 @@ object CorpusQueries {
     // force-broadcast. avg is rounded at 6 after the aggregate, the
     // established mean-of-floats discipline.
     "q_bigram_logprob" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir).select(col("doc_id"), words.as("ws"))
+      // r12 fan-out: three bigram/word explodes read this frame; each
+      // otherwise runs in the single-split scan task (identity at scale)
+      val docs = graft.core.Par.fanOutIfCompact(
+          Tables.documents(s, dir).select("doc_id", "text"), col("doc_id"))
+        .select(col("doc_id"), words.as("ws"))
       val bigrams = when(size(col("ws")) >= 2,
         transform(sequence(lit(1), size(col("ws")) - 1),
           i => struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))
@@ -905,7 +913,14 @@ object CorpusQueries {
       // count — and explodes it back out, so gram totals meet their
       // source rows without any join or second scan.
       // Measured sf0.1/local[32] warm: 5.08 -> 1.54 s.
-      val grams = Tables.documents(s, dir)
+      // r12: the per-position hashing below is the query's dominant CPU
+      // (L-31 substring+xxhash64 calls per doc) and runs in the SCAN stage
+      // — a compact fixture plans one split, serializing it on one core.
+      // Par.fanOutIfCompact spreads the narrow (source, text) rows across
+      // cores first (identity at production split counts). Measured
+      // sf0.1/local[32] warm: 2.82 -> (see OPTIMIZATION_r12.md).
+      val grams = graft.core.Par.fanOutIfCompact(
+          Tables.documents(s, dir).select(col("source"), col("text")))
         .select(col("source"), expr(
           """explode(CASE WHEN length(text) >= 32
             |  THEN transform(sequence(1, length(text) - 31), i -> xxhash64(substring(text, i, 32)))
