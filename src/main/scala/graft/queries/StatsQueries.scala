@@ -558,8 +558,17 @@ object StatsQueries {
       // basket self-join) — without the cut the lineitem scan + distinct
       // shuffle replays per consumer (measured 4.6 -> 3.1 s cold,
       // 1.9 -> 1.6 s warm at sf0.1/local[32])
+      // r12 (guide §2.4 "two operations keyed the same way can share one
+      // exchange"): the r11 shape deduped on hash(ok, pk), then re-shuffled
+      // BOTH self-join sides back onto ok — three basket-keyed exchanges
+      // where one suffices. Repartitioning by ok BEFORE the dedup satisfies
+      // the (ok, pk) clustering (hash on a key subset), and localCheckpoint
+      // preserves the partitioning, so the self-join and the n_orders
+      // dedup both reuse it exchange-free; only freq (pk) and the pair
+      // census (pa, pb) shuffle again.
       val items = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .repartition(col("ok"))
         .distinct()
         .localCheckpoint(eager = false)
       val nOrders = items.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
