@@ -761,7 +761,11 @@ object DataPrepQueries {
     "q_reservoir_sample" -> { (s, dir) =>
       val K = 16
       val bottomK = udaf(new graft.functions.BottomKDistinctAgg(K))
-      val rows = Tables.orders(s, dir)
+      // r12 fan-out: per-row md5 otherwise runs in the single-split scan
+      // task (identity at scale splits)
+      val rows = graft.core.Par.fanOutIfCompact(
+          Tables.orders(s, dir)
+            .select("o_orderstatus", "o_orderkey", "o_totalprice"), col("o_orderkey"))
         .select(col("o_orderstatus").as("grp"), col("o_orderkey"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
         .withColumn("h",
