@@ -255,58 +255,82 @@ object TrainQueries {
     "q_naive_bayes" -> { (s, dir) =>
       // fixture lang codes, lexically indexed (documented fixture
       // assumption, same class as the hardcoded event_type domains)
-      val langIdx = "CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 " +
-        "WHEN 'fr' THEN 3 WHEN 'zh' THEN 4 END"
+      val Langs = Seq("de", "en", "es", "fr", "zh")
       val docs = Tables.documents(s, dir)
         .withColumn("is_train",
           pmod(graft.text.TextQueries.h32(concat(lit("nb:"), col("doc_id"))), lit(2L)))
       val trainTok = docs.filter(col("is_train") === 1)
         .select(col("lang"), explode(split(col("text"), " ")).as("term"))
         .filter(length(col("term")) > 0)
-      val model = trainTok.groupBy("lang", "term").agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false) // feeds totals, vocab and the scoring join
-      val langTotals = model.groupBy("lang").agg(sum("c").as("t_l"))
-      val vocab = model.select("term").distinct().agg(count(lit(1)).as("v"))
-      val priors = docs.filter(col("is_train") === 1)
-        .groupBy("lang").agg(count(lit(1)).as("d_l"))
-      val dTot = priors.agg(sum("d_l").as("d"))
-      val langFrame = broadcast(langTotals.join(priors, "lang")
-        .crossJoin(broadcast(vocab)).crossJoin(broadcast(dTot))
-        .select(col("lang").as("cand"), col("t_l"), col("v"),
-          expr("CAST(round(ln(CAST(d_l AS DOUBLE) / CAST(d AS DOUBLE)) * 1000000) AS BIGINT)")
-            .as("prior_mn"),
-          expr("CAST(round(ln(1.0 / CAST(t_l + v AS DOUBLE)) * 1000000) AS BIGINT)")
-            .as("oov_mn")))
+      // r12 (guide §2.3 "shuffle fewer bytes"): the model is PIVOTED to one
+      // row per term with a count column per lang (the lang domain is the
+      // fixed 5-code registry, so the width is bounded). The r11 shape
+      // crossJoined every test token x5 langs and joined the tall
+      // (lang, term) model on (cand, term) — a 5x multiplication of the
+      // scoring shuffle and a per-(doc, cand) aggregate; here each test
+      // token joins the wide model ONCE on term, all 5 log-likelihoods ride
+      // the same row, the per-doc aggregate is 5 integer sums, and the
+      // argmax is an in-row greatest() over (score, 7-idx) structs — same
+      // integers, same smallest-idx tie-break, no shift/pmod machinery
+      // (nothing is packed, so nothing can go negative). A lang with no
+      // training docs or no training tokens scores null and is skipped by
+      // greatest — exactly the r11 inner-join candidate set; an all-null
+      // row (no training data at all) is filtered, matching the r11
+      // empty-frame census.
+      val model = trainTok.groupBy("term")
+        .agg(sum(when(col("lang") === Langs.head, 1L)).as("c0"),
+          Langs.tail.zipWithIndex.map { case (l, i) =>
+            sum(when(col("lang") === l, 1L)).as(s"c${i + 1}") }: _*)
+        .localCheckpoint(eager = false) // feeds totals+vocab AND the scoring join
+      val totCols = Seq(count(lit(1)).as("v")) ++
+        Langs.indices.map(i => sum(coalesce(col(s"c$i"), lit(0L))).as(s"t$i"))
+      val totals = model.agg(totCols.head, totCols.tail: _*)
+      val priorCols = Seq(count(lit(1)).as("d")) ++
+        Langs.zipWithIndex.map { case (l, i) =>
+          sum(when(col("lang") === l, 1L)).as(s"d$i") }
+      val priors = docs.filter(col("is_train") === 1).agg(priorCols.head, priorCols.tail: _*)
+      // prior/oov guarded by candidacy: a lang with no training docs or
+      // tokens would put ln(0)/ln(inf) through the ANSI BIGINT cast — the
+      // r11 inner-join shape never materialized those rows at all
+      val statCols = Langs.indices.flatMap { i =>
+        val isCand = col(s"d$i") > 0 && col(s"t$i") > 0
+        Seq(col(s"t$i"),
+          when(isCand,
+            expr(s"CAST(round(ln(CAST(d$i AS DOUBLE) / CAST(d AS DOUBLE)) * 1000000) AS BIGINT)"))
+            .as(s"prior_mn$i"),
+          when(isCand,
+            expr(s"CAST(round(ln(1.0 / CAST(t$i + v AS DOUBLE)) * 1000000) AS BIGINT)"))
+            .as(s"oov_mn$i"),
+          isCand.as(s"cand$i"))
+      } :+ col("v")
+      val stats = broadcast(totals.crossJoin(priors).select(statCols: _*))
       val testTok = docs.filter(col("is_train") === 0)
         .select(col("doc_id"), col("lang").as("true_lang"),
           explode(split(col("text"), " ")).as("term"))
         .filter(length(col("term")) > 0)
-      val scored = testTok.crossJoin(langFrame)
-        .join(model.select(col("lang").as("cand"), col("term"),
-          col("c")), Seq("cand", "term"), "left_outer")
-        .withColumn("ll_mn",
-          when(col("c").isNotNull,
-            expr("CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(t_l + v AS DOUBLE)) * 1000000) AS BIGINT)"))
-            .otherwise(col("oov_mn")))
-        .groupBy("doc_id", "true_lang", "cand")
-        .agg((max("prior_mn") + sum("ll_mn")).as("score_mn"))
-        // materialized ONCE: both the shift aggregate and the argmax read
-        // this frame — without the checkpoint the token x 5-lang scoring
-        // join executes twice (the r9 bench regression, 1.39 -> 2.22 s)
-        .localCheckpoint(eager = false)
-      // packed-argmax shift DERIVED from the observed score minimum (a
-      // broadcast 1-row aggregate) instead of a fixed -8e9 envelope: a
-      // doc long enough to breach a constant shift made packed negative,
-      // where Spark's pmod stays non-negative but DuckDB's % goes
-      // negative — a silent cross-engine split. With shift = -min(score)
-      // packed is non-negative for ANY doc length and pmod == % == mod.
-      val shift = scored.agg(greatest(-min(col("score_mn")), lit(0L)).as("shift_mn"))
-      val pred = scored.crossJoin(broadcast(shift))
-        .withColumn("idx", expr(langIdx.replace("lang", "cand")))
+      val llCols = Langs.indices.map { i =>
+        when(col(s"cand$i"),
+          when(col(s"c$i").isNotNull,
+            expr(s"CAST(round(ln(CAST(c$i + 1 AS DOUBLE) / CAST(t$i + v AS DOUBLE)) * 1000000) AS BIGINT)"))
+            .otherwise(col(s"oov_mn$i"))).as(s"ll$i")
+      }
+      val scored = testTok
+        .join(model, Seq("term"), "left_outer")
+        .crossJoin(stats)
+        .select(Seq(col("doc_id"), col("true_lang")) ++ llCols ++
+          Langs.indices.flatMap(i => Seq(col(s"prior_mn$i"), col(s"cand$i"))): _*)
         .groupBy("doc_id", "true_lang")
-        .agg(max((col("score_mn") + col("shift_mn")) * 8 + (lit(7) - col("idx")))
-          .as("packed"))
-        .withColumn("pred_idx", lit(7) - pmod(col("packed"), lit(8L)))
+        .agg((max(s"prior_mn0") + sum("ll0")).as("s0"),
+          (Langs.indices.tail.map(i =>
+            (max(s"prior_mn$i") + sum(s"ll$i")).as(s"s$i")) :+
+            max(struct(Langs.indices.map(i => col(s"cand$i")): _*)).as("cands")): _*)
+      val best = greatest(Langs.indices.map(i =>
+        when(col("cands").getField(s"cand$i"), struct(col(s"s$i").as("s"),
+          lit(7L - i).as("p")))): _*)
+      val pred = scored
+        .withColumn("best", best)
+        .filter(col("best").isNotNull)
+        .withColumn("pred_idx", lit(7L) - col("best.p"))
         .withColumn("pred_lang",
           expr("CASE pred_idx WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es' " +
             "WHEN 3 THEN 'fr' WHEN 4 THEN 'zh' END"))

@@ -299,7 +299,8 @@ object TextQueries {
     "q_udaf_minhash" -> { (s, dir) =>
       val aggs = (0 until MinhashK).map(j =>
         min((col("h") * mhA(j) + mhB(j)) % P).as(s"sig$j"))
-      Tables.documents(s, dir)
+      graft.core.Par.fanOutIfCompact( // r12: parallelize shingle explode
+          Tables.documents(s, dir).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"), words.as("ws"))
         .select(col("doc_id"), explode(shingles3(col("ws"))).as("shingle"))
         .withColumn("h", h32(col("shingle")))
