@@ -134,6 +134,41 @@ class TrainPrimSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == expected.toLong)
   }
 
+  // r12: the wide-model rewrite must preserve the old inner-join edge
+  // semantics the tall shape got for free — a lang absent from the train
+  // half is NOT a candidate (and its ln(0) prior must never reach the
+  // ANSI BIGINT cast), and an empty train half yields an EMPTY census
+  // (not null predictions).
+  test("q_naive_bayes: missing-lang and empty-train edges match the tall-model semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("nb_edge").toString
+    import spark.implicits._
+    // parities of pmod(h32("nb:" + id), 2) computed via the engine itself
+    val par = spark.range(1, 41)
+      .selectExpr("id",
+        "CAST(conv(substring(md5(concat('nb:', CAST(id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 AS t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val testIds = par.filter(_._2 == 0L).keys.toSeq.sorted
+    val trainIds = par.filter(_._2 == 1L).keys.toSeq.sorted
+    // case 1: train has ONLY 'en' docs; test docs carry en + zh truths —
+    // predictions must all be 'en' (the lone candidate), zh never crashes
+    Seq((trainIds.head, "en", "alpha beta gamma"),
+      (trainIds(1), "en", "alpha beta"),
+      (testIds.head, "en", "alpha gamma"),
+      (testIds(1), "zh", "beta beta"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_naive_bayes")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 2L)
+    assert(rows.forall(_.getAs[String]("pred_lang") == "en"),
+      s"only the trained lang may be predicted: ${rows.mkString(", ")}")
+    // case 2: no train docs at all -> empty census (the tall shape's
+    // empty langFrame), never a null-prediction row
+    Seq((testIds.head, "en", "alpha gamma"), (testIds(1), "zh", "beta"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("q_naive_bayes")(spark, dir).collect().isEmpty)
+  }
+
   test("q_ols_normal: first normal equation holds; fit is sane") {
     val row = run("q_ols_normal").head
     val s = graft.core.Tables.lineitem(spark, TestSpark.Sf0001)
