@@ -88,10 +88,14 @@ object ScalarQueries {
       val b = names.select(col("noun"), col("name").as("name_b"), col("n").as("n_b"))
       a.join(b, Seq("noun"))
         .filter(col("name_a") < col("name_b"))
+        // r12: threshold-banded levenshtein (Spark 3.5+): O(len*k) banded
+        // DP with an internal |len diff| early-out, returns -1 past the
+        // bound — exact distance for every surviving row, so the output
+        // is unchanged and the dominant per-pair cost drops ~len/k
         .select(col("name_a"), col("name_b"),
-          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+          levenshtein(col("name_a"), col("name_b"), 3).cast("long").as("dist"),
           col("n_a"), col("n_b"))
-        .filter(col("dist") <= 3)
+        .filter(col("dist") >= 0)
         .orderBy("name_a", "name_b")
     },
     // NS: entity resolution end-to-end — the q_fuzzy_join edge set fed
@@ -112,8 +116,9 @@ object ScalarQueries {
       val a = names.select(col("noun"), col("name").as("name_a"), col("nid").as("na"))
       val b = names.select(col("noun"), col("name").as("name_b"), col("nid").as("nb"))
       val edges = a.join(b, Seq("noun"))
+        // r12: banded levenshtein (see q_fuzzy_join) — same edge set
         .filter(col("name_a") < col("name_b") &&
-          levenshtein(col("name_a"), col("name_b")) <= 3)
+          levenshtein(col("name_a"), col("name_b"), 3) >= 0)
         .select(col("na").as("doc_a"), col("nb").as("doc_b"))
       val labels = graft.text.TextDedup.connectedComponents(
         names.select(col("nid").as("doc_id")), edges)
