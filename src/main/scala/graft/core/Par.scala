@@ -32,9 +32,25 @@ object Par {
 
   /** Number of partitions the current physical plan of `df` produces —
     * for a bare scan, the split count (file listing only; runs no job).
+    *
+    * CONTRACT: callers must pass only bare scans / projections / filters /
+    * unions of scans. `toRdd` forces the physical plan, and under AQE a
+    * plan containing an Exchange or subquery would eagerly EXECUTE its
+    * shuffle stages at query-construction time. Guarded below: any plan
+    * that already contains an exchange is treated as "not compact" without
+    * touching `toRdd` (an exchanged frame has already left the
+    * single-split-scan regime this helper exists to repair).
     */
-  private def plannedPartitions(df: DataFrame): Int =
-    df.queryExecution.toRdd.getNumPartitions
+  private def plannedPartitions(df: DataFrame): Int = {
+    // sparkPlan (not executedPlan): the pre-adaptive physical plan — pure
+    // planning, traversable, never materializes a query stage
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (hasExchange) Int.MaxValue
+    else df.queryExecution.toRdd.getNumPartitions
+  }
 
   /** Fan `df` out to `spark.default.parallelism` partitions iff its scan
     * plans fewer splits than that; identity otherwise (the 100 TB path).
@@ -60,5 +76,45 @@ object Par {
     if (plannedPartitions(df) >= target) df
     else if (keys.nonEmpty) df.repartition(target, keys: _*)
     else df.repartition(target)
+  }
+
+  /** Keyed exchange whose partition count is pinned against AQE coalescing
+    * ONLY on the compact-scan path. A bare `repartition(keys)` is
+    * AQE-coalescable (ENSURE_REQUIREMENTS-style advisory sizing), so on a
+    * sub-`advisoryPartitionSizeInBytes` input it collapses back to ~1
+    * partition — and when the frame is then localCheckpoint'ed, every
+    * downstream consumer inherits that single partition and serializes
+    * (measured on q_market_basket: the whole C(k,2) pair expansion ran
+    * one-core). At scale (scan plans >= cores splits) the AQE-managed
+    * keyed exchange is the right behavior and is kept unchanged.
+    * Same scan-only caller contract as [[fanOutIfCompact]].
+    */
+  def keyedExchange(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (plannedPartitions(df) >= target) df.repartition(keys: _*)
+    else df.repartition(target, keys: _*)
+  }
+
+  /** Child session with AQE disabled — ONLY when `probe`'s scan is compact
+    * (the fanOutIfCompact identity-at-scale rule, applied to a session
+    * conf). An unrolled iterative query at fixture scale pays an AQE query-
+    * stage barrier + re-plan per round over tiny frames (measured on
+    * q_coreset_fps: x0.84 with AQE off, interleaved min-of-2); at
+    * production scale the probe plans >= cores splits and the PARENT
+    * session is returned unchanged — AQE's skew/coalesce handling stays on
+    * where it matters. Same scan-only probe contract as fanOutIfCompact.
+    * NOT a blanket toggle: AQE's post-shuffle coalescing is load-bearing
+    * for many-round tiny-shuffle fixpoints even at fixture scale
+    * (q_median_polish x2.2, q_hits_rank x2.05 WORSE with AQE off) — apply
+    * per query only on paired-bench evidence.
+    */
+  def noAqeSessionIfCompact(s: org.apache.spark.sql.SparkSession,
+                            probe: DataFrame): org.apache.spark.sql.SparkSession = {
+    if (plannedPartitions(probe) >= s.sparkContext.defaultParallelism) s
+    else {
+      val child = s.newSession()
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      child
+    }
   }
 }

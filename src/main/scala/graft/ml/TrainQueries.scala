@@ -254,7 +254,14 @@ object TrainQueries {
     // test half.
     "q_naive_bayes" -> { (s, dir) =>
       // fixture lang codes, lexically indexed (documented fixture
-      // assumption, same class as the hardcoded event_type domains)
+      // assumption, same class as the hardcoded event_type domains).
+      // DIVERGENCE NOTE (r13, from the r12 advisor): a training-data lang
+      // OUTSIDE this registry still contributes its tokens to the vocab
+      // size v but can never be a CANDIDATE in the wide model, whereas the
+      // r11 tall shape carried unknown langs as candidates. Confined to
+      // out-of-contract fixture data; if the fixture's lang domain ever
+      // grows, the oracle diff surfaces it (v shifts on every row), and
+      // this list is the one place to extend.
       val Langs = Seq("de", "en", "es", "fr", "zh")
       val docs = Tables.documents(s, dir)
         .withColumn("is_train",

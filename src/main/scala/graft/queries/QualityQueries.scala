@@ -684,11 +684,12 @@ object QualityQueries {
         cols.flatMap(c => Seq(
           countDistinct(col(c)).as(s"d_$c"),
           sum(col(c).isNull.cast("long")).as(s"z_$c")))
-      // r12: 6 DISTINCT columns expand every row x7 in the scan stage —
-      // fan out the projected keys first (identity at scale splits)
-      val one = graft.core.Par.fanOutIfCompact(
-        Tables.orders(s, dir).select(cols.map(col): _*),
-        col("o_orderkey")).agg(aggs.head, aggs.tail: _*)
+      // r13: the r12 fan-out here was kept against its own full-bench
+      // evidence (x1.34 box-normalized on the committed quiet maps) — the
+      // 13-column Expand over 150k rows is ~0.1 s of single-core work and
+      // the added exchange cost more. Reverted to the direct aggregate.
+      val one = Tables.orders(s, dir).select(cols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
       val stackArgs = cols.map(c => s"'$c', d_$c, z_$c").mkString(", ")
       one.select(col("n_rows"),
           expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_distinct, n_null)"))

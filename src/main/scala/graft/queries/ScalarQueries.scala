@@ -88,6 +88,13 @@ object ScalarQueries {
       val b = names.select(col("noun"), col("name").as("name_b"), col("n").as("n_b"))
       a.join(b, Seq("noun"))
         .filter(col("name_a") < col("name_b"))
+        // r13: length-band pre-filter — |len(a)-len(b)| <= 3 is a NECESSARY
+        // condition for levenshtein <= 3 (each unit of length difference
+        // costs one edit), so it drops no qualifying pair and cuts the
+        // candidate set BEFORE the expensive DP (guide §3.2 reduce-before-
+        // join applied to the pair generator; at scale the block self-join
+        // emits billions of candidate pairs and length is already in-row)
+        .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 3)
         // r12: threshold-banded levenshtein (Spark 3.5+): O(len*k) banded
         // DP with an internal |len diff| early-out, returns -1 past the
         // bound — exact distance for every surviving row, so the output
@@ -117,7 +124,10 @@ object ScalarQueries {
       val b = names.select(col("noun"), col("name").as("name_b"), col("nid").as("nb"))
       val edges = a.join(b, Seq("noun"))
         // r12: banded levenshtein (see q_fuzzy_join) — same edge set
+        // r13: length-band pre-filter ahead of the DP (see q_fuzzy_join);
+        // conjunct order is load-bearing — the cheap band short-circuits
         .filter(col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 3 &&
           levenshtein(col("name_a"), col("name_b"), 3) >= 0)
         .select(col("na").as("doc_a"), col("nb").as("doc_b"))
       val labels = graft.text.TextDedup.connectedComponents(

@@ -566,9 +566,16 @@ object StatsQueries {
       // preserves the partitioning, so the self-join and the n_orders
       // dedup both reuse it exchange-free; only freq (pk) and the pair
       // census (pa, pb) shuffle again.
-      val items = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .repartition(col("ok"))
+      // r13: keyedExchange instead of a bare repartition(col): the bare
+      // keyed exchange is AQE-coalescable and on this sub-advisory-size
+      // input collapsed to ONE partition — which the localCheckpoint then
+      // froze, serializing the distinct, the C(k,2) pair expansion and the
+      // census partials on one core. The pinned count applies only on the
+      // compact-scan path; at scale the AQE-managed exchange is unchanged.
+      val items = graft.core.Par.keyedExchange(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+          col("ok"))
         .distinct()
         .localCheckpoint(eager = false)
       val nOrders = items.select("ok").distinct().agg(count(lit(1)).as("n_orders"))

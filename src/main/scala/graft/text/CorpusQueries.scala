@@ -177,7 +177,9 @@ object CorpusQueries {
     // operators are directly comparable.
     "q_dedup_cdc" -> { (s, dir) =>
       // r12 fan-out: the posexplode + per-word hash otherwise run in the
-      // single-split scan task (identity at scale splits)
+      // single-split scan task (identity at scale splits).
+      // r13 revert-or-prove adjudication: PROVEN — reverting it measured
+      // x1.17 normalized on a paired full-bench run, so the fan-out stays.
       val wordsExp = graft.core.Par.fanOutIfCompact(
           Tables.documents(s, dir).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"), posexplode(words).as(Seq("pos", "w")))
@@ -700,7 +702,9 @@ object CorpusQueries {
     // established mean-of-floats discipline.
     "q_bigram_logprob" -> { (s, dir) =>
       // r12 fan-out: three bigram/word explodes read this frame; each
-      // otherwise runs in the single-split scan task (identity at scale)
+      // otherwise runs in the single-split scan task (identity at scale).
+      // r13 revert-or-prove adjudication: PROVEN — reverting it measured
+      // x1.27 normalized on a paired full-bench run, so the fan-out stays.
       val docs = graft.core.Par.fanOutIfCompact(
           Tables.documents(s, dir).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"), words.as("ws"))
