@@ -95,26 +95,12 @@ object Par {
     else df.repartition(target, keys: _*)
   }
 
-  /** Child session with AQE disabled — ONLY when `probe`'s scan is compact
-    * (the fanOutIfCompact identity-at-scale rule, applied to a session
-    * conf). An unrolled iterative query at fixture scale pays an AQE query-
-    * stage barrier + re-plan per round over tiny frames (measured on
-    * q_coreset_fps: x0.84 with AQE off, interleaved min-of-2); at
-    * production scale the probe plans >= cores splits and the PARENT
-    * session is returned unchanged — AQE's skew/coalesce handling stays on
-    * where it matters. Same scan-only probe contract as fanOutIfCompact.
-    * NOT a blanket toggle: AQE's post-shuffle coalescing is load-bearing
-    * for many-round tiny-shuffle fixpoints even at fixture scale
-    * (q_median_polish x2.2, q_hits_rank x2.05 WORSE with AQE off) — apply
-    * per query only on paired-bench evidence.
-    */
-  def noAqeSessionIfCompact(s: org.apache.spark.sql.SparkSession,
-                            probe: DataFrame): org.apache.spark.sql.SparkSession = {
-    if (plannedPartitions(probe) >= s.sparkContext.defaultParallelism) s
-    else {
-      val child = s.newSession()
-      child.conf.set("spark.sql.adaptive.enabled", "false")
-      child
-    }
-  }
+  // NOTE (r13): a `noAqeSessionIfCompact` helper (AQE off in a child
+  // session when the input scan is compact) was implemented, probed
+  // (q_coreset_fps x0.84 interleaved) and then REJECTED by the paired
+  // full-bench adjudication (x1.26 normalized) — removed rather than left
+  // as dead code; the measurement record lives in OPTIMIZATION_r13.md and
+  // tools/AqeFloorProbe.scala. AQE's coalescing is load-bearing for
+  // many-round tiny-shuffle fixpoints (q_median_polish x2.2 WORSE without
+  // it), so no per-query AQE toggle ships.
 }

@@ -121,12 +121,13 @@ object MLQueries {
     // one least() combine into the running min-distance frame. The chosen
     // set is k rows; the only row-scale state is the (vec_id, d2) frame —
     // the same shape a 1000-executor k-center run keeps partitioned.
-    "q_coreset_fps" -> { (s0, dir) =>
-      // r13: the 5 unrolled FPS rounds each pay an AQE stage barrier +
-      // re-plan over a 2000-row frame — AQE off in a child session iff the
-      // input scan is compact (identity at scale; see Par). Probed x0.84,
-      // kept on paired-bench adjudication.
-      val s = graft.core.Par.noAqeSessionIfCompact(s0, Tables.embeddings(s0, dir))
+    // r13: AQE-off-if-compact was tried here (the 5 unrolled FPS rounds
+    // each pay an AQE stage barrier over a 2000-row frame; interleaved
+    // probe said x0.84) and REJECTED by the paired full-bench map
+    // (x1.26 normalized — in-bench the AQE coalescing it loses matters
+    // more than the barriers it saves). Full-bench maps outrank isolated
+    // probes per the round-12/13 decision protocol.
+    "q_coreset_fps" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       // localCheckpoint x2 (the Lloyd-loop discipline): xl feeds every
       // round's distance pass (~9 references), and each round's `mind`

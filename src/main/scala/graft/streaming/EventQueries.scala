@@ -18,6 +18,11 @@ import graft.core.Tables
   */
 object EventQueries {
 
+  // (sfDir -> embeddings schema) for q_stream_kmeans — see Streams'
+  // events-schema memo; a separate cache because the memo key is (ctx, dir)
+  private val embSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    graft.text.ArtifactMemo.Key, org.apache.spark.sql.types.StructType]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Events per type per 1-hour tumbling window.
     "q_stream_tumbling" -> { (s, dir) =>
@@ -227,7 +232,10 @@ object EventQueries {
       val ss = Streams.streamingSession(s)
       import ss.implicits._
       val cents = graft.kmeans.Lloyd.initCentroidsFor(s, dir, graft.kmeans.KmeansQueries.K)
-      val schema = ss.read.parquet(s"$dir/embeddings.parquet").schema
+      // r13: footer-read memoized like the events schema (static per dir)
+      val schema = graft.text.ArtifactMemo.memoAny(embSchemaCache, "emb_schema", ss, dir) {
+        ss.read.parquet(s"$dir/embeddings.parquet").schema
+      }
       val streamed = ss.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet")
         .parquet(dir)
